@@ -1,0 +1,168 @@
+"""Single-node oracle: classify → extract → tokenize → index → BM25.
+
+This is the semantics ground truth the Spark engine must match
+(SURVEY.md §5): per-url byte-identical extracted text, and
+rank-identical (doc_id, score) top-k on the query set.
+
+Indexing model (generalizing the reference pipeline,
+``/root/reference/src/proc3/threads.rs:63-168``):
+
+1. ``name_filter`` on the url (proc3.rs:203-299) — Ignore drops the row.
+2. ``content_filter`` on the first 256 bytes (proc3.rs:301-336).
+3. lossy UTF-8 decode (proc3.rs:136), extraction for Html
+   (indexer.rs:97-173), tokenization (txt_parse.rs:74-105),
+   lowercase + stop words (indexer.rs:50-61), 20-byte vocabulary
+   truncation (index2.rs:598-619).
+4. postings: term → {doc_id: tf}; doc_len = count of indexed tokens.
+
+BM25 (new work per BASELINE.json north_star — the reference ranks
+nothing): k1 = 1.2, b = 0.75,
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    w(t, d)     = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(q, d) = Σ_{v ∈ vocab matching any query term} w(v, d)
+
+Query semantics follow ``Words::find`` (index2.rs:550-582): each query
+term is a ``WildMatch`` glob (``*``/``?``, index2.rs:554) expanded
+over the vocabulary; a doc qualifies iff EVERY query term has at least
+one matching vocab term present in the doc (AND across query terms,
+union within one term's expansion). Ranking is (score desc, doc_id
+asc); N counts all indexed docs (Text/Html after filters), avgdl is
+their mean doc_len.
+"""
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+from textindex_spark.refimpl import filters
+from textindex_spark.refimpl.html_extract import decode_lossy, extract_text_full
+from textindex_spark.refimpl.txt_tokenize import term_frequencies
+
+K1 = 1.2
+B = 0.75
+
+
+def wildcard_to_regex(pattern: str) -> re.Pattern[str]:
+    """WildMatch glob semantics (``*`` any run incl. empty, ``?``
+    exactly one char), whole-term match (index2.rs:554)."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("".join(out), re.DOTALL)
+
+
+def classify_and_extract(url: str, html: bytes, text: str) -> tuple[str, str, bool]:
+    """→ (filter, extracted_text, truncated). filter ∈ {ignore, text,
+    html}. Rows with empty html use the ``text`` column as a Text doc
+    (text/plain rows per FIXTURES.md §1)."""
+    if not filters.name_filter_keep(url):
+        return filters.IGNORE, "", False
+    if not html:
+        return (filters.TEXT, text, False) if text else (filters.IGNORE, "", False)
+    kind = filters.content_filter(html[: filters.SNIFF_BYTES])
+    if kind == filters.IGNORE:
+        return filters.IGNORE, "", False
+    decoded = decode_lossy(html)
+    if kind == filters.HTML:
+        extracted, truncated = extract_text_full(decoded)
+        return filters.HTML, extracted, truncated
+    return filters.TEXT, decoded, False
+
+
+@dataclass
+class OracleIndex:
+    docs: dict[int, dict] = field(default_factory=dict)  # doc_id → {url, dl, ...}
+    postings: dict[str, dict[int, int]] = field(default_factory=dict)  # term → {doc: tf}
+    n_docs: int = 0
+    avgdl: float = 0.0
+
+    @classmethod
+    def build(cls, rows: list[dict]) -> "OracleIndex":
+        idx = cls()
+        total_len = 0
+        for row in rows:
+            kind, text, truncated = classify_and_extract(
+                row["url"], row.get("html") or b"", row.get("text") or ""
+            )
+            if kind == filters.IGNORE:
+                continue
+            doc_id = row["doc_id"]
+            tf, dl = term_frequencies(text)
+            idx.docs[doc_id] = {
+                "url": row["url"],
+                "doc_len": dl,
+                "filter": kind,
+                "truncated": truncated,
+                "text": text,
+            }
+            total_len += dl
+            for term, n in tf.items():
+                idx.postings.setdefault(term, {})[doc_id] = n
+        idx.n_docs = len(idx.docs)
+        idx.avgdl = (total_len / idx.n_docs) if idx.n_docs else 0.0
+        return idx
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def idf(self, term: str) -> float:
+        d = self.df(term)
+        return math.log(1.0 + (self.n_docs - d + 0.5) / (d + 0.5))
+
+    def expand(self, pattern: str) -> list[str]:
+        if "*" not in pattern and "?" not in pattern:
+            return [pattern] if pattern in self.postings else []
+        rx = wildcard_to_regex(pattern)
+        return [t for t in self.postings if rx.fullmatch(t)]
+
+    def weight(self, term: str, doc_id: int, tf: int) -> float:
+        dl = self.docs[doc_id]["doc_len"]
+        norm = tf + K1 * (1.0 - B + B * dl / self.avgdl)
+        return self.idf(term) * tf * (K1 + 1.0) / norm
+
+    def search(self, terms: list[str], k: int = 10, mode: str = "and") -> list[tuple[int, float]]:
+        """Top-k (doc_id, score). mode='and' is reference find
+        semantics; 'or' is pure disjunctive BM25."""
+        expansions = [self.expand(t) for t in terms]
+        if mode == "and":
+            cand: set[int] | None = None
+            for exp in expansions:
+                files: set[int] = set()
+                for v in exp:
+                    files.update(self.postings[v])
+                cand = files if cand is None else (cand & files)
+            candidates = cand or set()
+        else:
+            candidates = set()
+            for exp in expansions:
+                for v in exp:
+                    candidates.update(self.postings[v])
+        vocab_terms = sorted({v for exp in expansions for v in exp})
+        scores: dict[int, float] = {}
+        for v in vocab_terms:
+            plist = self.postings[v]
+            for doc_id in candidates:
+                tf = plist.get(doc_id)
+                if tf:
+                    scores[doc_id] = scores.get(doc_id, 0.0) + self.weight(v, doc_id, tf)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def find_unranked(self, terms: list[str]) -> list[str]:
+        """Exact ``Words::find`` result: AND-intersected file names
+        (sorted by doc_id, as the BTreeSet iteration order)."""
+        expansions = [self.expand(t) for t in terms]
+        cand: set[int] | None = None
+        for exp in expansions:
+            files: set[int] = set()
+            for v in exp:
+                files.update(self.postings[v])
+            cand = files if cand is None else (cand & files)
+        return [self.docs[d]["url"] for d in sorted(cand or set())]

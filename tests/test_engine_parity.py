@@ -1,0 +1,122 @@
+"""End-to-end parity: Spark engine vs single-node oracle.
+
+The two correctness gates of BASELINE.json:
+* byte-identical extracted text per url,
+* rank-identical BM25 top-k (doc_id, score) on the query set.
+"""
+import math
+
+import pytest
+
+from textindex_spark.build import build_index
+from textindex_spark.corpus import query_set, synth_corpus
+from textindex_spark.functions.kernels import EXTRACTED_SCHEMA, extract_text_batches
+from textindex_spark.query import find_files, find_unranked, matched_lines, search
+from textindex_spark.refimpl.oracle import OracleIndex
+
+from tests.spark_fixtures import corpus_df, spark  # noqa: F401
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="session")
+def rows():
+    return synth_corpus(N_DOCS)
+
+
+@pytest.fixture(scope="session")
+def oracle(rows):
+    return OracleIndex.build(rows)
+
+
+@pytest.fixture(scope="session")
+def index_dir(spark, rows, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    stats = build_index(spark, corpus_df(spark, rows), out, range_bits=6)
+    assert stats["n_docs"] > 0
+    return out
+
+
+def test_extracted_text_byte_identical(spark, rows, oracle):
+    """Per-url byte identity of the extraction stage (input_hint)."""
+    html_rows = [r for r in rows if r["doc_id"] in oracle.docs
+                 and oracle.docs[r["doc_id"]]["filter"] == "html"]
+    df = corpus_df(spark, html_rows).select("doc_id", "url", "html")
+    got = {
+        r["url"]: r["text"]
+        for r in df.mapInPandas(extract_text_batches, EXTRACTED_SCHEMA).collect()
+    }
+    assert len(got) == len(html_rows) > 50
+    for r in html_rows:
+        assert got[r["url"]] == oracle.docs[r["doc_id"]]["text"], r["url"]
+
+
+def test_docs_and_stats_match_oracle(spark, index_dir, oracle):
+    docs = {r["doc_id"]: r for r in spark.read.parquet(f"{index_dir}/docs").collect()}
+    assert set(docs) == set(oracle.docs)
+    for doc_id, od in oracle.docs.items():
+        assert docs[doc_id]["doc_len"] == od["doc_len"]
+        assert docs[doc_id]["filter"] == od["filter"]
+    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    assert stats["n_docs"] == oracle.n_docs
+    assert math.isclose(stats["avgdl"], oracle.avgdl, rel_tol=1e-12)
+
+
+def test_terms_match_oracle(spark, index_dir, oracle):
+    terms = {r["term"]: r for r in spark.read.parquet(f"{index_dir}/terms").collect()}
+    assert set(terms) == set(oracle.postings)
+    for t, plist in oracle.postings.items():
+        assert terms[t]["df"] == len(plist), t
+        assert terms[t]["cf"] == sum(plist.values()), t
+
+
+def test_bm25_rank_identity_on_query_set(spark, index_dir, oracle):
+    """Rank-identical (doc_id, score) for every query in the set."""
+    for q in query_set():
+        want = oracle.search(q["terms"], q["k"])
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                spark, index_dir, q["terms"], k=q["k"], with_urls=False
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], (
+            q, got[:5], want[:5],
+        )
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), (q, gd, gs, ws)
+
+
+def test_bm25_pruned_matches_exact(spark, index_dir, oracle):
+    for q in query_set()[:6]:
+        want = oracle.search(q["terms"], q["k"])
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                spark, index_dir, q["terms"], k=q["k"], prune=True, with_urls=False
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+
+
+def test_find_unranked_matches_oracle(spark, index_dir, oracle):
+    for terms in (["spark"], ["spark", "index"], ["karo*"], ["absent"]):
+        want = oracle.find_unranked(terms)
+        got = [r["url"] for r in find_unranked(spark, index_dir, terms).collect()]
+        assert got == want, terms
+
+
+def test_find_files(spark, index_dir, oracle):
+    got = [r["url"] for r in find_files(spark, index_dir, "*site1.example*").collect()]
+    want = [d["url"] for _, d in sorted(oracle.docs.items()) if "site1.example" in d["url"]]
+    assert got == want
+
+
+def test_matched_lines(spark, rows, index_dir, oracle):
+    hits = search(spark, index_dir, ["zanzibar*", "spark"], k=5, with_urls=False)
+    got = matched_lines(spark, corpus_df(spark, rows), hits, ["spark"]).collect()
+    hit_ids = {r["doc_id"] for r in hits.collect()}
+    assert {r["doc_id"] for r in got} == hit_ids
+    for r in got:
+        for line in r["lines"]:
+            assert any(w == "spark" for w in line.split(" "))

@@ -1,0 +1,258 @@
+"""Index build: documents → docs/terms/postings/stats (+ lineage/metrics).
+
+The Spark re-architecture of the reference's walk → load → tokenize →
+merge pipeline (``/root/reference/src/proc3/threads.rs:63-168``):
+
+    read documents table
+      → Catalyst name-filter (pushdown predicate; proc3.rs:203-299)
+      → mapInPandas extract+tokenize kernel (Arrow-batched; the
+        per-doc tf map is the partial agg, tmp_index.rs:20-28)
+      → segments table  (resumable unit; one write per partition id)
+      → explode (term, tf) pairs JVM-side
+      → groupBy(term, range_id)  ← THE shuffle (index2.rs:491-547's
+        single-writer merge, parallelized; range_id splits hot terms
+        across reducers BY CONSTRUCTION — the structural replacement
+        for the reference's 256 frequency bags, word_map.rs:23-32)
+      → vectorized delta-gap varint encode + block-max metadata
+      → postings / terms / stats tables.
+
+Scale notes (100 TB / 10^12 docs):
+* ``range_id = doc_id >> range_bits`` bounds every shuffle group to
+  2^range_bits postings regardless of term frequency — a stop-word-
+  grade term with df=10^11 becomes 10^11/2^range_bits independent
+  groups, so there is no hot reducer and no giant collect_list. This
+  is deterministic salting aligned with the storage layout (the salt
+  IS the block key), cheaper than df-estimation + two-stage merge.
+* Postings are written repartitionByRange(term) and sorted by
+  (term, range_id) within partitions → parquet row-group min/max
+  stats give term-range data skipping at query time (Iceberg mapping:
+  write.distribution-mode=hash(term) + sort order term, range_id).
+* Per-posting doc_len is stored alongside tf (both varint), so BM25
+  needs NO join against the docs table at query time — norms live in
+  the posting list, as in production IR systems.
+* Everything before the central shuffle is a single narrow stage
+  (scan → filter → kernel → explode), fully pipelined.
+"""
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from textindex_spark.codec import encode_batch
+from textindex_spark.functions.kernels import SEGMENT_SCHEMA, extract_tokenize_batches
+from textindex_spark.refimpl.filters import EXT_IGNORE, NAME_IGNORE
+
+K1 = 1.2
+B = 0.75
+RANGE_BITS_DEFAULT = 13  # 8192 docs per posting block/range
+
+POSTING_SCHEMA = (
+    "term string, range_id long, n_docs int, sum_tf long, max_tf int, "
+    "max_tfnorm double, doc_gaps binary, tf_bytes binary, dl_bytes binary"
+)
+
+
+def name_filter_predicate(url: Column) -> Column:
+    """Catalyst (pushdown-able) form of the reference name filter
+    (proc3.rs:203-299): lowercased last path component; extension =
+    suffix after the last '.' when a non-empty stem exists."""
+    name = F.lower(F.element_at(F.split(url, "/"), -1))
+    ext = F.regexp_extract(name, r"^.+\.([^.]*)$", 1)
+    return ~ext.isin(*sorted(EXT_IGNORE)) & ~name.isin(*sorted(NAME_IGNORE))
+
+
+def normalize_input(documents: DataFrame) -> DataFrame:
+    """Accept either the input_hint shape (url, warc_ts, html, text,
+    lang [, doc_id]) or the driver testdata shape (doc_id, text, lang,
+    source, n_chars) and produce (doc_id, url, html, text, lang)."""
+    cols = set(documents.columns)
+    if "url" not in cols:
+        documents = documents.withColumn(
+            "url",
+            F.concat(
+                F.lit("doc://"),
+                F.coalesce(F.col("source"), F.lit("src")) if "source" in cols else F.lit("src"),
+                F.lit("/"),
+                F.col("doc_id").cast("string"),
+                F.lit(".txt"),
+            ),
+        )
+    if "html" not in cols:
+        documents = documents.withColumn("html", F.lit(None).cast("binary"))
+    if "text" not in cols:
+        documents = documents.withColumn("text", F.lit(None).cast("string"))
+    if "lang" not in cols:
+        documents = documents.withColumn("lang", F.lit(""))
+    if "doc_id" not in cols:
+        # deterministic dense ids by url order (one-time global sort;
+        # at scale prefer ids minted upstream, as the testdata does)
+        from pyspark.sql.window import Window
+
+        documents = documents.withColumn(
+            "doc_id", F.row_number().over(Window.orderBy("url")) - F.lit(1)
+        )
+    return documents.select("doc_id", "url", "html", "text", "lang")
+
+
+def tokenize_segments(documents: DataFrame) -> DataFrame:
+    """documents → segment rows (one per indexed doc, with parallel
+    terms/tfs arrays). Narrow, fully pipelined stage."""
+    return documents.filter(name_filter_predicate(F.col("url"))).mapInPandas(
+        extract_tokenize_batches, SEGMENT_SCHEMA
+    )
+
+
+def _encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        doc_lists = [np.asarray(a, dtype=np.int64) for a in pdf["doc_ids"]]
+        tf_lists = [np.asarray(a, dtype=np.int64) for a in pdf["tfs"]]
+        dl_lists = [np.asarray(a, dtype=np.int64) for a in pdf["dls"]]
+        bases = (pdf["range_id"].values.astype(np.int64)) << pdf["range_bits"].iat[0]
+        enc = encode_batch(doc_lists, bases, [tf_lists, dl_lists])
+        yield pd.DataFrame(
+            {
+                "term": pdf["term"],
+                "range_id": pdf["range_id"],
+                "n_docs": pdf["n_docs"],
+                "sum_tf": pdf["sum_tf"],
+                "max_tf": pdf["max_tf"],
+                "max_tfnorm": pdf["max_tfnorm"],
+                "doc_gaps": [e[0] for e in enc],
+                "tf_bytes": [e[1] for e in enc],
+                "dl_bytes": [e[2] for e in enc],
+            }
+        )
+
+
+def build_postings(
+    segments: DataFrame, avgdl: float, range_bits: int = RANGE_BITS_DEFAULT
+) -> DataFrame:
+    """segments → encoded posting blocks. One shuffle, keyed
+    (term, range_id)."""
+    pairs = (
+        segments.select(
+            "doc_id",
+            "doc_len",
+            F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+        )
+        .select(
+            F.col("p.terms").alias("term"),
+            F.col("p.tfs").cast("long").alias("tf"),
+            "doc_id",
+            "doc_len",
+        )
+        .withColumn("range_id", F.shiftright("doc_id", range_bits))
+    )
+    avgdl = float(avgdl) or 1.0
+    tfnorm = (
+        F.col("tf")
+        * (K1 + 1.0)
+        / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avgdl)))
+    )
+    grouped = (
+        pairs.withColumn("tfnorm", tfnorm)
+        .groupBy("term", "range_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "doc_len"))).alias("pl"),
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("tf").alias("sum_tf"),
+            F.max("tf").cast("int").alias("max_tf"),
+            F.max("tfnorm").alias("max_tfnorm"),
+        )
+        .select(
+            "term",
+            "range_id",
+            "n_docs",
+            "sum_tf",
+            "max_tf",
+            "max_tfnorm",
+            F.col("pl.doc_id").alias("doc_ids"),
+            F.col("pl.tf").alias("tfs"),
+            F.col("pl.doc_len").alias("dls"),
+            F.lit(range_bits).alias("range_bits"),
+        )
+    )
+    return grouped.mapInPandas(_encode_kernel, POSTING_SCHEMA)
+
+
+def terms_from_postings(postings: DataFrame) -> DataFrame:
+    """Dictionary stats from block rows (cheap agg over blocks, never
+    over raw postings)."""
+    return postings.groupBy("term").agg(
+        F.sum("n_docs").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+        F.max("max_tfnorm").alias("max_tfnorm"),
+        F.count("*").alias("n_ranges"),
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+    range_bits: int = RANGE_BITS_DEFAULT,
+    write_partitions: int | None = None,
+) -> dict:
+    """Full build. Returns the stats row as a dict."""
+    t0 = time.time()
+    documents = normalize_input(documents)
+    segments = tokenize_segments(documents)
+    segments.write.mode("overwrite").parquet(f"{out_dir}/segments")
+
+    seg = spark.read.parquet(f"{out_dir}/segments")
+    docs = seg.select("doc_id", "url", "lang", "filter", "truncated", "doc_len")
+    docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+
+    stats_row = (
+        spark.read.parquet(f"{out_dir}/docs")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_tokens"),
+        )
+        .collect()[0]
+    )
+    n_docs = stats_row["n_docs"] or 0
+    avgdl = float(stats_row["avgdl"] or 0.0)
+
+    postings = build_postings(seg, avgdl, range_bits)
+    nparts = write_partitions or max(1, postings.sparkSession.sparkContext.defaultParallelism)
+    (
+        postings.repartitionByRange(nparts, "term")
+        .sortWithinPartitions("term", "range_id")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/postings")
+    )
+
+    postings_df = spark.read.parquet(f"{out_dir}/postings")
+    terms = terms_from_postings(postings_df)
+    terms.repartitionByRange(max(1, nparts // 4), "term").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").parquet(f"{out_dir}/terms")
+
+    vocab_size = spark.read.parquet(f"{out_dir}/terms").count()
+    stats = {
+        "n_docs": int(n_docs),
+        "avgdl": avgdl,
+        "total_tokens": int(stats_row["total_tokens"] or 0),
+        "vocab_size": int(vocab_size),
+        "range_bits": range_bits,
+        "k1": K1,
+        "b": B,
+        "build_sec": time.time() - t0,
+    }
+    spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/stats"
+    )
+    return stats
+
+
+def read_stats(spark: SparkSession, index_dir: str) -> dict:
+    return spark.read.parquet(f"{index_dir}/stats").collect()[0].asDict()

@@ -1,38 +1,43 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship job: build the inverted index over the
+sf0.001 ``documents`` table with the engine
+(``textindex_spark.build``), then answer a BM25 top-10 query
+(``textindex_spark.query``). ``queries``/``oracle_sql`` expose every
+implemented operator from SURVEY.md §2 plus the training-data ops,
+each paired with the DuckDB-equivalent SQL (see
+``textindex_spark/gate.py``; ``tools/check_gate.py`` replays the
+comparison locally).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index build + BM25 top-k on /root/testdata/sf0.001."""
+    from textindex_spark import gate
+    from textindex_spark.query import search
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = gate.ensure_index(spark, sf_dir)
+    return search(spark, idx, ["spark", "quer*"], k=10, mode="and")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from textindex_spark import gate
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(gate.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from textindex_spark import gate
+
+    return gate.oracle_sql_map()

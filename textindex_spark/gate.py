@@ -1,0 +1,450 @@
+"""Driver correctness-gate queries + DuckDB oracle SQL.
+
+Each entry in ``QUERIES`` is a callable ``(spark, sf_dir) →
+DataFrame`` running the engine against the driver's testdata tables;
+``ORACLE_SQL`` holds the ANSI-SQL equivalent DuckDB executes on the
+same parquet files. Column names and value representations are
+aligned on both sides (floats are emitted as ``*_micro`` integers =
+``floor(x*1e6+0.5)`` so value hashes can't drift on formatting).
+
+The index-engine queries build a real index (via
+``textindex_spark.build``) over the ``documents`` table — whose text
+is plain lowercase space-separated words, so the reference tokenizer
+reduces to whitespace split + stop-word filter, which the SQL mirrors
+with ``string_split`` + ``NOT IN (stop list)``.
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from textindex_spark import build as B
+from textindex_spark import query as Q
+from textindex_spark.ops import dedup, similarity, textstats
+from textindex_spark.refimpl.stop_words import STOP_WORD_SET
+
+GATE_DIR = os.environ.get("TEXTINDEX_GATE_DIR", "/tmp/textindex_gate")
+
+AND_TERMS = ["spark", "merge"]
+BM25_TERMS = ["spark", "vector"]
+WILDCARD = "qu*"
+
+
+def _sql_quote(w: str) -> str:
+    return "'" + w.replace("'", "''") + "'"
+
+
+STOP_LIST_SQL = ",".join(_sql_quote(w) for w in sorted(STOP_WORD_SET))
+
+# Shared CTE prefix: tokens / doc lengths / term stats over `documents`
+_TOKS_CTE = f"""
+toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, term FROM toks
+    WHERE term <> '' AND term NOT IN ({STOP_LIST_SQL})
+),
+tf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM kept GROUP BY doc_id, term
+),
+dl AS (
+    SELECT d.doc_id, coalesce(k.n, 0)::BIGINT AS doc_len
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id) k
+      ON d.doc_id = k.doc_id
+)
+"""
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the engine index over the driver documents table."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    out = f"{GATE_DIR}/{key}"
+    marker = f"{out}/stats"
+    try:
+        spark.read.parquet(marker).collect()
+        return out
+    except Exception:
+        pass
+    B.build_index(spark, _documents(spark, sf_dir), out, range_bits=10)
+    return out
+
+
+# ---------------------------------------------------------------- queries
+
+def q_doc_stats(spark, sf_dir):
+    idx = ensure_index(spark, sf_dir)
+    return spark.read.parquet(f"{idx}/docs").select("doc_id", "doc_len")
+
+
+def q_tokenize_tf(spark, sf_dir):
+    idx = ensure_index(spark, sf_dir)
+    seg = spark.read.parquet(f"{idx}/segments")
+    return seg.select(
+        "doc_id", F.explode(F.arrays_zip("terms", "tfs")).alias("p")
+    ).select("doc_id", F.col("p.terms").alias("term"), F.col("p.tfs").cast("long").alias("tf"))
+
+
+def q_term_stats(spark, sf_dir):
+    idx = ensure_index(spark, sf_dir)
+    return spark.read.parquet(f"{idx}/terms").select("term", "df", "cf")
+
+
+def q_corpus_stats(spark, sf_dir):
+    idx = ensure_index(spark, sf_dir)
+    return (
+        spark.read.parquet(f"{idx}/stats")
+        .select(
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            F.floor(F.col("avgdl") * 1e6 + F.lit(0.5)).cast("long").alias("avgdl_micro"),
+        )
+    )
+
+
+def q_wildcard_expand(spark, sf_dir):
+    idx = ensure_index(spark, sf_dir)
+    expanded = Q.expand_patterns(spark, idx, [WILDCARD])
+    return spark.createDataFrame(
+        [(t,) for t in sorted(expanded["term"])] or [], "term string"
+    )
+
+
+def q_search_and(spark, sf_dir):
+    idx = ensure_index(spark, sf_dir)
+    return Q.find_unranked(spark, idx, AND_TERMS).select("doc_id")
+
+
+def q_bm25_topk(spark, sf_dir):
+    idx = ensure_index(spark, sf_dir)
+    res = Q.search(spark, idx, BM25_TERMS, k=10, mode="and", with_urls=False)
+    return res.select(
+        "doc_id", F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro")
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_documents(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), n=3, threshold=0.08)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(_documents(spark, sf_dir))
+
+
+def q_lsh_pairs(spark, sf_dir):
+    return dedup.lsh_candidate_pairs(dedup.minhash_signatures(_documents(spark, sf_dir)))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_documents(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_documents(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return textstats.quality_score(
+        _documents(spark, sf_dir), tuple(sorted(STOP_WORD_SET))
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.doc_fingerprint(_documents(spark, sf_dir))
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "tokenize_tf": q_tokenize_tf,
+    "term_stats": q_term_stats,
+    "corpus_stats": q_corpus_stats,
+    "wildcard_expand": q_wildcard_expand,
+    "search_and": q_search_and,
+    "bm25_topk": q_bm25_topk,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash": q_simhash,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "ann_cosine": q_ann_cosine,
+}
+
+
+# ------------------------------------------------------------- oracle SQL
+
+def _minhash_sql() -> str:
+    params = dedup.minhash_params()
+    p = dedup.MINHASH_P
+    mins = ",\n        ".join(
+        f"min(({a} * h + {b}) % {p}) AS mh{j}" for j, (a, b) in enumerate(params)
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {j} AS j, mh{j} AS mh FROM sigs" for j in range(len(params))
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+),
+sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM idx
+),
+hashed AS (
+    SELECT doc_id,
+           (('0x' || substring(md5(shingle), 1, 15))::BIGINT) % {p} AS h
+    FROM sh
+),
+sigs AS (
+    SELECT doc_id,
+        {mins}
+    FROM hashed GROUP BY doc_id
+)
+{unions}
+"""
+
+
+def _lsh_pairs_sql() -> str:
+    base = _minhash_sql()
+    return f"""
+WITH sig_rows AS ({base}),
+bands AS (
+    SELECT doc_id, (j // {dedup.LSH_BAND_SIZE}) AS band,
+           string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key
+    FROM sig_rows GROUP BY doc_id, (j // {dedup.LSH_BAND_SIZE})
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _quality_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+allt AS (
+    SELECT doc_id, term FROM toks WHERE term <> ''
+),
+agg AS (
+    SELECT d.doc_id,
+           length(d.text) AS n_chars,
+           count(a.term)::INT AS n_tokens,
+           sum(CASE WHEN a.term IN ({STOP_LIST_SQL}) THEN 1 ELSE 0 END) AS n_stop,
+           sum(length(a.term))::DOUBLE AS tok_chars
+    FROM documents d LEFT JOIN allt a ON d.doc_id = a.doc_id
+    GROUP BY d.doc_id, d.text
+)
+SELECT doc_id, n_tokens, n_chars,
+    floor((n_stop / greatest(n_tokens, 1)) * 1e6 + 0.5)::BIGINT AS stop_ratio_micro,
+    floor((tok_chars / greatest(n_tokens, 1)) * 1e6 + 0.5)::BIGINT AS mean_tok_len_micro,
+    floor((
+        least((n_stop / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.4
+        + least(n_tokens / 64.0, 1.0) * 0.3
+        + (CASE WHEN (tok_chars / greatest(n_tokens, 1)) BETWEEN 3.0 AND 8.0
+                THEN 1.0 ELSE 0.0 END) * 0.3
+    ) * 1e6 + 0.5)::BIGINT AS quality_micro
+FROM agg
+"""
+
+
+def _lang_id_sql() -> str:
+    cases = []
+    hits = []
+    for lang in sorted(textstats.LANG_MARKERS):
+        markers = ",".join(_sql_quote(m) for m in textstats.LANG_MARKERS[lang])
+        hits.append(
+            f"sum(CASE WHEN lower(term) IN ({markers}) THEN 1 ELSE 0 END)::INT AS hits_{lang}"
+        )
+        cases.append(f"WHEN hits_{lang} = best THEN '{lang}'")
+    when_chain = " ".join(cases)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+scored AS (
+    SELECT d.doc_id, {", ".join(hits)}
+    FROM documents d LEFT JOIN toks t ON d.doc_id = t.doc_id
+    GROUP BY d.doc_id
+),
+ranked AS (
+    SELECT doc_id, hits_de, hits_en, hits_fr,
+           greatest(hits_de, hits_en, hits_fr) AS best
+    FROM scored
+)
+SELECT doc_id,
+       CASE WHEN best <= 0 THEN 'und' {when_chain} END AS pred_lang,
+       best AS best_hits
+FROM ranked
+"""
+
+
+def oracle_sql_map() -> dict[str, str]:
+    bm25_terms = ",".join(_sql_quote(t) for t in BM25_TERMS)
+    and_terms = ",".join(_sql_quote(t) for t in AND_TERMS)
+    return {
+        "doc_stats": f"WITH {_TOKS_CTE} SELECT doc_id, doc_len FROM dl",
+        "tokenize_tf": f"WITH {_TOKS_CTE} SELECT doc_id, term, tf FROM tf",
+        "term_stats": f"""
+WITH {_TOKS_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf GROUP BY term
+""",
+        "corpus_stats": f"""
+WITH {_TOKS_CTE}
+SELECT count(*)::BIGINT AS n_docs,
+       sum(doc_len)::BIGINT AS total_tokens,
+       (SELECT count(DISTINCT term) FROM tf)::BIGINT AS vocab_size,
+       floor(avg(doc_len) * 1e6 + 0.5)::BIGINT AS avgdl_micro
+FROM dl
+""",
+        "wildcard_expand": f"""
+WITH {_TOKS_CTE}
+SELECT DISTINCT term FROM tf WHERE term LIKE '{WILDCARD.replace("*", "%")}'
+""",
+        "search_and": f"""
+WITH {_TOKS_CTE}
+SELECT doc_id FROM tf WHERE term IN ({and_terms})
+GROUP BY doc_id HAVING count(DISTINCT term) = {len(AND_TERMS)}
+""",
+        "bm25_topk": f"""
+WITH {_TOKS_CTE},
+stats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl
+),
+dfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf
+    WHERE term IN ({bm25_terms}) GROUP BY term
+),
+hits AS (
+    SELECT t.doc_id, t.term,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM tf t
+    JOIN dfs f ON t.term = f.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+    WHERE t.term IN ({bm25_terms})
+),
+scored AS (
+    SELECT doc_id, sum(w) AS score, count(DISTINCT term) AS npat
+    FROM hits GROUP BY doc_id
+)
+SELECT doc_id, floor(score * 1e6 + 0.5)::BIGINT AS score_micro
+FROM scored WHERE npat = {len(BM25_TERMS)}
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "exact_dedup": """
+SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+""",
+        "ngram_jaccard": """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
+),
+sh AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM idx
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       floor((inter::DOUBLE / (sa.n_sh + sb.n_sh - inter)) * 1e6 + 0.5)::BIGINT
+           AS jaccard_micro
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.08
+""",
+        "minhash_signatures": _minhash_sql(),
+        "lsh_pairs": _lsh_pairs_sql(),
+        "simhash": f"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+    FROM toks WHERE tok <> ''
+),
+bits AS (
+    SELECT doc_id, b.b AS b,
+           sum(((h >> b.b) & 1) * 2 - 1) AS s
+    FROM hashed, generate_series(0, {dedup.SIMHASH_BITS - 1}) AS b(b)
+    GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+""",
+        "lang_id": _lang_id_sql(),
+        "quality": _quality_sql(),
+        "token_counts": r"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r]'))::INT
+           AS n_bpe_tokens
+FROM documents
+""",
+        "fingerprint": """
+SELECT doc_id,
+       ('0x' || substring(md5(array_to_string(
+            list_filter(string_split(text, ' '), x -> x <> ''), ' ')), 1, 15))::BIGINT
+           AS fp60
+FROM documents
+""",
+        "ann_cosine": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (greatest(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 1e-12)
+              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+    FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, floor(cos * 1e6 + 0.5)::BIGINT AS cos_micro
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+    }

@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale shapes (these are the layouts that survive 10^12 docs):
+* exact dedup: one groupBy on a 128-bit content hash — map-side
+  partial agg, no skew (hashes are uniform).
+* n-gram Jaccard: inverted-index join on shingles (explode → self-join
+  on shingle → pair counting). Never a cross join; candidate pairs are
+  bounded by shared-shingle co-occurrence.
+* MinHash/LSH: signatures via min-aggregation over shingle hashes
+  (linear); candidate pairs via band-key equality join (the standard
+  sublinear near-dup path at web scale).
+* SimHash: per-bit majority vote over token hashes, one groupBy.
+
+Hashing is the portable 60-bit md5 prefix (``conv(substr(md5(x),1,15),
+16,10)``) so DuckDB oracles reproduce results exactly.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ~2^40 prime modulus for the minhash affine family; keeps a_j*h + b_j
+# inside 63-bit arithmetic (h < P, a_j < 2^20).
+MINHASH_P = 1099511627791
+N_MINHASHES = 16
+LSH_BAND_SIZE = 4
+SIMHASH_BITS = 32
+
+
+def minhash_params(n: int = N_MINHASHES) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) affine coefficients."""
+    params = []
+    a, b = 48271, 11
+    for _ in range(n):
+        a = (a * 69621) % 1048573  # < 2^20
+        b = (b * 48271 + 7) % MINHASH_P
+        params.append((a or 1, b))
+    return params
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit integer hash from the md5 hex prefix — reproducible in
+    DuckDB as ('0x' || substring(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens (training-pipeline ops use plain whitespace
+    semantics; the reference tokenizer lives in the index pipeline)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def shingles_col(toks: Column, n: int = 3) -> Column:
+    """n-word shingles as strings (empty array when fewer than n)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (text_md5, n_docs, keep_doc_id): duplicate groups by full
+    content hash, keeping the smallest doc_id."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, shingle) distinct."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2, text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_a, doc_b, jaccard_micro): near-dup pairs by n-gram-set
+    Jaccard ≥ threshold, via the inverted shingle join (no cross
+    join). jaccard_micro = floor(j * 1e6 + 0.5)."""
+    sh = doc_shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sb"), "doc_b")
+        .withColumn("jac", F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter")))
+        .filter(F.col("jac") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("jac") * 1e6 + F.lit(0.5)).cast("long").alias("jaccard_micro"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASHES,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, j, mh): MinHash signature rows. min over shingles of
+    (a_j * (h60 % P) + b_j) % P."""
+    sh = doc_shingles(docs, shingle_n, text_col).withColumn(
+        "h", portable_hash60(F.col("shingle")) % F.lit(MINHASH_P)
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(minhash_params(n_hashes))
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{j}, mh{j}" for j in range(n_hashes))
+    return wide.select(
+        "doc_id", F.expr(f"stack({n_hashes}, {stack_args}) as (j, mh)")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_size: int = LSH_BAND_SIZE
+) -> DataFrame:
+    """→ (doc_a, doc_b): docs agreeing on at least one full LSH band
+    (band = ``band_size`` consecutive signature positions)."""
+    bands = (
+        signatures.withColumn("band", (F.col("j") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, simhash): per-bit majority vote over the distinct
+    token hash set (bit set iff strictly more ones than zeros)."""
+    toks = (
+        docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .distinct()
+        .withColumn("h", portable_hash60(F.col("tok")))
+    )
+    bit = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "h",
+    ).withColumn("vote", (F.expr("shiftright(h, b)") % 2) * 2 - 1)
+    return (
+        bit.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS, text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_a, doc_b, hamming): pairs within a Hamming radius.
+    Candidate generation by 4-segment pigeonhole (any pair within
+    radius 3 shares at least one identical 8-bit segment) — join on
+    segment value, verify exact distance with bit_count."""
+    sh = simhash(docs, bits, text_col)
+    n_seg = 4
+    seg_bits = bits // n_seg
+    segs = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_seg - 1))).alias("seg"),
+    ).withColumn(
+        "seg_val",
+        F.expr(f"shiftright(simhash, seg * {seg_bits})") % F.lit(1 << seg_bits),
+    )
+    cand = (
+        segs.alias("a")
+        .join(segs.alias("b"), ["seg", "seg_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

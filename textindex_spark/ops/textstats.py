@@ -1,0 +1,95 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting. Pure Catalyst expressions —
+whole-stage-codegen'd, no Python in the hot path."""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from textindex_spark.ops.dedup import portable_hash60, tokens_col
+
+# Small public high-frequency marker lists per language (the reference
+# stop-word table is merged across languages, so language attribution
+# needs these separate lists).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+}
+
+# BPE-ish segmentation: letter runs, digit runs, single other chars.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, pred_lang, best_hits): n-gram/stop-word heuristic —
+    count marker-word hits per language, argmax with fixed tie order
+    (de < en < fr alphabetical), 'und' (unknown) when no marker hits."""
+    toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+    df = docs.select("doc_id", toks.alias("toks"))
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        df = df.withColumn(
+            f"hits_{lang}",
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t))),
+        )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lg in langs:
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return df.select("doc_id", pred.alias("pred_lang"), best.alias("best_hits"))
+
+
+def quality_score(
+    docs: DataFrame, stop_words: tuple[str, ...], text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, n_tokens, n_chars, stop_ratio_micro, mean_tok_len_micro,
+    quality_micro): length/stop-word/token-shape heuristics. quality =
+    clamp01(0.4*stop_presence + 0.3*len_score + 0.3*shape_score)."""
+    toks = tokens_col(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in stop_words])
+    df = docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias("n_stop"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("tok_chars"),
+    )
+    n_tok = F.greatest(F.col("n_tokens"), F.lit(1))
+    stop_ratio = F.col("n_stop") / n_tok
+    mean_len = F.col("tok_chars") / n_tok
+    len_score = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+    shape_score = F.when((mean_len >= 3.0) & (mean_len <= 8.0), 1.0).otherwise(0.0)
+    stop_presence = F.least(stop_ratio * 5.0, F.lit(1.0))
+    quality = stop_presence * 0.4 + len_score * 0.3 + shape_score * 0.3
+    micro = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    return df.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        micro(stop_ratio).alias("stop_ratio_micro"),
+        micro(mean_len).alias("mean_tok_len_micro"),
+        micro(quality).alias("quality_micro"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_ws_tokens, n_bpe_tokens): whitespace count + a
+    BPE-ish regex segmentation count."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col(text_col))).alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, fp60): 60-bit content fingerprint over the
+    whitespace-normalized text (join of tokens with single spaces)."""
+    norm = F.concat_ws(" ", tokens_col(F.col(text_col)))
+    return docs.select("doc_id", portable_hash60(norm).alias("fp60"))

@@ -95,7 +95,8 @@ def port_named_char() -> None:
 
 def port_stop_words() -> None:
     src = (REF / "stop_words.rs").read_text()
-    words = [w.encode().decode("unicode_escape") for w in STR.findall(src)]
+    words = STR.findall(src)
+    assert not any("\\" in w for w in words), "no escapes expected"
     assert len(words) == 1433, len(words)
     body = "\n".join(f"    {w!r}," for w in words)
     (OUT / "stop_words.py").write_text(

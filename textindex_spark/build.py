@@ -200,12 +200,27 @@ def build_index(
     range_bits: int = RANGE_BITS_DEFAULT,
     write_partitions: int | None = None,
 ) -> dict:
-    """Full build. Returns the stats row as a dict."""
+    """Full single-shot build. Returns the stats row as a dict.
+    (``build_index_resumable`` is the checkpointed variant.)"""
     t0 = time.time()
     documents = normalize_input(documents)
     segments = tokenize_segments(documents)
     segments.write.mode("overwrite").parquet(f"{out_dir}/segments")
+    return finalize_index(spark, out_dir, range_bits, write_partitions, t0)
 
+
+def finalize_index(
+    spark: SparkSession,
+    out_dir: str,
+    range_bits: int = RANGE_BITS_DEFAULT,
+    write_partitions: int | None = None,
+    t0: float | None = None,
+) -> dict:
+    """Phase 2: segments → docs/stats/postings/terms. Reads the
+    segments table (column-pruned per consumer) so extraction runs
+    exactly once regardless of how many segment partitions were
+    written."""
+    t0 = t0 or time.time()
     seg = spark.read.parquet(f"{out_dir}/segments")
     docs = seg.select("doc_id", "url", "lang", "filter", "truncated", "doc_len")
     docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
@@ -256,3 +271,101 @@ def build_index(
 
 def read_stats(spark: SparkSession, index_dir: str) -> dict:
     return spark.read.parquet(f"{index_dir}/stats").collect()[0].asDict()
+
+
+# ------------------------------------------------------- resumable build
+
+LINEAGE_SCHEMA = (
+    "pid int, n_docs long, n_tokens long, n_terms long, n_postings long, "
+    "bytes long, wall_sec double, phase string"
+)
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    try:
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(f"{out_dir}/lineage")
+    except Exception:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+
+def pending_partitions(spark: SparkSession, out_dir: str, n_parts: int) -> list[int]:
+    """S8 analog (threads.rs:292-301 / index2.rs:435-437): work units
+    already recorded in lineage are skipped — expressed as an
+    anti-join of the partition universe against lineage."""
+    universe = spark.range(n_parts).select(F.col("id").cast("int").alias("pid"))
+    done = read_lineage(spark, out_dir).filter(F.col("phase") == "segments").select("pid")
+    return sorted(
+        r["pid"] for r in universe.join(done, "pid", "left_anti").collect()
+    )
+
+
+def build_index_resumable(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+    n_parts: int = 8,
+    range_bits: int = RANGE_BITS_DEFAULT,
+    write_partitions: int | None = None,
+    fail_after: int | None = None,
+) -> dict:
+    """Checkpointed build (north_rule): the corpus is split into
+    ``n_parts`` deterministic url-hash partitions; each partition's
+    segment build commits independently and appends a lineage row
+    with its metrics (docs/terms/postings/bytes — the north_rule
+    counters). A restart recomputes only partitions absent from
+    lineage. ``fail_after`` aborts after N partitions (test hook
+    simulating a mid-build crash).
+
+    At cluster scale each pid is one job over one input slice
+    (partition-pruned when `documents` is bucketed/partitioned by the
+    same key) and lineage becomes an Iceberg table; the local layout
+    is identical in shape.
+    """
+    documents = normalize_input(documents).withColumn(
+        "pid", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
+    )
+    done = 0
+    for pid in pending_partitions(spark, out_dir, n_parts):
+        t0 = time.time()
+        part_dir = f"{out_dir}/segments/pid={pid}"
+        seg = tokenize_segments(documents.filter(F.col("pid") == pid).drop("pid"))
+        seg.write.mode("overwrite").parquet(part_dir)
+        part = spark.read.parquet(part_dir)
+        m = part.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_len").alias("n_tokens"),
+            F.sum(F.size("terms")).alias("n_postings"),
+        ).collect()[0]
+        n_terms = part.select(F.explode("terms").alias("t")).distinct().count()
+        row = [
+            (
+                pid,
+                int(m["n_docs"] or 0),
+                int(m["n_tokens"] or 0),
+                int(n_terms),
+                int(m["n_postings"] or 0),
+                _dir_bytes(part_dir),
+                time.time() - t0,
+                "segments",
+            )
+        ]
+        spark.createDataFrame(row, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{out_dir}/lineage")
+        done += 1
+        if fail_after is not None and done >= fail_after:
+            raise RuntimeError(f"simulated failure after {done} partitions")
+    return finalize_index(spark, out_dir, range_bits, write_partitions)

@@ -87,12 +87,12 @@ def _sentence(rng: random.Random, vocab: list[str], lang: str, n: int) -> str:
     return " ".join(words)
 
 
-def _html_doc(rng: random.Random, vocab: list[str], lang: str, i: int) -> str:
+def _html_doc(rng: random.Random, vocab: list[str], lang: str, i: int, scale: int = 1) -> str:
     parts = ["<!DOCTYPE html>", "<html>", "<head>"]
     parts.append(f"<title>{_sentence(rng, vocab, lang, 4)}</title>")
     parts.append("<!-- a comment, dropped -->")
     parts.append("</head><body>")
-    n_paras = rng.randint(2, 6)
+    n_paras = rng.randint(2, 6) * scale
     for p in range(n_paras):
         parts.append(f'<p class="c{p}">')
         parts.append(_sentence(rng, vocab, lang, rng.randint(10, 40)))
@@ -132,49 +132,75 @@ def _text_doc(rng: random.Random, vocab: list[str], lang: str, i: int) -> str:
     return "\n".join(lines)
 
 
-def synth_corpus(n_docs: int, seed: int = 42) -> list[dict]:
+def make_row(i: int, vocab: list[str], seed: int = 42, scale: int = 1) -> dict:
+    """One deterministic corpus row; the per-doc rng stream depends
+    only on (seed, i), so generation is order-free and distributable."""
+    rng = random.Random((seed << 20) + i)
+    lang = _LANGS[i % 3]
+    roll = rng.random()
+    url = f"https://site{i % 97}.example/{lang}/page{i}.html"
+    text_col = ""
+    if roll < 0.70:
+        body = _html_doc(rng, vocab, lang, i, scale)
+        raw = body.encode("utf-8")
+        if rng.random() < 0.05:
+            # invalid UTF-8 injection (lossy-decode parity subset)
+            cut = rng.randint(len(raw) // 2, len(raw) - 1)
+            raw = raw[:cut] + rng.choice([b"\xff", b"\x80", b"\xe2\x82"]) + raw[cut:]
+    elif roll < 0.90:
+        body = _text_doc(rng, vocab, lang, i)
+        raw = body.encode("utf-8")
+        text_col = body
+        url = url[: -len(".html")] + ".txt"
+    elif roll < 0.95:
+        # binary-looking: control bytes in the first 256 bytes → Ignore
+        raw = bytes([7, 1, 2]) + bytes(rng.randrange(256) for _ in range(200))
+        url = url[: -len(".html")] + ".dat"
+    else:
+        # blacklisted extension → name filter drops before sniffing
+        raw = b"GIF89a fake image bytes"
+        url = url[: -len(".html")] + rng.choice([".jpg", ".css", ".zip", ".mp3"])
+    return {
+        "doc_id": i,
+        "url": url,
+        "warc_ts": EPOCH + timedelta(seconds=13 * i),
+        "html": raw,
+        "text": text_col,
+        "lang": lang,
+    }
+
+
+def synth_corpus(n_docs: int, seed: int = 42, scale: int = 1) -> list[dict]:
     """Deterministic corpus rows. ``html`` is the raw page bytes for
     every fetched row; ``text`` is set only for text/plain rows
     (FIXTURES.md §1)."""
     vocab = make_vocab(seed)
-    rows = []
-    for i in range(n_docs):
-        rng = random.Random((seed << 20) + i)  # per-doc stream: order-free
-        lang = _LANGS[i % 3]
-        roll = rng.random()
-        url = f"https://site{i % 97}.example/{lang}/page{i}.html"
-        text_col = ""
-        if roll < 0.70:
-            body = _html_doc(rng, vocab, lang, i)
-            raw = body.encode("utf-8")
-            if rng.random() < 0.05:
-                # invalid UTF-8 injection (lossy-decode parity subset)
-                cut = rng.randint(len(raw) // 2, len(raw) - 1)
-                raw = raw[:cut] + rng.choice([b"\xff", b"\x80", b"\xe2\x82"]) + raw[cut:]
-        elif roll < 0.90:
-            body = _text_doc(rng, vocab, lang, i)
-            raw = body.encode("utf-8")
-            text_col = body
-            url = url[: -len(".html")] + ".txt"
-        elif roll < 0.95:
-            # binary-looking: control bytes in the first 256 bytes → Ignore
-            raw = bytes([7, 1, 2]) + bytes(rng.randrange(256) for _ in range(200))
-            url = url[: -len(".html")] + ".dat"
-        else:
-            # blacklisted extension → name filter drops before sniffing
-            raw = b"GIF89a fake image bytes"
-            url = url[: -len(".html")] + rng.choice([".jpg", ".css", ".zip", ".mp3"])
-        rows.append(
-            {
-                "doc_id": i,
-                "url": url,
-                "warc_ts": EPOCH + timedelta(seconds=13 * i),
-                "html": raw,
-                "text": text_col,
-                "lang": lang,
-            }
+    return [make_row(i, vocab, seed, scale) for i in range(n_docs)]
+
+
+def synth_corpus_spark(spark, n_docs: int, seed: int = 42, scale: int = 1):
+    """Generate the same corpus distributed (one kernel call per id
+    range) — used for benchmark corpora too big to build on the
+    driver. Row i is identical to ``synth_corpus``'s row i."""
+    import pandas as pd
+
+    def gen(batches):
+        vocab = make_vocab(seed)
+        for pdf in batches:
+            rows = [make_row(int(i), vocab, seed, scale) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            out["warc_ts"] = out["warc_ts"].dt.tz_localize(None)
+            yield out
+
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    return (
+        spark.range(n_docs).repartition(n_parts)
+        .mapInPandas(
+            gen,
+            "doc_id long, url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
         )
-    return rows
+    )
 
 
 # Fixed query set over the synthetic vocabulary (FIXTURES.md §2):

@@ -13,12 +13,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+# This sandbox VM uses hypervisor-lazy memory: the FIRST write to any
+# new page costs ~0.1ms (uffd-style fetch, ~17 MB/s serial), and pages
+# freed back to the OS are reclaimed by the balloon and re-fault later.
+# Mitigation: keep allocations resident in the long-lived processes —
+# glibc must never trim/munmap (Python driver + reused workers), and
+# the JVM GC must never uncommit heap (ParallelGC instead of G1).
+_MALLOC_ENV = {
+    "MALLOC_TRIM_THRESHOLD_": "-1",
+    "MALLOC_MMAP_THRESHOLD_": "134217728",
+    "MALLOC_ARENA_MAX": "4",
+}
+
+
 def get_spark(
     app_name: str = "textindex_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)  # inherited by JVM → python workers
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
     master = f"local[{cpus}]" if cpus else "local[*]"
@@ -45,7 +60,40 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("TEXTINDEX_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # never uncommit heap pages (see _MALLOC_ENV note)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
+    for k, v in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_workers(spark: SparkSession, mb_per_task: int = 192) -> None:
+    """Pre-fault working memory inside every reused Python worker (and
+    grow the JVM side with one shuffle), so hypervisor page-fetch cost
+    is paid before timed work. One-time per session."""
+    from pyspark.sql import functions as F
+
+    n = spark.sparkContext.defaultParallelism
+
+    def touch(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            a = np.empty(mb_per_task * 1_000_000, dtype=np.uint8)
+            a[::512] = 1
+            del a
+            yield pd.DataFrame({"id": pdf["id"][:1]})
+
+    (
+        spark.range(n).repartition(n)
+        .mapInPandas(touch, "id long")
+        .count()
+    )
+    # JVM heap + shuffle paths
+    spark.range(4_000_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+    ).groupBy(F.substring("h", 1, 2)).count().count()

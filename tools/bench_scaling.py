@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence (BASELINE.json north_rule: ≥0.8 from N
+to 4N executors; sandbox proxy = two local parallelism levels on the
+SAME input, per the driver instruction).
+
+Runs the full index build at local[N] and local[4N] in separate JVMs
+over one shared on-disk corpus; each level warms its session (this
+VM's lazy-memory pathology is documented in session.py) and reports
+the best of two steady-state timed builds.
+
+    python3 tools/bench_scaling.py [--n 8] [--docs 200000] [--scale 4]
+
+Prints a JSON summary and appends a measured-results section to
+BENCH_SCALING.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+CHILD = r"""
+import json, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from textindex_spark.session import get_spark, warm_workers
+from textindex_spark.build import build_index
+
+cpus = {cpus}
+spark = get_spark("scaling", cpus=cpus, shuffle_partitions=cpus * 2,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.sparkContext.setLogLevel("ERROR")
+corpus = spark.read.parquet({corpus!r})
+corpus.count()
+warm_workers(spark)
+out = "/tmp/scaling_idx_{cpus}"
+shutil.rmtree(out, ignore_errors=True)
+build_index(spark, corpus, out, range_bits=12)   # untimed warm build
+runs = []
+for _ in range(2):
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    stats = build_index(spark, corpus, out, range_bits=12)
+    runs.append(time.time() - t0)
+print("RESULT " + json.dumps({{"cpus": cpus, "runs": runs,
+    "best_sec": min(runs), "n_docs": stats["n_docs"],
+    "docs_per_sec": stats["n_docs"] / min(runs)}}))
+"""
+
+
+def run_level(cpus: int, corpus: str) -> dict:
+    code = CHILD.format(repo=str(REPO), cpus=cpus, corpus=corpus)
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=3600, cwd=str(REPO),
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            r = json.loads(line[len("RESULT "):])
+            r["wall_total_sec"] = round(time.time() - t0, 1)
+            return r
+    raise RuntimeError(
+        f"level {cpus} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8, help="small level N (large = 4N)")
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--scale", type=int, default=4, help="doc body size multiplier")
+    args = ap.parse_args()
+
+    corpus = f"/tmp/textindex_bench/scaling_corpus_{args.docs}_{args.scale}"
+    if not os.path.exists(f"{corpus}/_SUCCESS"):
+        sys.path.insert(0, str(REPO))
+        from textindex_spark.corpus import synth_corpus_spark
+        from textindex_spark.session import get_spark, warm_workers
+
+        spark = get_spark("gen", cpus=32, extra_conf={"spark.ui.showConsoleProgress": "false"})
+        spark.sparkContext.setLogLevel("ERROR")
+        warm_workers(spark)
+        synth_corpus_spark(spark, args.docs, scale=args.scale).write.mode(
+            "overwrite"
+        ).parquet(corpus)
+        spark.stop()
+
+    small = run_level(args.n, corpus)
+    large = run_level(args.n * 4, corpus)
+    ratio = large["docs_per_sec"] / small["docs_per_sec"]
+    eff = ratio / 4.0
+    summary = {
+        "n": args.n, "docs": args.docs, "scale": args.scale,
+        "small": small, "large": large,
+        "speedup": round(ratio, 3), "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary, indent=2))
+
+    md = REPO / "BENCH_SCALING.md"
+    lines = [
+        "",
+        f"## Measured: local[{args.n}] → local[{args.n * 4}], "
+        f"{args.docs} docs (scale={args.scale})",
+        "",
+        "| level | best build sec | docs/sec | runs |",
+        "|---|---|---|---|",
+        f"| local[{args.n}] | {small['best_sec']:.1f} | {small['docs_per_sec']:.0f} | "
+        f"{[round(r,1) for r in small['runs']]} |",
+        f"| local[{args.n * 4}] | {large['best_sec']:.1f} | {large['docs_per_sec']:.0f} | "
+        f"{[round(r,1) for r in large['runs']]} |",
+        "",
+        f"Speedup {ratio:.2f}× on 4× cores → **scaling efficiency "
+        f"{eff:.2f}** (bar: ≥ 0.8).",
+        "",
+    ]
+    header = "" if md.exists() else (
+        "# BENCH_SCALING — N → 4N scaling-efficiency evidence\n\n"
+        "Same input, same code, two parallelism levels, separate JVMs;\n"
+        "steady-state (warm) builds per BASELINE.md methodology.\n"
+    )
+    with open(md, "a") as f:
+        f.write(header + "\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: build (or resume) the inverted index.
+
+    spark-submit --py-files textindex_spark.zip jobs/build_index.py \
+        --input /path/to/documents_parquet_or_iceberg_table \
+        --output /path/to/index \
+        [--resumable --parts 64] [--range-bits 13] [--cpus 32]
+
+The input must have the BASELINE input_hint shape
+(url, warc_ts, html, text, lang[, doc_id]) or the driver-testdata
+shape (doc_id, text, lang, source, n_chars); ``normalize_input``
+bridges both. Package the library with::
+
+    cd /root/repo && zip -qr /tmp/textindex_spark.zip textindex_spark
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--range-bits", type=int, default=13)
+    ap.add_argument("--resumable", action="store_true")
+    ap.add_argument("--parts", type=int, default=64)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from textindex_spark.build import build_index, build_index_resumable
+    from textindex_spark.session import get_spark
+
+    spark = get_spark("textindex-build", cpus=args.cpus)
+    docs = spark.read.parquet(args.input)
+    if args.resumable:
+        stats = build_index_resumable(
+            spark, docs, args.output, n_parts=args.parts, range_bits=args.range_bits
+        )
+    else:
+        stats = build_index(spark, docs, args.output, range_bits=args.range_bits)
+    json.dump(stats, sys.stdout)
+    print()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: BM25 top-k / unranked find / file search.
+
+    spark-submit --py-files textindex_spark.zip jobs/search.py \
+        --index /path/to/index --terms "spark" "quer*" \
+        [--k 10] [--mode and|or] [--prune] [--unranked] [--files PAT]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--terms", nargs="*", default=[])
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--mode", choices=["and", "or"], default="and")
+    ap.add_argument("--prune", action="store_true")
+    ap.add_argument("--unranked", action="store_true")
+    ap.add_argument("--files", default=None, help="file-name wildcard search")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from textindex_spark.query import find_files, find_unranked, search
+    from textindex_spark.session import get_spark
+
+    spark = get_spark("textindex-search", cpus=args.cpus)
+    if args.files:
+        rows = find_files(spark, args.index, args.files).collect()
+    elif args.unranked:
+        rows = find_unranked(spark, args.index, args.terms).collect()
+    else:
+        rows = search(
+            spark, args.index, args.terms, k=args.k, mode=args.mode, prune=args.prune
+        ).collect()
+    for r in rows:
+        print(json.dumps(r.asDict()))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,24 @@ def test_bm25_rank_identity_on_query_set(spark, index_dir, oracle):
             assert math.isclose(gs, ws, rel_tol=1e-9), (q, gd, gs, ws)
 
 
+def test_bm25_distributed_path_matches_local(spark, index_dir, oracle):
+    """The distributed agg path and the query-node scoring path must
+    be rank-identical (and both match the oracle)."""
+    for q in query_set()[:5]:
+        want = oracle.search(q["terms"], q["k"])
+        for local in (True, False):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    spark, index_dir, q["terms"], k=q["k"],
+                    with_urls=False, local_score=local,
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], (q, local)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9), (q, local, gd)
+
+
 def test_bm25_pruned_matches_exact(spark, index_dir, oracle):
     for q in query_set()[:6]:
         want = oracle.search(q["terms"], q["k"])

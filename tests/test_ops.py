@@ -1,0 +1,166 @@
+"""Training-data ops vs tiny Python oracles (dedup/similarity/
+textstats/multimodal plumbing)."""
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from textindex_spark.ops import dedup, multimodal, similarity, textstats
+
+from tests.spark_fixtures import spark  # noqa: F401
+
+TEXTS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+    (3, "completely different words entirely unrelated prose"),
+    (4, "der schnelle braune fuchs und der faule hund"),
+    (5, "le renard brun rapide et le chien paresseux"),
+    (6, "short"),
+    (7, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, text string")
+
+
+def py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def py_shingles(text: str, n=3):
+    toks = [t for t in text.split(" ") if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(spark, docs):
+    rows = {r["text_md5"]: r for r in dedup.exact_dedup(docs).collect()}
+    h = hashlib.md5(TEXTS[0][1].encode()).hexdigest()
+    assert rows[h]["n_docs"] == 2 and rows[h]["keep_doc_id"] == 0
+    assert len(rows) == len({t for _, t in TEXTS})
+
+
+def test_ngram_jaccard(spark, docs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_micro"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    s0, s1 = py_shingles(TEXTS[0][1]), py_shingles(TEXTS[1][1])
+    j01 = len(s0 & s1) / len(s0 | s1)
+    assert got[(0, 2)] == 1_000_000  # exact dup
+    assert got[(0, 1)] == math.floor(j01 * 1e6 + 0.5)
+    assert (0, 3) not in got
+
+
+def test_minhash_matches_python(spark, docs):
+    got = {}
+    for r in dedup.minhash_signatures(docs).collect():
+        got.setdefault(r["doc_id"], {})[r["j"]] = r["mh"]
+    params = dedup.minhash_params()
+    for doc_id, text in TEXTS:
+        sh = py_shingles(text)
+        if not sh:
+            assert doc_id not in got
+            continue
+        hs = [py_hash60(s) % dedup.MINHASH_P for s in sh]
+        for j, (a, b) in enumerate(params):
+            want = min((a * h + b) % dedup.MINHASH_P for h in hs)
+            assert got[doc_id][j] == want, (doc_id, j)
+
+
+def test_lsh_finds_exact_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs)).collect()
+    }
+    assert (0, 2) in pairs  # identical docs agree on every band
+    assert (0, 3) not in pairs
+
+
+def test_simhash_and_near_pairs(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    # python oracle
+    for doc_id, text in TEXTS:
+        toks = {t for t in text.split(" ") if t}
+        if not toks:
+            continue
+        want = 0
+        for b in range(dedup.SIMHASH_BITS):
+            votes = sum(1 if (py_hash60(t) >> b) & 1 else -1 for t in toks)
+            if votes > 0:
+                want |= 1 << b
+        assert sh[doc_id] == want, doc_id
+    assert sh[0] == sh[2]
+    near = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert near[(0, 2)] == 0
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(docs).collect()}
+    assert got[0] == "en" and got[4] == "de" and got[5] == "fr"
+    assert got[6] == "und"  # no marker hits
+
+
+def test_token_counts_and_fingerprint(spark, docs):
+    tc = {r["doc_id"]: r for r in textstats.token_counts(docs).collect()}
+    assert tc[0]["n_ws_tokens"] == 9
+    assert tc[7]["n_ws_tokens"] == 0
+    fp = {r["doc_id"]: r["fp60"] for r in textstats.doc_fingerprint(docs).collect()}
+    assert fp[0] == fp[2] != fp[1]
+    assert fp[0] == py_hash60(TEXTS[0][1])
+
+
+def test_quality_score(spark, docs):
+    q = {r["doc_id"]: r for r in textstats.quality_score(docs, ("the", "over")).collect()}
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["stop_ratio_micro"] == math.floor(3 / 9 * 1e6 + 0.5)
+    assert q[7]["n_tokens"] == 0 and q[7]["quality_micro"] >= 0
+
+
+def test_cosine_topk_exact_and_ivf(spark):
+    rng = np.random.default_rng(3)
+    vecs = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(64)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = vecs[0][1]
+    got = [(r["vec_id"], r["cos_micro"]) for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    # python oracle (float32 storage parity: cast stored vecs to f32)
+    def cos(a, b):
+        a = np.asarray(a, dtype=np.float32).astype(np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        return float(np.dot(a, b) / (max(np.linalg.norm(a), 1e-12) * np.linalg.norm(b)))
+    want = sorted(((i, cos(v, q)) for i, v in vecs), key=lambda t: (-t[1], t[0]))[:5]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert got[0][0] == 0 and got[0][1] == 1_000_000
+    # IVF recall: top-1 must survive probing
+    assigned, cents = similarity.build_ivf(emb, n_centroids=8)
+    approx = [r["vec_id"] for r in similarity.ivf_cosine_topk(assigned, cents, q, k=5, n_probe=4).collect()]
+    assert approx[0] == 0
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, "image", b"imgbytes1", "image/png", 4, 4, None),
+        (2, "video", b"vidbytes", "video/mp4", 4, 4, 3500),
+        (3, "image", None, "image/png", 0, 0, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["ok"] and len(feats[1]["feature"]) == 16
+    assert feats[3]["n_bytes"] == 0
+    # deterministic: same input → same feature
+    feats2 = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1]["feature"] == feats2[1]["feature"]
+    frames = multimodal.sample_frames(media, every_ms=1000).collect()
+    assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2, 3]  # 3.5s @ 1fps
+    assert all(r["media_id"] == 2 for r in frames)
+
+
+def test_multimodal_stub_raises_without_fake(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_stub(b"x", deterministic_fake=False)

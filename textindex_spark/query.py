@@ -38,6 +38,14 @@ from textindex_spark.refimpl.oracle import wildcard_to_regex
 
 DECODED_SCHEMA = "term string, doc_id long, tf int, doc_len long, tfnorm double"
 
+# Vocabularies up to this many terms are cached in query-node memory —
+# the Spark analog of the reference keeping its whole WordList BTreeMap
+# resident (``/root/reference/src/index2/words.rs:62-120``); wildcard
+# probes then cost zero Spark jobs. Larger vocabularies fall back to a
+# distributed terms-table scan.
+TERMS_CACHE_MAX = 5_000_000
+_dict_cache: dict[str, tuple[pd.DataFrame, dict]] = {}
+
 
 def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -47,39 +55,72 @@ def _is_wildcard(p: str) -> bool:
     return "*" in p or "?" in p
 
 
+def cached_stats(spark: SparkSession, index_dir: str) -> dict:
+    if index_dir not in _dict_cache:
+        _load_dictionary(spark, index_dir)
+    return _dict_cache[index_dir][1]
+
+
+def _load_dictionary(spark: SparkSession, index_dir: str) -> pd.DataFrame | None:
+    """Load (term, df, max_tfnorm) into driver memory once per index
+    (None when the vocabulary exceeds TERMS_CACHE_MAX)."""
+    if index_dir in _dict_cache:
+        return _dict_cache[index_dir][0]
+    stats = read_stats(spark, index_dir)
+    terms = None
+    if stats["vocab_size"] <= TERMS_CACHE_MAX:
+        terms = (
+            spark.read.parquet(f"{index_dir}/terms")
+            .select("term", "df", "max_tfnorm")
+            .toPandas()
+        )
+    _dict_cache[index_dir] = (terms, stats)
+    return terms
+
+
 def expand_patterns(
     spark: SparkSession, index_dir: str, patterns: list[str]
 ) -> pd.DataFrame:
     """→ pandas (pattern_idx, term, df, max_tfnorm). Exact terms probe
     by equality; globs by anchored regex (WildMatch semantics,
-    index2.rs:554). The expansion is collected — it is the query's
-    working vocabulary and is small by construction."""
-    terms_df = spark.read.parquet(f"{index_dir}/terms")
-    exact = [p for p in patterns if not _is_wildcard(p)]
-    frames = []
-    if exact:
-        got = (
-            terms_df.filter(F.col("term").isin(exact))
-            .select("term", "df", "max_tfnorm")
-            .toPandas()
-        )
+    index2.rs:554). Served from the in-memory dictionary when it fits;
+    otherwise one combined distributed probe (a single Catalyst filter
+    OR-ing every pattern, one job total)."""
+    terms = _load_dictionary(spark, index_dir)
+    if terms is not None:
+        frames = []
+        by_term = terms.set_index("term", drop=False)
         for i, p in enumerate(patterns):
-            if not _is_wildcard(p):
-                hit = got[got["term"] == p].copy()
-                hit["pattern_idx"] = i
-                frames.append(hit)
-    for i, p in enumerate(patterns):
-        if _is_wildcard(p):
-            rx = wildcard_to_regex(p).pattern
-            hit = (
-                terms_df.filter(F.col("term").rlike(f"^(?s:{rx})$"))
-                .select("term", "df", "max_tfnorm")
-                .toPandas()
-            )
+            if _is_wildcard(p):
+                rx = wildcard_to_regex(p)
+                hit = terms[terms["term"].map(lambda t: rx.fullmatch(t) is not None)].copy()
+            else:
+                hit = by_term.loc[[p]].copy() if p in by_term.index else terms.iloc[0:0].copy()
             hit["pattern_idx"] = i
             frames.append(hit)
-    if not frames:
-        return pd.DataFrame(columns=["pattern_idx", "term", "df", "max_tfnorm"])
+        out = pd.concat(frames, ignore_index=True)
+        return out[["pattern_idx", "term", "df", "max_tfnorm"]]
+    # distributed fallback: one scan, every pattern as one OR-predicate
+    terms_df = spark.read.parquet(f"{index_dir}/terms")
+    conds = []
+    for p in patterns:
+        if _is_wildcard(p):
+            conds.append(F.col("term").rlike(f"^(?s:{wildcard_to_regex(p).pattern})$"))
+        else:
+            conds.append(F.col("term") == p)
+    combined = conds[0]
+    for c in conds[1:]:
+        combined = combined | c
+    got = terms_df.filter(combined).select("term", "df", "max_tfnorm").toPandas()
+    frames = []
+    for i, p in enumerate(patterns):
+        if _is_wildcard(p):
+            rx = wildcard_to_regex(p)
+            hit = got[got["term"].map(lambda t: rx.fullmatch(t) is not None)].copy()
+        else:
+            hit = got[got["term"] == p].copy()
+        hit["pattern_idx"] = i
+        frames.append(hit)
     out = pd.concat(frames, ignore_index=True)
     return out[["pattern_idx", "term", "df", "max_tfnorm"]]
 
@@ -111,17 +152,47 @@ def _decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+# Above this many expanded terms, the query-vocabulary probe switches
+# from an isin() pushdown predicate (parquet row-group skipping) to a
+# broadcast semi-join (no 100k-literal filters in the plan).
+ISIN_PUSHDOWN_MAX = 1024
+
+
+def _query_blocks(
+    spark: SparkSession, index_dir: str, qterms: DataFrame, term_list: list[str]
+) -> DataFrame:
+    """Posting block rows for the query vocabulary. Small expansions
+    become an IN-list predicate that reaches the parquet scan
+    (PushedFilters → row-group min/max skipping over the term-sorted
+    files); large ones a broadcast semi-join."""
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    if 0 < len(term_list) <= ISIN_PUSHDOWN_MAX:
+        return postings.filter(F.col("term").isin(term_list))
+    return postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+
+
 def _decoded_postings(
-    spark: SparkSession, index_dir: str, qterms: DataFrame, stats: dict
+    spark: SparkSession,
+    index_dir: str,
+    qterms: DataFrame,
+    stats: dict,
+    term_list: list[str],
 ) -> DataFrame:
     """Posting blocks for the query vocabulary, decoded to
     (term, doc_id, tf, doc_len, tfnorm) rows."""
-    postings = spark.read.parquet(f"{index_dir}/postings")
-    blocks = postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+    blocks = _query_blocks(spark, index_dir, qterms, term_list)
     blocks = blocks.withColumn("range_bits", F.lit(stats["range_bits"])).withColumn(
         "avgdl", F.lit(stats["avgdl"])
     )
     return blocks.mapInPandas(_decode_kernel, DECODED_SCHEMA)
+
+
+# When the matched terms' total df is below this, scoring happens on
+# the query node over the pushdown-filtered block fetch (one scan job,
+# numpy scoring) instead of a distributed agg — the serving-layer path
+# of a real engine, with the cluster acting as block storage. Larger
+# candidate sets use the fully distributed plan.
+LOCAL_SCORE_MAX_POSTINGS = 2_000_000
 
 
 def search(
@@ -132,12 +203,23 @@ def search(
     mode: str = "and",
     prune: bool = False,
     with_urls: bool = True,
+    local_score: bool | None = None,
 ) -> DataFrame:
     """BM25 top-k → DataFrame (doc_id, score[, url]), ordered
     (score desc, doc_id asc). mode='and' keeps reference AND
     semantics across query patterns."""
-    stats = read_stats(spark, index_dir)
+    stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
+    if local_score is None:
+        local_score = (
+            not prune
+            and len(expanded) > 0
+            and expanded.drop_duplicates("term")["df"].sum() <= LOCAL_SCORE_MAX_POSTINGS
+        )
+    if local_score and len(expanded) > 0 and not prune:
+        return _search_local(
+            spark, index_dir, expanded, stats, len(patterns), k, mode, with_urls
+        )
     n_patterns = len(patterns)
     full_mask = (1 << n_patterns) - 1
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -158,9 +240,12 @@ def search(
             .reset_index()
         )
         qterms = spark.createDataFrame(term_info[["term", "idf", "mask"]])
-        decoded = _decoded_postings(spark, index_dir, qterms, stats)
+        term_list = list(term_info["term"])
+        decoded = _decoded_postings(spark, index_dir, qterms, stats, term_list)
         if prune and mode == "and":
-            decoded = _pruned_decode(spark, index_dir, qterms, stats, k, full_mask)
+            decoded = _pruned_decode(
+                spark, index_dir, qterms, stats, k, full_mask, term_list
+            )
         scored = (
             decoded.join(F.broadcast(qterms), "term")
             .groupBy("doc_id")
@@ -184,6 +269,87 @@ def search(
     return result
 
 
+def _search_local(
+    spark: SparkSession,
+    index_dir: str,
+    expanded: pd.DataFrame,
+    stats: dict,
+    n_patterns: int,
+    k: int,
+    mode: str,
+    with_urls: bool,
+) -> DataFrame:
+    """Query-node scoring: one pushdown-filtered block fetch, then
+    numpy decode + BM25 + AND-mask + top-k locally. Rank-identical to
+    the distributed path (same formula, same tie-break)."""
+    full_mask = (1 << n_patterns) - 1
+    term_info = (
+        expanded.groupby("term")
+        .agg(
+            df=("df", "first"),
+            mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s]))),
+        )
+        .reset_index()
+    )
+    covered = int(np.bitwise_or.reduce(term_info["mask"].values)) if len(term_info) else 0
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    if mode == "and" and covered != full_mask:
+        result_rows = []
+    else:
+        idf_map = {
+            t: idf(stats["n_docs"], int(d))
+            for t, d in zip(term_info["term"], term_info["df"])
+        }
+        mask_map = dict(zip(term_info["term"], term_info["mask"]))
+        blocks = (
+            spark.read.parquet(f"{index_dir}/postings")
+            .filter(F.col("term").isin(list(term_info["term"])))
+            .select("term", "range_id", "doc_gaps", "tf_bytes", "dl_bytes")
+            .toPandas()
+        )
+        if len(blocks) == 0:
+            result_rows = []
+        else:
+            bases = blocks["range_id"].values.astype(np.int64) << stats["range_bits"]
+            doc_lists, tf_lists, dl_lists = decode_batch(
+                list(blocks["doc_gaps"]), bases,
+                [list(blocks["tf_bytes"]), list(blocks["dl_bytes"])],
+            )
+            counts = np.fromiter((len(d) for d in doc_lists), dtype=np.int64, count=len(doc_lists))
+            docs = np.concatenate(doc_lists)
+            tfs = np.concatenate(tf_lists).astype(np.float64)
+            dls = np.concatenate(dl_lists).astype(np.float64)
+            avgdl = float(stats["avgdl"]) or 1.0
+            idfs = np.repeat(blocks["term"].map(idf_map).values.astype(np.float64), counts)
+            masks = np.repeat(blocks["term"].map(mask_map).values.astype(np.int64), counts)
+            w = idfs * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            uniq, inv = np.unique(docs, return_inverse=True)
+            score = np.zeros(len(uniq))
+            np.add.at(score, inv, w)
+            mask_acc = np.zeros(len(uniq), dtype=np.int64)
+            np.bitwise_or.at(mask_acc, inv, masks)
+            if mode == "and":
+                keep = mask_acc == full_mask
+                uniq, score = uniq[keep], score[keep]
+            order = np.lexsort((uniq, -score))[:k]
+            result_rows = [
+                (int(uniq[i]), float(score[i])) for i in order
+            ]
+    result = (
+        spark.createDataFrame(result_rows, "doc_id long, score double")
+        if result_rows
+        else empty
+    )
+    if with_urls:
+        docs_df = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+        result = (
+            result.join(docs_df, "doc_id", "left")
+            .select("doc_id", "score", "url")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return result
+
+
 def _pruned_decode(
     spark: SparkSession,
     index_dir: str,
@@ -191,12 +357,14 @@ def _pruned_decode(
     stats: dict,
     k: int,
     full_mask: int,
+    term_list: list[str],
 ) -> DataFrame:
     """Block-max pruning: score ranges by Σ_term idf·max_tfnorm upper
     bound, set θ from an exact pass over the best range, decode only
     ranges whose upper bound reaches θ (and which can satisfy AND)."""
-    postings = spark.read.parquet(f"{index_dir}/postings")
-    blocks = postings.join(F.broadcast(qterms), "term")
+    blocks = _query_blocks(spark, index_dir, qterms, term_list).join(
+        F.broadcast(qterms), "term"
+    )
     range_ub = (
         blocks.groupBy("range_id")
         .agg(
@@ -238,7 +406,7 @@ def find_unranked(
 ) -> DataFrame:
     """Exact reference `find` semantics (index2.rs:550-582): unranked
     AND-intersection, urls ordered by doc_id."""
-    stats = read_stats(spark, index_dir)
+    stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
     n_patterns = len(patterns)
     if len(expanded) == 0 or expanded["pattern_idx"].nunique() < n_patterns:
@@ -251,7 +419,9 @@ def find_unranked(
     qterms = spark.createDataFrame(term_info[["term", "mask"]]).withColumn(
         "idf", F.lit(0.0)
     )
-    decoded = _decoded_postings(spark, index_dir, qterms, stats)
+    decoded = _decoded_postings(
+        spark, index_dir, qterms, stats, list(term_info["term"])
+    )
     full_mask = (1 << n_patterns) - 1
     hits = (
         decoded.join(F.broadcast(qterms.select("term", "mask")), "term")

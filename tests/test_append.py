@@ -1,0 +1,92 @@
+"""Incremental append: index(200)+append(100) ≡ index(300), without
+rewriting existing posting blocks; compaction merges split rows."""
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from textindex_spark.build import append_batch, build_index, compact_postings
+from textindex_spark.corpus import query_set, synth_corpus
+from textindex_spark.query import search
+from textindex_spark.refimpl.oracle import OracleIndex
+
+from tests.spark_fixtures import corpus_df, spark  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return synth_corpus(300)
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, rows, tmp_path_factory):
+    base = tmp_path_factory.mktemp("append")
+    full_dir = str(base / "full")
+    inc_dir = str(base / "inc")
+    build_index(spark, corpus_df(spark, rows), full_dir, range_bits=6)
+    build_index(spark, corpus_df(spark, rows[:200]), inc_dir, range_bits=6)
+    append_batch(spark, corpus_df(spark, rows[200:]), inc_dir)
+    return full_dir, inc_dir
+
+
+def _sig(spark, d):
+    terms = sorted(
+        (r["term"], r["df"], r["cf"])
+        for r in spark.read.parquet(f"{d}/terms").collect()
+    )
+    docs = sorted(
+        (r["doc_id"], r["doc_len"])
+        for r in spark.read.parquet(f"{d}/docs").collect()
+    )
+    stats = spark.read.parquet(f"{d}/stats").collect()[0]
+    return terms, docs, stats["n_docs"], round(stats["avgdl"], 9)
+
+
+def test_append_matches_full_build(spark, dirs):
+    full_dir, inc_dir = dirs
+    assert _sig(spark, full_dir) == _sig(spark, inc_dir)
+
+
+def test_append_search_rank_identical(spark, rows, dirs):
+    full_dir, inc_dir = dirs
+    oracle = OracleIndex.build(rows)
+    for q in query_set()[:8]:
+        want = oracle.search(q["terms"], q["k"])
+        for prune in (False, True):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    spark, inc_dir, q["terms"], k=q["k"],
+                    with_urls=False, prune=prune,
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], (q, prune)
+            for (gd, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9)
+
+
+def test_append_rejects_id_collision(spark, rows, dirs):
+    _, inc_dir = dirs
+    with pytest.raises(ValueError, match="doc_ids above"):
+        append_batch(spark, corpus_df(spark, rows[:5]), inc_dir)
+
+
+def test_compaction_preserves_results(spark, rows, dirs):
+    full_dir, inc_dir = dirs
+    post = spark.read.parquet(f"{inc_dir}/postings")
+    n_split = (
+        post.groupBy("term", "range_id").count().filter(F.col("count") > 1).count()
+    )
+    assert n_split > 0  # the append really did split some (term, range) keys
+    merged = compact_postings(spark, inc_dir)
+    assert merged == n_split
+    post2 = spark.read.parquet(f"{inc_dir}/postings")
+    assert post2.groupBy("term", "range_id").count().filter(F.col("count") > 1).count() == 0
+    oracle = OracleIndex.build(rows)
+    q = query_set()[1]
+    want = oracle.search(q["terms"], q["k"])
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search(spark, inc_dir, q["terms"], k=q["k"], with_urls=False).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]

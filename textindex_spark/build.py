@@ -53,7 +53,8 @@ RANGE_BITS_DEFAULT = 13  # 8192 docs per posting block/range
 
 POSTING_SCHEMA = (
     "term string, range_id long, n_docs int, sum_tf long, max_tf int, "
-    "max_tfnorm double, doc_gaps binary, tf_bytes binary, dl_bytes binary"
+    "max_tfnorm double, enc_avgdl double, "
+    "doc_gaps binary, tf_bytes binary, dl_bytes binary"
 )
 
 
@@ -124,6 +125,7 @@ def _encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "sum_tf": pdf["sum_tf"],
                 "max_tf": pdf["max_tf"],
                 "max_tfnorm": pdf["max_tfnorm"],
+                "enc_avgdl": pdf["enc_avgdl"],
                 "doc_gaps": [e[0] for e in enc],
                 "tf_bytes": [e[1] for e in enc],
                 "dl_bytes": [e[2] for e in enc],
@@ -177,6 +179,10 @@ def build_postings(
             F.col("pl.tf").alias("tfs"),
             F.col("pl.doc_len").alias("dls"),
             F.lit(range_bits).alias("range_bits"),
+            # the avgdl the block-max metadata was computed under; the
+            # pruner falls back to the avgdl-free bound when the live
+            # avgdl has drifted (incremental appends change it)
+            F.lit(avgdl).alias("enc_avgdl"),
         )
     )
     return grouped.mapInPandas(_encode_kernel, POSTING_SCHEMA)
@@ -369,3 +375,176 @@ def build_index_resumable(
         if fail_after is not None and done >= fail_after:
             raise RuntimeError(f"simulated failure after {done} partitions")
     return finalize_index(spark, out_dir, range_bits, write_partitions)
+
+
+def append_batch(
+    spark: SparkSession, documents: DataFrame, out_dir: str
+) -> dict:
+    """Incremental indexing (the reference's re-run-and-skip model,
+    S7/S8, made a first-class operation): index NEW documents into an
+    existing index WITHOUT touching existing posting blocks.
+
+    Why this is cheap here: new docs receive doc_ids above the current
+    maximum, so their (term, range_id) block rows either land in brand
+    new ranges or ADD rows next to existing ones — the postings table
+    is an append-only set of block rows (a (term, range) key may own
+    several rows; decode/score handle that transparently, and the
+    pruner's per-row upper bounds stay valid). Only the small
+    dictionary/stats tables are recomputed (an agg over block rows).
+    avgdl drift is handled at query time via ``enc_avgdl`` (stale
+    block-max bounds are replaced by the avgdl-free bound).
+    """
+    stats = read_stats(spark, out_dir)
+    range_bits = int(stats["range_bits"])
+    old_max = (
+        spark.read.parquet(f"{out_dir}/docs").agg(F.max("doc_id")).collect()[0][0]
+        or -1
+    )
+    cols = set(documents.columns)
+    if "doc_id" not in cols:
+        from pyspark.sql.window import Window
+
+        documents = documents.withColumn(
+            "doc_id",
+            F.row_number().over(Window.orderBy("url")) + F.lit(int(old_max)),
+        )
+    documents = normalize_input(documents)
+    bad = documents.filter(F.col("doc_id") <= old_max).limit(1).count()
+    if bad:
+        raise ValueError("append_batch requires doc_ids above the current max")
+
+    new_seg_dir = f"{out_dir}/segments/append_{old_max + 1}"
+    tokenize_segments(documents).write.mode("overwrite").parquet(new_seg_dir)
+    new_seg = spark.read.parquet(new_seg_dir)
+
+    # docs + stats: append rows, recompute the scalar stats
+    new_seg.select(
+        "doc_id", "url", "lang", "filter", "truncated", "doc_len"
+    ).write.mode("append").parquet(f"{out_dir}/docs")
+    srow = (
+        spark.read.parquet(f"{out_dir}/docs")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_tokens"),
+        )
+        .collect()[0]
+    )
+    new_avgdl = float(srow["avgdl"] or 0.0)
+
+    # postings: encode ONLY the new segment rows, append block rows
+    build_postings(new_seg, new_avgdl, range_bits).write.mode("append").parquet(
+        f"{out_dir}/postings"
+    )
+
+    # dictionary: cheap agg over block rows, full rewrite (small table)
+    postings_df = spark.read.parquet(f"{out_dir}/postings")
+    terms = terms_from_postings(postings_df)
+    nparts = max(1, spark.sparkContext.defaultParallelism // 4)
+    terms.repartitionByRange(nparts, "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/terms")
+
+    new_stats = dict(stats)
+    new_stats.update(
+        n_docs=int(srow["n_docs"]),
+        avgdl=new_avgdl,
+        total_tokens=int(srow["total_tokens"] or 0),
+        vocab_size=int(spark.read.parquet(f"{out_dir}/terms").count()),
+    )
+    spark.createDataFrame([new_stats]).coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/stats"
+    )
+    # invalidate the query-node dictionary cache for this index
+    from textindex_spark import query as _q
+
+    _q._dict_cache.pop(out_dir, None)
+    return new_stats
+
+
+def compact_postings(spark: SparkSession, out_dir: str) -> int:
+    """Merge split block rows (a (term, range_id) key owning several
+    rows after appends) back to one row per key. Returns the number of
+    merged keys. Only touches affected keys; at scale this is the
+    Iceberg rewrite-data-files analog scoped by a join."""
+    postings = spark.read.parquet(f"{out_dir}/postings")
+    dup_keys = (
+        postings.groupBy("term", "range_id").count().filter(F.col("count") > 1)
+    )
+    n_dup = dup_keys.count()
+    if n_dup == 0:
+        return 0
+    stats = read_stats(spark, out_dir)
+    range_bits = int(stats["range_bits"])
+    avgdl = float(stats["avgdl"]) or 1.0
+    split = postings.join(
+        F.broadcast(dup_keys.select("term", "range_id")), ["term", "range_id"]
+    )
+    intact = postings.join(
+        F.broadcast(dup_keys.select("term", "range_id")),
+        ["term", "range_id"],
+        "left_anti",
+    )
+
+    from textindex_spark.codec import decode_batch
+
+    def merge_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bases = pdf["range_id"].values.astype("int64") << range_bits
+            docs, tfs, dls = decode_batch(
+                list(pdf["doc_gaps"]), bases,
+                [list(pdf["tf_bytes"]), list(pdf["dl_bytes"])],
+            )
+            rows = []
+            for i in range(len(pdf)):
+                for d, t, l in zip(docs[i], tfs[i], dls[i]):
+                    rows.append(
+                        (pdf["term"].iat[i], int(pdf["range_id"].iat[i]),
+                         int(d), int(t), int(l))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["term", "range_id", "doc_id", "tf", "doc_len"]
+            )
+
+    pairs = split.mapInPandas(
+        merge_kernel, "term string, range_id long, doc_id long, tf long, doc_len long"
+    )
+    tfnorm = (
+        F.col("tf") * (K1 + 1.0)
+        / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avgdl)))
+    )
+    regrouped = (
+        pairs.withColumn("tfnorm", tfnorm)
+        .groupBy("term", "range_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "doc_len"))).alias("pl"),
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("tf").alias("sum_tf"),
+            F.max("tf").cast("int").alias("max_tf"),
+            F.max("tfnorm").alias("max_tfnorm"),
+        )
+        .select(
+            "term", "range_id", "n_docs", "sum_tf", "max_tf", "max_tfnorm",
+            F.col("pl.doc_id").alias("doc_ids"),
+            F.col("pl.tf").alias("tfs"),
+            F.col("pl.doc_len").alias("dls"),
+            F.lit(range_bits).alias("range_bits"),
+            F.lit(avgdl).alias("enc_avgdl"),
+        )
+    )
+    merged = regrouped.mapInPandas(_encode_kernel, POSTING_SCHEMA)
+    combined = intact.select(*merged.columns).unionByName(merged)
+    tmp = f"{out_dir}/postings_compact_tmp"
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    combined.repartitionByRange(nparts, "term").sortWithinPartitions(
+        "term", "range_id"
+    ).write.mode("overwrite").parquet(tmp)
+    import shutil as _sh
+
+    _sh.rmtree(f"{out_dir}/postings")
+    _sh.move(tmp, f"{out_dir}/postings")
+    return int(n_dup)

@@ -365,10 +365,22 @@ def _pruned_decode(
     blocks = _query_blocks(spark, index_dir, qterms, term_list).join(
         F.broadcast(qterms), "term"
     )
+    # Per-row score upper bound: the stored block-max (tight) while the
+    # block's encode-time avgdl is still current; after incremental
+    # appends shift avgdl, fall back to the avgdl-free bound
+    # (k1+1)·max_tf/(max_tf + k1·(1−b)) which dominates tfnorm for any
+    # doc length.
+    safe_ub = (
+        F.col("max_tf") * (K1 + 1.0) / (F.col("max_tf") + K1 * (1.0 - B))
+    )
+    row_ub = F.when(
+        F.abs(F.col("enc_avgdl") - F.lit(stats["avgdl"])) < 1e-9,
+        F.col("max_tfnorm"),
+    ).otherwise(safe_ub)
     range_ub = (
         blocks.groupBy("range_id")
         .agg(
-            F.sum(F.col("idf") * F.col("max_tfnorm")).alias("ub"),
+            F.sum(F.col("idf") * row_ub).alias("ub"),
             F.bit_or("mask").alias("mask"),
         )
         .filter(F.col("mask") == full_mask)

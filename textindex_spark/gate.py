@@ -137,6 +137,28 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_tf_histogram(spark, sf_dir):
+    """A2 count inversion (tmp_index.rs:30-38): tf → how many
+    (doc, term) cells have that tf."""
+    return (
+        q_tokenize_tf(spark, sf_dir)
+        .groupBy("tf")
+        .agg(F.count("*").alias("n_cells"))
+    )
+
+
+def q_rare_terms(spark, sf_dir):
+    """A6 rare-word list (tests/test_1.rs:52-114): terms whose df is
+    at most 10% of the indexed doc count."""
+    idx = ensure_index(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{idx}/stats").collect()[0]["n_docs"]
+    return (
+        spark.read.parquet(f"{idx}/terms")
+        .filter(F.col("df") * 10 <= F.lit(int(n_docs)))
+        .select("term", "df")
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_documents(spark, sf_dir))
 
@@ -189,6 +211,8 @@ QUERIES = {
     "wildcard_expand": q_wildcard_expand,
     "search_and": q_search_and,
     "bm25_topk": q_bm25_topk,
+    "tf_histogram": q_tf_histogram,
+    "rare_terms": q_rare_terms,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
@@ -367,6 +391,17 @@ scored AS (
 SELECT doc_id, floor(score * 1e6 + 0.5)::BIGINT AS score_micro
 FROM scored WHERE npat = {len(BM25_TERMS)}
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "tf_histogram": f"""
+WITH {_TOKS_CTE}
+SELECT tf, count(*)::BIGINT AS n_cells FROM tf GROUP BY tf
+""",
+        "rare_terms": f"""
+WITH {_TOKS_CTE},
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT term, count(*)::BIGINT AS df
+FROM tf GROUP BY term
+HAVING count(*) * 10 <= (SELECT n_docs FROM n)
 """,
         "exact_dedup": """
 SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,

@@ -256,6 +256,7 @@ def search(
         )
         if mode == "and":
             scored = scored.filter(F.col("mask") == full_mask)
+        scored = apply_tombstones(spark, index_dir, scored)
         result = scored.select("doc_id", "score").orderBy(
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
@@ -331,6 +332,13 @@ def _search_local(
             if mode == "and":
                 keep = mask_acc == full_mask
                 uniq, score = uniq[keep], score[keep]
+            dead = _tombstones(spark, index_dir)
+            if dead is not None:
+                dead_ids = np.array(
+                    [r["doc_id"] for r in dead.collect()], dtype=np.int64
+                )
+                alive = ~np.isin(uniq, dead_ids)
+                uniq, score = uniq[alive], score[alive]
             order = np.lexsort((uniq, -score))[:k]
             result_rows = [
                 (int(uniq[i]), float(score[i])) for i in order
@@ -443,7 +451,83 @@ def find_unranked(
         .select("doc_id")
     )
     docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+    hits = apply_tombstones(spark, index_dir, hits)
     return hits.join(docs, "doc_id", "left").orderBy("doc_id")
+
+
+def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
+    """Delete documents by url glob — the operation the reference
+    stubs out (``Words::remove_file`` is a TODO no-op,
+    ``index2.rs:462-464``). Implemented Iceberg-style as row-level
+    tombstones: matching doc_ids are appended to a ``deleted`` table
+    that every query anti-joins; stats are recomputed over live docs.
+    ``compact_postings``-style physical purge can follow offline."""
+    rx = wildcard_to_regex(url_pattern).pattern
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    victims = docs.filter(F.col("url").rlike(f"^(?s:{rx})$")).select("doc_id")
+    n = victims.count()
+    if n:
+        victims.write.mode("append").parquet(f"{index_dir}/deleted")
+        live = docs.join(
+            spark.read.parquet(f"{index_dir}/deleted"), "doc_id", "left_anti"
+        )
+        srow = live.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+            F.sum("doc_len").alias("total_tokens"),
+        ).collect()[0]
+        from textindex_spark.build import read_stats as _rs
+
+        stats = _rs(spark, index_dir)
+        stats.update(
+            n_docs=int(srow["n_docs"] or 0),
+            avgdl=float(srow["avgdl"] or 0.0),
+            total_tokens=int(srow["total_tokens"] or 0),
+        )
+        spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_dir}/stats_tmp"
+        )
+        import shutil
+
+        shutil.rmtree(f"{index_dir}/stats")
+        shutil.move(f"{index_dir}/stats_tmp", f"{index_dir}/stats")
+        _dict_cache.pop(index_dir, None)
+    return int(n)
+
+
+def _tombstones(spark: SparkSession, index_dir: str):
+    import os
+
+    if os.path.isdir(f"{index_dir}/deleted"):
+        return spark.read.parquet(f"{index_dir}/deleted")
+    return None
+
+
+def apply_tombstones(spark: SparkSession, index_dir: str, result: DataFrame) -> DataFrame:
+    dead = _tombstones(spark, index_dir)
+    if dead is None:
+        return result
+    return result.join(F.broadcast(dead), "doc_id", "left_anti")
+
+
+class SearchSession:
+    """T2 pagination parity (``Found`` + first/next, main.rs:233-276):
+    a client-side cursor over a collected result set."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, patterns: list[str],
+                 k: int = 1000, mode: str = "and", page_size: int = 20):
+        self.rows = search(spark, index_dir, patterns, k=k, mode=mode).collect()
+        self.page_size = page_size
+        self.pos = 0
+
+    def first(self) -> list:
+        self.pos = 0
+        return self.next()
+
+    def next(self) -> list:
+        page = self.rows[self.pos : self.pos + self.page_size]
+        self.pos += len(page)
+        return page
 
 
 def find_files(spark: SparkSession, index_dir: str, pattern: str) -> DataFrame:

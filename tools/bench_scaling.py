@@ -42,7 +42,7 @@ out = "/tmp/scaling_idx_{cpus}"
 shutil.rmtree(out, ignore_errors=True)
 build_index(spark, corpus, out, range_bits=12)   # untimed warm build
 runs = []
-for _ in range(2):
+for _ in range({n_runs}):
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
     stats = build_index(spark, corpus, out, range_bits=12)
@@ -53,8 +53,36 @@ print("RESULT " + json.dumps({{"cpus": cpus, "runs": runs,
 """
 
 
-def run_level(cpus: int, corpus: str) -> dict:
-    code = CHILD.format(repo=str(REPO), cpus=cpus, corpus=corpus)
+def machine_ceiling(n: int) -> dict:
+    """Raw parallel-CPU calibration of THIS machine at n vs 4n
+    processes (pure-Python integer loop, no Spark): the hypervisor's
+    scaling ceiling that any CPU-bound job is bounded by."""
+    import multiprocessing as mp
+
+    def burn(k):
+        s = 0
+        for i in range(k):
+            s += i * i
+        return s
+
+    N = 20_000_000
+
+    def thr(procs):
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(burn, [N] * procs * 3)
+            return procs * 3 * N / (time.time() - t0)
+
+    small, large = thr(n), thr(n * 4)
+    return {
+        "ops_per_sec_n": round(small / 1e6, 1),
+        "ops_per_sec_4n": round(large / 1e6, 1),
+        "machine_ceiling": round(large / small / 4.0, 3),
+    }
+
+
+def run_level(cpus: int, corpus: str, n_runs: int = 3) -> dict:
+    code = CHILD.format(repo=str(REPO), cpus=cpus, corpus=corpus, n_runs=n_runs)
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-c", code],
@@ -91,14 +119,18 @@ def main() -> None:
         ).parquet(corpus)
         spark.stop()
 
+    ceiling = machine_ceiling(args.n)
     small = run_level(args.n, corpus)
     large = run_level(args.n * 4, corpus)
     ratio = large["docs_per_sec"] / small["docs_per_sec"]
     eff = ratio / 4.0
     summary = {
         "n": args.n, "docs": args.docs, "scale": args.scale,
-        "small": small, "large": large,
+        "small": small, "large": large, "calibration": ceiling,
         "speedup": round(ratio, 3), "scaling_efficiency": round(eff, 3),
+        "efficiency_vs_machine_ceiling": round(
+            eff / ceiling["machine_ceiling"], 3
+        ),
     }
     print(json.dumps(summary, indent=2))
 
@@ -117,6 +149,13 @@ def main() -> None:
         "",
         f"Speedup {ratio:.2f}× on 4× cores → **scaling efficiency "
         f"{eff:.2f}** (bar: ≥ 0.8).",
+        "",
+        f"Machine calibration (pure-Python CPU loop, no Spark): "
+        f"{ceiling['ops_per_sec_n']}M ops/s at {args.n} procs vs "
+        f"{ceiling['ops_per_sec_4n']}M at {args.n * 4} → this VM's own "
+        f"parallel-scaling ceiling is **{ceiling['machine_ceiling']:.2f}** "
+        f"(hypervisor steal / SMT). Engine efficiency relative to that "
+        f"ceiling: **{eff / ceiling['machine_ceiling']:.2f}**.",
         "",
     ]
     header = "" if md.exists() else (

@@ -91,7 +91,11 @@ def normalize_input(documents: DataFrame) -> DataFrame:
         documents = documents.withColumn("lang", F.lit(""))
     if "doc_id" not in cols:
         # deterministic dense ids by url order (one-time global sort;
-        # at scale prefer ids minted upstream, as the testdata does)
+        # at scale prefer ids minted upstream, as the testdata does).
+        # URL-ordered ids also cluster same-site documents, which
+        # shrinks posting-list gaps — the document-reordering effect
+        # studied in "Document Reordering for Faster Intersection"
+        # (VLDB 2019); free here since the sort doubles as id minting.
         from pyspark.sql.window import Window
 
         documents = documents.withColumn(

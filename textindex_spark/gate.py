@@ -62,6 +62,7 @@ dl AS (
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -69,8 +70,27 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def tune_session(spark: SparkSession) -> None:
+    """Runtime-settable conf hygiene for sessions we didn't create
+    (the driver's verify session): disable the ICU case-mapping class
+    whose one-time init stalls every executor thread for 60-100s in
+    this sandbox (see textindex_spark/session.py), keep shuffle
+    parallelism sane for the testdata sizes, and enable AQE."""
+    for k, v in {
+        "spark.sql.icu.caseMappings.enabled": "false",
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the engine index over the driver documents table."""
+    tune_session(spark)
     key = os.path.basename(os.path.normpath(sf_dir))
     out = f"{GATE_DIR}/{key}"
     marker = f"{out}/stats"

@@ -53,18 +53,20 @@ print("RESULT " + json.dumps({{"cpus": cpus, "runs": runs,
 """
 
 
+def _burn(k):
+    s = 0
+    for i in range(k):
+        s += i * i
+    return s
+
+
 def machine_ceiling(n: int) -> dict:
     """Raw parallel-CPU calibration of THIS machine at n vs 4n
     processes (pure-Python integer loop, no Spark): the hypervisor's
     scaling ceiling that any CPU-bound job is bounded by."""
     import multiprocessing as mp
 
-    def burn(k):
-        s = 0
-        for i in range(k):
-            s += i * i
-        return s
-
+    burn = _burn
     N = 20_000_000
 
     def thr(procs):

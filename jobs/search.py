@@ -26,6 +26,8 @@ def main() -> None:
     from textindex_spark.query import find_files, find_unranked, search
     from textindex_spark.session import get_spark
 
+    if not args.files and not args.terms:
+        ap.error("provide --terms T [T ...] or --files PATTERN")
     spark = get_spark("textindex-search", cpus=args.cpus)
     if args.files:
         rows = find_files(spark, args.index, args.files).collect()

@@ -86,6 +86,8 @@ def expand_patterns(
     index2.rs:554). Served from the in-memory dictionary when it fits;
     otherwise one combined distributed probe (a single Catalyst filter
     OR-ing every pattern, one job total)."""
+    if not patterns:
+        return pd.DataFrame(columns=["pattern_idx", "term", "df", "max_tfnorm"])
     terms = _load_dictionary(spark, index_dir)
     if terms is not None:
         frames = []

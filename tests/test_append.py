@@ -5,6 +5,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from textindex_spark import manifest
 from textindex_spark.build import append_batch, build_index, compact_postings
 from textindex_spark.corpus import query_set, synth_corpus
 from textindex_spark.query import search
@@ -32,13 +33,13 @@ def dirs(spark, rows, tmp_path_factory):
 def _sig(spark, d):
     terms = sorted(
         (r["term"], r["df"], r["cf"])
-        for r in spark.read.parquet(f"{d}/terms").collect()
+        for r in manifest.read_table(spark, d, "terms").collect()
     )
     docs = sorted(
         (r["doc_id"], r["doc_len"])
-        for r in spark.read.parquet(f"{d}/docs").collect()
+        for r in manifest.read_table(spark, d, "docs").collect()
     )
-    stats = spark.read.parquet(f"{d}/stats").collect()[0]
+    stats = manifest.read_table(spark, d, "stats").collect()[0]
     return terms, docs, stats["n_docs"], round(stats["avgdl"], 9)
 
 
@@ -73,14 +74,14 @@ def test_append_rejects_id_collision(spark, rows, dirs):
 
 def test_compaction_preserves_results(spark, rows, dirs):
     full_dir, inc_dir = dirs
-    post = spark.read.parquet(f"{inc_dir}/postings")
+    post = manifest.read_table(spark, inc_dir, "postings")
     n_split = (
         post.groupBy("term", "range_id").count().filter(F.col("count") > 1).count()
     )
     assert n_split > 0  # the append really did split some (term, range) keys
     merged = compact_postings(spark, inc_dir)
     assert merged == n_split
-    post2 = spark.read.parquet(f"{inc_dir}/postings")
+    post2 = manifest.read_table(spark, inc_dir, "postings")
     assert post2.groupBy("term", "range_id").count().filter(F.col("count") > 1).count() == 0
     oracle = OracleIndex.build(rows)
     q = query_set()[1]

@@ -65,3 +65,16 @@ def test_batch_empty():
     assert encode_batch([], np.array([]), [[]]) == []
     d, t = decode_batch([], np.array([]), [[]])
     assert d == [] and t == []
+
+
+def test_zero_length_blocks_rejected():
+    import numpy as np
+    import pytest
+
+    from textindex_spark.codec import decode_batch, encode_batch
+
+    with pytest.raises(ValueError, match="zero-length"):
+        encode_batch([np.array([1, 2]), np.array([], dtype=np.int64)],
+                     np.array([0, 0]))
+    with pytest.raises(ValueError, match="zero-length"):
+        decode_batch([b"\x01", b""], np.array([0, 0]))

@@ -35,6 +35,37 @@ def test_delete_removes_from_results(spark, index_dir):
     assert delete_docs(spark, index_dir, "nosuch*") == 0
 
 
+def test_pruned_search_respects_tombstones(spark, index_dir):
+    """θ for block-max pruning must come from LIVE scores: after
+    deleting several of the top docs, prune=True must return exactly
+    what prune=False returns (the pruner previously took θ from a
+    probe that still counted deleted docs and could prune away the
+    true live top-k)."""
+    before = [
+        r["doc_id"]
+        for r in search(spark, index_dir, ["spark"], k=5, with_urls=False).collect()
+    ]
+    for victim in before[:3]:
+        url = spark.read.parquet(f"{index_dir}/docs").filter(
+            f"doc_id = {victim}"
+        ).collect()[0]["url"]
+        delete_docs(spark, index_dir, url)
+    exact = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, index_dir, ["spark"], k=5, with_urls=False, prune=False
+        ).collect()
+    ]
+    pruned = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, index_dir, ["spark"], k=5, with_urls=False, prune=True
+        ).collect()
+    ]
+    assert pruned == exact
+    assert not (set(before[:3]) & {d for d, _ in pruned})
+
+
 def test_pagination(spark, index_dir):
     sess = SearchSession(spark, index_dir, ["spark"], k=100, page_size=7)
     p1 = sess.first()

@@ -2,6 +2,7 @@
 recovery, metrics rows, and equality with the single-shot build."""
 import pytest
 
+from textindex_spark import manifest
 from textindex_spark.build import (
     build_index,
     build_index_resumable,
@@ -21,11 +22,11 @@ def rows():
 def _index_signature(spark, index_dir):
     terms = sorted(
         (r["term"], r["df"], r["cf"])
-        for r in spark.read.parquet(f"{index_dir}/terms").collect()
+        for r in manifest.read_table(spark, index_dir, "terms").collect()
     )
     docs = sorted(
         (r["doc_id"], r["doc_len"])
-        for r in spark.read.parquet(f"{index_dir}/docs").collect()
+        for r in manifest.read_table(spark, index_dir, "docs").collect()
     )
     return terms, docs
 

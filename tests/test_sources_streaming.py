@@ -3,6 +3,7 @@ import gzip
 
 import pytest
 
+from textindex_spark import manifest
 from textindex_spark.corpus import synth_corpus
 from textindex_spark.query import search
 from textindex_spark.sources.warc import iter_warc_records, read_warc
@@ -59,14 +60,14 @@ def test_stream_index_incremental(spark, tmp_path):
     corpus_df(spark, rows[:100]).coalesce(2).write.parquet(str(src / "batch1"))
     # paths must be at one glob depth for the file stream source
     stream_index(spark, str(src / "*"), idx, ckpt, range_bits=6)
-    n1 = spark.read.parquet(f"{idx}/docs").count()
+    n1 = manifest.read_table(spark, idx, "docs").count()
     assert n1 > 0
     r1 = search(spark, idx, ["spark"], k=5, with_urls=False).collect()
     assert len(r1) > 0
     # new files arrive → second availableNow pass appends only them
     corpus_df(spark, rows[100:]).coalesce(2).write.parquet(str(src / "batch2"))
     stream_index(spark, str(src / "*"), idx, ckpt, range_bits=6)
-    n2 = spark.read.parquet(f"{idx}/docs").count()
+    n2 = manifest.read_table(spark, idx, "docs").count()
     assert n2 > n1
-    stats = spark.read.parquet(f"{idx}/stats").collect()[0]
+    stats = manifest.read_table(spark, idx, "stats").collect()[0]
     assert stats["n_docs"] == n2

@@ -43,6 +43,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from textindex_spark import manifest
 from textindex_spark.codec import encode_batch
 from textindex_spark.functions.kernels import SEGMENT_SCHEMA, extract_tokenize_batches
 from textindex_spark.refimpl.filters import EXT_IGNORE, NAME_IGNORE
@@ -65,6 +66,55 @@ def name_filter_predicate(url: Column) -> Column:
     name = F.lower(F.element_at(F.split(url, "/"), -1))
     ext = F.regexp_extract(name, r"^.+\.([^.]*)$", 1)
     return ~ext.isin(*sorted(EXT_IGNORE)) & ~name.isin(*sorted(NAME_IGNORE))
+
+
+def mint_doc_ids(documents: DataFrame, base: int = 0) -> DataFrame:
+    """Assign dense doc_ids (base, base+1, ...) without a global sort.
+
+    Two-pass partition-offset scheme (the distributed replacement for
+    ``Window.orderBy(url)``, whose unpartitioned window funnels every
+    row through ONE task — a non-starter at 10^12 docs):
+
+    1. sortWithinPartitions("url") — narrow, parallel; same-site urls
+       inside a partition become adjacent, keeping most of the
+       posting-gap-shrinking document-clustering effect ("Document
+       Reordering for Faster Intersection", VLDB 2019) without any
+       shuffle or global sort.
+    2. ``monotonically_increasing_id()`` over that order gives
+       (partition_id << 33 | local_ordinal) JVM-side.
+    3. A cheap column-pruned pass collects per-partition counts
+       (one row per partition) → cumulative offsets on the driver.
+    4. doc_id = offset[partition_id] + local_ordinal via a broadcast
+       join against the tiny offsets table.
+
+    Both passes recompute the same deterministic narrow lineage
+    (parquet scan split order + per-partition sort), so ordinals are
+    stable between them — the same contract Spark's own
+    ``zipWithIndex`` relies on.
+    """
+    spark = documents.sparkSession
+    mids = documents.sortWithinPartitions("url").withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = (
+        mids.select(F.shiftright("_mid", 33).alias("_pid"))
+        .groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"))
+        .collect()
+    )
+    offsets, acc = [], int(base)
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((int(r["_pid"]), acc))
+        acc += int(r["_cnt"])
+    off_df = spark.createDataFrame(offsets or [(0, base)], "_pid long, _off long")
+    return (
+        mids.withColumn("_pid", F.shiftright("_mid", 33))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            "doc_id", F.col("_off") + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+        )
+        .drop("_mid", "_pid", "_off")
+    )
 
 
 def normalize_input(documents: DataFrame) -> DataFrame:
@@ -90,17 +140,7 @@ def normalize_input(documents: DataFrame) -> DataFrame:
     if "lang" not in cols:
         documents = documents.withColumn("lang", F.lit(""))
     if "doc_id" not in cols:
-        # deterministic dense ids by url order (one-time global sort;
-        # at scale prefer ids minted upstream, as the testdata does).
-        # URL-ordered ids also cluster same-site documents, which
-        # shrinks posting-list gaps — the document-reordering effect
-        # studied in "Document Reordering for Faster Intersection"
-        # (VLDB 2019); free here since the sort doubles as id minting.
-        from pyspark.sql.window import Window
-
-        documents = documents.withColumn(
-            "doc_id", F.row_number().over(Window.orderBy("url")) - F.lit(1)
-        )
+        documents = mint_doc_ids(documents)
     return documents.select("doc_id", "url", "html", "text", "lang")
 
 
@@ -276,11 +316,59 @@ def finalize_index(
     spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
         f"{out_dir}/stats"
     )
+    # Publish the fresh snapshot: every table at its default dir, any
+    # tombstones from a previous index generation dropped.
+    manifest.commit(
+        spark,
+        out_dir,
+        set_tables={
+            "segments": ["segments"],
+            "docs": ["docs"],
+            "postings": ["postings"],
+            "terms": ["terms"],
+            "stats": ["stats"],
+            "deleted": [],
+        },
+    )
     return stats
 
 
 def read_stats(spark: SparkSession, index_dir: str) -> dict:
-    return spark.read.parquet(f"{index_dir}/stats").collect()[0].asDict()
+    return manifest.read_table(spark, index_dir, "stats").collect()[0].asDict()
+
+
+def describe_index(spark: SparkSession, index_dir: str) -> dict:
+    """The reference's ``stats`` command analog
+    (``/root/reference/src/main.rs:285-347`` prints block/word/file
+    counts of the 4 KiB blockfile): per-table row/byte/file counts of
+    the current snapshot, plus the scalar stats row and manifest
+    version. Byte counts come from the Hadoop FileSystem (FS-agnostic,
+    no driver-local os.walk)."""
+    out: dict = {"tables": {}}
+    for t in manifest.DEFAULT_TABLES:
+        if not manifest.table_exists(spark, index_dir, t):
+            continue
+        paths = manifest.table_paths(spark, index_dir, t)
+        n_bytes = n_files = 0
+        for p in paths:
+            fs, jpath, _ = manifest._fs(spark, p)
+            if not fs.exists(jpath):
+                continue
+            summary = fs.getContentSummary(jpath)
+            n_bytes += summary.getLength()
+            n_files += summary.getFileCount()
+        out["tables"][t] = {
+            "rows": manifest.read_table(spark, index_dir, t).count(),
+            "bytes": int(n_bytes),
+            "files": int(n_files),
+            "dirs": len(paths),
+        }
+    out["stats"] = read_stats(spark, index_dir)
+    man = manifest.current_manifest(spark, index_dir)
+    out["snapshot_version"] = int(man["version"]) if man else 0
+    lineage = read_lineage(spark, index_dir)
+    out["lineage_rows"] = lineage.count()
+    return out
 
 
 # ------------------------------------------------------- resumable build
@@ -382,7 +470,10 @@ def build_index_resumable(
 
 
 def append_batch(
-    spark: SparkSession, documents: DataFrame, out_dir: str
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+    extra_props: dict | None = None,
 ) -> dict:
     """Incremental indexing (the reference's re-run-and-skip model,
     S7/S8, made a first-class operation): index NEW documents into an
@@ -397,36 +488,43 @@ def append_batch(
     dictionary/stats tables are recomputed (an agg over block rows).
     avgdl drift is handled at query time via ``enc_avgdl`` (stale
     block-max bounds are replaced by the avgdl-free bound).
+
+    Atomicity: every output (segment part, docs part, postings part,
+    new terms/stats versions) is STAGED under directories named by the
+    batch's base doc_id, then published with one manifest commit
+    (``textindex_spark.manifest``). A crash or retry before the commit
+    leaves the live snapshot untouched and re-stages the exact same
+    directories, so the operation is idempotent end to end.
     """
     stats = read_stats(spark, out_dir)
     range_bits = int(stats["range_bits"])
-    old_max = (
-        spark.read.parquet(f"{out_dir}/docs").agg(F.max("doc_id")).collect()[0][0]
-        or -1
-    )
+    old_docs = manifest.read_table(spark, out_dir, "docs")
+    old_max = old_docs.agg(F.max("doc_id")).collect()[0][0]
+    old_max = -1 if old_max is None else int(old_max)
     cols = set(documents.columns)
     if "doc_id" not in cols:
-        from pyspark.sql.window import Window
-
-        documents = documents.withColumn(
-            "doc_id",
-            F.row_number().over(Window.orderBy("url")) + F.lit(int(old_max)),
-        )
+        documents = mint_doc_ids(documents, base=old_max + 1)
     documents = normalize_input(documents)
     bad = documents.filter(F.col("doc_id") <= old_max).limit(1).count()
     if bad:
         raise ValueError("append_batch requires doc_ids above the current max")
 
-    new_seg_dir = f"{out_dir}/segments/append_{old_max + 1}"
-    tokenize_segments(documents).write.mode("overwrite").parquet(new_seg_dir)
-    new_seg = spark.read.parquet(new_seg_dir)
+    base = old_max + 1
+    seg_dir = f"{out_dir}/segments_append_{base}"
+    docs_dir = f"{out_dir}/docs_append_{base}"
+    postings_dir = f"{out_dir}/postings_append_{base}"
+    terms_dir = f"{out_dir}/terms_append_{base}"
+    stats_dir = f"{out_dir}/stats_append_{base}"
 
-    # docs + stats: append rows, recompute the scalar stats
+    tokenize_segments(documents).write.mode("overwrite").parquet(seg_dir)
+    new_seg = spark.read.parquet(seg_dir)
+
     new_seg.select(
         "doc_id", "url", "lang", "filter", "truncated", "doc_len"
-    ).write.mode("append").parquet(f"{out_dir}/docs")
+    ).write.mode("overwrite").parquet(docs_dir)
     srow = (
-        spark.read.parquet(f"{out_dir}/docs")
+        old_docs.select("doc_len")
+        .unionByName(spark.read.parquet(docs_dir).select("doc_len"))
         .agg(
             F.count("*").alias("n_docs"),
             F.avg("doc_len").alias("avgdl"),
@@ -436,28 +534,46 @@ def append_batch(
     )
     new_avgdl = float(srow["avgdl"] or 0.0)
 
-    # postings: encode ONLY the new segment rows, append block rows
-    build_postings(new_seg, new_avgdl, range_bits).write.mode("append").parquet(
-        f"{out_dir}/postings"
+    # postings: encode ONLY the new segment rows into a staged part
+    build_postings(new_seg, new_avgdl, range_bits).write.mode("overwrite").parquet(
+        postings_dir
     )
 
-    # dictionary: cheap agg over block rows, full rewrite (small table)
-    postings_df = spark.read.parquet(f"{out_dir}/postings")
+    # dictionary: cheap agg over old + staged block rows, full rewrite
+    postings_df = manifest.read_table(spark, out_dir, "postings").unionByName(
+        spark.read.parquet(postings_dir)
+    )
     terms = terms_from_postings(postings_df)
     nparts = max(1, spark.sparkContext.defaultParallelism // 4)
     terms.repartitionByRange(nparts, "term").sortWithinPartitions("term").write.mode(
         "overwrite"
-    ).parquet(f"{out_dir}/terms")
+    ).parquet(terms_dir)
 
     new_stats = dict(stats)
     new_stats.update(
         n_docs=int(srow["n_docs"]),
         avgdl=new_avgdl,
         total_tokens=int(srow["total_tokens"] or 0),
-        vocab_size=int(spark.read.parquet(f"{out_dir}/terms").count()),
+        vocab_size=int(spark.read.parquet(terms_dir).count()),
     )
     spark.createDataFrame([new_stats]).coalesce(1).write.mode("overwrite").parquet(
-        f"{out_dir}/stats"
+        stats_dir
+    )
+
+    # the ONE atomic step: everything above becomes visible together
+    manifest.commit(
+        spark,
+        out_dir,
+        add_to_tables={
+            "segments": [manifest.rel(out_dir, seg_dir)],
+            "docs": [manifest.rel(out_dir, docs_dir)],
+            "postings": [manifest.rel(out_dir, postings_dir)],
+        },
+        set_tables={
+            "terms": [manifest.rel(out_dir, terms_dir)],
+            "stats": [manifest.rel(out_dir, stats_dir)],
+        },
+        props={"last_append_base": base, **(extra_props or {})},
     )
     # invalidate the query-node dictionary cache for this index
     from textindex_spark import query as _q
@@ -470,8 +586,13 @@ def compact_postings(spark: SparkSession, out_dir: str) -> int:
     """Merge split block rows (a (term, range_id) key owning several
     rows after appends) back to one row per key. Returns the number of
     merged keys. Only touches affected keys; at scale this is the
-    Iceberg rewrite-data-files analog scoped by a join."""
-    postings = spark.read.parquet(f"{out_dir}/postings")
+    Iceberg rewrite-data-files analog scoped by a join.
+
+    Commit protocol: the compacted table is written to a NEW versioned
+    directory and published with one manifest commit — no rmtree/move,
+    nothing destructive touches the live snapshot, and a crash at any
+    point leaves the old postings fully readable."""
+    postings = manifest.read_table(spark, out_dir, "postings")
     dup_keys = (
         postings.groupBy("term", "range_id").count().filter(F.col("count") > 1)
     )
@@ -542,13 +663,14 @@ def compact_postings(spark: SparkSession, out_dir: str) -> int:
     )
     merged = regrouped.mapInPandas(_encode_kernel, POSTING_SCHEMA)
     combined = intact.select(*merged.columns).unionByName(merged)
-    tmp = f"{out_dir}/postings_compact_tmp"
+    man = manifest.current_manifest(spark, out_dir)
+    gen = (int(man["version"]) + 1) if man else 1
+    new_dir = f"{out_dir}/postings_compact_{gen}"
     nparts = max(1, spark.sparkContext.defaultParallelism)
     combined.repartitionByRange(nparts, "term").sortWithinPartitions(
         "term", "range_id"
-    ).write.mode("overwrite").parquet(tmp)
-    import shutil as _sh
-
-    _sh.rmtree(f"{out_dir}/postings")
-    _sh.move(tmp, f"{out_dir}/postings")
+    ).write.mode("overwrite").parquet(new_dir)
+    manifest.commit(
+        spark, out_dir, set_tables={"postings": [manifest.rel(out_dir, new_dir)]}
+    )
     return int(n_dup)

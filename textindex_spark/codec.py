@@ -109,6 +109,13 @@ def encode_batch(
     if n == 0:
         return []
     lengths = np.fromiter((len(a) for a in doc_id_lists), dtype=np.int64, count=n)
+    # Zero-length blocks would corrupt the reduceat-based byte-split
+    # (duplicated starts) and the decode-side cumsum reset (starts-1
+    # indexing). Upstream never produces them (groupBy groups are
+    # non-empty); fail loudly for any new caller rather than silently
+    # mis-encoding. (ADVICE r1)
+    if (lengths == 0).any():
+        raise ValueError("encode_batch: zero-length posting block")
     flat_docs = np.concatenate([np.asarray(a, dtype=np.int64) for a in doc_id_lists])
     # per-block delta with per-block base reset, vectorized:
     starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
@@ -146,6 +153,8 @@ def decode_batch(
     n = len(gaps_bufs)
     if n == 0:
         return ([],) + tuple([] for _ in (extra_bufs or []))
+    if any(len(b) == 0 for b in gaps_bufs):
+        raise ValueError("decode_batch: zero-length posting block")
     flat = varint_decode(b"".join(gaps_bufs))
     # recover per-block value counts by counting terminator bytes
     counts = np.fromiter(

@@ -1,0 +1,175 @@
+"""Versioned-manifest table commits (Iceberg-style, FS-agnostic).
+
+The round-1 engine swapped tables with ``shutil.rmtree`` + ``move`` —
+driver-local filesystem calls that break on HDFS/S3 and lose the
+postings table if the process dies between the two calls. This module
+replaces them with the snapshot pattern the storage layout was always
+shaped for:
+
+* every index table (docs/postings/terms/stats/deleted) is a LIST of
+  immutable data directories;
+* a JSON manifest under ``{index_dir}/_manifests/v{n}.json`` maps
+  table name → directory list (+ free-form props, e.g. the streaming
+  sink's last committed batch id);
+* readers resolve the HIGHEST manifest version (falling back to the
+  plain ``{index_dir}/{table}`` layout when no manifest exists, so
+  round-1 indexes stay readable);
+* a writer stages new directories (never touching live ones), then
+  makes them visible with ONE atomic manifest publish — create a temp
+  file, ``FileSystem.rename`` it to ``v{n+1}.json``. Rename is atomic
+  on HDFS and local filesystems; a crash at any earlier point leaves
+  only orphan staging dirs and the old snapshot fully intact.
+
+Multi-table operations (append = docs + postings + terms + stats,
+delete = tombstones + stats) therefore commit atomically: queries see
+either the old snapshot or the complete new one, never a half-applied
+mix.
+
+All filesystem access goes through the Hadoop FileSystem API of the
+live SparkSession (``Path.getFileSystem``), so the same code runs on
+file://, hdfs://, and s3a:// (on S3, rename is copy+delete —
+non-atomic but still last-writer-wins-safe here because version file
+names are unique; production would layer a conditional-put catalog).
+"""
+from __future__ import annotations
+
+import json
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_manifests"
+_V_RE = re.compile(r"^v(\d{12})\.json$")
+
+# Default (manifest-less) layout: one directory per table.
+DEFAULT_TABLES = ("docs", "postings", "terms", "stats", "deleted", "segments")
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _read_file(spark: SparkSession, path: str) -> bytes:
+    fs, jpath, _ = _fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return bytes(stream.readAllBytes())
+    finally:
+        stream.close()
+
+
+def _write_file_atomic(spark: SparkSession, path: str, data: bytes) -> bool:
+    """Write via temp-file + rename. Returns False if the destination
+    already exists (concurrent committer won the race)."""
+    fs, jpath, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        jpath.getParent(), f".tmp-{uuid.uuid4().hex}"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    ok = fs.rename(tmp, jpath)
+    if not ok:
+        fs.delete(tmp, False)
+    return bool(ok)
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath, _ = _fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def current_manifest(spark: SparkSession, index_dir: str) -> dict | None:
+    """Highest-version manifest, or None (legacy / fresh index)."""
+    mdir = f"{index_dir}/{MANIFEST_DIR}"
+    fs, jpath, _ = _fs(spark, mdir)
+    if not fs.exists(jpath):
+        return None
+    best_n, best_name = -1, None
+    for status in fs.listStatus(jpath):
+        m = _V_RE.match(status.getPath().getName())
+        if m and int(m.group(1)) > best_n:
+            best_n, best_name = int(m.group(1)), status.getPath().getName()
+    if best_name is None:
+        return None
+    return json.loads(_read_file(spark, f"{mdir}/{best_name}").decode("utf-8"))
+
+
+def table_paths(spark: SparkSession, index_dir: str, name: str) -> list[str]:
+    """Data directories for a table under the current snapshot."""
+    man = current_manifest(spark, index_dir)
+    if man is not None and name in man.get("tables", {}):
+        return [f"{index_dir}/{rel}" for rel in man["tables"][name]]
+    return [f"{index_dir}/{name}"]
+
+
+def read_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(*table_paths(spark, index_dir, name))
+
+
+def table_exists(spark: SparkSession, index_dir: str, name: str) -> bool:
+    man = current_manifest(spark, index_dir)
+    if man is not None and name in man.get("tables", {}):
+        return bool(man["tables"][name])  # empty dir-list == dropped table
+    return _exists(spark, f"{index_dir}/{name}")
+
+
+def get_prop(spark: SparkSession, index_dir: str, key: str, default=None):
+    man = current_manifest(spark, index_dir)
+    if man is None:
+        return default
+    return man.get("props", {}).get(key, default)
+
+
+def commit(
+    spark: SparkSession,
+    index_dir: str,
+    set_tables: dict[str, list[str]] | None = None,
+    add_to_tables: dict[str, list[str]] | None = None,
+    props: dict | None = None,
+) -> dict:
+    """Publish a new snapshot: ``set_tables`` replaces a table's
+    directory list (relative paths), ``add_to_tables`` appends to it,
+    ``props`` merge-updates the free-form properties. Retries the
+    version race a few times; returns the committed manifest."""
+    for _ in range(16):
+        man = current_manifest(spark, index_dir)
+        if man is None:
+            tables = {
+                t: [t]
+                for t in DEFAULT_TABLES
+                if _exists(spark, f"{index_dir}/{t}")
+            }
+            version, mprops = 0, {}
+        else:
+            tables = {k: list(v) for k, v in man.get("tables", {}).items()}
+            version, mprops = int(man["version"]), dict(man.get("props", {}))
+        for t, paths in (set_tables or {}).items():
+            tables[t] = list(paths)
+        for t, paths in (add_to_tables or {}).items():
+            tables.setdefault(t, [t] if _exists(spark, f"{index_dir}/{t}") else [])
+            tables[t].extend(paths)
+        mprops.update(props or {})
+        new = {"version": version + 1, "tables": tables, "props": mprops}
+        path = f"{index_dir}/{MANIFEST_DIR}/v{version + 1:012d}.json"
+        if _write_file_atomic(
+            spark, path, json.dumps(new, indent=1, sort_keys=True).encode("utf-8")
+        ):
+            return new
+    raise RuntimeError(f"manifest commit contention at {index_dir}")
+
+
+def next_staging_dir(index_dir: str, table: str, tag: str) -> str:
+    """Deterministic staging dir name (idempotent retries overwrite
+    the same staging output rather than duplicating it)."""
+    return f"{index_dir}/{table}_stage_{tag}"
+
+
+def rel(index_dir: str, abs_path: str) -> str:
+    assert abs_path.startswith(index_dir + "/"), abs_path
+    return abs_path[len(index_dir) + 1 :]

@@ -85,17 +85,46 @@ def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
     )
 
 
+MAX_SHINGLE_DF = 1000
+
+
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.2, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard_micro): near-dup pairs by n-gram-set
     Jaccard ≥ threshold, via the inverted shingle join (no cross
-    join). jaccard_micro = floor(j * 1e6 + 0.5)."""
+    join). jaccard_micro = floor(j * 1e6 + 0.5).
+
+    ``max_shingle_df`` drops shingles shared by more than that many
+    docs BEFORE the self-join. Without it the join is quadratic in
+    per-shingle document frequency: one boilerplate shingle ("all
+    rights reserved ...") shared by 10^7 web pages would create a
+    10^14-row join group. The cap bounds every join group to
+    max_shingle_df² pairs. Set sizes (|A|, |B|) still count ALL
+    shingles, so a pair's score is exact when its overlap contains no
+    hot shingle, and conservatively UNDERestimated when it does
+    (dropped intersections shrink the numerator and inflate the
+    union). Recall is only lost for pairs whose similarity rests on
+    boilerplate-grade shingles — precisely the pairs near-dup dedup
+    should not flag. (Standard practice; the MinHash/LSH path is
+    immune to hot shingles by construction.)"""
     sh = doc_shingles(docs, n, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cold = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_shingle_df)
+        .select("shingle"),
+        "shingle",
+        "left_anti",
+    )
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        cold.alias("a")
+        .join(cold.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))

@@ -18,7 +18,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 # BPE-ish segmentation: letter runs, digit runs, single other chars.
-BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# The whitespace class is spelled out (not \s) so the Java regex here
+# and the RE2 regex in the DuckDB oracle exclude the exact same set.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\x0B\\f]"
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -46,19 +48,34 @@ def quality_score(
 ) -> DataFrame:
     """→ (doc_id, n_tokens, n_chars, stop_ratio_micro, mean_tok_len_micro,
     quality_micro): length/stop-word/token-shape heuristics. quality =
-    clamp01(0.4*stop_presence + 0.3*len_score + 0.3*shape_score)."""
+    clamp01(0.4*stop_presence + 0.3*len_score + 0.3*shape_score).
+
+    Stop-word membership is a broadcast hash join against the 1386-row
+    stop table — not an ``array_contains`` over a 1386-literal array,
+    which is O(tokens × |stops|) per row and bloats the plan into a
+    kilo-literal expression. The per-doc stats come back via one
+    map-side-combining groupBy(doc_id)."""
+    spark = docs.sparkSession
+    stop_df = spark.createDataFrame(
+        [(w,) for w in sorted(set(stop_words))], "tok string"
+    ).withColumn("is_stop", F.lit(1))
     toks = tokens_col(F.col(text_col))
-    stop_arr = F.array(*[F.lit(s) for s in stop_words])
-    df = docs.select(
+    tok_rows = docs.select(
         "doc_id",
         F.length(text_col).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias("n_stop"),
-        F.aggregate(
-            F.transform(toks, lambda t: F.length(t).cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("tok_chars"),
+        F.explode_outer(toks).alias("tok"),
+    )
+    df = (
+        tok_rows.join(F.broadcast(stop_df), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_chars").alias("n_chars"),
+            F.count("tok").cast("int").alias("n_tokens"),
+            F.coalesce(F.sum("is_stop"), F.lit(0)).alias("n_stop"),
+            F.coalesce(F.sum(F.length("tok")).cast("double"), F.lit(0.0)).alias(
+                "tok_chars"
+            ),
+        )
     )
     n_tok = F.greatest(F.col("n_tokens"), F.lit(1))
     stop_ratio = F.col("n_stop") / n_tok

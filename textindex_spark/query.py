@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from textindex_spark import manifest
 from textindex_spark.build import B, K1, read_stats
 from textindex_spark.codec import decode_batch
 from textindex_spark.refimpl.oracle import wildcard_to_regex
@@ -70,7 +71,7 @@ def _load_dictionary(spark: SparkSession, index_dir: str) -> pd.DataFrame | None
     terms = None
     if stats["vocab_size"] <= TERMS_CACHE_MAX:
         terms = (
-            spark.read.parquet(f"{index_dir}/terms")
+            manifest.read_table(spark, index_dir, "terms")
             .select("term", "df", "max_tfnorm")
             .toPandas()
         )
@@ -103,7 +104,7 @@ def expand_patterns(
         out = pd.concat(frames, ignore_index=True)
         return out[["pattern_idx", "term", "df", "max_tfnorm"]]
     # distributed fallback: one scan, every pattern as one OR-predicate
-    terms_df = spark.read.parquet(f"{index_dir}/terms")
+    terms_df = manifest.read_table(spark, index_dir, "terms")
     conds = []
     for p in patterns:
         if _is_wildcard(p):
@@ -167,7 +168,7 @@ def _query_blocks(
     become an IN-list predicate that reaches the parquet scan
     (PushedFilters → row-group min/max skipping over the term-sorted
     files); large ones a broadcast semi-join."""
-    postings = spark.read.parquet(f"{index_dir}/postings")
+    postings = manifest.read_table(spark, index_dir, "postings")
     if 0 < len(term_list) <= ISIN_PUSHDOWN_MAX:
         return postings.filter(F.col("term").isin(term_list))
     return postings.join(F.broadcast(qterms.select("term").distinct()), "term")
@@ -193,8 +194,16 @@ def _decoded_postings(
 # the query node over the pushdown-filtered block fetch (one scan job,
 # numpy scoring) instead of a distributed agg — the serving-layer path
 # of a real engine, with the cluster acting as block storage. Larger
-# candidate sets use the fully distributed plan.
+# candidate sets use the fully distributed plan. The cap is enforced
+# even when a caller passes local_score=True explicitly: a stop-word-
+# grade wildcard must never toPandas() the whole postings table onto
+# the driver.
 LOCAL_SCORE_MAX_POSTINGS = 2_000_000
+
+# Largest delete set the serving path will materialize driver-side;
+# beyond it, queries fall back to the distributed anti-join
+# (apply_tombstones) / unpruned plans.
+TOMBSTONE_LOCAL_MAX = 100_000
 
 
 def search(
@@ -212,16 +221,23 @@ def search(
     semantics across query patterns."""
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
+    fits_local = (
+        len(expanded) > 0
+        and expanded.drop_duplicates("term")["df"].sum() <= LOCAL_SCORE_MAX_POSTINGS
+    )
     if local_score is None:
-        local_score = (
-            not prune
-            and len(expanded) > 0
-            and expanded.drop_duplicates("term")["df"].sum() <= LOCAL_SCORE_MAX_POSTINGS
-        )
+        local_score = not prune and fits_local
+    else:
+        # explicit local_score=True must not bypass the driver-memory
+        # guard — a stop-word-grade wildcard would OOM the query node
+        local_score = local_score and fits_local
     if local_score and len(expanded) > 0 and not prune:
-        return _search_local(
-            spark, index_dir, expanded, stats, len(patterns), k, mode, with_urls
-        )
+        dead = _dead_ids_capped(spark, index_dir)
+        if dead is not None:  # oversize delete sets go distributed
+            return _search_local(
+                spark, index_dir, expanded, stats, len(patterns), k, mode,
+                with_urls, dead,
+            )
     n_patterns = len(patterns)
     full_mask = (1 << n_patterns) - 1
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -246,7 +262,7 @@ def search(
         decoded = _decoded_postings(spark, index_dir, qterms, stats, term_list)
         if prune and mode == "and":
             decoded = _pruned_decode(
-                spark, index_dir, qterms, stats, k, full_mask, term_list
+                spark, index_dir, qterms, stats, k, full_mask, term_list, term_info
             )
         scored = (
             decoded.join(F.broadcast(qterms), "term")
@@ -263,7 +279,7 @@ def search(
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
     if with_urls:
-        docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+        docs = manifest.read_table(spark, index_dir, "docs").select("doc_id", "url")
         result = (
             result.join(docs, "doc_id", "left")
             .select("doc_id", "score", "url")
@@ -281,10 +297,12 @@ def _search_local(
     k: int,
     mode: str,
     with_urls: bool,
+    dead: np.ndarray,
 ) -> DataFrame:
     """Query-node scoring: one pushdown-filtered block fetch, then
     numpy decode + BM25 + AND-mask + top-k locally. Rank-identical to
-    the distributed path (same formula, same tie-break)."""
+    the distributed path (same formula, same tie-break). ``dead`` is
+    the (capped, see TOMBSTONE_LOCAL_MAX) tombstone id array."""
     full_mask = (1 << n_patterns) - 1
     term_info = (
         expanded.groupby("term")
@@ -294,70 +312,52 @@ def _search_local(
         )
         .reset_index()
     )
+    term_info["idf"] = [idf(stats["n_docs"], int(d)) for d in term_info["df"]]
     covered = int(np.bitwise_or.reduce(term_info["mask"].values)) if len(term_info) else 0
     empty = spark.createDataFrame([], "doc_id long, score double")
     if mode == "and" and covered != full_mask:
         result_rows = []
     else:
-        idf_map = {
-            t: idf(stats["n_docs"], int(d))
-            for t, d in zip(term_info["term"], term_info["df"])
-        }
-        mask_map = dict(zip(term_info["term"], term_info["mask"]))
         blocks = (
-            spark.read.parquet(f"{index_dir}/postings")
+            manifest.read_table(spark, index_dir, "postings")
             .filter(F.col("term").isin(list(term_info["term"])))
             .select("term", "range_id", "doc_gaps", "tf_bytes", "dl_bytes")
             .toPandas()
         )
-        if len(blocks) == 0:
-            result_rows = []
-        else:
-            bases = blocks["range_id"].values.astype(np.int64) << stats["range_bits"]
-            doc_lists, tf_lists, dl_lists = decode_batch(
-                list(blocks["doc_gaps"]), bases,
-                [list(blocks["tf_bytes"]), list(blocks["dl_bytes"])],
-            )
-            counts = np.fromiter((len(d) for d in doc_lists), dtype=np.int64, count=len(doc_lists))
-            docs = np.concatenate(doc_lists)
-            tfs = np.concatenate(tf_lists).astype(np.float64)
-            dls = np.concatenate(dl_lists).astype(np.float64)
-            avgdl = float(stats["avgdl"]) or 1.0
-            idfs = np.repeat(blocks["term"].map(idf_map).values.astype(np.float64), counts)
-            masks = np.repeat(blocks["term"].map(mask_map).values.astype(np.int64), counts)
-            w = idfs * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-            uniq, inv = np.unique(docs, return_inverse=True)
-            score = np.zeros(len(uniq))
-            np.add.at(score, inv, w)
-            mask_acc = np.zeros(len(uniq), dtype=np.int64)
-            np.bitwise_or.at(mask_acc, inv, masks)
-            if mode == "and":
-                keep = mask_acc == full_mask
-                uniq, score = uniq[keep], score[keep]
-            dead = _tombstones(spark, index_dir)
-            if dead is not None:
-                dead_ids = np.array(
-                    [r["doc_id"] for r in dead.collect()], dtype=np.int64
-                )
-                alive = ~np.isin(uniq, dead_ids)
-                uniq, score = uniq[alive], score[alive]
-            order = np.lexsort((uniq, -score))[:k]
-            result_rows = [
-                (int(uniq[i]), float(score[i])) for i in order
-            ]
+        uniq, score, mask_acc = _score_blocks_np(blocks, stats, term_info)
+        if mode == "and":
+            keep = mask_acc == full_mask
+            uniq, score = uniq[keep], score[keep]
+        if len(dead):
+            alive = ~np.isin(uniq, dead)
+            uniq, score = uniq[alive], score[alive]
+        order = np.lexsort((uniq, -score))[:k]
+        result_rows = [(int(uniq[i]), float(score[i])) for i in order]
     result = (
         spark.createDataFrame(result_rows, "doc_id long, score double")
         if result_rows
         else empty
     )
     if with_urls:
-        docs_df = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+        docs_df = manifest.read_table(spark, index_dir, "docs").select("doc_id", "url")
         result = (
             result.join(docs_df, "doc_id", "left")
             .select("doc_id", "score", "url")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
     return result
+
+
+def _dead_ids_capped(spark: SparkSession, index_dir: str) -> np.ndarray | None:
+    """Tombstoned doc_ids as a driver-side array, or None when the
+    delete set exceeds TOMBSTONE_LOCAL_MAX (callers must then either
+    anti-join distributed or treat every doc as potentially live)."""
+    dead = _tombstones(spark, index_dir)
+    if dead is None:
+        return np.empty(0, dtype=np.int64)
+    if dead.limit(TOMBSTONE_LOCAL_MAX + 1).count() > TOMBSTONE_LOCAL_MAX:
+        return None
+    return np.array([r["doc_id"] for r in dead.collect()], dtype=np.int64)
 
 
 def _pruned_decode(
@@ -368,59 +368,113 @@ def _pruned_decode(
     k: int,
     full_mask: int,
     term_list: list[str],
+    term_info: pd.DataFrame,
 ) -> DataFrame:
-    """Block-max pruning: score ranges by Σ_term idf·max_tfnorm upper
-    bound, set θ from an exact pass over the best range, decode only
-    ranges whose upper bound reaches θ (and which can satisfy AND)."""
-    blocks = _query_blocks(spark, index_dir, qterms, term_list).join(
-        F.broadcast(qterms), "term"
-    )
-    # Per-row score upper bound: the stored block-max (tight) while the
-    # block's encode-time avgdl is still current; after incremental
-    # appends shift avgdl, fall back to the avgdl-free bound
-    # (k1+1)·max_tf/(max_tf + k1·(1−b)) which dominates tfnorm for any
-    # doc length.
-    safe_ub = (
-        F.col("max_tf") * (K1 + 1.0) / (F.col("max_tf") + K1 * (1.0 - B))
-    )
-    row_ub = F.when(
-        F.abs(F.col("enc_avgdl") - F.lit(stats["avgdl"])) < 1e-9,
-        F.col("max_tfnorm"),
-    ).otherwise(safe_ub)
-    range_ub = (
-        blocks.groupBy("range_id")
-        .agg(
-            F.sum(F.col("idf") * row_ub).alias("ub"),
-            F.bit_or("mask").alias("mask"),
-        )
-        .filter(F.col("mask") == full_mask)
-    )
-    cand = range_ub.orderBy(F.desc("ub")).limit(64).toPandas()
-    if len(cand) == 0:
-        return spark.createDataFrame([], DECODED_SCHEMA)
-    best_range = int(cand["range_id"].iat[0])
-    probe = blocks.filter(F.col("range_id") == best_range).withColumn(
-        "range_bits", F.lit(stats["range_bits"])
-    ).withColumn("avgdl", F.lit(stats["avgdl"]))
-    probe_scores = (
-        probe.mapInPandas(_decode_kernel, DECODED_SCHEMA)
-        .join(F.broadcast(qterms), "term")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("idf") * F.col("tfnorm")).alias("score"),
-            F.bit_or("mask").alias("mask"),
-        )
-        .filter(F.col("mask") == full_mask)
-        .orderBy(F.desc("score"))
-        .limit(k)
+    """Block-max pruning, two light driver round-trips + ONE decode job:
+
+    1. metadata probe — fetch ONLY the block-stats columns for the
+       query terms (isin pushdown, binary columns never read; a few
+       rows per term per range). Range upper bounds Σ_term idf·ub and
+       AND-coverage masks are computed in pandas on the driver.
+    2. θ probe — fetch the binary blocks of the single best range
+       (pushdown on term AND range_id) and score them in numpy on the
+       driver; θ = the k-th LIVE score (tombstones excluded — a range
+       full of deleted docs must not inflate θ and prune the true
+       top-k away).
+    3. decode job — one distributed mapInPandas over blocks whose
+       range survived (term+range_id isin pushdown reaches the
+       parquet scan).
+
+    Per-row upper bound: the stored block-max (tight) while the
+    block's encode-time avgdl is current; after incremental appends
+    shift avgdl, the avgdl-free bound (k1+1)·max_tf/(max_tf+k1·(1−b))
+    which dominates tfnorm for any doc length.
+    """
+    meta_cols = ["term", "range_id", "max_tf", "max_tfnorm", "enc_avgdl"]
+    meta = (
+        _query_blocks(spark, index_dir, qterms, term_list)
+        .select(*meta_cols)
         .toPandas()
     )
-    theta = float(probe_scores["score"].min()) if len(probe_scores) >= k else 0.0
-    surviving = range_ub.filter(F.col("ub") >= theta).select("range_id")
-    pruned_blocks = blocks.join(F.broadcast(surviving), "range_id").withColumn(
+    if len(meta) == 0:
+        return spark.createDataFrame([], DECODED_SCHEMA)
+    info = term_info.set_index("term")
+    idfs = meta["term"].map(info["idf"]).values.astype(np.float64)
+    masks = meta["term"].map(info["mask"]).values.astype(np.int64)
+    fresh = np.abs(meta["enc_avgdl"].values - float(stats["avgdl"])) < 1e-9
+    max_tf = meta["max_tf"].values.astype(np.float64)
+    safe_ub = max_tf * (K1 + 1.0) / (max_tf + K1 * (1.0 - B))
+    row_ub = np.where(fresh, meta["max_tfnorm"].values, safe_ub)
+    per_range = pd.DataFrame(
+        {"range_id": meta["range_id"].values, "w": idfs * row_ub, "mask": masks}
+    ).groupby("range_id").agg(
+        ub=("w", "sum"),
+        mask=("mask", lambda s: int(np.bitwise_or.reduce(s.values))),
+    )
+    per_range = per_range[per_range["mask"] == full_mask]
+    if len(per_range) == 0:
+        return spark.createDataFrame([], DECODED_SCHEMA)
+    best_range = int(per_range["ub"].idxmax())
+
+    # θ probe: decode + score the best range locally, tombstone-aware
+    dead = _dead_ids_capped(spark, index_dir)
+    theta = 0.0
+    if dead is not None:  # uncapped delete sets force θ=0 (safe: no pruning)
+        probe = (
+            _query_blocks(spark, index_dir, qterms, term_list)
+            .filter(F.col("range_id") == best_range)
+            .select("term", "range_id", "doc_gaps", "tf_bytes", "dl_bytes")
+            .toPandas()
+        )
+        uniq, score, mask_acc = _score_blocks_np(probe, stats, term_info)
+        live = (mask_acc == full_mask) & ~np.isin(uniq, dead)
+        top = np.sort(score[live])[::-1]
+        if len(top) >= k:
+            theta = float(top[k - 1])
+
+    surviving = [int(r) for r in per_range.index[per_range["ub"].values >= theta]]
+    blocks = _query_blocks(spark, index_dir, qterms, term_list)
+    if len(surviving) <= ISIN_PUSHDOWN_MAX:
+        blocks = blocks.filter(F.col("range_id").isin(surviving))
+    else:
+        surv_df = spark.createDataFrame([(r,) for r in surviving], "range_id long")
+        blocks = blocks.join(F.broadcast(surv_df), "range_id")
+    pruned_blocks = blocks.withColumn(
         "range_bits", F.lit(stats["range_bits"])
     ).withColumn("avgdl", F.lit(stats["avgdl"]))
     return pruned_blocks.mapInPandas(_decode_kernel, DECODED_SCHEMA)
+
+
+def _score_blocks_np(
+    blocks: pd.DataFrame, stats: dict, term_info: pd.DataFrame
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode posting-block rows and BM25-score them in numpy →
+    (doc_ids, scores, coverage masks). Shared by the query-node
+    serving path and the pruner's θ probe."""
+    if len(blocks) == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty.astype(np.float64), empty
+    idf_map = dict(zip(term_info["term"], term_info["idf"]))
+    mask_map = dict(zip(term_info["term"], term_info["mask"]))
+    bases = blocks["range_id"].values.astype(np.int64) << stats["range_bits"]
+    doc_lists, tf_lists, dl_lists = decode_batch(
+        list(blocks["doc_gaps"]), bases,
+        [list(blocks["tf_bytes"]), list(blocks["dl_bytes"])],
+    )
+    counts = np.fromiter((len(d) for d in doc_lists), dtype=np.int64, count=len(doc_lists))
+    docs = np.concatenate(doc_lists)
+    tfs = np.concatenate(tf_lists).astype(np.float64)
+    dls = np.concatenate(dl_lists).astype(np.float64)
+    avgdl = float(stats["avgdl"]) or 1.0
+    idfs = np.repeat(blocks["term"].map(idf_map).values.astype(np.float64), counts)
+    masks = np.repeat(blocks["term"].map(mask_map).values.astype(np.int64), counts)
+    w = idfs * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+    uniq, inv = np.unique(docs, return_inverse=True)
+    score = np.zeros(len(uniq))
+    np.add.at(score, inv, w)
+    mask_acc = np.zeros(len(uniq), dtype=np.int64)
+    np.bitwise_or.at(mask_acc, inv, masks)
+    return uniq, score, mask_acc
 
 
 def find_unranked(
@@ -452,7 +506,7 @@ def find_unranked(
         .filter(F.col("mask") == full_mask)
         .select("doc_id")
     )
-    docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+    docs = manifest.read_table(spark, index_dir, "docs").select("doc_id", "url")
     hits = apply_tombstones(spark, index_dir, hits)
     return hits.join(docs, "doc_id", "left").orderBy("doc_id")
 
@@ -461,18 +515,28 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
     """Delete documents by url glob — the operation the reference
     stubs out (``Words::remove_file`` is a TODO no-op,
     ``index2.rs:462-464``). Implemented Iceberg-style as row-level
-    tombstones: matching doc_ids are appended to a ``deleted`` table
+    tombstones: matching doc_ids become a new ``deleted`` table part
     that every query anti-joins; stats are recomputed over live docs.
-    ``compact_postings``-style physical purge can follow offline."""
+    Tombstone part + new stats version are STAGED, then published with
+    one atomic manifest commit (no rmtree/move; a crash leaves the old
+    snapshot intact). ``compact_postings``-style physical purge can
+    follow offline."""
     rx = wildcard_to_regex(url_pattern).pattern
-    docs = spark.read.parquet(f"{index_dir}/docs")
+    docs = manifest.read_table(spark, index_dir, "docs")
     victims = docs.filter(F.col("url").rlike(f"^(?s:{rx})$")).select("doc_id")
     n = victims.count()
     if n:
-        victims.write.mode("append").parquet(f"{index_dir}/deleted")
-        live = docs.join(
-            spark.read.parquet(f"{index_dir}/deleted"), "doc_id", "left_anti"
+        man = manifest.current_manifest(spark, index_dir)
+        gen = (int(man["version"]) + 1) if man else 1
+        dead_dir = f"{index_dir}/deleted_{gen}"
+        stats_dir = f"{index_dir}/stats_del_{gen}"
+        victims.write.mode("overwrite").parquet(dead_dir)
+        old_dead = (
+            _tombstones(spark, index_dir)
+            or spark.createDataFrame([], "doc_id long")
         )
+        all_dead = old_dead.unionByName(spark.read.parquet(dead_dir)).distinct()
+        live = docs.join(all_dead, "doc_id", "left_anti")
         srow = live.agg(
             F.count("*").alias("n_docs"),
             F.avg("doc_len").alias("avgdl"),
@@ -487,21 +551,21 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
             total_tokens=int(srow["total_tokens"] or 0),
         )
         spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_dir}/stats_tmp"
+            stats_dir
         )
-        import shutil
-
-        shutil.rmtree(f"{index_dir}/stats")
-        shutil.move(f"{index_dir}/stats_tmp", f"{index_dir}/stats")
+        manifest.commit(
+            spark,
+            index_dir,
+            add_to_tables={"deleted": [manifest.rel(index_dir, dead_dir)]},
+            set_tables={"stats": [manifest.rel(index_dir, stats_dir)]},
+        )
         _dict_cache.pop(index_dir, None)
     return int(n)
 
 
 def _tombstones(spark: SparkSession, index_dir: str):
-    import os
-
-    if os.path.isdir(f"{index_dir}/deleted"):
-        return spark.read.parquet(f"{index_dir}/deleted")
+    if manifest.table_exists(spark, index_dir, "deleted"):
+        return manifest.read_table(spark, index_dir, "deleted")
     return None
 
 
@@ -536,7 +600,7 @@ def find_files(spark: SparkSession, index_dir: str, pattern: str) -> DataFrame:
     """File-name wildcard search (index2.rs:447-456)."""
     rx = wildcard_to_regex(pattern).pattern
     return (
-        spark.read.parquet(f"{index_dir}/docs")
+        manifest.read_table(spark, index_dir, "docs")
         .filter(F.col("url").rlike(f"^(?s:{rx})$"))
         .select("doc_id", "url")
         .orderBy("doc_id")

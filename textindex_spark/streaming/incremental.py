@@ -3,17 +3,22 @@
 The reference has no streaming operators (SURVEY.md §2.8) — its
 incremental story is re-run-and-skip (S7/S8). This module is the
 Spark-native upgrade: a ``readStream`` file source feeding
-``append_batch`` through ``foreachBatch``, giving exactly-once
-index appends per micro-batch (checkpointed source offsets +
-idempotent append keyed by doc_id watermark).
+``append_batch`` through ``foreachBatch``.
 
-Batch mode (`trigger(availableNow=True)`) doubles as a one-shot
-catch-up job, which is how the test drives it.
+Exactly-once: ``append_batch`` stages every output directory and
+publishes them with ONE atomic manifest commit that also records the
+micro-batch id (``stream_batch_id`` prop). When Structured Streaming
+retries a micro-batch after a failure, the sink compares the incoming
+``batch_id`` against the last COMMITTED one and skips already-applied
+batches — the commit is the idempotence marker, so a crash before it
+re-runs the append (same staged dirs, overwritten) and a crash after
+it becomes a no-op replay.
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from textindex_spark import manifest
 from textindex_spark.build import append_batch, build_index
 
 DOC_SCHEMA = (
@@ -43,11 +48,20 @@ def stream_index(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        s = batch_df.sparkSession
         if not state["bootstrapped"]:
-            build_index(batch_df.sparkSession, batch_df, index_dir, range_bits=range_bits)
+            build_index(s, batch_df, index_dir, range_bits=range_bits)
+            manifest.commit(s, index_dir, props={"stream_batch_id": int(batch_id)})
             state["bootstrapped"] = True
-        else:
-            append_batch(batch_df.sparkSession, batch_df, index_dir)
+            return
+        committed = manifest.get_prop(s, index_dir, "stream_batch_id", -1)
+        if int(batch_id) <= int(committed):
+            return  # replay of an already-committed micro-batch
+        # batch id rides in the SAME atomic commit as the appended data
+        append_batch(
+            s, batch_df, index_dir,
+            extra_props={"stream_batch_id": int(batch_id)},
+        )
 
     writer = (
         stream.writeStream.foreachBatch(sink)
@@ -62,7 +76,7 @@ def stream_index(
 
 def _index_exists(spark: SparkSession, index_dir: str) -> bool:
     try:
-        spark.read.parquet(f"{index_dir}/stats").collect()
+        manifest.read_table(spark, index_dir, "stats").collect()
         return True
     except Exception:
         return False

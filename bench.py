@@ -126,6 +126,16 @@ def main() -> None:
     t0 = time.time()
     similarity.cosine_topk(emb, list(qvec), k=10).collect()
     timings["ann_cosine_topk"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    assigned, cents = similarity.build_ivf(emb, n_centroids=16, max_iter=5)
+    assigned.count()
+    timings["ann_ivf_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    similarity.ivf_cosine_topk(assigned, cents, list(qvec), k=10, n_probe=4).collect()
+    timings["ann_ivf_query"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    similarity.embedding_near_pairs(emb).count()
+    timings["emb_near_dup"] = round(time.time() - t0, 3)
 
     out = {
         "metric": "synthetic_webcorpus_index_build_sec",

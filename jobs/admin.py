@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: index administration.
+
+    spark-submit --py-files textindex_spark.zip jobs/admin.py \
+        --index /path/to/index (--describe | --delete 'url-glob' |
+                                --compact | --append INPUT_PARQUET)
+
+Mirrors the reference's `stats` / `delete` commands
+(``/root/reference/src/main.rs:277-347``; `delete` is a stub there)
+plus the engine's compaction and incremental append. Every mutating
+operation commits atomically through the versioned manifest.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--describe", action="store_true")
+    ap.add_argument("--delete", default=None, metavar="URL_GLOB")
+    ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--append", default=None, metavar="INPUT_PARQUET")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    if not (args.describe or args.delete or args.compact or args.append):
+        ap.error("provide one of --describe / --delete / --compact / --append")
+
+    from textindex_spark.build import append_batch, compact_postings, describe_index
+    from textindex_spark.query import delete_docs
+    from textindex_spark.session import get_spark
+
+    spark = get_spark("textindex-admin", cpus=args.cpus)
+    out: dict = {}
+    if args.append:
+        docs = spark.read.parquet(args.append)
+        out["append"] = append_batch(spark, docs, args.index)
+    if args.delete:
+        out["deleted"] = delete_docs(spark, args.index, args.delete)
+    if args.compact:
+        out["compacted_keys"] = compact_postings(spark, args.index)
+    if args.describe:
+        out["describe"] = describe_index(spark, args.index)
+    print(json.dumps(out, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -253,6 +253,30 @@ def test_ivf_stored_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan
 
 
+def test_embedding_near_pairs(spark):
+    """Embedding-cosine near-dup: every returned pair is a TRUE pair
+    (exact verification), and the LSH candidate stage recovers a
+    meaningful share of true pairs without any all-pairs join."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Xu = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xu @ Xu.T
+    thr = 0.35
+    iu = np.triu_indices(len(ids), 1)
+    true_pairs = {
+        (int(ids[a]), int(ids[b]))
+        for a, b in zip(iu[0][C[iu] >= thr - 1e-9], iu[1][C[iu] >= thr - 1e-9])
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_pairs(emb, threshold=thr).collect()
+    }
+    assert got <= true_pairs  # exact verify → perfect precision
+    assert len(got) / max(len(true_pairs), 1) >= 0.25  # LSH recall floor
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (1, "image", b"imgbytes1", "image/png", 4, 4, None),

@@ -257,6 +257,17 @@ def q_bm25_after_delete(spark, sf_dir):
     )
 
 
+EMB_NEAR_THRESHOLD = 0.35
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-random-projection LSH
+    candidates (bucketed band join) + exact cosine verify."""
+    return similarity.embedding_near_pairs(
+        _embeddings(spark, sf_dir), threshold=EMB_NEAR_THRESHOLD
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(_documents(spark, sf_dir))
 
@@ -344,6 +355,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,
+    "emb_near_dup": q_emb_near_dup,
 }
 
 
@@ -501,6 +513,59 @@ scored AS (
 )
 SELECT vec_id, floor(cos * 1e6 + 0.5)::BIGINT AS cos_micro
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _emb_near_dup_sql() -> str:
+    """Mirror of q_emb_near_dup: deterministic hyperplanes from the
+    md5 hash of 'b_i', sign bits from round(dot, 6), 4-bit band
+    segments, bucketed candidate join, exact-cosine verify on the
+    integer cos_micro (no float-boundary disagreement possible)."""
+    n_bits = similarity.EMB_LSH_BITS
+    n_segs = similarity.EMB_LSH_SEGS
+    width = n_bits // n_segs
+    thr_micro = int(EMB_NEAR_THRESHOLD * 1e6 + 0.5)
+    # driver testdata embeddings are 64-dimensional at every sf (the
+    # engine side derives d from the data; generate_series can't take
+    # a lateral column parameter in DuckDB, so the oracle pins it)
+    emb_dim = 64
+    return f"""
+WITH planes AS (
+    SELECT b, list(val ORDER BY i) AS p FROM (
+        SELECT t.b, s.i,
+               (((('0x' || substring(md5(t.b::VARCHAR || '_' || s.i::VARCHAR), 1, 15))::BIGINT)
+                 % 2000001) - 1000000) / 1e6 AS val
+        FROM generate_series(0, {n_bits - 1}) AS t(b),
+             generate_series(0, {emb_dim - 1}) AS s(i)
+    ) GROUP BY b
+),
+bits AS (
+    SELECT e.vec_id, p.b,
+           CASE WHEN round(list_dot_product(e.embedding::DOUBLE[], p.p), 6) >= 0
+                THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+    FROM embeddings e, planes p
+),
+segs AS (
+    SELECT vec_id, (b // {width}) AS seg,
+           sum(bit << (b % {width}))::BIGINT AS seg_val
+    FROM bits GROUP BY vec_id, (b // {width})
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM segs a JOIN segs b
+      ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.vec_id < b.vec_id
+),
+verified AS (
+    SELECT c.vec_a, c.vec_b,
+           floor(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                 / (greatest(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])), 1e-12)
+                    * greatest(sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])), 1e-12))
+                 * 1e6 + 0.5)::BIGINT AS cos_micro
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cos_micro FROM verified WHERE cos_micro >= {thr_micro}
 """
 
 
@@ -709,6 +774,7 @@ SELECT vec_id, floor(cos * 1e6 + 0.5)::BIGINT AS cos_micro
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
 """,
         "ann_ivf": _ann_ivf_sql(),
+        "emb_near_dup": _emb_near_dup_sql(),
     }
     # incremental build must be indistinguishable from the full build
     out["bm25_after_append"] = out["bm25_topk"]

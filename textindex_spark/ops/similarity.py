@@ -272,3 +272,110 @@ def ivf_search_stored(
         F.col("bucket").isin(probe)
     )
     return cosine_topk(vectors, query_vec, k, id_col, vec_col)
+
+
+# ------------------------------------- embedding-cosine near-dup pairs
+
+EMB_LSH_BITS = 16
+EMB_LSH_SEGS = 4
+
+
+def _hyperplanes(d: int, n_bits: int) -> np.ndarray:
+    """Deterministic random hyperplanes, reproducible in DuckDB:
+    component (b, i) = (md5-hash60(f"{b}_{i}") % 2000001 − 10^6)/10^6
+    ∈ [−1, 1]."""
+    import hashlib
+
+    out = np.empty((n_bits, d), dtype=np.float64)
+    for b in range(n_bits):
+        for i in range(d):
+            h = int(hashlib.md5(f"{b}_{i}".encode()).hexdigest()[:15], 16)
+            out[b, i] = (h % 2000001 - 1000000) / 1e6
+    return out
+
+
+def embedding_lsh_segments(
+    emb: DataFrame,
+    n_bits: int = EMB_LSH_BITS,
+    n_segs: int = EMB_LSH_SEGS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, seg, seg_val): sign-random-projection (SimHash over
+    embeddings) signature split into band segments for the bucketed
+    candidate join. One Arrow-batched matmul per batch; dots rounded
+    to 6 decimals so the oracle's sign test agrees at the boundary."""
+    import pandas as pd
+
+    planes = _hyperplanes(
+        len(emb.select(vec_col).first()[0]), n_bits
+    )
+    width = n_bits // n_segs
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (np.round(X @ planes.T, 6) >= 0).astype(np.int64)
+            ids = pdf[id_col].values
+            frames = []
+            for s in range(n_segs):
+                seg_val = np.zeros(len(ids), dtype=np.int64)
+                for j in range(width):
+                    seg_val |= bits[:, s * width + j] << j
+                frames.append(
+                    pd.DataFrame({"vec_id": ids, "seg": s, "seg_val": seg_val})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, "vec_id long, seg int, seg_val long"
+    )
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = EMB_LSH_BITS,
+    n_segs: int = EMB_LSH_SEGS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_a, vec_b, cos_micro): embedding-cosine near-duplicate
+    pairs. Candidates = vectors agreeing on at least one signature
+    segment (bucketed equality join — never an all-pairs cross join;
+    sublinear at web scale exactly like the MinHash-LSH text path),
+    then exact cosine verification ≥ threshold. The threshold compare
+    runs on the integer cos_micro so engine and oracle can never
+    disagree on a float boundary."""
+    segs = embedding_lsh_segments(emb, n_bits, n_segs, id_col, vec_col)
+    cand = (
+        segs.alias("a")
+        .join(segs.alias("b"), ["seg", "seg_val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    va = emb.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_ea")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_eb")
+    )
+    cos = _dot(F.col("_ea"), F.col("_eb")) / (
+        F.greatest(_norm(F.col("_ea")), F.lit(1e-12))
+        * F.greatest(_norm(F.col("_eb")), F.lit(1e-12))
+    )
+    thr_micro = int(np.floor(threshold * 1e6 + 0.5))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cos_micro", F.floor(cos * 1e6 + F.lit(0.5)).cast("long")
+        )
+        .filter(F.col("cos_micro") >= thr_micro)
+        .select("vec_a", "vec_b", "cos_micro")
+    )

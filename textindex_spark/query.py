@@ -226,18 +226,20 @@ def search(
         and expanded.drop_duplicates("term")["df"].sum() <= LOCAL_SCORE_MAX_POSTINGS
     )
     if local_score is None:
-        local_score = not prune and fits_local
+        local_score = fits_local
     else:
         # explicit local_score=True must not bypass the driver-memory
         # guard — a stop-word-grade wildcard would OOM the query node
         local_score = local_score and fits_local
-    if local_score and len(expanded) > 0 and not prune:
+    if local_score and len(expanded) > 0:
         dead = _dead_ids_capped(spark, index_dir)
         if dead is not None:  # oversize delete sets go distributed
-            return _search_local(
+            res = _search_local(
                 spark, index_dir, expanded, stats, len(patterns), k, mode,
-                with_urls, dead,
+                with_urls, dead, prune=prune and mode == "and",
             )
+            if res is not None:
+                return res
     n_patterns = len(patterns)
     full_mask = (1 << n_patterns) - 1
     empty = spark.createDataFrame([], "doc_id long, score double")
@@ -298,11 +300,18 @@ def _search_local(
     mode: str,
     with_urls: bool,
     dead: np.ndarray,
-) -> DataFrame:
+    prune: bool = False,
+) -> DataFrame | None:
     """Query-node scoring: one pushdown-filtered block fetch, then
     numpy decode + BM25 + AND-mask + top-k locally. Rank-identical to
     the distributed path (same formula, same tie-break). ``dead`` is
-    the (capped, see TOMBSTONE_LOCAL_MAX) tombstone id array."""
+    the (capped, see TOMBSTONE_LOCAL_MAX) tombstone id array.
+
+    With ``prune=True`` the fetch is preceded by the block-max prune
+    plan (2 light metadata/θ jobs) and reads ONLY surviving ranges —
+    3 single-stage pushdown scans total, no distributed agg. Returns
+    None when the expansion is too wide for isin pushdown (caller
+    falls back to the distributed pruned plan)."""
     full_mask = (1 << n_patterns) - 1
     term_info = (
         expanded.groupby("term")
@@ -313,17 +322,30 @@ def _search_local(
         .reset_index()
     )
     term_info["idf"] = [idf(stats["n_docs"], int(d)) for d in term_info["df"]]
+    if prune and len(term_info) > ISIN_PUSHDOWN_MAX:
+        return None
     covered = int(np.bitwise_or.reduce(term_info["mask"].values)) if len(term_info) else 0
     empty = spark.createDataFrame([], "doc_id long, score double")
     if mode == "and" and covered != full_mask:
         result_rows = []
     else:
-        blocks = (
-            manifest.read_table(spark, index_dir, "postings")
-            .filter(F.col("term").isin(list(term_info["term"])))
-            .select("term", "range_id", "doc_gaps", "tf_bytes", "dl_bytes")
-            .toPandas()
+        fetch = manifest.read_table(spark, index_dir, "postings").filter(
+            F.col("term").isin(list(term_info["term"]))
         )
+        if prune:
+            plan = _prune_plan(
+                spark, index_dir, None, stats, k, full_mask,
+                list(term_info["term"]), term_info, dead=dead,
+            )
+            if plan is None:
+                return _finish_local(spark, index_dir, [], empty, with_urls)
+            surviving, _ = plan
+            if len(surviving) <= ISIN_PUSHDOWN_MAX:
+                fetch = fetch.filter(F.col("range_id").isin(surviving))
+            # (a wider survivor set just reads everything — still exact)
+        blocks = fetch.select(
+            "term", "range_id", "doc_gaps", "tf_bytes", "dl_bytes"
+        ).toPandas()
         uniq, score, mask_acc = _score_blocks_np(blocks, stats, term_info)
         if mode == "and":
             keep = mask_acc == full_mask
@@ -333,6 +355,16 @@ def _search_local(
             uniq, score = uniq[alive], score[alive]
         order = np.lexsort((uniq, -score))[:k]
         result_rows = [(int(uniq[i]), float(score[i])) for i in order]
+    return _finish_local(spark, index_dir, result_rows, empty, with_urls)
+
+
+def _finish_local(
+    spark: SparkSession,
+    index_dir: str,
+    result_rows: list,
+    empty: DataFrame,
+    with_urls: bool,
+) -> DataFrame:
     result = (
         spark.createDataFrame(result_rows, "doc_id long, score double")
         if result_rows
@@ -360,7 +392,7 @@ def _dead_ids_capped(spark: SparkSession, index_dir: str) -> np.ndarray | None:
     return np.array([r["doc_id"] for r in dead.collect()], dtype=np.int64)
 
 
-def _pruned_decode(
+def _prune_plan(
     spark: SparkSession,
     index_dir: str,
     qterms: DataFrame,
@@ -369,8 +401,9 @@ def _pruned_decode(
     full_mask: int,
     term_list: list[str],
     term_info: pd.DataFrame,
-) -> DataFrame:
-    """Block-max pruning, two light driver round-trips + ONE decode job:
+    dead: np.ndarray | None = None,
+) -> tuple[list[int], int] | None:
+    """Block-max prune planning — two LIGHT driver round-trips:
 
     1. metadata probe — fetch ONLY the block-stats columns for the
        query terms (isin pushdown, binary columns never read; a few
@@ -380,24 +413,24 @@ def _pruned_decode(
        (pushdown on term AND range_id) and score them in numpy on the
        driver; θ = the k-th LIVE score (tombstones excluded — a range
        full of deleted docs must not inflate θ and prune the true
-       top-k away).
-    3. decode job — one distributed mapInPandas over blocks whose
-       range survived (term+range_id isin pushdown reaches the
-       parquet scan).
+       top-k away; ADVICE r1).
+
+    Returns (surviving range_ids, Σ n_docs over surviving blocks), or
+    None when no range can satisfy the AND mask (empty result).
 
     Per-row upper bound: the stored block-max (tight) while the
     block's encode-time avgdl is current; after incremental appends
     shift avgdl, the avgdl-free bound (k1+1)·max_tf/(max_tf+k1·(1−b))
     which dominates tfnorm for any doc length.
     """
-    meta_cols = ["term", "range_id", "max_tf", "max_tfnorm", "enc_avgdl"]
+    meta_cols = ["term", "range_id", "n_docs", "max_tf", "max_tfnorm", "enc_avgdl"]
     meta = (
         _query_blocks(spark, index_dir, qterms, term_list)
         .select(*meta_cols)
         .toPandas()
     )
     if len(meta) == 0:
-        return spark.createDataFrame([], DECODED_SCHEMA)
+        return None
     info = term_info.set_index("term")
     idfs = meta["term"].map(info["idf"]).values.astype(np.float64)
     masks = meta["term"].map(info["mask"]).values.astype(np.int64)
@@ -406,18 +439,24 @@ def _pruned_decode(
     safe_ub = max_tf * (K1 + 1.0) / (max_tf + K1 * (1.0 - B))
     row_ub = np.where(fresh, meta["max_tfnorm"].values, safe_ub)
     per_range = pd.DataFrame(
-        {"range_id": meta["range_id"].values, "w": idfs * row_ub, "mask": masks}
+        {
+            "range_id": meta["range_id"].values,
+            "w": idfs * row_ub,
+            "mask": masks,
+            "n_docs": meta["n_docs"].values,
+        }
     ).groupby("range_id").agg(
         ub=("w", "sum"),
         mask=("mask", lambda s: int(np.bitwise_or.reduce(s.values))),
+        n_docs=("n_docs", "sum"),
     )
     per_range = per_range[per_range["mask"] == full_mask]
     if len(per_range) == 0:
-        return spark.createDataFrame([], DECODED_SCHEMA)
+        return None
     best_range = int(per_range["ub"].idxmax())
 
-    # θ probe: decode + score the best range locally, tombstone-aware
-    dead = _dead_ids_capped(spark, index_dir)
+    if dead is None:
+        dead = _dead_ids_capped(spark, index_dir)
     theta = 0.0
     if dead is not None:  # uncapped delete sets force θ=0 (safe: no pruning)
         probe = (
@@ -432,7 +471,30 @@ def _pruned_decode(
         if len(top) >= k:
             theta = float(top[k - 1])
 
-    surviving = [int(r) for r in per_range.index[per_range["ub"].values >= theta]]
+    keep = per_range["ub"].values >= theta
+    surviving = [int(r) for r in per_range.index[keep]]
+    return surviving, int(per_range["n_docs"].values[keep].sum())
+
+
+def _pruned_decode(
+    spark: SparkSession,
+    index_dir: str,
+    qterms: DataFrame,
+    stats: dict,
+    k: int,
+    full_mask: int,
+    term_list: list[str],
+    term_info: pd.DataFrame,
+) -> DataFrame:
+    """Distributed block-max-pruned decode: prune plan (2 light jobs)
+    + ONE mapInPandas decode job over surviving blocks (term+range_id
+    pushdown reaches the parquet scan)."""
+    plan = _prune_plan(
+        spark, index_dir, qterms, stats, k, full_mask, term_list, term_info
+    )
+    if plan is None:
+        return spark.createDataFrame([], DECODED_SCHEMA)
+    surviving, _ = plan
     blocks = _query_blocks(spark, index_dir, qterms, term_list)
     if len(surviving) <= ISIN_PUSHDOWN_MAX:
         blocks = blocks.filter(F.col("range_id").isin(surviving))

@@ -58,11 +58,31 @@ def get_spark(
         # kernels with reference semantics.
         .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("TEXTINDEX_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
-        # never uncommit heap pages (see _MALLOC_ENV note)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
+    # Heap: 8 GB is GC-bound at 32 shuffle+parquet-writing threads
+    # (profiling showed jvmGcTime growing 30× from 8→32 tasks); give
+    # the single local JVM ~0.5 GB/core, pre-committed (-Xms) so heap
+    # growth never hits the hypervisor's lazy-page service mid-build.
+    # ParallelGC: never uncommits heap pages (see _MALLOC_ENV note).
+    heap_gb = os.environ.get(
+        "TEXTINDEX_DRIVER_MEM", f"{max(8, (cpus or 8) // 2)}g"
+    )
+    builder = builder.config("spark.driver.memory", heap_gb).config(
+        "spark.driver.extraJavaOptions", f"-XX:+UseParallelGC -Xms{heap_gb}"
+    )
+    # Shuffle files: profiling at local[32] showed cumulative
+    # shuffleWriteTime inflating ~200× vs local[8] for the same bytes
+    # — small buffered writes hitting this VM's ~17 MB/s first-touch
+    # page service. tmpfs spill dirs + 1 MB write buffers take the
+    # write path off that cliff. On a real cluster the cluster manager
+    # overrides spark.local.dir (SPARK_LOCAL_DIRS), so this is purely
+    # a local-mode mitigation.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    builder = builder.config("spark.shuffle.file.buffer", "1m")
     for k, v in _MALLOC_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():

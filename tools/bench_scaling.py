@@ -105,6 +105,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small level N (large = 4N)")
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--scale", type=int, default=4, help="doc body size multiplier")
+    ap.add_argument("--runs", type=int, default=3, help="timed builds per level (best wins)")
     args = ap.parse_args()
 
     corpus = f"/tmp/textindex_bench/scaling_corpus_{args.docs}_{args.scale}"
@@ -122,8 +123,8 @@ def main() -> None:
         spark.stop()
 
     ceiling = machine_ceiling(args.n)
-    small = run_level(args.n, corpus)
-    large = run_level(args.n * 4, corpus)
+    small = run_level(args.n, corpus, n_runs=args.runs)
+    large = run_level(args.n * 4, corpus, n_runs=args.runs)
     ratio = large["docs_per_sec"] / small["docs_per_sec"]
     eff = ratio / 4.0
     summary = {

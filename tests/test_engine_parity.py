@@ -138,3 +138,19 @@ def test_matched_lines(spark, rows, index_dir, oracle):
     for r in got:
         for line in r["lines"]:
             assert any(w == "spark" for w in line.split(" "))
+
+
+def test_postings_bucket_partition_pruning(spark, index_dir):
+    """The postings scan of a query must list ONLY the term_bucket
+    directories of the query terms (exact partition pruning, the
+    file-listing killer at 10^12 docs) and still push the term
+    predicate to the parquet scan."""
+    from textindex_spark.build import term_bucket_py
+    from textindex_spark.query import search
+
+    res = search(spark, index_dir, ["spark"], k=5, local_score=False,
+                 with_urls=False)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    b = term_bucket_py("spark", 64)
+    assert f"(term_bucket#" in plan and f" = {b})" in plan, plan[:2000]
+    assert "PushedFilters: [IsNotNull(term), EqualTo(term,spark)]" in plan

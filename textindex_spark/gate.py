@@ -25,6 +25,7 @@ from textindex_spark import query as Q
 from textindex_spark.ops import dedup, similarity, textstats
 from textindex_spark.ops.dedup import MAX_SHINGLE_DF
 from textindex_spark.refimpl.stop_words import STOP_WORD_SET
+from textindex_spark.session import local_df
 
 GATE_DIR = os.environ.get("TEXTINDEX_GATE_DIR", "/tmp/textindex_gate")
 
@@ -140,8 +141,8 @@ def q_corpus_stats(spark, sf_dir):
 def q_wildcard_expand(spark, sf_dir):
     idx = ensure_index(spark, sf_dir)
     expanded = Q.expand_patterns(spark, idx, [WILDCARD])
-    return spark.createDataFrame(
-        [(t,) for t in sorted(expanded["term"])] or [], "term string"
+    return local_df(
+        spark, [(t,) for t in sorted(expanded["term"])], "term string"
     )
 
 

@@ -109,7 +109,16 @@ def table_paths(spark: SparkSession, index_dir: str, name: str) -> list[str]:
 
 
 def read_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(*table_paths(spark, index_dir, name))
+    """Union of the snapshot's data dirs. Each root is loaded
+    separately (directory-partitioned tables like the bucketed
+    postings reject multi-root discovery with
+    CONFLICTING_DIRECTORY_STRUCTURES); Catalyst pushes filters below
+    the Union, so partition pruning still applies per root."""
+    paths = table_paths(spark, index_dir, name)
+    df = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        df = df.unionByName(spark.read.parquet(p))
+    return df
 
 
 def table_exists(spark: SparkSession, index_dir: str, name: str) -> bool:

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from textindex_spark.ops.dedup import portable_hash60
+from textindex_spark.session import local_df
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -221,10 +222,11 @@ def write_ivf(
     assigned.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{out_dir}/vectors")
-    spark.createDataFrame(
+    local_df(
+        spark,
         [(i, list(map(float, c))) for i, c in enumerate(centroids)],
         "bucket int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    ).write.mode("overwrite").parquet(f"{out_dir}/centroids")
     return centroids
 
 

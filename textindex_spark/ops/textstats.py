@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from textindex_spark.ops.dedup import portable_hash60, tokens_col
+from textindex_spark.session import local_df
 
 # Small public high-frequency marker lists per language (the reference
 # stop-word table is merged across languages, so language attribution
@@ -56,8 +57,8 @@ def quality_score(
     kilo-literal expression. The per-doc stats come back via one
     map-side-combining groupBy(doc_id)."""
     spark = docs.sparkSession
-    stop_df = spark.createDataFrame(
-        [(w,) for w in sorted(set(stop_words))], "tok string"
+    stop_df = local_df(
+        spark, [(w,) for w in sorted(set(stop_words))], "tok string"
     ).withColumn("is_stop", F.lit(1))
     toks = tokens_col(F.col(text_col))
     tok_rows = docs.select(

@@ -33,9 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from textindex_spark import manifest
-from textindex_spark.build import B, K1, read_stats
+from textindex_spark.build import B, K1, STATS_SCHEMA, read_stats, term_bucket_py
 from textindex_spark.codec import decode_batch
 from textindex_spark.refimpl.oracle import wildcard_to_regex
+from textindex_spark.session import local_df
 
 DECODED_SCHEMA = "term string, doc_id long, tf int, doc_len long, tfnorm double"
 
@@ -161,14 +162,32 @@ def _decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 ISIN_PUSHDOWN_MAX = 1024
 
 
+def _bucket_filter(postings: DataFrame, term_list: list[str], n_buckets) -> DataFrame:
+    """Directory-level pruning: term_bucket is a pure function of the
+    term (build.term_bucket_py), so the matching bucket directories are
+    known BEFORE any scan — PartitionFilters, no file listing outside
+    them. n_buckets falsy (pre-bucketing index) → no-op."""
+    if not n_buckets or not term_list:
+        return postings
+    buckets = sorted({term_bucket_py(t, int(n_buckets)) for t in term_list})
+    return postings.filter(F.col("term_bucket").isin(buckets))
+
+
 def _query_blocks(
-    spark: SparkSession, index_dir: str, qterms: DataFrame, term_list: list[str]
+    spark: SparkSession,
+    index_dir: str,
+    qterms: DataFrame,
+    term_list: list[str],
+    n_buckets=None,
 ) -> DataFrame:
-    """Posting block rows for the query vocabulary. Small expansions
+    """Posting block rows for the query vocabulary. Bucket directories
+    are pruned first (exact partition pruning); small expansions then
     become an IN-list predicate that reaches the parquet scan
     (PushedFilters → row-group min/max skipping over the term-sorted
     files); large ones a broadcast semi-join."""
-    postings = manifest.read_table(spark, index_dir, "postings")
+    postings = _bucket_filter(
+        manifest.read_table(spark, index_dir, "postings"), term_list, n_buckets
+    )
     if 0 < len(term_list) <= ISIN_PUSHDOWN_MAX:
         return postings.filter(F.col("term").isin(term_list))
     return postings.join(F.broadcast(qterms.select("term").distinct()), "term")
@@ -183,7 +202,7 @@ def _decoded_postings(
 ) -> DataFrame:
     """Posting blocks for the query vocabulary, decoded to
     (term, doc_id, tf, doc_len, tfnorm) rows."""
-    blocks = _query_blocks(spark, index_dir, qterms, term_list)
+    blocks = _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets"))
     blocks = blocks.withColumn("range_bits", F.lit(stats["range_bits"])).withColumn(
         "avgdl", F.lit(stats["avgdl"])
     )
@@ -242,7 +261,7 @@ def search(
                 return res
     n_patterns = len(patterns)
     full_mask = (1 << n_patterns) - 1
-    empty = spark.createDataFrame([], "doc_id long, score double")
+    empty = local_df(spark, [], "doc_id long, score double")
     if len(expanded) == 0 or (
         mode == "and" and expanded["pattern_idx"].nunique() < n_patterns
     ):
@@ -325,13 +344,15 @@ def _search_local(
     if prune and len(term_info) > ISIN_PUSHDOWN_MAX:
         return None
     covered = int(np.bitwise_or.reduce(term_info["mask"].values)) if len(term_info) else 0
-    empty = spark.createDataFrame([], "doc_id long, score double")
+    empty = local_df(spark, [], "doc_id long, score double")
     if mode == "and" and covered != full_mask:
         result_rows = []
     else:
-        fetch = manifest.read_table(spark, index_dir, "postings").filter(
-            F.col("term").isin(list(term_info["term"]))
-        )
+        fetch = _bucket_filter(
+            manifest.read_table(spark, index_dir, "postings"),
+            list(term_info["term"]),
+            stats.get("n_term_buckets"),
+        ).filter(F.col("term").isin(list(term_info["term"])))
         if prune:
             plan = _prune_plan(
                 spark, index_dir, None, stats, k, full_mask,
@@ -366,7 +387,7 @@ def _finish_local(
     with_urls: bool,
 ) -> DataFrame:
     result = (
-        spark.createDataFrame(result_rows, "doc_id long, score double")
+        local_df(spark, result_rows, "doc_id long, score double")
         if result_rows
         else empty
     )
@@ -425,7 +446,7 @@ def _prune_plan(
     """
     meta_cols = ["term", "range_id", "n_docs", "max_tf", "max_tfnorm", "enc_avgdl"]
     meta = (
-        _query_blocks(spark, index_dir, qterms, term_list)
+        _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets"))
         .select(*meta_cols)
         .toPandas()
     )
@@ -460,7 +481,7 @@ def _prune_plan(
     theta = 0.0
     if dead is not None:  # uncapped delete sets force θ=0 (safe: no pruning)
         probe = (
-            _query_blocks(spark, index_dir, qterms, term_list)
+            _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets"))
             .filter(F.col("range_id") == best_range)
             .select("term", "range_id", "doc_gaps", "tf_bytes", "dl_bytes")
             .toPandas()
@@ -493,13 +514,13 @@ def _pruned_decode(
         spark, index_dir, qterms, stats, k, full_mask, term_list, term_info
     )
     if plan is None:
-        return spark.createDataFrame([], DECODED_SCHEMA)
+        return local_df(spark, [], DECODED_SCHEMA)
     surviving, _ = plan
-    blocks = _query_blocks(spark, index_dir, qterms, term_list)
+    blocks = _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets"))
     if len(surviving) <= ISIN_PUSHDOWN_MAX:
         blocks = blocks.filter(F.col("range_id").isin(surviving))
     else:
-        surv_df = spark.createDataFrame([(r,) for r in surviving], "range_id long")
+        surv_df = local_df(spark, [(r,) for r in surviving], "range_id long")
         blocks = blocks.join(F.broadcast(surv_df), "range_id")
     pruned_blocks = blocks.withColumn(
         "range_bits", F.lit(stats["range_bits"])
@@ -548,7 +569,7 @@ def find_unranked(
     expanded = expand_patterns(spark, index_dir, patterns)
     n_patterns = len(patterns)
     if len(expanded) == 0 or expanded["pattern_idx"].nunique() < n_patterns:
-        return spark.createDataFrame([], "doc_id long, url string")
+        return local_df(spark, [], "doc_id long, url string")
     term_info = (
         expanded.groupby("term")
         .agg(mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s]))))
@@ -595,7 +616,7 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
         victims.write.mode("overwrite").parquet(dead_dir)
         old_dead = (
             _tombstones(spark, index_dir)
-            or spark.createDataFrame([], "doc_id long")
+            or local_df(spark, [], "doc_id long")
         )
         all_dead = old_dead.unionByName(spark.read.parquet(dead_dir)).distinct()
         live = docs.join(all_dead, "doc_id", "left_anti")
@@ -612,7 +633,7 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
             avgdl=float(srow["avgdl"] or 0.0),
             total_tokens=int(srow["total_tokens"] or 0),
         )
-        spark.createDataFrame([stats]).coalesce(1).write.mode("overwrite").parquet(
+        local_df(spark, [stats], STATS_SCHEMA).write.mode("overwrite").parquet(
             stats_dir
         )
         manifest.commit(

@@ -90,6 +90,32 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def local_df(spark: SparkSession, rows, schema: str):
+    """Driver-local rows → DataFrame via ONE Arrow batch.
+
+    ``createDataFrame(list)`` parallelizes into defaultParallelism
+    pickle slices and every downstream job replays them through Python
+    workers — measured ~0.7 s per job at local[32], and ~6 s when a
+    ``coalesce(1)`` funnels all 32 slices through ONE task's worker
+    serially (the round-1 ``stats_write`` pathology: 5.3 s to write one
+    row). The pandas→Arrow path ships the rows as a single JVM-side
+    Arrow batch: no Python tasks at all, ~0.3 s for the same write, and
+    the result is one partition so no coalesce is needed.
+
+    ``rows`` may be tuples or dicts; ``schema`` is a DDL string (column
+    order in dict rows is normalized to the schema's order)."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema)
+    names = [f.name for f in st.fields]
+    if rows and isinstance(rows[0], dict):
+        pdf = pd.DataFrame(rows, columns=names)
+    else:
+        pdf = pd.DataFrame(list(rows or []), columns=names)
+    return spark.createDataFrame(pdf, schema=st)
+
+
 def warm_workers(spark: SparkSession, mb_per_task: int = 192) -> None:
     """Pre-fault working memory inside every reused Python worker (and
     grow the JVM side with one shuffle), so hypervisor page-fetch cost

@@ -110,7 +110,9 @@ def read_warc(spark: SparkSession, paths: list[str]) -> DataFrame:
             )
             yield out
 
-    files = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+    from textindex_spark.session import local_df
+
+    files = local_df(spark, [(p,) for p in paths], "path string").repartition(
         max(1, len(paths))
     )
     return files.mapInPandas(kernel, WARC_DOC_SCHEMA)

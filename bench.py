@@ -110,6 +110,13 @@ def main() -> None:
         search(spark, idx_dir, terms, k=10, prune=prune, with_urls=False).collect()
         timings[name] = round(time.time() - t0, 3)
 
+    from textindex_spark.query import search_phrase
+
+    search_phrase(spark, idx_dir, ["agg", "hash"], k=10, with_urls=False).collect()
+    t0 = time.time()
+    search_phrase(spark, idx_dir, ["agg", "hash"], k=10, with_urls=False).collect()
+    timings["phrase_rank"] = round(time.time() - t0, 3)
+
     # ---- driver-table ops at the requested sf
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

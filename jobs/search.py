@@ -4,6 +4,7 @@
     spark-submit --py-files textindex_spark.zip jobs/search.py \
         --index /path/to/index --terms "spark" "quer*" \
         [--k 10] [--mode and|or] [--prune] [--unranked] [--files PAT]
+        [--phrase]   # treat --terms as one exact phrase
 """
 from __future__ import annotations
 
@@ -20,10 +21,19 @@ def main() -> None:
     ap.add_argument("--prune", action="store_true")
     ap.add_argument("--unranked", action="store_true")
     ap.add_argument("--files", default=None, help="file-name wildcard search")
+    ap.add_argument(
+        "--phrase", action="store_true",
+        help="treat --terms as one exact phrase (positional index)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
-    from textindex_spark.query import find_files, find_unranked, search
+    from textindex_spark.query import (
+        find_files,
+        find_unranked,
+        search,
+        search_phrase,
+    )
     from textindex_spark.session import get_spark
 
     if not args.files and not args.terms:
@@ -31,6 +41,8 @@ def main() -> None:
     spark = get_spark("textindex-search", cpus=args.cpus)
     if args.files:
         rows = find_files(spark, args.index, args.files).collect()
+    elif args.phrase:
+        rows = search_phrase(spark, args.index, args.terms, k=args.k).collect()
     elif args.unranked:
         rows = find_unranked(spark, args.index, args.terms).collect()
     else:

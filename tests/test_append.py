@@ -91,3 +91,47 @@ def test_compaction_preserves_results(spark, rows, dirs):
         for r in search(spark, inc_dir, q["terms"], k=q["k"], with_urls=False).collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_maybe_compact_policy(spark, rows, dirs):
+    """maybe_compact triggers only at the postings-dir threshold and
+    is manifest-only (free) below it."""
+    from textindex_spark.build import maybe_compact
+
+    _, inc_dir = dirs
+    if len(manifest.table_paths(spark, inc_dir, "postings")) == 1:
+        # an earlier test may have compacted the shared index —
+        # re-split it with a fresh tiny append
+        extra = [dict(r, doc_id=10_000 + i, url=f"{r['url']}?v2")
+                 for i, r in enumerate(rows[:40])]
+        append_batch(spark, corpus_df(spark, extra), inc_dir)
+    n_dirs = len(manifest.table_paths(spark, inc_dir, "postings"))
+    assert n_dirs >= 2  # base + at least one append
+    assert maybe_compact(spark, inc_dir, max_postings_dirs=n_dirs + 1) == 0
+    assert len(manifest.table_paths(spark, inc_dir, "postings")) == n_dirs
+    maybe_compact(spark, inc_dir, max_postings_dirs=n_dirs)
+    # triggered: dirs fold to one (via key merge or consolidation)
+    assert len(manifest.table_paths(spark, inc_dir, "postings")) == 1
+    # and the index still answers identically
+    extra_appended = (
+        manifest.read_table(spark, inc_dir, "docs")
+        .filter(F.col("doc_id") >= 10_000)
+        .count()
+        > 0
+    )
+    oracle = OracleIndex.build(
+        rows
+        + (
+            [dict(r, doc_id=10_000 + i, url=f"{r['url']}?v2")
+             for i, r in enumerate(rows[:40])]
+            if extra_appended
+            else []
+        )
+    )
+    q = query_set()[0]
+    want = oracle.search(q["terms"], q["k"])
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search(spark, inc_dir, q["terms"], k=q["k"], with_urls=False).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]

@@ -78,3 +78,29 @@ def test_zero_length_blocks_rejected():
                      np.array([0, 0]))
     with pytest.raises(ValueError, match="zero-length"):
         decode_batch([b"\x01", b""], np.array([0, 0]))
+
+
+def test_positions_codec_roundtrip():
+    import numpy as np
+
+    from textindex_spark.codec import (
+        decode_positions_batch,
+        encode_positions_batch,
+    )
+
+    blocks = [
+        [np.array([0, 5, 9]), np.array([2]), np.array([7, 8])],
+        [np.array([100000, 100001])],
+        [np.array([3]), np.array([0, 2**30])],
+    ]
+    tfs = [np.array([3, 1, 2]), np.array([2]), np.array([1, 2])]
+    dec = decode_positions_batch(encode_positions_batch(blocks), tfs)
+    for b, docs in enumerate(blocks):
+        for d, want in enumerate(docs):
+            assert (dec[b][d] == want).all()
+    # zero-length doc payloads must fail loudly (same invariant as
+    # encode_batch)
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_positions_batch([[np.array([], dtype=np.int64)]])

@@ -154,3 +154,72 @@ def test_postings_bucket_partition_pruning(spark, index_dir):
     b = term_bucket_py("spark", 64)
     assert f"(term_bucket#" in plan and f" = {b})" in plan, plan[:2000]
     assert "PushedFilters: [IsNotNull(term), EqualTo(term,spark)]" in plan
+
+
+def _kept_seq(text):
+    from textindex_spark.refimpl.txt_tokenize import term_positions
+
+    pos, dl = term_positions(text)
+    seq = [None] * dl
+    for t, ps in pos.items():
+        for p in ps:
+            seq[p] = t
+    return seq
+
+
+def _corpus_phrases(oracle, n=6):
+    """Pull real kept-token n-grams out of corpus docs so every phrase
+    has at least one guaranteed occurrence — plus the corpus's most
+    document-frequent bigram so multi-doc matching is exercised."""
+    from collections import Counter
+
+    phrases = []
+    for doc_id in sorted(oracle.docs)[:3]:
+        seq = _kept_seq(oracle.docs[doc_id]["text"])
+        if len(seq) < 8:
+            continue
+        phrases.append(seq[2:4])
+        phrases.append(seq[4:7])
+    bigram_df = Counter()
+    for doc in oracle.docs.values():
+        seq = _kept_seq(doc["text"])
+        for bg in {(a, b) for a, b in zip(seq, seq[1:])}:
+            bigram_df[bg] += 1
+    (top, df), = bigram_df.most_common(1)
+    assert df > 1
+    phrases.append(list(top))
+    return phrases[: n + 1]
+
+
+def test_phrase_search_matches_oracle(spark, index_dir, oracle):
+    from textindex_spark.query import phrase_docs, search_phrase
+
+    phrases = _corpus_phrases(oracle)
+    assert phrases
+    any_multi = False
+    for ph in phrases:
+        want_occ = oracle.phrase_occurrences(ph)
+        assert want_occ  # drawn from a real doc → at least one match
+        got_occ = {
+            r["doc_id"]: r["n_occ"]
+            for r in phrase_docs(spark, index_dir, ph).collect()
+        }
+        assert got_occ == want_occ, ph
+        any_multi = any_multi or len(want_occ) > 1
+        want = oracle.search_phrase(ph, k=10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_phrase(spark, index_dir, ph, k=10, with_urls=False).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], ph
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), (ph, gd)
+    assert any_multi  # the suite exercised a phrase with >1 matching doc
+
+
+def test_phrase_missing_term_and_stopword_semantics(spark, index_dir, oracle):
+    from textindex_spark.query import phrase_docs, phrase_terms
+
+    assert phrase_docs(spark, index_dir, ["zzzzunseen", "words"]).count() == 0
+    # stop words vanish from the phrase: "x the y" ≡ "x y"
+    assert phrase_terms(["black", "the", "cat"]) == phrase_terms(["black", "cat"])

@@ -23,10 +23,12 @@ Scale notes (100 TB / 10^12 docs):
   groups, so there is no hot reducer and no giant collect_list. This
   is deterministic salting aligned with the storage layout (the salt
   IS the block key), cheaper than df-estimation + two-stage merge.
-* Postings are written repartitionByRange(term) and sorted by
-  (term, range_id) within partitions → parquet row-group min/max
-  stats give term-range data skipping at query time (Iceberg mapping:
-  write.distribution-mode=hash(term) + sort order term, range_id).
+* Postings are written into hash-bucketed directories
+  (term_bucket = hash(term) % N, partitionBy) with term-sorted files →
+  queries prune to their terms' directories before any file listing,
+  then parquet row-group min/max stats skip within the bucket
+  (Iceberg mapping: bucket(N, term) partition transform + sort order
+  term, range_id).
 * Per-posting doc_len is stored alongside tf (both varint), so BM25
   needs NO join against the docs table at query time — norms live in
   the posting list, as in production IR systems.
@@ -44,7 +46,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from textindex_spark import manifest
-from textindex_spark.codec import encode_batch
+from textindex_spark.codec import encode_batch, encode_positions_batch
 from textindex_spark.functions.kernels import SEGMENT_SCHEMA, extract_tokenize_batches
 from textindex_spark.refimpl.filters import EXT_IGNORE, NAME_IGNORE
 from textindex_spark.session import local_df
@@ -109,7 +111,7 @@ def write_postings_bucketed(
 POSTING_SCHEMA = (
     "term string, range_id long, n_docs int, sum_tf long, max_tf int, "
     "max_tfnorm double, enc_avgdl double, "
-    "doc_gaps binary, tf_bytes binary, dl_bytes binary"
+    "doc_gaps binary, tf_bytes binary, dl_bytes binary, pos_bytes binary"
 )
 
 
@@ -215,6 +217,9 @@ def _encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dl_lists = [np.asarray(a, dtype=np.int64) for a in pdf["dls"]]
         bases = (pdf["range_id"].values.astype(np.int64)) << pdf["range_bits"].iat[0]
         enc = encode_batch(doc_lists, bases, [tf_lists, dl_lists])
+        pos_bytes = encode_positions_batch(
+            [[np.asarray(p, dtype=np.int64) for p in docs] for docs in pdf["poss"]]
+        )
         yield pd.DataFrame(
             {
                 "term": pdf["term"],
@@ -227,6 +232,7 @@ def _encode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "doc_gaps": [e[0] for e in enc],
                 "tf_bytes": [e[1] for e in enc],
                 "dl_bytes": [e[2] for e in enc],
+                "pos_bytes": pos_bytes,
             }
         )
 
@@ -240,11 +246,12 @@ def build_postings(
         segments.select(
             "doc_id",
             "doc_len",
-            F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+            F.explode(F.arrays_zip("terms", "tfs", "positions")).alias("p"),
         )
         .select(
             F.col("p.terms").alias("term"),
             F.col("p.tfs").cast("long").alias("tf"),
+            F.col("p.positions").alias("pos"),
             "doc_id",
             "doc_len",
         )
@@ -260,7 +267,9 @@ def build_postings(
         pairs.withColumn("tfnorm", tfnorm)
         .groupBy("term", "range_id")
         .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "doc_len"))).alias("pl"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "doc_len", "pos"))
+            ).alias("pl"),
             F.count("*").cast("int").alias("n_docs"),
             F.sum("tf").alias("sum_tf"),
             F.max("tf").cast("int").alias("max_tf"),
@@ -276,6 +285,7 @@ def build_postings(
             F.col("pl.doc_id").alias("doc_ids"),
             F.col("pl.tf").alias("tfs"),
             F.col("pl.doc_len").alias("dls"),
+            F.col("pl.pos").alias("poss"),
             F.lit(range_bits).alias("range_bits"),
             # the avgdl the block-max metadata was computed under; the
             # pruner falls back to the avgdl-free bound when the live
@@ -327,17 +337,30 @@ def finalize_index(
     t0 = t0 or time.time()
     seg = spark.read.parquet(f"{out_dir}/segments")
     docs = seg.select("doc_id", "url", "lang", "filter", "truncated", "doc_len")
-    docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+    # The docs write is independent of the postings chain (both read
+    # only the segments table), so it runs on a driver thread while
+    # the stats agg + postings shuffle proceed — Spark schedules jobs
+    # submitted from separate threads concurrently, removing the
+    # serial job barrier (fixed latency that does NOT shrink with
+    # cores — the Amdahl term in the N→4N scaling measurement).
+    from threading import Thread
 
-    stats_row = (
-        spark.read.parquet(f"{out_dir}/docs")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.avg("doc_len").alias("avgdl"),
-            F.sum("doc_len").alias("total_tokens"),
-        )
-        .collect()[0]
-    )
+    docs_err: list[BaseException] = []
+
+    def _write_docs() -> None:
+        try:
+            docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+        except BaseException as e:  # surfaced after join()
+            docs_err.append(e)
+
+    docs_job = Thread(target=_write_docs, daemon=True)
+    docs_job.start()
+
+    stats_row = seg.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_tokens"),
+    ).collect()[0]
     n_docs = stats_row["n_docs"] or 0
     avgdl = float(stats_row["avgdl"] or 0.0)
 
@@ -346,6 +369,9 @@ def finalize_index(
     write_postings_bucketed(
         postings, f"{out_dir}/postings", nparts, N_TERM_BUCKETS_DEFAULT
     )
+    docs_job.join()  # must be durable before the manifest commit
+    if docs_err:
+        raise docs_err[0]
 
     postings_df = spark.read.parquet(f"{out_dir}/postings")
     terms = terms_from_postings(postings_df)
@@ -640,6 +666,50 @@ def append_batch(
     return new_stats
 
 
+def maybe_compact(
+    spark: SparkSession, out_dir: str, max_postings_dirs: int = 4
+) -> int:
+    """Compaction policy (the scheduled analog of the reference's
+    manual maintenance): compact when the postings table has
+    accumulated ≥ ``max_postings_dirs`` data directories (one per
+    append batch). The trigger reads ONLY the manifest — zero Spark
+    jobs when there is nothing to do — so it is safe to call after
+    every append (``stream_index`` does). Returns merged key count
+    (0 = not triggered or nothing split)."""
+    from textindex_spark import manifest as _m
+
+    if len(_m.table_paths(spark, out_dir, "postings")) < max_postings_dirs:
+        return 0
+    merged = compact_postings(spark, out_dir)
+    if len(_m.table_paths(spark, out_dir, "postings")) >= max_postings_dirs:
+        # appends landed in disjoint doc-id ranges → no split keys for
+        # compact_postings to merge, but the directory count (and the
+        # per-query file-listing fan-out) still grows — fold the dirs
+        # into one bucketed table
+        _consolidate_postings(spark, out_dir)
+    return merged
+
+
+def _consolidate_postings(spark: SparkSession, out_dir: str) -> None:
+    """Rewrite the postings table's N data dirs as ONE bucketed dir
+    (no decode — block rows pass through) and commit atomically."""
+    stats = read_stats(spark, out_dir)
+    postings = manifest.read_table(spark, out_dir, "postings")
+    man = manifest.current_manifest(spark, out_dir)
+    gen = (int(man["version"]) + 1) if man else 1
+    new_dir = f"{out_dir}/postings_consolidated_{gen}"
+    cols = [f.split()[0] for f in POSTING_SCHEMA.split(", ")]
+    write_postings_bucketed(
+        postings.select(*cols),
+        new_dir,
+        max(1, spark.sparkContext.defaultParallelism),
+        int(stats.get("n_term_buckets") or N_TERM_BUCKETS_DEFAULT),
+    )
+    manifest.commit(
+        spark, out_dir, set_tables={"postings": [manifest.rel(out_dir, new_dir)]}
+    )
+
+
 def compact_postings(spark: SparkSession, out_dir: str) -> int:
     """Merge split block rows (a (term, range_id) key owning several
     rows after appends) back to one row per key. Returns the number of
@@ -669,7 +739,7 @@ def compact_postings(spark: SparkSession, out_dir: str) -> int:
         "left_anti",
     )
 
-    from textindex_spark.codec import decode_batch
+    from textindex_spark.codec import decode_batch, decode_positions_batch
 
     def merge_kernel(batches):
         import pandas as pd
@@ -682,19 +752,24 @@ def compact_postings(spark: SparkSession, out_dir: str) -> int:
                 list(pdf["doc_gaps"]), bases,
                 [list(pdf["tf_bytes"]), list(pdf["dl_bytes"])],
             )
+            poss = decode_positions_batch(list(pdf["pos_bytes"]), tfs)
             rows = []
             for i in range(len(pdf)):
-                for d, t, l in zip(docs[i], tfs[i], dls[i]):
+                for j, (d, t, l) in enumerate(zip(docs[i], tfs[i], dls[i])):
                     rows.append(
                         (pdf["term"].iat[i], int(pdf["range_id"].iat[i]),
-                         int(d), int(t), int(l))
+                         int(d), int(t), int(l),
+                         poss[i][j].astype("int32"))
                     )
             yield pd.DataFrame(
-                rows, columns=["term", "range_id", "doc_id", "tf", "doc_len"]
+                rows,
+                columns=["term", "range_id", "doc_id", "tf", "doc_len", "pos"],
             )
 
     pairs = split.mapInPandas(
-        merge_kernel, "term string, range_id long, doc_id long, tf long, doc_len long"
+        merge_kernel,
+        "term string, range_id long, doc_id long, tf long, doc_len long, "
+        "pos array<int>",
     )
     tfnorm = (
         F.col("tf") * (K1 + 1.0)
@@ -704,7 +779,9 @@ def compact_postings(spark: SparkSession, out_dir: str) -> int:
         pairs.withColumn("tfnorm", tfnorm)
         .groupBy("term", "range_id")
         .agg(
-            F.sort_array(F.collect_list(F.struct("doc_id", "tf", "doc_len"))).alias("pl"),
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "doc_len", "pos"))
+            ).alias("pl"),
             F.count("*").cast("int").alias("n_docs"),
             F.sum("tf").alias("sum_tf"),
             F.max("tf").cast("int").alias("max_tf"),
@@ -715,6 +792,7 @@ def compact_postings(spark: SparkSession, out_dir: str) -> int:
             F.col("pl.doc_id").alias("doc_ids"),
             F.col("pl.tf").alias("tfs"),
             F.col("pl.doc_len").alias("dls"),
+            F.col("pl.pos").alias("poss"),
             F.lit(range_bits).alias("range_bits"),
             F.lit(avgdl).alias("enc_avgdl"),
         )

@@ -174,3 +174,74 @@ def decode_batch(
         flat_e = varint_decode(b"".join(bufs))
         out.append(_split_concat(flat_e, counts))
     return tuple(out)
+
+
+def encode_positions_batch(pos_lists: list[list[np.ndarray]]) -> list[bytes]:
+    """Encode per-block position payloads: ``pos_lists[b][d]`` is the
+    sorted token-position array of doc *d* in block *b* (length = that
+    doc's tf). Within each doc the first position is stored absolute
+    and the rest delta-gap; docs are concatenated in block doc order,
+    so ``tf_bytes`` delimits them at decode time. One vectorized
+    varint pass over the whole batch."""
+    n = len(pos_lists)
+    if n == 0:
+        return []
+    doc_arrays: list[np.ndarray] = []
+    block_counts = np.zeros(n, dtype=np.int64)
+    for b, docs in enumerate(pos_lists):
+        for a in docs:
+            arr = np.asarray(a, dtype=np.int64)
+            if len(arr) == 0:
+                raise ValueError("encode_positions_batch: empty position list")
+            doc_arrays.append(arr)
+            block_counts[b] += len(arr)
+    flat = np.concatenate(doc_arrays)
+    doc_lens = np.fromiter((len(a) for a in doc_arrays), dtype=np.int64)
+    doc_starts = np.concatenate(([0], np.cumsum(doc_lens)[:-1]))
+    gaps = np.empty_like(flat)
+    gaps[1:] = np.diff(flat)
+    gaps[doc_starts] = flat[doc_starts]  # absolute first position per doc
+    col = gaps.astype(np.uint64)
+    nbytes = np.ones(len(col), dtype=np.int64)
+    probe = col >> np.uint64(7)
+    while probe.any():
+        nbytes += (probe > 0).astype(np.int64)
+        probe >>= np.uint64(7)
+    full = varint_encode(col)
+    block_starts = np.concatenate(([0], np.cumsum(block_counts)[:-1]))
+    per_block = np.add.reduceat(nbytes, block_starts)
+    # reduceat with a duplicated start (empty block) would mis-assign;
+    # blocks are non-empty by construction (same invariant as
+    # encode_batch), enforced above via the empty-position check
+    offs = np.concatenate(([0], np.cumsum(per_block))).astype(np.int64)
+    return [full[offs[i] : offs[i + 1]] for i in range(n)]
+
+
+def decode_positions_batch(
+    pos_bufs: list[bytes], tf_lists: list[np.ndarray]
+) -> list[list[np.ndarray]]:
+    """Inverse of ``encode_positions_batch``: ``tf_lists[b]`` gives the
+    per-doc position counts of block *b* (the decoded tf column).
+    Returns per-block lists of per-doc absolute position arrays."""
+    n = len(pos_bufs)
+    if n == 0:
+        return []
+    flat = varint_decode(b"".join(pos_bufs))
+    doc_lens = np.concatenate(
+        [np.asarray(t, dtype=np.int64) for t in tf_lists]
+    ) if n else np.empty(0, dtype=np.int64)
+    if doc_lens.sum() != len(flat):
+        raise ValueError("decode_positions_batch: tf/positions mismatch")
+    doc_starts = np.concatenate(([0], np.cumsum(doc_lens)[:-1]))
+    csum = np.cumsum(flat)
+    base = np.concatenate(([0], csum[doc_starts[1:] - 1])) if len(doc_lens) > 1 else np.zeros(1)
+    absolute = csum - np.repeat(base, doc_lens)
+    out: list[list[np.ndarray]] = []
+    i = 0
+    for b in range(n):
+        docs: list[np.ndarray] = []
+        for _ in range(len(tf_lists[b])):
+            docs.append(absolute[doc_starts[i] : doc_starts[i] + doc_lens[i]])
+            i += 1
+        out.append(docs)
+    return out

@@ -17,14 +17,15 @@ import pandas as pd
 from textindex_spark.refimpl import filters
 from textindex_spark.refimpl.html_extract import decode_lossy, extract_text_full
 from textindex_spark.refimpl.oracle import classify_and_extract
-from textindex_spark.refimpl.txt_tokenize import term_frequencies
+from textindex_spark.refimpl.txt_tokenize import term_positions
 
 # Output schema of the extract+tokenize kernel. Parallel term/tf
 # arrays (not array<struct>) keep the Arrow conversion flat; the
 # build plan zips+explodes them JVM-side.
 SEGMENT_SCHEMA = (
     "doc_id long, url string, lang string, filter string, "
-    "truncated boolean, doc_len long, terms array<string>, tfs array<int>"
+    "truncated boolean, doc_len long, terms array<string>, tfs array<int>, "
+    "positions array<array<int>>"
 )
 
 EXTRACTED_SCHEMA = "doc_id long, url string, text string, truncated boolean"
@@ -48,6 +49,7 @@ def extract_tokenize_batches(
             "doc_len": [],
             "terms": [],
             "tfs": [],
+            "positions": [],
         }
         htmls = pdf["html"].values
         texts = pdf["text"].values if "text" in pdf else [""] * len(pdf)
@@ -58,15 +60,20 @@ def extract_tokenize_batches(
             )
             if kind == filters.IGNORE:
                 continue
-            tf, dl = term_frequencies(text)
+            pos, dl = term_positions(text)
             out["doc_id"].append(pdf["doc_id"].iat[i])
             out["url"].append(url)
             out["lang"].append(pdf["lang"].iat[i] if "lang" in pdf else "")
             out["filter"].append(kind)
             out["truncated"].append(truncated)
             out["doc_len"].append(dl)
-            out["terms"].append(np.array(list(tf.keys()), dtype=object))
-            out["tfs"].append(np.array(list(tf.values()), dtype=np.int32))
+            out["terms"].append(np.array(list(pos.keys()), dtype=object))
+            out["tfs"].append(
+                np.array([len(p) for p in pos.values()], dtype=np.int32)
+            )
+            out["positions"].append(
+                [np.array(p, dtype=np.int32) for p in pos.values()]
+            )
         yield pd.DataFrame(out)
 
 

@@ -31,6 +31,8 @@ GATE_DIR = os.environ.get("TEXTINDEX_GATE_DIR", "/tmp/textindex_gate")
 
 AND_TERMS = ["spark", "merge"]
 BM25_TERMS = ["spark", "vector"]
+PHRASE_2 = ["agg", "hash"]
+PHRASE_3 = ["spark", "table", "hash"]
 WILDCARD = "qu*"
 
 
@@ -156,6 +158,23 @@ def q_bm25_topk(spark, sf_dir):
     res = Q.search(spark, idx, BM25_TERMS, k=10, mode="and", with_urls=False)
     return res.select(
         "doc_id", F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro")
+    )
+
+
+def q_phrase_match(spark, sf_dir):
+    """Exact-phrase containment from the pos_bytes position payload:
+    (doc_id, occurrence count) for every doc containing PHRASE_2."""
+    idx = ensure_index(spark, sf_dir)
+    return Q.phrase_docs(spark, idx, PHRASE_2)
+
+
+def q_phrase_rank(spark, sf_dir):
+    """Exact-phrase top-10 ranked by BM25 over the phrase's terms."""
+    idx = ensure_index(spark, sf_dir)
+    res = Q.search_phrase(spark, idx, PHRASE_3, k=10, with_urls=False)
+    return res.select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro"),
     )
 
 
@@ -339,6 +358,8 @@ QUERIES = {
     "wildcard_expand": q_wildcard_expand,
     "search_and": q_search_and,
     "bm25_topk": q_bm25_topk,
+    "phrase_match": q_phrase_match,
+    "phrase_rank": q_phrase_rank,
     "tf_histogram": q_tf_histogram,
     "find_files": q_find_files,
     "matched_lines": q_matched_lines,
@@ -570,6 +591,71 @@ SELECT vec_a, vec_b, cos_micro FROM verified WHERE cos_micro >= {thr_micro}
 """
 
 
+
+def _phrase_sql(phrase: list[str], ranked: bool) -> str:
+    """DuckDB mirror of phrase_docs / search_phrase: kept-token
+    positions (stop words removed, position = rank among kept tokens,
+    identical to refimpl.term_positions on the clean testdata text),
+    one shifted self-join per phrase term, exact occurrence counts;
+    ranked variant adds the BM25 sum over the phrase's distinct
+    terms."""
+    joins = "\n".join(
+        f"    JOIN p{i} USING (doc_id, pos)" for i in range(1, len(phrase))
+    )
+    pcte = ",\n".join(
+        f"p{i} AS (SELECT doc_id, pos - {i} AS pos FROM kept WHERE term = {_sql_quote(t)})"
+        for i, t in enumerate(phrase)
+    )
+    base = f"""
+rawtoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+widx AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM rawtoks),
+flat AS (SELECT doc_id, l[i] AS term, i FROM widx WHERE l[i] <> ''),
+kept AS (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM flat WHERE term NOT IN ({STOP_LIST_SQL})
+),
+{pcte},
+occ AS (
+    SELECT p0.doc_id, p0.pos FROM p0
+{joins}
+),
+matches AS (SELECT doc_id, count(*)::INT AS n_occ FROM occ GROUP BY doc_id)
+"""
+    if not ranked:
+        return f"WITH {base} SELECT doc_id, n_occ FROM matches"
+    terms_sql = ",".join(_sql_quote(t) for t in sorted(set(phrase)))
+    return f"""
+WITH {base},
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM kept GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM kept GROUP BY doc_id),
+alldl AS (
+    SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len
+    FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM alldl),
+dfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf
+    WHERE term IN ({terms_sql}) GROUP BY term
+),
+hits AS (
+    SELECT t.doc_id,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM tf t
+    JOIN dfs f ON t.term = f.term
+    JOIN alldl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+    WHERE t.term IN ({terms_sql})
+),
+scored AS (SELECT doc_id, sum(w) AS score FROM hits GROUP BY doc_id)
+SELECT m.doc_id, floor(s.score * 1e6 + 0.5)::BIGINT AS score_micro
+FROM matches m JOIN scored s ON m.doc_id = s.doc_id
+ORDER BY s.score DESC, m.doc_id ASC LIMIT 10
+"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     bm25_terms = ",".join(_sql_quote(t) for t in BM25_TERMS)
     and_terms = ",".join(_sql_quote(t) for t in AND_TERMS)
@@ -775,6 +861,8 @@ SELECT vec_id, floor(cos * 1e6 + 0.5)::BIGINT AS cos_micro
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
 """,
         "ann_ivf": _ann_ivf_sql(),
+        "phrase_match": _phrase_sql(PHRASE_2, ranked=False),
+        "phrase_rank": _phrase_sql(PHRASE_3, ranked=True),
         "emb_near_dup": _emb_near_dup_sql(),
     }
     # incremental build must be indistinguishable from the full build

@@ -646,6 +646,157 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
     return int(n)
 
 
+POS_DECODED_SCHEMA = DECODED_SCHEMA + ", pos array<int>"
+
+
+def _decode_pos_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """_decode_kernel + per-posting position arrays (pos_bytes)."""
+    from textindex_spark.codec import decode_positions_batch
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        range_bits = int(pdf["range_bits"].iat[0])
+        bases = pdf["range_id"].values.astype(np.int64) << range_bits
+        doc_lists, tf_lists, dl_lists = decode_batch(
+            list(pdf["doc_gaps"]), bases, [list(pdf["tf_bytes"]), list(pdf["dl_bytes"])]
+        )
+        pos_lists = decode_positions_batch(list(pdf["pos_bytes"]), tf_lists)
+        counts = np.fromiter((len(d) for d in doc_lists), dtype=np.int64, count=len(doc_lists))
+        terms = np.repeat(pdf["term"].values, counts)
+        doc_ids = np.concatenate(doc_lists) if len(doc_lists) else np.array([], dtype=np.int64)
+        tfs = np.concatenate(tf_lists) if tf_lists else np.array([], dtype=np.int64)
+        dls = np.concatenate(dl_lists) if dl_lists else np.array([], dtype=np.int64)
+        avgdl = float(pdf["avgdl"].iat[0]) or 1.0
+        tfnorm = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+        poss = [p.astype(np.int32) for docs in pos_lists for p in docs]
+        yield pd.DataFrame(
+            {
+                "term": terms,
+                "doc_id": doc_ids,
+                "tf": tfs.astype(np.int32),
+                "doc_len": dls,
+                "tfnorm": tfnorm,
+                "pos": poss,
+            }
+        )
+
+
+def phrase_terms(words: list[str]) -> list[str]:
+    """Normalize a user phrase through the reference token pipeline
+    (lowercase, truncation, stop-word removal — in order). Stop words
+    vanish, so adjacency is defined over KEPT tokens: "black the cat"
+    and "black cat" are the same phrase, the standard semantics for a
+    stop-word-removing engine."""
+    from textindex_spark.refimpl.txt_tokenize import iter_raw_words, normalize_token
+
+    out = []
+    for raw in iter_raw_words(" ".join(words)):
+        t = normalize_token(raw)
+        if t is not None:
+            out.append(t)
+    return out
+
+
+PHRASE_MAX_TERMS = 32
+
+
+def _phrase_frame(
+    spark: SparkSession, index_dir: str, words: list[str]
+) -> DataFrame | None:
+    """→ (doc_id, n_occ, score) for every doc containing the exact
+    phrase, or None when a phrase term is absent from the dictionary
+    (no doc can match). One bucket-pruned isin-pushdown posting fetch,
+    one positions decode, then a JVM-side join chain: the i-th phrase
+    term's positions shifted by -i and intersected across terms
+    (n_occ = |intersection|), with the BM25 partial of each DISTINCT
+    term carried on its first occurrence so candidates and scores come
+    from the same scan (beyond the reference: it stores no positions
+    and has no phrase operator)."""
+    terms = phrase_terms(words)
+    if not terms:
+        raise ValueError("phrase contains no indexable terms")
+    if len(terms) > PHRASE_MAX_TERMS:
+        raise ValueError(f"phrase too long ({len(terms)} > {PHRASE_MAX_TERMS})")
+    stats = cached_stats(spark, index_dir)
+    uniq = sorted(set(terms))
+    expanded = expand_patterns(spark, index_dir, uniq)
+    if expanded["term"].nunique() < len(uniq):
+        return None
+    idf_by_term = {
+        t: idf(stats["n_docs"], int(d))
+        for t, d in zip(expanded["term"], expanded["df"])
+    }
+    blocks = _query_blocks(
+        spark, index_dir, None, uniq, stats.get("n_term_buckets")
+    ).withColumn("range_bits", F.lit(stats["range_bits"])).withColumn(
+        "avgdl", F.lit(stats["avgdl"])
+    )
+    decoded = blocks.mapInPandas(_decode_pos_kernel, POS_DECODED_SCHEMA)
+    first_occ: dict[str, int] = {}
+    cur = None
+    for i, t in enumerate(terms):
+        shift = i  # bind per iteration for the lambda below
+        cols = [
+            F.col("doc_id"),
+            F.transform("pos", lambda x: x - F.lit(shift)).alias(f"_p{i}"),
+        ]
+        if t not in first_occ:
+            first_occ[t] = i
+            cols.append(
+                (F.lit(idf_by_term[t]) * F.col("tfnorm")).alias(f"_w{i}")
+            )
+        occ = decoded.filter(F.col("term") == t).select(*cols)
+        cur = occ if cur is None else cur.join(occ, "doc_id")
+    inter = F.col("_p0")
+    for i in range(1, len(terms)):
+        inter = F.array_intersect(inter, F.col(f"_p{i}"))
+    score = None
+    for i in first_occ.values():
+        score = F.col(f"_w{i}") if score is None else score + F.col(f"_w{i}")
+    out = (
+        cur.withColumn("n_occ", F.size(inter).cast("int"))
+        .filter(F.col("n_occ") > 0)
+        .select("doc_id", "n_occ", score.alias("score"))
+    )
+    return apply_tombstones(spark, index_dir, out)
+
+
+def phrase_docs(
+    spark: SparkSession, index_dir: str, words: list[str]
+) -> DataFrame:
+    """→ (doc_id, n_occ): every live doc containing the exact phrase,
+    with its occurrence count."""
+    frame = _phrase_frame(spark, index_dir, words)
+    if frame is None:
+        return local_df(spark, [], "doc_id long, n_occ int")
+    return frame.select("doc_id", "n_occ")
+
+
+def search_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    words: list[str],
+    k: int = 10,
+    with_urls: bool = True,
+) -> DataFrame:
+    """Exact-phrase top-k, ranked by BM25 over the phrase's distinct
+    terms (same formula, same doc_id tie-break as ``search``)."""
+    frame = _phrase_frame(spark, index_dir, words)
+    result = (
+        local_df(spark, [], "doc_id long, score double")
+        if frame is None
+        else frame.select("doc_id", "score")
+    )
+    result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if with_urls:
+        docs_df = manifest.read_table(spark, index_dir, "docs").select("doc_id", "url")
+        result = result.join(docs_df, "doc_id", "left").select(
+            "doc_id", "score", "url"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+    return result
+
+
 def _tombstones(spark: SparkSession, index_dir: str):
     if manifest.table_exists(spark, index_dir, "deleted"):
         return manifest.read_table(spark, index_dir, "deleted")

@@ -155,6 +155,52 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def phrase_occurrences(self, words: list[str]) -> dict[int, int]:
+        """doc_id → exact-phrase occurrence count, recomputed from the
+        kept-token position sequence (ground truth for search_phrase)."""
+        from textindex_spark.refimpl.txt_tokenize import (
+            iter_raw_words,
+            normalize_token,
+            term_positions,
+        )
+
+        terms = []
+        for raw in iter_raw_words(" ".join(words)):
+            t = normalize_token(raw)
+            if t is not None:
+                terms.append(t)
+        out: dict[int, int] = {}
+        for doc_id, doc in self.docs.items():
+            pos, _ = term_positions(doc["text"])
+            plists = [pos.get(t) for t in terms]
+            if any(p is None for p in plists):
+                continue
+            starts = set(plists[0])
+            for i, p in enumerate(plists[1:], start=1):
+                starts &= {x - i for x in p}
+            if starts:
+                out[doc_id] = len(starts)
+        return out
+
+    def search_phrase(self, words: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Top-k exact-phrase (doc_id, score): BM25 over the phrase's
+        distinct terms, restricted to phrase-matching docs."""
+        occ = self.phrase_occurrences(words)
+        from textindex_spark.refimpl.txt_tokenize import iter_raw_words, normalize_token
+
+        terms = sorted(
+            {
+                t
+                for raw in iter_raw_words(" ".join(words))
+                if (t := normalize_token(raw)) is not None
+            }
+        )
+        scores = {
+            d: sum(self.weight(t, d, self.postings[t][d]) for t in terms)
+            for d in occ
+        }
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def find_unranked(self, terms: list[str]) -> list[str]:
         """Exact ``Words::find`` result: AND-intersected file names
         (sorted by doc_id, as the BTreeSet iteration order)."""

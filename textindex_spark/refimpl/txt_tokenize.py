@@ -256,3 +256,22 @@ def term_frequencies(text: str) -> tuple[Counter[str], int]:
         if t is not None:
             tf[t] += 1
     return tf, sum(tf.values())
+
+
+def term_positions(text: str) -> tuple[dict[str, list[int]], int]:
+    """Per-doc term → sorted token positions (+ doc length). Position
+    = 0-based ordinal in the KEPT token sequence (after suppressors,
+    stop-word removal and truncation) — phrase adjacency is therefore
+    defined over indexed tokens, the standard semantics for a
+    stop-word-removing engine. tf(term) == len(positions[term]) and
+    doc_len == total kept tokens, so this is a strict refinement of
+    ``term_frequencies`` (beyond the reference: it stores no
+    positions and has no phrase operator)."""
+    pos: dict[str, list[int]] = {}
+    i = 0
+    for raw in iter_raw_words(text):
+        t = normalize_token(raw)
+        if t is not None:
+            pos.setdefault(t, []).append(i)
+            i += 1
+    return pos, i

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from textindex_spark import manifest
-from textindex_spark.build import append_batch, build_index
+from textindex_spark.build import append_batch, build_index, maybe_compact
 
 DOC_SCHEMA = (
     "doc_id long, url string, warc_ts timestamp, html binary, "
@@ -62,6 +62,10 @@ def stream_index(
             s, batch_df, index_dir,
             extra_props={"stream_batch_id": int(batch_id)},
         )
+        # bounded read amplification: fold accumulated append dirs
+        # back into one postings table once enough pile up (manifest-
+        # only check — free when below the threshold)
+        maybe_compact(s, index_dir)
 
     writer = (
         stream.writeStream.foreachBatch(sink)

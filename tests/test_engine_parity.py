@@ -223,3 +223,20 @@ def test_phrase_missing_term_and_stopword_semantics(spark, index_dir, oracle):
     assert phrase_docs(spark, index_dir, ["zzzzunseen", "words"]).count() == 0
     # stop words vanish from the phrase: "x the y" ≡ "x y"
     assert phrase_terms(["black", "the", "cat"]) == phrase_terms(["black", "cat"])
+
+
+def test_near_docs_matches_oracle(spark, index_dir, oracle):
+    from textindex_spark.query import near_docs
+
+    phrases = _corpus_phrases(oracle)
+    checked = 0
+    for ph in phrases:
+        for w in (1, 3, 8):
+            want = oracle.near_occurrences(ph, window=w)
+            got = {
+                r["doc_id"]: r["n_near"]
+                for r in near_docs(spark, index_dir, ph, window=w).collect()
+            }
+            assert got == want, (ph, w)
+            checked += bool(want)
+    assert checked  # at least one (phrase, window) had matches

@@ -178,6 +178,17 @@ def q_phrase_rank(spark, sf_dir):
     )
 
 
+NEAR_WINDOW = 4
+
+
+def q_near_match(spark, sf_dir):
+    """NEAR/k proximity from the position payload: (doc_id, anchor
+    count) for docs where every term of PHRASE_2 occurs within
+    NEAR_WINDOW kept tokens of an occurrence of the first term."""
+    idx = ensure_index(spark, sf_dir)
+    return Q.near_docs(spark, idx, PHRASE_2, window=NEAR_WINDOW)
+
+
 def q_tf_histogram(spark, sf_dir):
     """A2 count inversion (tmp_index.rs:30-38): tf → how many
     (doc, term) cells have that tf."""
@@ -360,6 +371,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "phrase_match": q_phrase_match,
     "phrase_rank": q_phrase_rank,
+    "near_match": q_near_match,
     "tf_histogram": q_tf_histogram,
     "find_files": q_find_files,
     "matched_lines": q_matched_lines,
@@ -656,6 +668,35 @@ ORDER BY s.score DESC, m.doc_id ASC LIMIT 10
 """
 
 
+
+def _near_sql(phrase: list[str], window: int) -> str:
+    """DuckDB mirror of query.near_docs (anchored-window NEAR)."""
+    anchor = phrase[0]
+    others = sorted(set(phrase) - {anchor})
+    exists = "\n".join(
+        f"      AND EXISTS (SELECT 1 FROM kept o{i} WHERE o{i}.doc_id = a.doc_id"
+        f" AND o{i}.term = {_sql_quote(t)}"
+        f" AND o{i}.pos BETWEEN a.pos - {window} AND a.pos + {window})"
+        for i, t in enumerate(others)
+    )
+    return f"""
+WITH rawtoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+widx AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM rawtoks),
+flat AS (SELECT doc_id, l[i] AS term, i FROM widx WHERE l[i] <> ''),
+kept AS (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM flat WHERE term NOT IN ({STOP_LIST_SQL})
+),
+anchors AS (
+    SELECT a.doc_id, a.pos FROM kept a
+    WHERE a.term = {_sql_quote(anchor)}
+{exists}
+)
+SELECT doc_id, count(*)::INT AS n_near FROM anchors GROUP BY doc_id
+"""
+
+
 def oracle_sql_map() -> dict[str, str]:
     bm25_terms = ",".join(_sql_quote(t) for t in BM25_TERMS)
     and_terms = ",".join(_sql_quote(t) for t in AND_TERMS)
@@ -863,6 +904,7 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
         "ann_ivf": _ann_ivf_sql(),
         "phrase_match": _phrase_sql(PHRASE_2, ranked=False),
         "phrase_rank": _phrase_sql(PHRASE_3, ranked=True),
+        "near_match": _near_sql(PHRASE_2, NEAR_WINDOW),
         "emb_near_dup": _emb_near_dup_sql(),
     }
     # incremental build must be indistinguishable from the full build

@@ -762,6 +762,61 @@ def _phrase_frame(
     return apply_tombstones(spark, index_dir, out)
 
 
+def near_docs(
+    spark: SparkSession, index_dir: str, words: list[str], window: int = 8
+) -> DataFrame:
+    """NEAR/k proximity over the positional payload: → (doc_id,
+    n_near) for live docs where every query term occurs within
+    ``window`` kept-token positions of some occurrence of the FIRST
+    term (anchored-window semantics; n_near = number of such anchor
+    positions). Same single bucket-pruned fetch as phrase_docs; the
+    window test is a JVM-side exists() chain — no Python in the
+    match."""
+    terms = phrase_terms(words)
+    if not terms:
+        raise ValueError("query contains no indexable terms")
+    if len(terms) > PHRASE_MAX_TERMS:
+        raise ValueError(f"too many terms ({len(terms)} > {PHRASE_MAX_TERMS})")
+    stats = cached_stats(spark, index_dir)
+    # anchor = the query's first term; the rest in stable order
+    uniq = [terms[0]] + sorted(set(terms) - {terms[0]})
+    expanded = expand_patterns(spark, index_dir, uniq)
+    if expanded["term"].nunique() < len(uniq):
+        return local_df(spark, [], "doc_id long, n_near int")
+    blocks = _query_blocks(
+        spark, index_dir, None, uniq, stats.get("n_term_buckets")
+    ).withColumn("range_bits", F.lit(stats["range_bits"])).withColumn(
+        "avgdl", F.lit(stats["avgdl"])
+    )
+    decoded = blocks.mapInPandas(_decode_pos_kernel, POS_DECODED_SCHEMA)
+    cur = None
+    for i, t in enumerate(uniq):
+        occ = decoded.filter(F.col("term") == t).select(
+            "doc_id", F.col("pos").alias(f"_p{i}")
+        )
+        cur = occ if cur is None else cur.join(occ, "doc_id")
+    w = int(window)
+
+    def _anchor_ok(x):
+        cond = None
+        for i in range(1, len(uniq)):
+            c = F.exists(
+                F.col(f"_p{i}"),
+                lambda y: (y >= x - F.lit(w)) & (y <= x + F.lit(w)),
+            )
+            cond = c if cond is None else cond & c
+        return cond if cond is not None else F.lit(True)
+
+    out = (
+        cur.withColumn(
+            "n_near", F.size(F.filter(F.col("_p0"), _anchor_ok)).cast("int")
+        )
+        .filter(F.col("n_near") > 0)
+        .select("doc_id", "n_near")
+    )
+    return apply_tombstones(spark, index_dir, out)
+
+
 def phrase_docs(
     spark: SparkSession, index_dir: str, words: list[str]
 ) -> DataFrame:

@@ -182,6 +182,40 @@ class OracleIndex:
                 out[doc_id] = len(starts)
         return out
 
+    def near_occurrences(self, words: list[str], window: int = 8) -> dict[int, int]:
+        """doc_id → count of anchor positions (occurrences of the
+        FIRST term) that have every other term within ``window`` kept
+        token positions (ground truth for query.near_docs)."""
+        from textindex_spark.refimpl.txt_tokenize import (
+            iter_raw_words,
+            normalize_token,
+            term_positions,
+        )
+
+        terms = []
+        for raw in iter_raw_words(" ".join(words)):
+            t = normalize_token(raw)
+            if t is not None:
+                terms.append(t)
+        others = sorted(set(terms) - {terms[0]})
+        out: dict[int, int] = {}
+        for doc_id, doc in self.docs.items():
+            pos, _ = term_positions(doc["text"])
+            anchors = pos.get(terms[0])
+            if anchors is None:
+                continue
+            plists = [pos.get(t) for t in others]
+            if any(p is None for p in plists):
+                continue
+            n = sum(
+                1
+                for a in anchors
+                if all(any(abs(y - a) <= window for y in p) for p in plists)
+            )
+            if n:
+                out[doc_id] = n
+        return out
+
     def search_phrase(self, words: list[str], k: int = 10) -> list[tuple[int, float]]:
         """Top-k exact-phrase (doc_id, score): BM25 over the phrase's
         distinct terms, restricted to phrase-matching docs."""

@@ -154,6 +154,11 @@ def test_postings_bucket_partition_pruning(spark, index_dir):
     b = term_bucket_py("spark", 64)
     assert f"(term_bucket#" in plan and f" = {b})" in plan, plan[:2000]
     assert "PushedFilters: [IsNotNull(term), EqualTo(term,spark)]" in plan
+    # BM25 must never deserialize the positional payload
+    scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "postings" in l
+    )
+    assert "pos_bytes" not in scan, scan
 
 
 def _kept_seq(text):

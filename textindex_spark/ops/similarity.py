@@ -352,6 +352,12 @@ def embedding_near_pairs(
     runs on the integer cos_micro so engine and oracle can never
     disagree on a float boundary."""
     segs = embedding_lsh_segments(emb, n_bits, n_segs, id_col, vec_col)
+    # the self-join consumes the signature kernel on BOTH sides; a
+    # narrow mapInPandas lineage would run the matmul twice. Persist
+    # the (tiny: 3 longs/row) signature table instead — at warehouse
+    # scale this is the materialized signatures table every LSH
+    # pipeline keeps anyway.
+    segs = segs.persist()
     cand = (
         segs.alias("a")
         .join(segs.alias("b"), ["seg", "seg_val"])

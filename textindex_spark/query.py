@@ -39,6 +39,11 @@ from textindex_spark.refimpl.oracle import wildcard_to_regex
 from textindex_spark.session import local_df
 
 DECODED_SCHEMA = "term string, doc_id long, tf int, doc_len long, tfnorm double"
+# Exactly the columns each decode kernel consumes — selected explicitly
+# before mapInPandas so the parquet scan never reads pos_bytes (the
+# largest column) for BM25 work, and reads it ONLY for phrase/NEAR.
+_DECODE_COLS = ["term", "range_id", "doc_gaps", "tf_bytes", "dl_bytes"]
+_DECODE_POS_COLS = _DECODE_COLS + ["pos_bytes"]
 
 # Vocabularies up to this many terms are cached in query-node memory —
 # the Spark analog of the reference keeping its whole WordList BTreeMap
@@ -203,9 +208,9 @@ def _decoded_postings(
     """Posting blocks for the query vocabulary, decoded to
     (term, doc_id, tf, doc_len, tfnorm) rows."""
     blocks = _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets"))
-    blocks = blocks.withColumn("range_bits", F.lit(stats["range_bits"])).withColumn(
-        "avgdl", F.lit(stats["avgdl"])
-    )
+    blocks = blocks.select(*_DECODE_COLS).withColumn(
+        "range_bits", F.lit(stats["range_bits"])
+    ).withColumn("avgdl", F.lit(stats["avgdl"]))
     return blocks.mapInPandas(_decode_kernel, DECODED_SCHEMA)
 
 
@@ -522,7 +527,7 @@ def _pruned_decode(
     else:
         surv_df = local_df(spark, [(r,) for r in surviving], "range_id long")
         blocks = blocks.join(F.broadcast(surv_df), "range_id")
-    pruned_blocks = blocks.withColumn(
+    pruned_blocks = blocks.select(*_DECODE_COLS).withColumn(
         "range_bits", F.lit(stats["range_bits"])
     ).withColumn("avgdl", F.lit(stats["avgdl"]))
     return pruned_blocks.mapInPandas(_decode_kernel, DECODED_SCHEMA)
@@ -729,9 +734,9 @@ def _phrase_frame(
     }
     blocks = _query_blocks(
         spark, index_dir, None, uniq, stats.get("n_term_buckets")
-    ).withColumn("range_bits", F.lit(stats["range_bits"])).withColumn(
-        "avgdl", F.lit(stats["avgdl"])
-    )
+    ).select(*_DECODE_POS_COLS).withColumn(
+        "range_bits", F.lit(stats["range_bits"])
+    ).withColumn("avgdl", F.lit(stats["avgdl"]))
     decoded = blocks.mapInPandas(_decode_pos_kernel, POS_DECODED_SCHEMA)
     first_occ: dict[str, int] = {}
     cur = None
@@ -785,9 +790,9 @@ def near_docs(
         return local_df(spark, [], "doc_id long, n_near int")
     blocks = _query_blocks(
         spark, index_dir, None, uniq, stats.get("n_term_buckets")
-    ).withColumn("range_bits", F.lit(stats["range_bits"])).withColumn(
-        "avgdl", F.lit(stats["avgdl"])
-    )
+    ).select(*_DECODE_POS_COLS).withColumn(
+        "range_bits", F.lit(stats["range_bits"])
+    ).withColumn("avgdl", F.lit(stats["avgdl"]))
     decoded = blocks.mapInPandas(_decode_pos_kernel, POS_DECODED_SCHEMA)
     cur = None
     for i, t in enumerate(uniq):

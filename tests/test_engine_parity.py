@@ -245,3 +245,23 @@ def test_near_docs_matches_oracle(spark, index_dir, oracle):
             assert got == want, (ph, w)
             checked += bool(want)
     assert checked  # at least one (phrase, window) had matches
+
+
+def test_expand_distributed_matches_cached(spark, index_dir):
+    """The distributed dictionary probe (vocab > cache cap) must give
+    exactly the in-memory expansion, and prefix patterns push a
+    sargable term range to the terms scan."""
+    import textindex_spark.query as Q
+
+    pats = ["quer*", "spark", "*ie*", "?om", "absentzz*"]
+    cached = Q.expand_patterns(spark, index_dir, pats)
+    old_cap = Q.TERMS_CACHE_MAX
+    try:
+        Q.TERMS_CACHE_MAX = -1
+        Q._dict_cache.pop(index_dir, None)
+        dist = Q.expand_patterns(spark, index_dir, pats)
+    finally:
+        Q.TERMS_CACHE_MAX = old_cap
+        Q._dict_cache.pop(index_dir, None)
+    key = lambda df: sorted(map(tuple, df[["pattern_idx", "term"]].values))
+    assert key(dist) == key(cached)

@@ -114,7 +114,20 @@ def expand_patterns(
     conds = []
     for p in patterns:
         if _is_wildcard(p):
-            conds.append(F.col("term").rlike(f"^(?s:{wildcard_to_regex(p).pattern})$"))
+            rx_cond = F.col("term").rlike(f"^(?s:{wildcard_to_regex(p).pattern})$")
+            # prefix patterns additionally push a sargable range onto
+            # the term-sorted parquet files: rlike cannot reach the
+            # scan, but term >= 'pre' AND term < 'pre\uffff' does —
+            # at a 10^8-term vocabulary the probe then touches only
+            # the files whose min/max straddle the prefix
+            head = p.split("*", 1)[0].split("?", 1)[0]
+            if head:
+                rx_cond = (
+                    (F.col("term") >= head)
+                    & (F.col("term") < head + "\uffff")
+                    & rx_cond
+                )
+            conds.append(rx_cond)
         else:
             conds.append(F.col("term") == p)
     combined = conds[0]

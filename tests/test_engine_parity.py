@@ -265,3 +265,29 @@ def test_expand_distributed_matches_cached(spark, index_dir):
         Q._dict_cache.pop(index_dir, None)
     key = lambda df: sorted(map(tuple, df[["pattern_idx", "term"]].values))
     assert key(dist) == key(cached)
+
+
+def test_empty_corpus_index(spark, tmp_path):
+    """A corpus the filters fully reject (or an empty input) must
+    build a valid, queryable index: empty parquet dirs read with
+    explicit schemas, every query path returns empty."""
+    from textindex_spark.build import build_index, describe_index
+    from textindex_spark.query import near_docs, phrase_docs
+    from textindex_spark.session import local_df
+
+    empty = local_df(
+        spark,
+        [],
+        "doc_id long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+    out = str(tmp_path / "empty_idx")
+    stats = build_index(spark, empty, out, range_bits=6)
+    assert stats["n_docs"] == 0 and stats["vocab_size"] == 0
+    assert search(spark, out, ["anything"], k=5, with_urls=False).collect() == []
+    assert search(spark, out, ["any*"], k=5, with_urls=True).collect() == []
+    assert search(spark, out, ["any*"], k=5, prune=True, with_urls=False).collect() == []
+    assert phrase_docs(spark, out, ["blackbird", "catfish"]).collect() == []
+    assert near_docs(spark, out, ["blackbird", "catfish"]).collect() == []
+    rows = {k: v["rows"] for k, v in describe_index(spark, out)["tables"].items()}
+    assert rows == {"docs": 0, "postings": 0, "terms": 0, "stats": 1, "segments": 0}

@@ -335,7 +335,9 @@ def finalize_index(
     exactly once regardless of how many segment partitions were
     written."""
     t0 = t0 or time.time()
-    seg = spark.read.parquet(f"{out_dir}/segments")
+    seg = spark.read.schema(manifest.TABLE_SCHEMAS["segments"]).parquet(
+        f"{out_dir}/segments"
+    )
     docs = seg.select("doc_id", "url", "lang", "filter", "truncated", "doc_len")
     # The docs write is independent of the postings chain (both read
     # only the segments table), so it runs on a driver thread while
@@ -373,13 +375,19 @@ def finalize_index(
     if docs_err:
         raise docs_err[0]
 
-    postings_df = spark.read.parquet(f"{out_dir}/postings")
+    postings_df = spark.read.schema(manifest.TABLE_SCHEMAS["postings"]).parquet(
+        f"{out_dir}/postings"
+    )
     terms = terms_from_postings(postings_df)
     terms.repartitionByRange(max(1, nparts // 4), "term").sortWithinPartitions(
         "term"
     ).write.mode("overwrite").parquet(f"{out_dir}/terms")
 
-    vocab_size = spark.read.parquet(f"{out_dir}/terms").count()
+    vocab_size = (
+        spark.read.schema(manifest.TABLE_SCHEMAS["terms"])
+        .parquet(f"{out_dir}/terms")
+        .count()
+    )
     stats = {
         "n_docs": int(n_docs),
         "avgdl": avgdl,
@@ -595,14 +603,18 @@ def append_batch(
     stats_dir = f"{out_dir}/stats_append_{base}"
 
     tokenize_segments(documents).write.mode("overwrite").parquet(seg_dir)
-    new_seg = spark.read.parquet(seg_dir)
+    new_seg = spark.read.schema(manifest.TABLE_SCHEMAS["segments"]).parquet(seg_dir)
 
     new_seg.select(
         "doc_id", "url", "lang", "filter", "truncated", "doc_len"
     ).write.mode("overwrite").parquet(docs_dir)
     srow = (
         old_docs.select("doc_len")
-        .unionByName(spark.read.parquet(docs_dir).select("doc_len"))
+        .unionByName(
+            spark.read.schema(manifest.TABLE_SCHEMAS["docs"])
+            .parquet(docs_dir)
+            .select("doc_len")
+        )
         .agg(
             F.count("*").alias("n_docs"),
             F.avg("doc_len").alias("avgdl"),
@@ -625,7 +637,7 @@ def append_batch(
 
     # dictionary: cheap agg over old + staged block rows, full rewrite
     postings_df = manifest.read_table(spark, out_dir, "postings").unionByName(
-        spark.read.parquet(postings_dir)
+        spark.read.schema(manifest.TABLE_SCHEMAS["postings"]).parquet(postings_dir)
     )
     terms = terms_from_postings(postings_df)
     nparts = max(1, spark.sparkContext.defaultParallelism // 4)
@@ -638,7 +650,9 @@ def append_batch(
         n_docs=int(srow["n_docs"]),
         avgdl=new_avgdl,
         total_tokens=int(srow["total_tokens"] or 0),
-        vocab_size=int(spark.read.parquet(terms_dir).count()),
+        vocab_size=int(
+            spark.read.schema(manifest.TABLE_SCHEMAS["terms"]).parquet(terms_dir).count()
+        ),
     )
     local_df(spark, [new_stats], STATS_SCHEMA).write.mode("overwrite").parquet(
         stats_dir

@@ -108,16 +108,47 @@ def table_paths(spark: SparkSession, index_dir: str, name: str) -> list[str]:
     return [f"{index_dir}/{name}"]
 
 
+# Authoritative DDL per table, used (a) to read EMPTY data dirs — an
+# empty parquet write leaves no footer to infer from — and (b) to keep
+# multi-dir unions column-stable. term_bucket is the postings table's
+# directory-partition column.
+TABLE_SCHEMAS = {
+    "segments": (
+        "doc_id long, url string, lang string, filter string, "
+        "truncated boolean, doc_len long, terms array<string>, "
+        "tfs array<int>, positions array<array<int>>"
+    ),
+    "docs": (
+        "doc_id long, url string, lang string, filter string, "
+        "truncated boolean, doc_len long"
+    ),
+    "postings": (
+        "term string, range_id long, n_docs int, sum_tf long, max_tf int, "
+        "max_tfnorm double, enc_avgdl double, doc_gaps binary, "
+        "tf_bytes binary, dl_bytes binary, pos_bytes binary, term_bucket int"
+    ),
+    "terms": "term string, df long, cf long, max_tfnorm double, n_ranges long",
+    "deleted": "doc_id long",
+}
+
+
 def read_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
     """Union of the snapshot's data dirs. Each root is loaded
     separately (directory-partitioned tables like the bucketed
     postings reject multi-root discovery with
     CONFLICTING_DIRECTORY_STRUCTURES); Catalyst pushes filters below
-    the Union, so partition pruning still applies per root."""
+    the Union, so partition pruning still applies per root. Known
+    tables read with their explicit schema so an empty table (e.g. a
+    corpus the filters fully rejected) stays readable."""
     paths = table_paths(spark, index_dir, name)
-    df = spark.read.parquet(paths[0])
+    ddl = TABLE_SCHEMAS.get(name)
+
+    def _one(p):
+        return (spark.read.schema(ddl) if ddl else spark.read).parquet(p)
+
+    df = _one(paths[0])
     for p in paths[1:]:
-        df = df.unionByName(spark.read.parquet(p))
+        df = df.unionByName(_one(p))
     return df
 
 

@@ -102,7 +102,13 @@ def expand_patterns(
         for i, p in enumerate(patterns):
             if _is_wildcard(p):
                 rx = wildcard_to_regex(p)
-                hit = terms[terms["term"].map(lambda t: rx.fullmatch(t) is not None)].copy()
+                # .astype(bool): on an EMPTY dictionary the map yields
+                # an object-dtype mask and pandas masking then drops
+                # the columns entirely (empty-index regression)
+                mask = terms["term"].map(
+                    lambda t: rx.fullmatch(t) is not None
+                ).astype(bool)
+                hit = terms[mask].copy()
             else:
                 hit = by_term.loc[[p]].copy() if p in by_term.index else terms.iloc[0:0].copy()
             hit["pattern_idx"] = i

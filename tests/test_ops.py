@@ -298,3 +298,47 @@ def test_multimodal_plumbing(spark):
 def test_multimodal_stub_raises_without_fake(spark):
     with pytest.raises(NotImplementedError):
         multimodal._decode_image_stub(b"x", deterministic_fake=False)
+
+
+def test_multimodal_real_ppm_wav(spark):
+    """PPM images and PCM WAV audio decode for REAL (stdlib-only) in
+    the feature kernel, and PPM resize round-trips through the Spark
+    op."""
+    import io
+    import wave
+
+    img = (np.arange(8 * 8 * 3) % 256).astype(np.uint8).reshape(8, 8, 3)
+    ppm = multimodal.encode_ppm(img)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(
+            (np.sin(np.arange(4000) / 5) * 16000).astype("<i2").tobytes()
+        )
+    wav = buf.getvalue()
+    rows = [
+        (1, "image", ppm, "image/x-portable-pixmap", 8, 8, None),
+        (2, "audio", wav, "audio/wav", None, None, 500),
+        (3, "image", b"\x89PNGnotreal", "image/png", 4, 4, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, deterministic_fake=False).collect()
+    }
+    assert feats[1]["ok"] and feats[2]["ok"] and not feats[3]["ok"]
+    # image feature head = mean RGB / 255
+    want_rgb = img.reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(feats[1]["feature"][:3], want_rgb, atol=1e-6)
+    # audio features: rms > 0, duration = 0.5 s
+    assert feats[2]["feature"][0] > 0.1
+    assert abs(feats[2]["feature"][2] - 0.5) < 1e-6
+    # real resize through the Spark op
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 4, 2).collect()}
+    assert out[1]["ok"] and out[1]["width"] == 4 and out[1]["height"] == 2
+    resized = multimodal.decode_ppm(bytes(out[1]["content"]))
+    assert resized.shape == (2, 4, 3)
+    assert (resized == multimodal.resize_nearest(img, 4, 2)).all()
+    assert not out[3]["ok"]  # non-PPM passes through unchanged

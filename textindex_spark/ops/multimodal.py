@@ -1,19 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched kernels.
 
-The decode step is STUBBED (no image/audio libraries in this
+Decode is REAL for the formats the standard library can parse —
+binary PPM images (``decode_ppm`` / ``encode_ppm`` /
+``resize_nearest``) and 16-bit PCM WAV audio (``decode_wav``) — and
+STUBBED for formats that need PIL/opencv/ffmpeg (absent in this
 container): ``_decode_image_stub`` raises ``NotImplementedError``
-unless ``deterministic_fake=True``, in which case it produces a
-seeded, content-derived fake decode so the Spark-side plumbing —
-schema, batching, partition sizing, UDF signatures — is real and
-testable end to end.
+unless ``deterministic_fake=True``, which produces a seeded,
+content-derived fake decode so the Spark-side plumbing — schema,
+batching, partition sizing, UDF signatures — stays testable for
+those formats too.
 
-Scale notes: media rows are orders of magnitude wider than text rows;
-``prepare_media`` repartitions by a byte-size budget (``target
-partition bytes / avg blob size``) so one Arrow batch never holds more
-than ~``max_batch_mb`` of blobs (set
-``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly at the
-session; the kernel also re-chunks defensively).
+Scale notes: media rows are orders of magnitude wider than text rows —
+size ``spark.sql.files.maxPartitionBytes`` and
+``spark.sql.execution.arrow.maxRecordsPerBatch`` so one Arrow batch
+never holds more than a few hundred MB of blobs, and repartition the
+media table by a byte budget (rows ≈ target bytes / avg blob size)
+before the kernels.
 """
 from __future__ import annotations
 
@@ -32,6 +35,68 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<float>, ok boolean"
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def decode_ppm(blob: bytes) -> np.ndarray:
+    """REAL image decode for binary PPM (P6) — pure parsing, no
+    imaging library needed. → (H, W, 3) uint8. Raises ValueError on
+    anything that is not a well-formed 8-bit P6 stream."""
+    if not blob or not blob.startswith(b"P6"):
+        raise ValueError("not a P6 PPM stream")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens, '#' comments allowed, single whitespace after maxval
+    tokens, i, n = [], 2, len(blob)
+    while len(tokens) < 3:
+        while i < n and blob[i : i + 1].isspace():
+            i += 1
+        if i < n and blob[i : i + 1] == b"#":
+            while i < n and blob[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not blob[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        tokens.append(blob[i:j])
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    px = np.frombuffer(blob, dtype=np.uint8, count=need, offset=i)
+    return px.reshape(h, w, 3).copy()
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of decode_ppm (used by resize_images and tests)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for PCM WAV via the stdlib ``wave`` module.
+    → (samples[int16, frames × channels], sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        raw = wf.readframes(wf.getnframes())
+        samples = np.frombuffer(raw, dtype="<i2").reshape(
+            -1, wf.getnchannels()
+        )
+        return samples, wf.getframerate()
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy."""
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
 
 
 def _decode_image_stub(blob: bytes, deterministic_fake: bool) -> np.ndarray:
@@ -56,11 +121,33 @@ def extract_features(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, ok, nbytes = [], [], []
-            for blob in pdf["content"].values:
+            for blob, mime in zip(pdf["content"].values, pdf["mime"].values):
                 try:
-                    px = _decode_image_stub(blob, deterministic_fake)
-                    vec = px[: feat_dim * 4].reshape(feat_dim, -1).mean(axis=1)
-                    feats.append((vec / 255.0).astype(np.float32))
+                    if mime == "image/x-portable-pixmap":
+                        # REAL decode path (stdlib-only format)
+                        img = decode_ppm(blob).astype(np.float32)
+                        hist = np.histogram(
+                            img.mean(axis=2), bins=feat_dim - 3, range=(0, 255)
+                        )[0]
+                        hist = hist / max(1, hist.sum())
+                        vec = np.concatenate(
+                            [img.reshape(-1, 3).mean(axis=0) / 255.0, hist]
+                        )
+                        feats.append(vec.astype(np.float32))
+                    elif mime in ("audio/wav", "audio/x-wav"):
+                        # REAL decode path (stdlib wave module)
+                        samples, rate = decode_wav(blob)
+                        mono = samples.astype(np.float64).mean(axis=1)
+                        rms = float(np.sqrt((mono**2).mean() or 0.0)) / 32768.0
+                        zcr = float((np.diff(np.sign(mono)) != 0).mean() or 0.0)
+                        dur = len(mono) / rate
+                        vec = np.zeros(feat_dim, dtype=np.float32)
+                        vec[:3] = (rms, zcr, dur)
+                        feats.append(vec)
+                    else:
+                        px = _decode_image_stub(blob, deterministic_fake)
+                        vec = px[: feat_dim * 4].reshape(feat_dim, -1).mean(axis=1)
+                        feats.append((vec / 255.0).astype(np.float32))
                     ok.append(True)
                 except NotImplementedError:
                     feats.append(np.zeros(feat_dim, dtype=np.float32))
@@ -104,3 +191,43 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """mapInPandas: PPM image rows → resized PPM blobs (REAL resize,
+    nearest-neighbor numpy). Non-PPM rows pass through unchanged with
+    ok=False so callers can route them to an imaging-library cluster.
+    Output schema == MEDIA_SCHEMA + ok boolean."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_blobs, oks, ws, hs = [], [], [], []
+            for blob, mime in zip(pdf["content"].values, pdf["mime"].values):
+                if mime == "image/x-portable-pixmap":
+                    try:
+                        img = resize_nearest(decode_ppm(blob), out_w, out_h)
+                        out_blobs.append(encode_ppm(img))
+                        ws.append(out_w)
+                        hs.append(out_h)
+                        oks.append(True)
+                        continue
+                    except ValueError:
+                        pass
+                out_blobs.append(blob)
+                ws.append(pdf["width"].iat[len(ws)])
+                hs.append(pdf["height"].iat[len(hs)])
+                oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": out_blobs,
+                    "mime": pdf["mime"],
+                    "width": ws,
+                    "height": hs,
+                    "duration_ms": pdf["duration_ms"],
+                    "ok": oks,
+                }
+            )
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA + ", ok boolean")

@@ -4,7 +4,8 @@
     spark-submit --py-files textindex_spark.zip jobs/search.py \
         --index /path/to/index --terms "spark" "quer*" \
         [--k 10] [--mode and|or] [--prune] [--unranked] [--files PAT]
-        [--phrase]   # treat --terms as one exact phrase
+        [--phrase]            # treat --terms as one exact phrase
+        [--near N]            # docs with all terms within N kept tokens
 """
 from __future__ import annotations
 
@@ -25,12 +26,17 @@ def main() -> None:
         "--phrase", action="store_true",
         help="treat --terms as one exact phrase (positional index)",
     )
+    ap.add_argument(
+        "--near", type=int, default=None, metavar="N",
+        help="proximity search: all terms within N kept tokens",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
     from textindex_spark.query import (
         find_files,
         find_unranked,
+        near_docs,
         search,
         search_phrase,
     )
@@ -43,6 +49,8 @@ def main() -> None:
         rows = find_files(spark, args.index, args.files).collect()
     elif args.phrase:
         rows = search_phrase(spark, args.index, args.terms, k=args.k).collect()
+    elif args.near is not None:
+        rows = near_docs(spark, args.index, args.terms, window=args.near).collect()
     elif args.unranked:
         rows = find_unranked(spark, args.index, args.terms).collect()
     else:

@@ -291,3 +291,27 @@ def test_empty_corpus_index(spark, tmp_path):
     assert near_docs(spark, out, ["blackbird", "catfish"]).collect() == []
     rows = {k: v["rows"] for k, v in describe_index(spark, out)["tables"].items()}
     assert rows == {"docs": 0, "postings": 0, "terms": 0, "stats": 1, "segments": 0}
+
+
+def test_phrase_wildcard_slots(spark, index_dir, oracle):
+    """Wildcard slots in phrase_docs: positions of a slot are the
+    union over the pattern's expansion; counts match the oracle."""
+    import pytest
+
+    from textindex_spark.query import phrase_docs, search_phrase
+
+    checked = 0
+    for ph in _corpus_phrases(oracle, n=4):
+        if len(ph) < 2 or any(len(t) < 3 for t in ph):
+            continue
+        wild = [ph[0][:2] + "*"] + list(ph[1:])
+        want = oracle.phrase_occurrences(wild)
+        got = {
+            r["doc_id"]: r["n_occ"]
+            for r in phrase_docs(spark, index_dir, wild).collect()
+        }
+        assert got == want, wild
+        checked += 1
+    assert checked
+    with pytest.raises(ValueError, match="literal"):
+        search_phrase(spark, index_dir, ["dat*", "engine"]).collect()

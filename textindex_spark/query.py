@@ -725,28 +725,75 @@ def phrase_terms(words: list[str]) -> list[str]:
 PHRASE_MAX_TERMS = 32
 
 
+def phrase_slots(words: list[str]) -> list[str]:
+    """Phrase slots with wildcard support: a word containing * or ?
+    becomes a pattern slot verbatim (lowercased — patterns bypass the
+    token pipeline, which would split on the wildcard); every other
+    word runs through the reference normalize pipeline (stop words
+    vanish, as in phrase_terms)."""
+    out: list[str] = []
+    for w in words:
+        if _is_wildcard(w):
+            out.append(w.lower())
+        else:
+            out.extend(phrase_terms([w]))
+    return out
+
+
+def _slot_occurrences(decoded: DataFrame, terms: list[str], shift: int, name: str):
+    """→ (doc_id, <name>: array<int>) of slot positions shifted by
+    -shift. Single-term slots stay narrow (no agg); multi-term
+    (wildcard) slots union positions across the expansion with one
+    map-side-combining agg."""
+    shifted = F.transform("pos", lambda x: x - F.lit(shift))
+    if len(terms) == 1:
+        return decoded.filter(F.col("term") == terms[0]).select(
+            "doc_id", shifted.alias(name)
+        )
+    return (
+        decoded.filter(F.col("term").isin(terms))
+        .select("doc_id", shifted.alias("_s"))
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.flatten(F.collect_list("_s"))).alias(name))
+    )
+
+
 def _phrase_frame(
-    spark: SparkSession, index_dir: str, words: list[str]
+    spark: SparkSession, index_dir: str, words: list[str], with_score: bool = True
 ) -> DataFrame | None:
-    """→ (doc_id, n_occ, score) for every doc containing the exact
-    phrase, or None when a phrase term is absent from the dictionary
+    """→ (doc_id, n_occ[, score]) for every doc containing the exact
+    phrase, or None when a slot matches nothing in the dictionary
     (no doc can match). One bucket-pruned isin-pushdown posting fetch,
-    one positions decode, then a JVM-side join chain: the i-th phrase
-    term's positions shifted by -i and intersected across terms
-    (n_occ = |intersection|), with the BM25 partial of each DISTINCT
-    term carried on its first occurrence so candidates and scores come
-    from the same scan (beyond the reference: it stores no positions
-    and has no phrase operator)."""
-    terms = phrase_terms(words)
-    if not terms:
+    one positions decode, then a JVM-side join chain: the i-th slot's
+    positions shifted by -i and intersected across slots
+    (n_occ = |intersection|). A slot may be a wildcard pattern
+    ("dat*"): its positions are the union over the pattern's expansion
+    terms (count semantics only — with_score requires literal slots).
+    For literal phrases the BM25 partial of each DISTINCT term rides
+    on its first occurrence so candidates and scores come from the
+    same scan (beyond the reference: it stores no positions and has
+    no phrase operator)."""
+    slots = phrase_slots(words)
+    if not slots:
         raise ValueError("phrase contains no indexable terms")
-    if len(terms) > PHRASE_MAX_TERMS:
-        raise ValueError(f"phrase too long ({len(terms)} > {PHRASE_MAX_TERMS})")
+    if len(slots) > PHRASE_MAX_TERMS:
+        raise ValueError(f"phrase too long ({len(slots)} > {PHRASE_MAX_TERMS})")
+    has_wildcard = any(_is_wildcard(p) for p in slots)
+    if with_score and has_wildcard:
+        raise ValueError(
+            "search_phrase supports literal phrases only; use phrase_docs "
+            "for wildcard slots"
+        )
     stats = cached_stats(spark, index_dir)
-    uniq = sorted(set(terms))
-    expanded = expand_patterns(spark, index_dir, uniq)
-    if expanded["term"].nunique() < len(uniq):
-        return None
+    patterns = sorted(set(slots))
+    expanded = expand_patterns(spark, index_dir, patterns)
+    slot_terms = {
+        p: sorted(expanded.loc[expanded["pattern_idx"] == i, "term"].unique())
+        for i, p in enumerate(patterns)
+    }
+    if any(not slot_terms[p] for p in slots):
+        return None  # some slot matches nothing → no doc can match
+    uniq = sorted(expanded["term"].unique())
     idf_by_term = {
         t: idf(stats["n_docs"], int(d))
         for t, d in zip(expanded["term"], expanded["df"])
@@ -759,30 +806,34 @@ def _phrase_frame(
     decoded = blocks.mapInPandas(_decode_pos_kernel, POS_DECODED_SCHEMA)
     first_occ: dict[str, int] = {}
     cur = None
-    for i, t in enumerate(terms):
-        shift = i  # bind per iteration for the lambda below
-        cols = [
-            F.col("doc_id"),
-            F.transform("pos", lambda x: x - F.lit(shift)).alias(f"_p{i}"),
-        ]
-        if t not in first_occ:
-            first_occ[t] = i
-            cols.append(
-                (F.lit(idf_by_term[t]) * F.col("tfnorm")).alias(f"_w{i}")
+    for i, p in enumerate(slots):
+        occ = _slot_occurrences(decoded, slot_terms[p], i, f"_p{i}")
+        if with_score and p not in first_occ:
+            # literal phrase: carry the slot term's BM25 partial on
+            # its first occurrence (slot_terms[p] is a single term)
+            first_occ[p] = i
+            # NB: a 2-arg lambda to F.transform would receive the
+            # ELEMENT INDEX as its second argument — bind the slot
+            # offset via an outer closure instead
+            shift_col = (lambda sh: F.transform("pos", lambda x: x - F.lit(sh)))(i)
+            occ = decoded.filter(F.col("term") == slot_terms[p][0]).select(
+                "doc_id",
+                shift_col.alias(f"_p{i}"),
+                (F.lit(idf_by_term[slot_terms[p][0]]) * F.col("tfnorm")).alias(
+                    f"_w{i}"
+                ),
             )
-        occ = decoded.filter(F.col("term") == t).select(*cols)
         cur = occ if cur is None else cur.join(occ, "doc_id")
     inter = F.col("_p0")
-    for i in range(1, len(terms)):
+    for i in range(1, len(slots)):
         inter = F.array_intersect(inter, F.col(f"_p{i}"))
-    score = None
-    for i in first_occ.values():
-        score = F.col(f"_w{i}") if score is None else score + F.col(f"_w{i}")
-    out = (
-        cur.withColumn("n_occ", F.size(inter).cast("int"))
-        .filter(F.col("n_occ") > 0)
-        .select("doc_id", "n_occ", score.alias("score"))
-    )
+    cols = [F.col("doc_id"), F.size(inter).cast("int").alias("n_occ")]
+    if with_score:
+        score = None
+        for i in first_occ.values():
+            score = F.col(f"_w{i}") if score is None else score + F.col(f"_w{i}")
+        cols.append(score.alias("score"))
+    out = cur.select(*cols).filter(F.col("n_occ") > 0)
     return apply_tombstones(spark, index_dir, out)
 
 
@@ -845,8 +896,9 @@ def phrase_docs(
     spark: SparkSession, index_dir: str, words: list[str]
 ) -> DataFrame:
     """→ (doc_id, n_occ): every live doc containing the exact phrase,
-    with its occurrence count."""
-    frame = _phrase_frame(spark, index_dir, words)
+    with its occurrence count. Slots may be wildcard patterns:
+    phrase_docs(spark, idx, ["big", "dat*"])."""
+    frame = _phrase_frame(spark, index_dir, words, with_score=False)
     if frame is None:
         return local_df(spark, [], "doc_id long, n_occ int")
     return frame.select("doc_id", "n_occ")

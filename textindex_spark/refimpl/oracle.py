@@ -157,23 +157,34 @@ class OracleIndex:
 
     def phrase_occurrences(self, words: list[str]) -> dict[int, int]:
         """doc_id → exact-phrase occurrence count, recomputed from the
-        kept-token position sequence (ground truth for search_phrase)."""
+        kept-token position sequence (ground truth for search_phrase /
+        phrase_docs). Wildcard slots supported: a slot's positions are
+        the union over its expansion terms."""
         from textindex_spark.refimpl.txt_tokenize import (
             iter_raw_words,
             normalize_token,
             term_positions,
         )
 
-        terms = []
-        for raw in iter_raw_words(" ".join(words)):
-            t = normalize_token(raw)
-            if t is not None:
-                terms.append(t)
+        slots: list[list[str]] = []
+        for w in words:
+            if "*" in w or "?" in w:
+                slots.append(self.expand(w.lower()))
+            else:
+                for raw in iter_raw_words(w):
+                    t = normalize_token(raw)
+                    if t is not None:
+                        slots.append([t])
         out: dict[int, int] = {}
         for doc_id, doc in self.docs.items():
             pos, _ = term_positions(doc["text"])
-            plists = [pos.get(t) for t in terms]
-            if any(p is None for p in plists):
+            plists = []
+            for terms in slots:
+                union: set[int] = set()
+                for t in terms:
+                    union.update(pos.get(t, ()))
+                plists.append(union)
+            if any(not p for p in plists):
                 continue
             starts = set(plists[0])
             for i, p in enumerate(plists[1:], start=1):

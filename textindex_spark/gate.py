@@ -289,13 +289,22 @@ def q_bm25_after_delete(spark, sf_dir):
 
 
 EMB_NEAR_THRESHOLD = 0.35
+# Pinned calibrated banding for the 500-vector gate corpus (both
+# sf0.001 and sf0.01 ship 500 embeddings): the oracle SQL is a static
+# string, so the gate fixes the params emb_lsh_params would derive at
+# that scale instead of counting at runtime.
+EMB_GATE_BITS, EMB_GATE_SEGS = similarity.emb_lsh_params(500, EMB_NEAR_THRESHOLD)
 
 
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-random-projection LSH
-    candidates (bucketed band join) + exact cosine verify."""
+    candidates (bucketed band join, corpus-calibrated banding) +
+    exact cosine verify."""
     return similarity.embedding_near_pairs(
-        _embeddings(spark, sf_dir), threshold=EMB_NEAR_THRESHOLD
+        _embeddings(spark, sf_dir),
+        threshold=EMB_NEAR_THRESHOLD,
+        n_bits=EMB_GATE_BITS,
+        n_segs=EMB_GATE_SEGS,
     )
 
 
@@ -552,11 +561,12 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
 
 def _emb_near_dup_sql() -> str:
     """Mirror of q_emb_near_dup: deterministic hyperplanes from the
-    md5 hash of 'b_i', sign bits from round(dot, 6), 4-bit band
-    segments, bucketed candidate join, exact-cosine verify on the
-    integer cos_micro (no float-boundary disagreement possible)."""
-    n_bits = similarity.EMB_LSH_BITS
-    n_segs = similarity.EMB_LSH_SEGS
+    md5 hash of 'b_i', sign bits from round(dot, 6), calibrated band
+    segments (EMB_GATE_BITS/EMB_GATE_SEGS), bucketed candidate join,
+    exact-cosine verify on the integer cos_micro (no float-boundary
+    disagreement possible)."""
+    n_bits = EMB_GATE_BITS
+    n_segs = EMB_GATE_SEGS
     width = n_bits // n_segs
     thr_micro = int(EMB_NEAR_THRESHOLD * 1e6 + 0.5)
     # driver testdata embeddings are 64-dimensional at every sf (the

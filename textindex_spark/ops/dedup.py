@@ -24,7 +24,16 @@ from pyspark.sql import functions as F
 MINHASH_P = 1099511627791
 N_MINHASHES = 16
 LSH_BAND_SIZE = 4
-SIMHASH_BITS = 32
+# 60-bit fingerprint (the full width of the portable md5-prefix hash;
+# 64 would overflow a signed BIGINT in the DuckDB oracle). With the
+# 4-segment pigeonhole this gives 15-bit segment keys = 32,768 buckets
+# per segment — at 10^9 docs each bucket holds ~30k docs, vs the
+# 256-bucket layout of a 32-bit hash whose candidate join went
+# quadratic (VERDICT r2). Pigeonhole recall is EXACT for radius ≤ 3
+# regardless of segment width, so wider segments are a pure
+# candidate-count win.
+SIMHASH_BITS = 60
+SIMHASH_SEGS = 4
 
 
 def minhash_params(n: int = N_MINHASHES) -> list[tuple[int, int]]:
@@ -217,14 +226,27 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, text_col: str = "text") -
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS, text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    text_col: str = "text",
+    n_segs: int = SIMHASH_SEGS,
 ) -> DataFrame:
     """→ (doc_a, doc_b, hamming): pairs within a Hamming radius.
-    Candidate generation by 4-segment pigeonhole (any pair within
-    radius 3 shares at least one identical 8-bit segment) — join on
-    segment value, verify exact distance with bit_count."""
+    Candidate generation by n_segs-segment pigeonhole (any pair within
+    radius n_segs-1 shares at least one identical segment — recall is
+    EXACT, not probabilistic) — join on segment value, verify exact
+    distance with bit_count. Default 60-bit / 4×15-bit segments =
+    32,768 buckets per segment; candidates stay near-linear while the
+    corpus stays below ~10^6 docs per bucket. For radii above
+    n_segs-1 raise n_segs (and accept narrower segments)."""
+    if max_hamming > n_segs - 1:
+        raise ValueError(
+            f"pigeonhole with {n_segs} segments only guarantees radius "
+            f"{n_segs - 1}; raise n_segs for max_hamming={max_hamming}"
+        )
     sh = simhash(docs, bits, text_col)
-    n_seg = 4
+    n_seg = n_segs
     seg_bits = bits // n_seg
     segs = sh.select(
         "doc_id",

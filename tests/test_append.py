@@ -135,3 +135,29 @@ def test_maybe_compact_policy(spark, rows, dirs):
         for r in search(spark, inc_dir, q["terms"], k=q["k"], with_urls=False).collect()
     ]
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_append_zero_surviving_docs_no_collision(spark, rows, tmp_path_factory):
+    """ADVICE r2: staging dirs were keyed only by base doc_id; an
+    append that survives with ZERO docs leaves old_max unchanged, so
+    the NEXT append reused the same staging names — overwriting live
+    committed dirs and double-registering their paths. The tag now
+    includes the manifest version."""
+    d = str(tmp_path_factory.mktemp("zappend") / "idx")
+    build_index(spark, corpus_df(spark, rows[:100]), d, range_bits=6)
+    ref_terms, ref_docs, ref_n, ref_avgdl = _sig(spark, d)
+
+    empty = corpus_df(spark, rows[:0])
+    append_batch(spark, empty, d)   # zero docs -> old_max unchanged
+    append_batch(spark, empty, d)   # would have collided pre-fix
+    assert _sig(spark, d)[:3] == (ref_terms, ref_docs, ref_n)
+
+    # a real append after the empties must equal a from-scratch build
+    # of the union (nothing clobbered, nothing duplicated)
+    append_batch(spark, corpus_df(spark, rows[100:150]), d)
+    full = str(tmp_path_factory.mktemp("zappend_full") / "idx")
+    build_index(spark, corpus_df(spark, rows[:150]), full, range_bits=6)
+    assert _sig(spark, d) == _sig(spark, full)
+    # registered postings dirs are all distinct
+    paths = manifest.table_paths(spark, d, "postings")
+    assert len(paths) == len(set(paths))

@@ -146,7 +146,17 @@ def mint_doc_ids(documents: DataFrame, base: int = 0) -> DataFrame:
     Both passes recompute the same deterministic narrow lineage
     (parquet scan split order + per-partition sort), so ordinals are
     stable between them — the same contract Spark's own
-    ``zipWithIndex`` relies on.
+    ``zipWithIndex`` relies on. That precondition is now ENFORCED, not
+    assumed (VERDICT/ADVICE r2): the assignment pass left-joins the
+    counted offsets and raises at execution time if the second pass
+    sees a partition id the counts pass never saw, or more rows in a
+    partition than were counted. Any row migration between the two
+    passes (nondeterministic upstream: sample(), AQE-coalesced
+    round-robin, a task retry with different splits) conserves the
+    total, so some partition must gain a row — tripping one of the
+    two checks instead of silently minting colliding/skipped ids.
+    The check is a per-row Catalyst conditional fused into the doc_id
+    projection — no extra pass, no shuffle.
     """
     spark = documents.sparkSession
     mids = documents.sortWithinPartitions("url").withColumn(
@@ -160,16 +170,30 @@ def mint_doc_ids(documents: DataFrame, base: int = 0) -> DataFrame:
     )
     offsets, acc = [], int(base)
     for r in sorted(counts, key=lambda r: r["_pid"]):
-        offsets.append((int(r["_pid"]), acc))
+        offsets.append((int(r["_pid"]), acc, int(r["_cnt"])))
         acc += int(r["_cnt"])
-    off_df = local_df(spark, offsets or [(0, base)], "_pid long, _off long")
+    off_df = local_df(
+        spark, offsets or [(0, base, 0)], "_pid long, _off long, _cnt long"
+    )
+    ordinal = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    checked_id = F.when(
+        F.col("_off").isNotNull() & (ordinal < F.col("_cnt")),
+        F.col("_off") + ordinal,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "mint_doc_ids: partition layout changed between the counts "
+                "pass and the assignment pass (nondeterministic input — "
+                "e.g. sample()/round-robin repartition upstream). Persist "
+                "or materialize the input before minting."
+            )
+        ).cast("long")
+    )
     return (
         mids.withColumn("_pid", F.shiftright("_mid", 33))
-        .join(F.broadcast(off_df), "_pid")
-        .withColumn(
-            "doc_id", F.col("_off") + F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
-        )
-        .drop("_mid", "_pid", "_off")
+        .join(F.broadcast(off_df), "_pid", "left")
+        .withColumn("doc_id", checked_id)
+        .drop("_mid", "_pid", "_off", "_cnt")
     )
 
 
@@ -465,17 +489,18 @@ LINEAGE_SCHEMA = (
 )
 
 
-def _dir_bytes(path: str) -> int:
-    import os
-
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Recursive byte size via the Hadoop FileSystem API — works on
+    file://, hdfs:// and s3a:// alike (VERDICT r2: the os.walk version
+    broke on any non-local index_dir while the rest of the engine
+    already used the FS API)."""
+    try:
+        fs, jpath, _ = manifest._fs(spark, path)
+        if not fs.exists(jpath):
+            return 0
+        return int(fs.getContentSummary(jpath).getLength())
+    except Exception:
+        return 0
 
 
 def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -541,7 +566,7 @@ def build_index_resumable(
                 int(m["n_tokens"] or 0),
                 int(n_terms),
                 int(m["n_postings"] or 0),
-                _dir_bytes(part_dir),
+                _dir_bytes(spark, part_dir),
                 time.time() - t0,
                 "segments",
             )
@@ -596,11 +621,20 @@ def append_batch(
         raise ValueError("append_batch requires doc_ids above the current max")
 
     base = old_max + 1
-    seg_dir = f"{out_dir}/segments_append_{base}"
-    docs_dir = f"{out_dir}/docs_append_{base}"
-    postings_dir = f"{out_dir}/postings_append_{base}"
-    terms_dir = f"{out_dir}/terms_append_{base}"
-    stats_dir = f"{out_dir}/stats_append_{base}"
+    # staging tag = base doc_id + CURRENT manifest version (ADVICE r2:
+    # base alone collides when a committed append contained zero
+    # surviving docs — old_max unchanged → same dir names → the next
+    # append overwrote live data dirs and double-registered the path).
+    # A crash-and-retry before the commit re-derives the same tag
+    # (version unchanged) and overwrites its own staging, keeping the
+    # operation idempotent; any successful commit bumps the version.
+    man = manifest.current_manifest(spark, out_dir)
+    tag = f"{base}_v{int(man['version']) if man else 0}"
+    seg_dir = f"{out_dir}/segments_append_{tag}"
+    docs_dir = f"{out_dir}/docs_append_{tag}"
+    postings_dir = f"{out_dir}/postings_append_{tag}"
+    terms_dir = f"{out_dir}/terms_append_{tag}"
+    stats_dir = f"{out_dir}/stats_append_{tag}"
 
     tokenize_segments(documents).write.mode("overwrite").parquet(seg_dir)
     new_seg = spark.read.schema(manifest.TABLE_SCHEMAS["segments"]).parquet(seg_dir)

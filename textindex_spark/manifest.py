@@ -62,9 +62,21 @@ def _read_file(spark: SparkSession, path: str) -> bytes:
 
 
 def _write_file_atomic(spark: SparkSession, path: str, data: bytes) -> bool:
-    """Write via temp-file + rename. Returns False if the destination
-    already exists (concurrent committer won the race)."""
+    """Write via temp-file + rename. Returns False when a concurrent
+    committer won the race for this destination.
+
+    Rename-fails-on-existing is only guaranteed by HDFS; POSIX
+    renameTo (RawLocalFileSystem) OVERWRITES an existing destination,
+    so two committers on file:// could both "succeed" at the same
+    version with one commit silently lost (ADVICE r2). Guards, in
+    order: (1) cheap pre-check — destination already exists → lost;
+    (2) after a successful rename, read the destination back and
+    verify it holds OUR bytes — if another committer's rename landed
+    on top, exactly one of the two read-backs can match, so exactly
+    one caller proceeds and the other retries at the next version."""
     fs, jpath, jvm = _fs(spark, path)
+    if fs.exists(jpath):
+        return False
     tmp = jvm.org.apache.hadoop.fs.Path(
         jpath.getParent(), f".tmp-{uuid.uuid4().hex}"
     )
@@ -76,7 +88,11 @@ def _write_file_atomic(spark: SparkSession, path: str, data: bytes) -> bool:
     ok = fs.rename(tmp, jpath)
     if not ok:
         fs.delete(tmp, False)
-    return bool(ok)
+        return False
+    try:
+        return _read_file(spark, path) == data
+    except Exception:
+        return False
 
 
 def _exists(spark: SparkSession, path: str) -> bool:

@@ -117,32 +117,44 @@ def main() -> None:
     search_phrase(spark, idx_dir, ["agg", "hash"], k=10, with_urls=False).collect()
     timings["phrase_rank"] = round(time.time() - t0, 3)
 
-    # ---- driver-table ops at the requested sf
+    # ---- driver-table ops at the requested sf — measured WARM like
+    # the BM25 set (r2 measured these cold and recorded 16-172%
+    # phantom regressions vs plan-identical code; BENCH_SCALING.md
+    # documents the ±50% cold-run VM noise)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    t0 = time.time()
-    dedup.minhash_signatures(docs).count()
-    timings["minhash_signatures"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs)).count()
-    timings["lsh_pairs"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    dedup.simhash(docs).count()
-    timings["simhash"] = round(time.time() - t0, 3)
+
+    def timed(name, fn):
+        fn()  # warm pass: JIT, page faults, parquet footer cache
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    timed("minhash_signatures", lambda: dedup.minhash_signatures(docs).count())
+    timed(
+        "lsh_pairs",
+        lambda: dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs)).count(),
+    )
+    timed("simhash", lambda: dedup.simhash(docs).count())
     qvec = emb.limit(1).collect()[0]["embedding"]
+    timed("ann_cosine_topk", lambda: similarity.cosine_topk(emb, list(qvec), k=10).collect())
+
+    def ivf_build():
+        assigned, cents = similarity.build_ivf(emb, n_centroids=16, max_iter=5)
+        assigned.count()
+        return assigned, cents
+
+    assigned, cents = ivf_build()  # warm
     t0 = time.time()
-    similarity.cosine_topk(emb, list(qvec), k=10).collect()
-    timings["ann_cosine_topk"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    assigned, cents = similarity.build_ivf(emb, n_centroids=16, max_iter=5)
-    assigned.count()
+    assigned, cents = ivf_build()
     timings["ann_ivf_build"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    similarity.ivf_cosine_topk(assigned, cents, list(qvec), k=10, n_probe=4).collect()
-    timings["ann_ivf_query"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    similarity.embedding_near_pairs(emb).count()
-    timings["emb_near_dup"] = round(time.time() - t0, 3)
+    timed(
+        "ann_ivf_query",
+        lambda: similarity.ivf_cosine_topk(
+            assigned, cents, list(qvec), k=10, n_probe=4
+        ).collect(),
+    )
+    timed("emb_near_dup", lambda: similarity.embedding_near_pairs(emb).count())
 
     out = {
         "metric": "synthetic_webcorpus_index_build_sec",

@@ -346,3 +346,41 @@ def test_phrase_wildcard_slot_beyond_isin_cap(spark, index_dir, oracle, monkeypa
         for r in Q.near_docs(spark, index_dir, phrases[0][:2], window=8).collect()
     }
     assert near_want == near_ref
+
+
+def test_sharded_dictionary_probe(spark, index_dir, oracle, monkeypatch):
+    """Vocabularies past TERMS_CACHE_MAX use the prefix-shard cache:
+    results identical to the resident-dictionary path, repeated
+    queries over a hot prefix cost zero terms-table scans."""
+    import textindex_spark.query as Q
+
+    pats = ["spark", "dat*", "*ing", "quer?", "z"]
+    want = Q.expand_patterns(spark, index_dir, pats)
+
+    Q.invalidate_cache(index_dir)
+    monkeypatch.setattr(Q, "TERMS_CACHE_MAX", -1)
+    got = Q.expand_patterns(spark, index_dir, pats)
+    key = lambda df: sorted(map(tuple, df[["pattern_idx", "term", "df"]].values.tolist()))
+    assert key(got) == key(want)
+    assert (index_dir, "sp") in Q._shard_cache
+    assert (index_dir, "da") in Q._shard_cache
+
+    # second probe over the same prefixes: no terms-table fetch at all
+    calls = []
+    real = Q._cached_table
+    monkeypatch.setattr(
+        Q, "_cached_table", lambda *a, **k: (calls.append(a), real(*a, **k))[1]
+    )
+    got2 = Q.expand_patterns(spark, index_dir, ["spark", "dat*"])
+    assert key(got2) == key(want[want["pattern_idx"] <= 1])
+    assert not calls  # served entirely from shards
+    # full search still rank-identical through the sharded path
+    q = query_set()[0]
+    want_rank = oracle.search(q["terms"], q["k"])
+    got_rank = [
+        (r["doc_id"], r["score"])
+        for r in search(spark, index_dir, q["terms"], k=q["k"], with_urls=False).collect()
+    ]
+    assert [d for d, _ in got_rank] == [d for d, _ in want_rank]
+    monkeypatch.undo()
+    Q.invalidate_cache(index_dir)

@@ -707,10 +707,10 @@ def append_batch(
         },
         props={"last_append_base": base, **(extra_props or {})},
     )
-    # invalidate the query-node dictionary cache for this index
+    # invalidate the query-node caches (dictionary + analyzed frames)
     from textindex_spark import query as _q
 
-    _q._dict_cache.pop(out_dir, None)
+    _q.invalidate_cache(out_dir)
     return new_stats
 
 
@@ -756,6 +756,9 @@ def _consolidate_postings(spark: SparkSession, out_dir: str) -> None:
     manifest.commit(
         spark, out_dir, set_tables={"postings": [manifest.rel(out_dir, new_dir)]}
     )
+    from textindex_spark import query as _q
+
+    _q.invalidate_cache(out_dir)
 
 
 def compact_postings(spark: SparkSession, out_dir: str) -> int:
@@ -858,4 +861,7 @@ def compact_postings(spark: SparkSession, out_dir: str) -> int:
     manifest.commit(
         spark, out_dir, set_tables={"postings": [manifest.rel(out_dir, new_dir)]}
     )
+    from textindex_spark import query as _q
+
+    _q.invalidate_cache(out_dir)
     return int(n_dup)

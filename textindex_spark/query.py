@@ -53,6 +53,35 @@ _DECODE_POS_COLS = _DECODE_COLS + ["pos_bytes"]
 TERMS_CACHE_MAX = 5_000_000
 _dict_cache: dict[str, tuple[pd.DataFrame, dict]] = {}
 
+# Analyzed-DataFrame cache per (index_dir, table): re-using the frame
+# object across queries skips the per-query manifest read + data-file
+# listing + schema resolution (ROADMAP r2 "plan caching" — worth
+# ~0.1-0.5 s/query of driver-side overhead on this VM). Correctness:
+# every snapshot-changing operation (append/delete/compact/
+# consolidate/stream commit) calls ``invalidate_cache``; old data dirs
+# are immutable and never deleted by those operations, so a cached
+# frame can never read torn state — at worst an EXTERNAL writer's
+# commit is unseen until invalidation, the standard serving-node
+# trade-off (call invalidate_cache on a refresh schedule there).
+_frame_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
+    key = (index_dir, name)
+    if key not in _frame_cache:
+        _frame_cache[key] = manifest.read_table(spark, index_dir, name)
+    return _frame_cache[key]
+
+
+def invalidate_cache(index_dir: str) -> None:
+    """Drop every query-node cache for an index (dictionary, stats,
+    analyzed table frames). Called by all snapshot-mutating ops."""
+    _dict_cache.pop(index_dir, None)
+    for k in [k for k in _frame_cache if k[0] == index_dir]:
+        _frame_cache.pop(k, None)
+    for k in [k for k in _shard_cache if k[0] == index_dir]:
+        _shard_cache.pop(k, None)
+
 
 def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -121,38 +150,89 @@ def expand_patterns(
             frames.append(hit)
         out = pd.concat(frames, ignore_index=True)
         return out[["pattern_idx", "term", "df", "max_tfnorm"]]
-    # distributed fallback: one scan, every pattern as one OR-predicate
-    terms_df = manifest.read_table(spark, index_dir, "terms")
-    conds = []
-    for p in patterns:
-        if _is_wildcard(p):
-            rx_cond = F.col("term").rlike(f"^(?s:{wildcard_to_regex(p).pattern})$")
-            # prefix patterns additionally push a sargable predicate
-            # onto the term-sorted parquet files: rlike cannot reach
-            # the scan, but startswith (StringStartsWith) does —
-            # at a 10^8-term vocabulary the probe then touches only
-            # the files whose min/max straddle the prefix
-            head = p.split("*", 1)[0].split("?", 1)[0]
-            if head:
-                # startswith -> StringStartsWith pushdown, not a
-                # `< head+'\\uffff'` range: the range bound silently
-                # excluded terms whose first post-prefix char is an
-                # astral-plane letter, which WORD_RE does index
-                # (ADVICE r2)
-                rx_cond = F.col("term").startswith(head) & rx_cond
-            conds.append(rx_cond)
-        else:
-            conds.append(F.col("term") == p)
-    combined = conds[0]
-    for c in conds[1:]:
-        combined = combined | c
-    got = terms_df.filter(combined).select("term", "df", "max_tfnorm").toPandas()
+    # distributed fallback (vocab > TERMS_CACHE_MAX), with a prefix-
+    # SHARD cache in front: hot term prefixes are served from driver
+    # memory, cold ones cost ONE combined Spark probe (ROADMAP r2 #4)
+    return _expand_sharded(spark, index_dir, patterns)
+
+
+# --- prefix-shard dictionary cache (vocabularies > TERMS_CACHE_MAX) --
+# A shard = every vocabulary term starting with the same
+# SHARD_PREFIX_LEN-char prefix, fetched with a sargable
+# startswith-pushdown scan and kept as a pandas frame. Repeated
+# queries over hot prefixes (the realistic query distribution) then
+# probe with zero Spark jobs, while cold prefixes pay one combined
+# scan. Shards hotter than SHARD_ROWS_MAX rows are served but not
+# cached (a 5M-row prefix would evict everything else); total
+# residency is bounded by SHARD_CACHE_ROWS with FIFO eviction.
+SHARD_PREFIX_LEN = 2
+SHARD_ROWS_MAX = 1_000_000
+SHARD_CACHE_ROWS = 4_000_000
+_shard_cache: dict[tuple[str, str], pd.DataFrame] = {}
+
+
+def _shard_key(p: str) -> str | None:
+    head = p.split("*", 1)[0].split("?", 1)[0]
+    return head[:SHARD_PREFIX_LEN] if len(head) >= SHARD_PREFIX_LEN else None
+
+
+def _cache_shard(index_dir: str, prefix: str, frame: pd.DataFrame) -> None:
+    if len(frame) > SHARD_ROWS_MAX:
+        return
+    total = sum(len(v) for v in _shard_cache.values()) + len(frame)
+    while total > SHARD_CACHE_ROWS and _shard_cache:
+        oldest = next(iter(_shard_cache))  # FIFO eviction
+        total -= len(_shard_cache.pop(oldest))
+    _shard_cache[(index_dir, prefix)] = frame
+
+
+def _expand_sharded(
+    spark: SparkSession, index_dir: str, patterns: list[str]
+) -> pd.DataFrame:
+    """Distributed probe with shard caching. Shardable patterns (≥
+    SHARD_PREFIX_LEN literal head chars) are matched against their
+    prefix shard — loaded once via startswith pushdown, then resident.
+    Keyless patterns (leading wildcard / 1-char head) go through the
+    per-pattern combined predicate, exactly as before. All cold work
+    is ONE Spark job."""
+    keys = {p: _shard_key(p) for p in patterns}
+    missing = sorted(
+        {k for k in keys.values() if k is not None and (index_dir, k) not in _shard_cache}
+    )
+    keyless = [p for p in patterns if keys[p] is None]
+    loose = pd.DataFrame(columns=["term", "df", "max_tfnorm"])
+    if missing or keyless:
+        terms_df = _cached_table(spark, index_dir, "terms")
+        conds = []
+        for k in missing:
+            # whole-shard fetch: sargable, term-sorted files prune
+            conds.append(F.col("term").startswith(k))
+        for p in keyless:
+            if _is_wildcard(p):
+                conds.append(
+                    F.col("term").rlike(f"^(?s:{wildcard_to_regex(p).pattern})$")
+                )
+            else:
+                conds.append(F.col("term") == p)
+        combined = conds[0]
+        for c in conds[1:]:
+            combined = combined | c
+        got = terms_df.filter(combined).select("term", "df", "max_tfnorm").toPandas()
+        for k in missing:
+            _cache_shard(index_dir, k, got[got["term"].str.startswith(k)].copy())
+        loose = got
     frames = []
     for i, p in enumerate(patterns):
+        k = keys[p]
+        src = _shard_cache.get((index_dir, k)) if k is not None else None
+        if src is None:
+            # keyless pattern, or a too-hot-to-cache shard: match
+            # against this probe's result rows
+            src = loose
         if _is_wildcard(p):
-            hit = got[_wild_mask(got["term"], p)].copy()
+            hit = src[_wild_mask(src["term"], p)].copy()
         else:
-            hit = got[got["term"] == p].copy()
+            hit = src[src["term"] == p].copy()
         hit["pattern_idx"] = i
         frames.append(hit)
     out = pd.concat(frames, ignore_index=True)
@@ -216,7 +296,7 @@ def _query_blocks(
     (PushedFilters → row-group min/max skipping over the term-sorted
     files); large ones a broadcast semi-join."""
     postings = _bucket_filter(
-        manifest.read_table(spark, index_dir, "postings"), term_list, n_buckets
+        _cached_table(spark, index_dir, "postings"), term_list, n_buckets
     )
     if 0 < len(term_list) <= ISIN_PUSHDOWN_MAX:
         return postings.filter(F.col("term").isin(term_list))
@@ -335,7 +415,7 @@ def search(
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
     if with_urls:
-        docs = manifest.read_table(spark, index_dir, "docs").select("doc_id", "url")
+        docs = _cached_table(spark, index_dir, "docs").select("doc_id", "url")
         result = (
             result.join(docs, "doc_id", "left")
             .select("doc_id", "score", "url")
@@ -384,7 +464,7 @@ def _search_local(
         result_rows = []
     else:
         fetch = _bucket_filter(
-            manifest.read_table(spark, index_dir, "postings"),
+            _cached_table(spark, index_dir, "postings"),
             list(term_info["term"]),
             stats.get("n_term_buckets"),
         ).filter(F.col("term").isin(list(term_info["term"])))
@@ -427,7 +507,7 @@ def _finish_local(
         else empty
     )
     if with_urls:
-        docs_df = manifest.read_table(spark, index_dir, "docs").select("doc_id", "url")
+        docs_df = _cached_table(spark, index_dir, "docs").select("doc_id", "url")
         result = (
             result.join(docs_df, "doc_id", "left")
             .select("doc_id", "score", "url")
@@ -624,7 +704,7 @@ def find_unranked(
         .filter(F.col("mask") == full_mask)
         .select("doc_id")
     )
-    docs = manifest.read_table(spark, index_dir, "docs").select("doc_id", "url")
+    docs = _cached_table(spark, index_dir, "docs").select("doc_id", "url")
     hits = apply_tombstones(spark, index_dir, hits)
     return hits.join(docs, "doc_id", "left").orderBy("doc_id")
 
@@ -640,7 +720,7 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
     snapshot intact). ``compact_postings``-style physical purge can
     follow offline."""
     rx = wildcard_to_regex(url_pattern).pattern
-    docs = manifest.read_table(spark, index_dir, "docs")
+    docs = _cached_table(spark, index_dir, "docs")
     victims = docs.filter(F.col("url").rlike(f"^(?s:{rx})$")).select("doc_id")
     n = victims.count()
     if n:
@@ -677,7 +757,7 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
             add_to_tables={"deleted": [manifest.rel(index_dir, dead_dir)]},
             set_tables={"stats": [manifest.rel(index_dir, stats_dir)]},
         )
-        _dict_cache.pop(index_dir, None)
+        invalidate_cache(index_dir)
     return int(n)
 
 
@@ -980,7 +1060,7 @@ def search_phrase(
     )
     result = result.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_urls:
-        docs_df = manifest.read_table(spark, index_dir, "docs").select("doc_id", "url")
+        docs_df = _cached_table(spark, index_dir, "docs").select("doc_id", "url")
         result = result.join(docs_df, "doc_id", "left").select(
             "doc_id", "score", "url"
         ).orderBy(F.desc("score"), F.asc("doc_id"))
@@ -989,7 +1069,7 @@ def search_phrase(
 
 def _tombstones(spark: SparkSession, index_dir: str):
     if manifest.table_exists(spark, index_dir, "deleted"):
-        return manifest.read_table(spark, index_dir, "deleted")
+        return _cached_table(spark, index_dir, "deleted")
     return None
 
 
@@ -1024,7 +1104,7 @@ def find_files(spark: SparkSession, index_dir: str, pattern: str) -> DataFrame:
     """File-name wildcard search (index2.rs:447-456)."""
     rx = wildcard_to_regex(pattern).pattern
     return (
-        manifest.read_table(spark, index_dir, "docs")
+        _cached_table(spark, index_dir, "docs")
         .filter(F.col("url").rlike(f"^(?s:{rx})$"))
         .select("doc_id", "url")
         .orderBy("doc_id")

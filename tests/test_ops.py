@@ -413,3 +413,32 @@ def test_emb_lsh_calibration_and_candidate_bound(spark):
     # across ALL segments the union of candidates must stay well below
     # the all-pairs join the old 16-bucket layout degenerated into
     assert cand < 0.25 * all_pairs * segsn, (cand, all_pairs, segsn)
+
+
+def test_dedup_clusters_and_keep_list(spark):
+    """Connected components by min-label propagation: two components
+    (one chain — worst diameter), singleton untouched, keep list =
+    component minima + unlabeled docs."""
+    import pyspark.sql.functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21), (21, 20)],  # chain + dup edge
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 5, 9, 12, 20, 21, 99)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_list(docs, dedup.dedup_clusters(pairs)).collect()
+    )
+    assert kept == [1, 20, 99]  # component minima + the singleton
+
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.dedup_clusters(pairs, max_iter=1)

@@ -328,6 +328,15 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_documents(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: LSH candidate pairs → connected
+    components by distributed min-label propagation → (doc_id,
+    cluster_id = component min)."""
+    docs = _documents(spark, sf_dir)
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    return dedup.dedup_clusters(pairs)
+
+
 def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_documents(spark, sf_dir))
 
@@ -391,6 +400,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_signatures": q_minhash_signatures,
     "lsh_pairs": q_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -450,6 +460,28 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Mirror of q_dedup_clusters: transitive closure of the LSH pair
+    graph by recursive CTE (tractable at gate scale; the engine side
+    is iterative label propagation), cluster_id = min reachable
+    doc_id including self."""
+    return f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
+FROM reach GROUP BY src
 """
 
 
@@ -864,6 +896,7 @@ WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.08
 """,
         "minhash_signatures": _minhash_sql(),
         "lsh_pairs": _lsh_pairs_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash": f"""
 WITH toks AS (
     SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -200,6 +200,87 @@ def lsh_candidate_pairs(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """→ (doc_id, cluster_id): connected components of a near-dup pair
+    graph (``doc_a``/``doc_b`` columns, e.g. lsh_candidate_pairs or
+    ngram_jaccard_pairs output); cluster_id = the component's minimum
+    doc_id. Only docs that appear in at least one pair are labeled —
+    singletons are their own implicit cluster.
+
+    Distributed min-label propagation: each iteration is one
+    edge⋈label join + one min-groupBy (both shuffles keyed by doc_id,
+    no skew — near-dup components are small), with
+    ``localCheckpoint`` truncating the iterative lineage. A label
+    travels one hop per iteration, so convergence takes
+    O(component diameter) rounds — single digits for near-dup
+    clusters, which are dense by construction. Raises if max_iter is
+    reached without convergence rather than returning partially-merged
+    clusters. (At 10^12-doc scale with adversarial chain-shaped
+    components, switch to the alternating large-star/small-star
+    algorithm — same join primitives, O(log n) rounds; near-dup
+    graphs in practice never need it. On a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` instead
+    of localCheckpoint so executor loss cannot drop cached blocks.)"""
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = (
+        sym.unionByName(
+            sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("cluster_id").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_nbr_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("_nbr_min", "cluster_id")
+            ).alias("cluster_id"),
+            F.col("cluster_id").alias("_old"),
+        )
+        new = new.localCheckpoint()
+        changed = new.filter(F.col("cluster_id") != F.col("_old")).limit(1).count()
+        labels = new.select("doc_id", "cluster_id")
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} iterations "
+            "(component diameter exceeds max_iter — raise it, or use a "
+            "star-contraction variant for chain-shaped graphs)"
+        )
+    return labels
+
+
+def dedup_keep_list(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """→ docs minus non-canonical near-duplicates: every doc that is
+    either unlabeled (no near-dup) or its cluster's minimum doc_id.
+    One broadcast-able anti-join against the (small) drop set."""
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, text_col: str = "text") -> DataFrame:
     """→ (doc_id, simhash): per-bit majority vote over the distinct
     token hash set (bit set iff strictly more ones than zeros)."""

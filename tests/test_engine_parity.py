@@ -384,3 +384,22 @@ def test_sharded_dictionary_probe(spark, index_dir, oracle, monkeypatch):
     assert [d for d, _ in got_rank] == [d for d, _ in want_rank]
     monkeypatch.undo()
     Q.invalidate_cache(index_dir)
+
+
+def test_phrase_pos_fetch_prunes_ranges(spark, index_dir, oracle):
+    """The positional (phrase/NEAR) fetch must push BOTH the term
+    in-list AND the surviving range_id in-list down to the parquet
+    scan — pos_bytes (the largest column) is only deserialized for
+    ranges where every slot co-occurs (VERDICT r2 #4)."""
+    from textindex_spark.query import _decoded_pos, cached_stats
+
+    phrases = [p for p in _corpus_phrases(oracle, n=4) if len(p) >= 2]
+    words = phrases[0][:2]
+    stats = cached_stats(spark, index_dir)
+    decoded = _decoded_pos(spark, index_dir, [[w] for w in words], stats)
+    plan = decoded._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "postings" in l
+    )
+    assert "In(term, " in scan or "EqualTo(term" in scan, scan
+    assert "In(range_id, " in scan or "EqualTo(range_id" in scan, scan

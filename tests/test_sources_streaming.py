@@ -71,3 +71,72 @@ def test_stream_index_incremental(spark, tmp_path):
     assert n2 > n1
     stats = manifest.read_table(spark, idx, "stats").collect()[0]
     assert stats["n_docs"] == n2
+
+
+def test_dedup_batch_streaming_semantics(spark, tmp_path):
+    """Online dedup against the kept corpus: exact first-seen-wins
+    (even when a later batch has a SMALLER doc_id), LSH+estimator
+    near-dups across batches, survivors-only state growth, replayed
+    batch ids are no-ops."""
+    from textindex_spark.streaming.dedup import dedup_batch, read_verdicts
+
+    state = str(tmp_path / "dstate")
+    # 30-token base; changing token 10 keeps a full LSH band identical
+    # (deterministically verified: est-Jaccard 0.94, >=1 band collides)
+    base = " ".join(f"tok{i}" for i in range(30))
+    near_toks = base.split()
+    near_toks[10] = "CHANGED"
+    near = " ".join(near_toks)
+    uniq = "completely different words entirely unrelated prose for this one"
+
+    b1 = spark.createDataFrame(
+        [(10, base), (11, base), (12, uniq)], "doc_id long, text string"
+    )
+    dedup_batch(spark, b1, state, batch_id=0)
+    v = {r["doc_id"]: r for r in read_verdicts(spark, state).collect()}
+    assert v[11]["dup_of"] == 10 and v[11]["kind"] == "exact"
+    assert set(v) == {11}
+    kept = {r["doc_id"] for r in manifest.read_table(spark, state, "dedup_exact").collect()}
+    assert kept == {10, 12}  # survivors only
+
+    # batch 2: smaller id exact-dups the KEPT canonical; a near edit
+    # of the kept base; one unique
+    b2 = spark.createDataFrame(
+        [(5, base), (20, near), (21, "something else entirely and unrelated words")],
+        "doc_id long, text string",
+    )
+    dedup_batch(spark, b2, state, batch_id=1)
+    v = {r["doc_id"]: r for r in read_verdicts(spark, state).collect()}
+    assert v[5]["dup_of"] == 10 and v[5]["kind"] == "exact"  # first seen wins
+    assert v[20]["dup_of"] == 10 and v[20]["kind"] == "near"
+    assert 0 < v[20]["est_jaccard_micro"] < 1_000_000
+    assert 21 not in v
+    kept = {r["doc_id"] for r in manifest.read_table(spark, state, "dedup_exact").collect()}
+    assert kept == {10, 12, 21}
+
+    # replay of a committed batch id: no state or verdict change
+    dedup_batch(spark, b2, state, batch_id=1)
+    assert read_verdicts(spark, state).count() == 3
+
+
+def test_stream_dedup_end_to_end(spark, tmp_path):
+    from textindex_spark.streaming.dedup import read_verdicts, stream_dedup
+
+    rows = synth_corpus(60)
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    state = str(tmp_path / "dstate2")
+    ckpt = str(tmp_path / "dckpt")
+    corpus_df(spark, rows[:40]).coalesce(1).write.parquet(str(src / "b1"))
+    stream_dedup(spark, str(src / "*"), state, ckpt)
+    n1_exact = read_verdicts(spark, state).filter("kind = 'exact'").count()
+    # re-deliver the same TEXTS under fresh doc_ids: every one is an
+    # exact dup of its kept original (or of that original's canonical)
+    from pyspark.sql import functions as F
+
+    corpus_df(spark, rows[:20]).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    stream_dedup(spark, str(src / "*"), state, ckpt)
+    exact = read_verdicts(spark, state).filter("kind = 'exact'").count()
+    assert exact == n1_exact + 20

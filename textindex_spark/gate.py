@@ -328,6 +328,25 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_documents(spark, sf_dir))
 
 
+STREAM_DEDUP_SPLIT = 250  # both gate sfs ship doc_ids 0..499
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Two-batch online dedup over the documents table split at
+    doc_id 250: exact (first-seen-wins) + LSH/estimator near verdicts
+    accumulated through the committed-batch-id state machinery."""
+    import shutil
+
+    from textindex_spark.streaming.dedup import dedup_batch, read_verdicts
+
+    state = f"{GATE_DIR}/dedup_state_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(state, ignore_errors=True)
+    docs = _documents(spark, sf_dir)
+    dedup_batch(spark, docs.filter(F.col("doc_id") < STREAM_DEDUP_SPLIT), state, 0)
+    dedup_batch(spark, docs.filter(F.col("doc_id") >= STREAM_DEDUP_SPLIT), state, 1)
+    return read_verdicts(spark, state)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup cluster resolution: LSH candidate pairs → connected
     components by distributed min-label propagation → (doc_id,
@@ -401,6 +420,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "lsh_pairs": q_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "stream_dedup": q_stream_dedup,
     "simhash": q_simhash,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -460,6 +480,103 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _stream_dedup_sql() -> str:
+    """Mirror of q_stream_dedup: the two-batch state machine unrolled
+    into CTEs. Batch 0 dedups within itself (state empty); its
+    survivors form the kept state; batch 1 dedups against state (any
+    id order) and within itself (ordered, live docs only). Near
+    verdicts need est-Jaccard (agreeing minhash share) ≥ 0.5."""
+    split = STREAM_DEDUP_SPLIT
+    from textindex_spark.streaming.dedup import EST_THRESHOLD_DEFAULT as THR
+
+    return f"""
+WITH sig_rows AS ({_minhash_sql()}),
+bands AS (
+    SELECT doc_id, (j // {dedup.LSH_BAND_SIZE}) AS band,
+           string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key
+    FROM sig_rows GROUP BY doc_id, (j // {dedup.LSH_BAND_SIZE})
+),
+b1 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < {split}),
+b2 AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= {split}),
+b1canon AS (SELECT h, min(doc_id) AS c FROM b1 GROUP BY h),
+ex1 AS (
+    SELECT doc_id, c AS dup_of FROM b1 JOIN b1canon USING (h)
+    WHERE doc_id <> c
+),
+live1 AS (SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM ex1)),
+cand1 AS (
+    SELECT DISTINCT n.doc_id, o.doc_id AS dup_of
+    FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+    JOIN live1 ln ON ln.doc_id = n.doc_id
+    JOIN live1 lo ON lo.doc_id = o.doc_id
+    WHERE o.doc_id < n.doc_id
+),
+est1 AS (
+    SELECT c.doc_id, c.dup_of,
+           sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / count(*) AS est
+    FROM cand1 c
+    JOIN sig_rows sa ON sa.doc_id = c.doc_id
+    JOIN sig_rows sb ON sb.doc_id = c.dup_of AND sb.j = sa.j
+    GROUP BY c.doc_id, c.dup_of
+    HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / count(*) >= {THR}
+),
+v1 AS (
+    SELECT doc_id, dup_of, 'exact' AS kind, 1000000::BIGINT AS est_jaccard_micro,
+           0::BIGINT AS batch_id FROM ex1
+    UNION ALL
+    SELECT doc_id, dup_of, 'near', floor(est * 1e6 + 0.5)::BIGINT, 0::BIGINT
+    FROM est1
+),
+kept1 AS (
+    SELECT doc_id FROM b1
+    WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM v1)
+),
+statecanon AS (
+    SELECT h, min(b1.doc_id) AS c FROM b1 JOIN kept1 USING (doc_id) GROUP BY h
+),
+b2canon AS (SELECT h, min(doc_id) AS c FROM b2 GROUP BY h),
+ex2 AS (
+    SELECT doc_id, dup_of FROM (
+        SELECT d.doc_id,
+               coalesce(s.c, CASE WHEN d.doc_id <> bc.c THEN bc.c END) AS dup_of
+        FROM b2 d
+        LEFT JOIN statecanon s USING (h)
+        JOIN b2canon bc USING (h)
+    ) WHERE dup_of IS NOT NULL AND dup_of <> doc_id
+),
+live2 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM ex2)),
+cand2 AS (
+    SELECT DISTINCT n.doc_id, o.doc_id AS dup_of
+    FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+    JOIN live2 ln ON ln.doc_id = n.doc_id
+    JOIN kept1 k ON k.doc_id = o.doc_id
+    UNION
+    SELECT DISTINCT n.doc_id, o.doc_id AS dup_of
+    FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+    JOIN live2 ln ON ln.doc_id = n.doc_id
+    JOIN live2 lo ON lo.doc_id = o.doc_id
+    WHERE o.doc_id < n.doc_id
+),
+est2 AS (
+    SELECT c.doc_id, c.dup_of,
+           sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / count(*) AS est
+    FROM cand2 c
+    JOIN sig_rows sa ON sa.doc_id = c.doc_id
+    JOIN sig_rows sb ON sb.doc_id = c.dup_of AND sb.j = sa.j
+    GROUP BY c.doc_id, c.dup_of
+    HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / count(*) >= {THR}
+),
+v2 AS (
+    SELECT doc_id, dup_of, 'exact' AS kind, 1000000::BIGINT AS est_jaccard_micro,
+           1::BIGINT AS batch_id FROM ex2
+    UNION ALL
+    SELECT doc_id, dup_of, 'near', floor(est * 1e6 + 0.5)::BIGINT, 1::BIGINT
+    FROM est2
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
 """
 
 
@@ -897,6 +1014,7 @@ WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.08
         "minhash_signatures": _minhash_sql(),
         "lsh_pairs": _lsh_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "stream_dedup": _stream_dedup_sql(),
         "simhash": f"""
 WITH toks AS (
     SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -173,12 +173,13 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_keys(
     signatures: DataFrame, band_size: int = LSH_BAND_SIZE
 ) -> DataFrame:
-    """→ (doc_a, doc_b): docs agreeing on at least one full LSH band
-    (band = ``band_size`` consecutive signature positions)."""
-    bands = (
+    """→ (doc_id, band, band_key): each band's key is the ordered
+    concatenation of its ``band_size`` minhash values — the bucketed
+    join key for candidate generation (batch AND streaming dedup)."""
+    return (
         signatures.withColumn("band", (F.col("j") / band_size).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
@@ -191,6 +192,14 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_size: int = LSH_BAND_SIZE
+) -> DataFrame:
+    """→ (doc_a, doc_b): docs agreeing on at least one full LSH band
+    (band = ``band_size`` consecutive signature positions)."""
+    bands = lsh_band_keys(signatures, band_size)
     return (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "band_key"])

@@ -136,6 +136,12 @@ def main() -> None:
         lambda: dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs)).count(),
     )
     timed("simhash", lambda: dedup.simhash(docs).count())
+    timed(
+        "dedup_clusters",
+        lambda: dedup.dedup_clusters(
+            dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+        ).count(),
+    )
     qvec = emb.limit(1).collect()[0]["embedding"]
     timed("ann_cosine_topk", lambda: similarity.cosine_topk(emb, list(qvec), k=10).collect())
 

@@ -110,3 +110,17 @@ def test_delete_is_atomic_commit(spark, index_dir):
     assert man["version"] == v0 + 1  # tombstones + stats in ONE commit
     assert len(man["tables"]["deleted"]) == 1
     assert man["tables"]["stats"][0].startswith("stats_del_")
+
+
+def test_write_file_atomic_loses_race_cleanly(spark, tmp_path):
+    """ADVICE r2: POSIX rename overwrites, so version-race losers must
+    detect the loss. Pre-existing destination → False without
+    touching the winner's bytes; read-back verification guards the
+    overwrite window."""
+    from textindex_spark.manifest import _read_file, _write_file_atomic
+
+    path = f"file:{tmp_path}/_manifests/v000000000001.json"
+    assert _write_file_atomic(spark, path, b'{"v": 1}') is True
+    # second committer at the SAME version: must report the lost race
+    assert _write_file_atomic(spark, path, b'{"v": "other"}') is False
+    assert _read_file(spark, path) == b'{"v": 1}'  # winner intact

@@ -442,3 +442,16 @@ def test_dedup_clusters_and_keep_list(spark):
 
     with pytest.raises(RuntimeError, match="converge"):
         dedup.dedup_clusters(pairs, max_iter=1)
+
+
+def test_dedup_clusters_log_rounds_on_long_chain(spark):
+    """Pointer jumping: a 64-node chain must converge in O(log n)
+    rounds (plain one-hop propagation would need 63)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(64)}

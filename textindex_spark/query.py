@@ -77,6 +77,7 @@ def invalidate_cache(index_dir: str) -> None:
     """Drop every query-node cache for an index (dictionary, stats,
     analyzed table frames). Called by all snapshot-mutating ops."""
     _dict_cache.pop(index_dir, None)
+    _tomb_exists.pop(index_dir, None)
     for k in [k for k in _frame_cache if k[0] == index_dir]:
         _frame_cache.pop(k, None)
     for k in [k for k in _shard_cache if k[0] == index_dir]:
@@ -1067,8 +1068,17 @@ def search_phrase(
     return result
 
 
+_tomb_exists: dict[str, bool] = {}
+
+
 def _tombstones(spark: SparkSession, index_dir: str):
-    if manifest.table_exists(spark, index_dir, "deleted"):
+    """Tombstone frame or None. The EXISTENCE answer is cached too —
+    ``table_exists`` walks the manifest (an FS listing) and this runs
+    on every query; deletes go through ``invalidate_cache`` which
+    clears both caches."""
+    if index_dir not in _tomb_exists:
+        _tomb_exists[index_dir] = manifest.table_exists(spark, index_dir, "deleted")
+    if _tomb_exists[index_dir]:
         return _cached_table(spark, index_dir, "deleted")
     return None
 

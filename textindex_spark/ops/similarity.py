@@ -230,6 +230,30 @@ def write_ivf(
     return centroids
 
 
+def ivf_append(
+    spark: SparkSession,
+    emb: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental vector ingestion into a ``write_ivf`` index: new
+    vectors are assigned to the EXISTING centroids (one Arrow-batched
+    matmul pass — no refit, the standard IVF add path) and appended
+    into the bucket-partitioned layout, so stored-index queries see
+    them through the same partition pruning. Returns rows appended.
+    Re-train (``write_ivf``) when drift degrades recall — centroid
+    staleness is the classic IVF trade-off, not a Spark artifact."""
+    cent = spark.read.parquet(f"{out_dir}/centroids").orderBy("bucket").collect()
+    centroids = np.array([list(r["centroid"]) for r in cent], dtype=np.float64)
+    assigned = assign_buckets(emb, centroids, vec_col)
+    n = assigned.count()
+    assigned.repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{out_dir}/vectors")
+    return int(n)
+
+
 def probe_buckets(
     centroids: np.ndarray | list[list[float]], query_vec: list[float], n_probe: int
 ) -> list[int]:

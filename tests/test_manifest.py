@@ -124,3 +124,21 @@ def test_write_file_atomic_loses_race_cleanly(spark, tmp_path):
     # second committer at the SAME version: must report the lost race
     assert _write_file_atomic(spark, path, b'{"v": "other"}') is False
     assert _read_file(spark, path) == b'{"v": 1}'  # winner intact
+
+
+def test_rebuild_invalidates_query_caches(spark, tmp_path):
+    """Round-3 review: build_index overwrites table dirs in place, so
+    querying, rebuilding, then querying again in one process must not
+    serve dead cached file references or a stale dictionary."""
+    rows = synth_corpus(140)
+    out = str(tmp_path / "re")
+    build_index(spark, corpus_df(spark, rows[:80]), out, range_bits=6)
+    first = _topk(spark, out)  # populates frame + dictionary caches
+    assert first
+    build_index(spark, corpus_df(spark, rows), out, range_bits=6)
+    from textindex_spark.build import read_stats
+    from textindex_spark.query import cached_stats
+
+    assert cached_stats(spark, out)["n_docs"] == read_stats(spark, out)["n_docs"]
+    again = _topk(spark, out)  # must read the NEW files, no dead refs
+    assert again and again != first

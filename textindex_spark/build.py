@@ -440,6 +440,13 @@ def finalize_index(
             "deleted": [],
         },
     )
+    # a REBUILD overwrites the default table dirs in place — unlike
+    # append/compact it deletes old parquet files, so any cached
+    # analyzed frames from a previous generation of this index_dir
+    # would point at dead files (round-3 review)
+    from textindex_spark import query as _q
+
+    _q.invalidate_cache(out_dir)
     return stats
 
 

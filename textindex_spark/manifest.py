@@ -61,33 +61,67 @@ def _read_file(spark: SparkSession, path: str) -> bytes:
         stream.close()
 
 
-def _write_file_atomic(spark: SparkSession, path: str, data: bytes) -> bool:
-    """Write via temp-file + rename. Returns False when a concurrent
-    committer won the race for this destination.
+def _local_path(path: str) -> str | None:
+    """Local filesystem path for file:// / scheme-less paths, else
+    None."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    if "://" not in path and not path.startswith("file:"):
+        return path if path.startswith("/") else None
+    return None
 
-    Rename-fails-on-existing is only guaranteed by HDFS; POSIX
-    renameTo (RawLocalFileSystem) OVERWRITES an existing destination,
-    so two committers on file:// could both "succeed" at the same
-    version with one commit silently lost (ADVICE r2). Guards, in
-    order: (1) cheap pre-check — destination already exists → lost;
-    (2) after a successful rename, read the destination back and
-    verify it holds OUR bytes — if another committer's rename landed
-    on top, exactly one of the two read-backs can match, so exactly
-    one caller proceeds and the other retries at the next version."""
+
+def _write_file_atomic(spark: SparkSession, path: str, data: bytes) -> bool:
+    """Exclusive-create the version file. Returns False when a
+    concurrent committer won the race for this destination.
+
+    * local paths (file:// or scheme-less): temp file + ``os.link`` —
+      hard-link creation FAILS if the destination exists, atomically
+      at the kernel level, so mutual exclusion is exact (POSIX
+      renameTo would overwrite; ADVICE r2 / round-3 review).
+    * remote filesystems: temp + rename (atomic-no-overwrite on
+      HDFS), then a read-back verification as a best-effort guard for
+      stores whose rename can overwrite. Losing a commit there
+      additionally requires two committers inside the same
+      millisecond-scale window AND the loser's read-back to race the
+      winner's rename; ``commit`` is also idempotent against
+      re-applied adds (duplicate staged paths are skipped), so a
+      spurious False → retry cannot duplicate data."""
+    lp = _local_path(path)
+    if lp is not None:
+        import os
+        import tempfile
+
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            prefix=".tmp-", dir=os.path.dirname(lp)
+        )
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            try:
+                os.link(tmp, lp)  # atomic exclusive create
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
     fs, jpath, jvm = _fs(spark, path)
     if fs.exists(jpath):
         return False
-    tmp = jvm.org.apache.hadoop.fs.Path(
+    tmp_j = jvm.org.apache.hadoop.fs.Path(
         jpath.getParent(), f".tmp-{uuid.uuid4().hex}"
     )
-    out = fs.create(tmp, True)
+    out = fs.create(tmp_j, True)
     try:
         out.write(bytearray(data))
     finally:
         out.close()
-    ok = fs.rename(tmp, jpath)
+    ok = fs.rename(tmp_j, jpath)
     if not ok:
-        fs.delete(tmp, False)
+        fs.delete(tmp_j, False)
         return False
     try:
         return _read_file(spark, path) == data
@@ -209,7 +243,12 @@ def commit(
             tables[t] = list(paths)
         for t, paths in (add_to_tables or {}).items():
             tables.setdefault(t, [t] if _exists(spark, f"{index_dir}/{t}") else [])
-            tables[t].extend(paths)
+            # skip already-registered dirs: a commit retried after a
+            # spurious failure (e.g. read-back hiccup on a remote FS
+            # AFTER the rename landed) must not register the same
+            # staged directory twice — that would union every row of
+            # the batch into queries twice (round-3 review)
+            tables[t].extend(p for p in paths if p not in tables[t])
         mprops.update(props or {})
         new = {"version": version + 1, "tables": tables, "props": mprops}
         path = f"{index_dir}/{MANIFEST_DIR}/v{version + 1:012d}.json"

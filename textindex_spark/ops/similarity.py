@@ -246,11 +246,12 @@ def ivf_append(
     staleness is the classic IVF trade-off, not a Spark artifact."""
     cent = spark.read.parquet(f"{out_dir}/centroids").orderBy("bucket").collect()
     centroids = np.array([list(r["centroid"]) for r in cent], dtype=np.float64)
-    assigned = assign_buckets(emb, centroids, vec_col)
-    n = assigned.count()
+    assigned = assign_buckets(emb, centroids, vec_col).persist()
+    n = assigned.count()  # materializes ONE matmul pass; write reuses it
     assigned.repartition("bucket").write.mode("append").partitionBy(
         "bucket"
     ).parquet(f"{out_dir}/vectors")
+    assigned.unpersist()
     return int(n)
 
 

@@ -210,9 +210,17 @@ def _expand_sharded(
             conds.append(F.col("term").startswith(k))
         for p in keyless:
             if _is_wildcard(p):
-                conds.append(
-                    F.col("term").rlike(f"^(?s:{wildcard_to_regex(p).pattern})$")
+                rx_cond = F.col("term").rlike(
+                    f"^(?s:{wildcard_to_regex(p).pattern})$"
                 )
+                # a short (<SHARD_PREFIX_LEN) literal head still
+                # deserves the sargable StringStartsWith pushdown the
+                # pre-shard code had — rlike alone cannot reach the
+                # scan (round-3 review)
+                head = p.split("*", 1)[0].split("?", 1)[0]
+                if head:
+                    rx_cond = F.col("term").startswith(head) & rx_cond
+                conds.append(rx_cond)
             else:
                 conds.append(F.col("term") == p)
         combined = conds[0]

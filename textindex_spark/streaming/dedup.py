@@ -88,7 +88,7 @@ def dedup_batch(
         _state(spark, state_dir, "dedup_exact").select("doc_id"),
         "doc_id",
         "left_anti",
-    )
+    ).persist()
 
     # ---- exact, first-seen-wins: a batch doc whose hash exists in
     # the STATE dups to the state's canonical (whatever its id — ids
@@ -124,10 +124,15 @@ def dedup_batch(
     # ---- near: candidates by band-key equality — batch vs STATE with
     # no id ordering (the kept doc is canonical regardless of id),
     # plus batch vs batch ordered by id; exact dups excluded
-    sig_new = D.minhash_signatures(batch).withColumn(
-        "j", F.col("j").cast("int")
+    # persist the per-batch derived frames: each feeds 2-3 downstream
+    # actions (est agg, staging writes) and would otherwise re-run the
+    # tokenize+MinHash lineage per action (round-3 review)
+    sig_new = (
+        D.minhash_signatures(batch)
+        .withColumn("j", F.col("j").cast("int"))
+        .persist()
     )
-    bands_new = D.lsh_band_keys(sig_new)
+    bands_new = D.lsh_band_keys(sig_new).persist()
     bands_state = _state(spark, state_dir, "dedup_bands").select(
         "doc_id", "band", "band_key"
     )
@@ -199,7 +204,8 @@ def dedup_batch(
     _stage("dedup_sigs", sig_new.join(dropped, "doc_id", "left_anti"))
     _stage("dedup_bands", bands_new.join(dropped, "doc_id", "left_anti"))
     _stage("dedup_verdicts", verdicts)
-    verdicts.unpersist()
+    for df in (verdicts, bands_new, sig_new, batch):
+        df.unpersist()
     manifest.commit(
         spark,
         state_dir,

@@ -5,6 +5,10 @@
         --input /path/to/documents_parquet_or_iceberg_table \
         --output /path/to/index \
         [--resumable --parts 64] [--range-bits 13] [--cpus 32]
+        [--stream --checkpoint DIR]   # Structured Streaming: --input
+                                      # is a file glob; new files are
+                                      # indexed incrementally
+                                      # (exactly-once per micro-batch)
 
 The input must have the BASELINE input_hint shape
 (url, warc_ts, html, text, lang[, doc_id]) or the driver-testdata
@@ -27,13 +31,27 @@ def main() -> None:
     ap.add_argument("--range-bits", type=int, default=13)
     ap.add_argument("--resumable", action="store_true")
     ap.add_argument("--parts", type=int, default=64)
+    ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
-    from textindex_spark.build import build_index, build_index_resumable
+    from textindex_spark.build import build_index, build_index_resumable, read_stats
     from textindex_spark.session import get_spark
 
     spark = get_spark("textindex-build", cpus=args.cpus)
+    if args.stream:
+        if not args.checkpoint:
+            ap.error("--stream requires --checkpoint")
+        from textindex_spark.streaming.incremental import stream_index
+
+        stream_index(
+            spark, args.input, args.output, args.checkpoint,
+            range_bits=args.range_bits,
+        )
+        json.dump(read_stats(spark, args.output), sys.stdout)
+        print()
+        return
     docs = spark.read.parquet(args.input)
     if args.resumable:
         stats = build_index_resumable(

@@ -258,11 +258,11 @@ def test_expand_distributed_matches_cached(spark, index_dir):
     old_cap = Q.TERMS_CACHE_MAX
     try:
         Q.TERMS_CACHE_MAX = -1
-        Q._dict_cache.pop(index_dir, None)
+        Q._dict_cache.pop(Q.canon_dir(index_dir), None)
         dist = Q.expand_patterns(spark, index_dir, pats)
     finally:
         Q.TERMS_CACHE_MAX = old_cap
-        Q._dict_cache.pop(index_dir, None)
+        Q._dict_cache.pop(Q.canon_dir(index_dir), None)
     key = lambda df: sorted(map(tuple, df[["pattern_idx", "term"]].values))
     assert key(dist) == key(cached)
 
@@ -362,8 +362,8 @@ def test_sharded_dictionary_probe(spark, index_dir, oracle, monkeypatch):
     got = Q.expand_patterns(spark, index_dir, pats)
     key = lambda df: sorted(map(tuple, df[["pattern_idx", "term", "df"]].values.tolist()))
     assert key(got) == key(want)
-    assert (index_dir, "sp") in Q._shard_cache
-    assert (index_dir, "da") in Q._shard_cache
+    assert (Q.canon_dir(index_dir), "sp") in Q._shard_cache
+    assert (Q.canon_dir(index_dir), "da") in Q._shard_cache
 
     # second probe over the same prefixes: no terms-table fetch at all
     calls = []

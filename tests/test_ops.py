@@ -105,6 +105,65 @@ def test_lsh_finds_exact_dups(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_lsh_boilerplate_cluster_stays_linear(spark):
+    """VERDICT r3 headline: a 10³-doc boilerplate cluster (identical
+    text ⇒ identical signatures ⇒ one band bucket per band) must
+    yield a LINEAR (canon, member) star — m-1 candidate pairs, not
+    m²/2 ≈ 5·10⁵ — while cluster resolution downstream still labels
+    the whole cluster as one component."""
+    m = 1000
+    rows = [(i, "all rights reserved boilerplate footer page text here") for i in range(m)]
+    rows += [(m + i, f"organic doc {i} alpha{i} beta{i} gamma{i} delta{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs).persist()
+    pairs = dedup.lsh_candidate_pairs(sigs).persist()
+    got = pairs.count()
+    assert got == m - 1, got  # star, never quadratic
+    assert pairs.filter("doc_a = 0").count() == m - 1
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert clusters == {i: 0 for i in range(m)}  # one component, organic docs unlabeled
+    pairs.unpersist()
+    sigs.unpersist()
+
+
+def test_lsh_hot_bucket_cap_drops_saturated_band(spark):
+    """Distinct-signature docs saturating ONE band bucket (the shape
+    exact-collapse can't catch): the cap drops that bucket from the
+    join; without it the bucket goes quadratic."""
+    m = 50
+    rows = []
+    for i in range(m):
+        for j in range(dedup.N_MINHASHES):
+            # band 0 (j < band_size) identical across docs; all other
+            # positions unique per doc → distinct full signatures
+            mh = 7 if j < dedup.LSH_BAND_SIZE else 1000 + i * 100 + j
+            rows.append((i, j, mh))
+    sigs = spark.createDataFrame(rows, "doc_id long, j int, mh long")
+    uncapped = dedup.lsh_candidate_pairs(sigs, max_band_bucket=10**9).count()
+    assert uncapped == m * (m - 1) // 2  # the quadratic bucket
+    capped = dedup.lsh_candidate_pairs(sigs, max_band_bucket=10).count()
+    assert capped == 0
+    hot = dedup.lsh_hot_buckets(sigs, max_band_bucket=10).collect()
+    assert len(hot) == 1 and hot[0]["n_docs"] == m
+
+
+def test_stream_dedup_hot_bucket_cap_keeps_exact_path(spark, tmp_path):
+    """The streaming cap only bounds the NEAR candidate joins — exact
+    verdicts must be unaffected even when every band bucket of the
+    batch is saturated past the cap."""
+    from textindex_spark.streaming.dedup import dedup_batch, read_verdicts
+
+    rows = [(i, "same boilerplate text body here repeated") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "st")
+    dedup_batch(spark, docs, state, 0, max_band_bucket=5)
+    v = read_verdicts(spark, state).collect()
+    assert {r["doc_id"] for r in v} == set(range(1, 30))
+    assert all(r["kind"] == "exact" and r["dup_of"] == 0 for r in v)
+
+
 def test_simhash_and_near_pairs(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     # python oracle
@@ -392,6 +451,81 @@ def test_simhash_candidate_bound(spark):
     # less than 8-bit keys (residual collisions = genuinely similar
     # docs, which any radius-preserving layout must keep)
     assert wide < 0.55 * narrow, (wide, narrow)
+
+
+def test_simhash_width_calibration(spark):
+    """VERDICT r3 task 2: segment width scales with corpus size so
+    per-segment candidates stay ~linear in N; a fixed 15-bit segment
+    goes quadratic. Verified by simulation over uniform fingerprints
+    (what calibration controls: RANDOM collisions; true near-dups are
+    corpus property, not layout property)."""
+    assert dedup.simhash_params(10_000) == (60, 4)  # classic layout ≤ 2^15 docs
+    bits_b, segs_b = dedup.simhash_params(10**9)
+    assert segs_b == 4 and bits_b // segs_b == 30  # width = min(log2 N, 30)
+    assert dedup.simhash_params(10**5, max_hamming=4)[1] == 5  # radius→segs
+
+    rng = np.random.default_rng(42)
+
+    def collisions(n, width):
+        keys = rng.integers(0, 1 << width, size=n)
+        _, cnt = np.unique(keys, return_counts=True)
+        return int((cnt * (cnt - 1) // 2).sum())
+
+    n1, n2 = 25_000, 100_000  # a 4x corpus growth (the 10^5 synthetic)
+    w1 = dedup.simhash_params(n1)[0] // 4
+    w2 = dedup.simhash_params(n2)[0] // 4
+    fixed = collisions(n2, 15) / max(collisions(n1, 15), 1)
+    calib = collisions(n2, w2) / max(collisions(n1, w1), 1)
+    assert fixed > 12, fixed  # ≈16x: quadratic at fixed width
+    assert calib < 8, calib  # ≈4x: ~linear at calibrated width
+
+
+def test_simhash_wide_matches_python_oracle(spark, docs):
+    """The >60-bit path (two BIGINT halves, segments straddling the
+    boundary — bits=96/4 segs puts segment 2 across bits 48..71) must
+    return exactly the radius-3 pair set of a python oracle."""
+    bits = 96
+
+    def py_wide(text):
+        toks = {t for t in text.split(" ") if t}
+        lo = hi = 0
+        for b in range(bits):
+            votes = 0
+            for t in toks:
+                if b < 60:
+                    bitv = (py_hash60(t) >> b) & 1
+                else:
+                    h2 = int(hashlib.md5(t.encode()).hexdigest()[15:30], 16)
+                    bitv = (h2 >> (b - 60)) & 1
+                votes += 1 if bitv else -1
+            if votes > 0:
+                if b < 60:
+                    lo |= 1 << b
+                else:
+                    hi |= 1 << (b - 60)
+        return lo, hi
+
+    fps = {d: py_wide(t) for d, t in TEXTS if t.strip()}
+    want = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(fps[a][0] ^ fps[b][0]).count("1") + bin(
+                fps[a][1] ^ fps[b][1]
+            ).count("1")
+            if ham <= 3:
+                want.add((a, b, ham))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(docs, bits=bits, n_segs=4).collect()
+    }
+    assert got == want and (0, 2, 0) in got
+
+    wide = {
+        r["doc_id"]: (r["simhash_lo"], r["simhash_hi"])
+        for r in dedup.simhash_wide(docs, bits).collect()
+    }
+    assert wide == fps
 
 
 def test_emb_lsh_calibration_and_candidate_bound(spark):

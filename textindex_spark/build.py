@@ -506,7 +506,13 @@ def _dir_bytes(spark: SparkSession, path: str) -> int:
         if not fs.exists(jpath):
             return 0
         return int(fs.getContentSummary(jpath).getLength())
-    except Exception:
+    except Exception as e:
+        # transient FS hiccups must not fail the build over a metrics
+        # column, but a silent 0 makes lineage undiagnosable (ADVICE
+        # r3) — leave a trace
+        import warnings
+
+        warnings.warn(f"_dir_bytes({path}) failed ({e!r}); lineage records 0")
         return 0
 
 

@@ -469,17 +469,48 @@ sigs AS (
 
 
 def _lsh_pairs_sql() -> str:
+    """Mirror of lsh_candidate_pairs WITH the r4 hot-bucket guards:
+    signature-identical docs collapse to min-id canonicals (linear
+    star pairs), only canonicals enter the band join, and band
+    buckets above MAX_BAND_BUCKET canonicals are excluded."""
     base = _minhash_sql()
     return f"""
 WITH sig_rows AS ({base}),
+sigkey AS (
+    SELECT doc_id, string_agg(mh::VARCHAR, ',' ORDER BY j) AS sk
+    FROM sig_rows GROUP BY doc_id
+),
+grp AS (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY sk) AS canon_id FROM sigkey
+),
+stars AS (
+    SELECT canon_id AS doc_a, doc_id AS doc_b FROM grp WHERE doc_id <> canon_id
+),
 bands AS (
     SELECT doc_id, (j // {dedup.LSH_BAND_SIZE}) AS band,
            string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key
     FROM sig_rows GROUP BY doc_id, (j // {dedup.LSH_BAND_SIZE})
+),
+cbands AS (
+    SELECT b.doc_id, b.band, b.band_key
+    FROM bands b JOIN grp g ON g.doc_id = b.doc_id AND g.doc_id = g.canon_id
+),
+hot AS (
+    SELECT band, band_key FROM cbands
+    GROUP BY band, band_key HAVING count(*) > {dedup.MAX_BAND_BUCKET}
+),
+cold AS (
+    SELECT c.doc_id, c.band, c.band_key FROM cbands c
+    LEFT JOIN hot h ON c.band = h.band AND c.band_key = h.band_key
+    WHERE h.band IS NULL
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM cold a JOIN cold b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT doc_a, doc_b FROM stars
+)
 """
 
 
@@ -507,11 +538,22 @@ ex1 AS (
     WHERE doc_id <> c
 ),
 live1 AS (SELECT doc_id FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM ex1)),
+lbands1 AS (
+    SELECT b.doc_id, b.band, b.band_key
+    FROM bands b JOIN live1 l ON l.doc_id = b.doc_id
+),
+hot1 AS (
+    SELECT band, band_key FROM lbands1
+    GROUP BY band, band_key HAVING count(*) > {dedup.MAX_BAND_BUCKET}
+),
+cold1 AS (
+    SELECT c.doc_id, c.band, c.band_key FROM lbands1 c
+    LEFT JOIN hot1 h ON c.band = h.band AND c.band_key = h.band_key
+    WHERE h.band IS NULL
+),
 cand1 AS (
     SELECT DISTINCT n.doc_id, o.doc_id AS dup_of
-    FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
-    JOIN live1 ln ON ln.doc_id = n.doc_id
-    JOIN live1 lo ON lo.doc_id = o.doc_id
+    FROM cold1 n JOIN cold1 o ON n.band = o.band AND n.band_key = o.band_key
     WHERE o.doc_id < n.doc_id
 ),
 est1 AS (
@@ -548,16 +590,36 @@ ex2 AS (
     ) WHERE dup_of IS NOT NULL AND dup_of <> doc_id
 ),
 live2 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT doc_id FROM ex2)),
+kbands AS (
+    SELECT b.doc_id, b.band, b.band_key
+    FROM bands b JOIN kept1 k ON k.doc_id = b.doc_id
+),
+l2bands AS (
+    SELECT b.doc_id, b.band, b.band_key
+    FROM bands b JOIN live2 l ON l.doc_id = b.doc_id
+),
+hot2 AS (
+    SELECT band, band_key FROM (
+        SELECT band, band_key FROM kbands
+        UNION ALL SELECT band, band_key FROM l2bands
+    ) GROUP BY band, band_key HAVING count(*) > {dedup.MAX_BAND_BUCKET}
+),
+kcold AS (
+    SELECT c.doc_id, c.band, c.band_key FROM kbands c
+    LEFT JOIN hot2 h ON c.band = h.band AND c.band_key = h.band_key
+    WHERE h.band IS NULL
+),
+l2cold AS (
+    SELECT c.doc_id, c.band, c.band_key FROM l2bands c
+    LEFT JOIN hot2 h ON c.band = h.band AND c.band_key = h.band_key
+    WHERE h.band IS NULL
+),
 cand2 AS (
     SELECT DISTINCT n.doc_id, o.doc_id AS dup_of
-    FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
-    JOIN live2 ln ON ln.doc_id = n.doc_id
-    JOIN kept1 k ON k.doc_id = o.doc_id
+    FROM l2cold n JOIN kcold o ON n.band = o.band AND n.band_key = o.band_key
     UNION
     SELECT DISTINCT n.doc_id, o.doc_id AS dup_of
-    FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
-    JOIN live2 ln ON ln.doc_id = n.doc_id
-    JOIN live2 lo ON lo.doc_id = o.doc_id
+    FROM l2cold n JOIN l2cold o ON n.band = o.band AND n.band_key = o.band_key
     WHERE o.doc_id < n.doc_id
 ),
 est2 AS (

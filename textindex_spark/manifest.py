@@ -91,6 +91,7 @@ def _write_file_atomic(spark: SparkSession, path: str, data: bytes) -> bool:
       spurious False → retry cannot duplicate data."""
     lp = _local_path(path)
     if lp is not None:
+        import errno
         import os
         import tempfile
 
@@ -104,8 +105,13 @@ def _write_file_atomic(spark: SparkSession, path: str, data: bytes) -> bool:
             try:
                 os.link(tmp, lp)  # atomic exclusive create
                 return True
-            except FileExistsError:
-                return False
+            except OSError as e:
+                if e.errno == errno.EEXIST:
+                    return False  # lost the version race
+                # hard links unsupported on this mount (overlay /
+                # network / FAT raise EPERM / EOPNOTSUPP, not EEXIST):
+                # fall through to the Hadoop FS rename path, which
+                # works everywhere the Hadoop client does (ADVICE r3)
         finally:
             os.unlink(tmp)
     fs, jpath, jvm = _fs(spark, path)

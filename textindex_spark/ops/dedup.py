@@ -16,6 +16,8 @@ Hashing is the portable 60-bit md5 prefix (``conv(substr(md5(x),1,15),
 """
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,6 +53,13 @@ def portable_hash60(col: Column) -> Column:
     """60-bit integer hash from the md5 hex prefix — reproducible in
     DuckDB as ('0x' || substring(md5(x),1,15))::BIGINT."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60b(col: Column) -> Column:
+    """A second independent 60-bit hash from the md5 hex SUFFIX
+    (chars 16-30) — fingerprint bits 60..119 for the wide simhash.
+    DuckDB: ('0x' || substring(md5(x),16,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 16, 15), 16, 10).cast("long")
 
 
 def tokens_col(text: Column) -> Column:
@@ -194,18 +203,117 @@ def lsh_band_keys(
     )
 
 
+# Max docs per (band, band_key) bucket in the candidate join. m docs
+# sharing one band key yield m²/2 candidate rows in ONE join group —
+# 10^6 templated pages would mean 5·10^11 pairs in a single reducer
+# (VERDICT r3, the last quadratic-risk join in the codebase). The cap
+# bounds every join group to max_band_bucket² pairs, mirroring
+# MAX_SHINGLE_DF in ngram_jaccard_pairs.
+MAX_BAND_BUCKET = 256
+
+
+def signature_groups(signatures: DataFrame) -> DataFrame:
+    """→ (doc_id, canon_id): docs collapsed by IDENTICAL full MinHash
+    signature (canon_id = group min). Exact text duplicates always
+    land in one group (same shingle set ⇒ same signature); so do the
+    rare signature collisions — which agree on every band and would
+    be candidates anyway."""
+    sig_key = signatures.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                lambda x: x["mh"].cast("string"),
+            ),
+        ).alias("_sk")
+    )
+    canon = sig_key.groupBy("_sk").agg(F.min("doc_id").alias("canon_id"))
+    return sig_key.join(canon, "_sk").select("doc_id", "canon_id")
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, band_size: int = LSH_BAND_SIZE
+    signatures: DataFrame,
+    band_size: int = LSH_BAND_SIZE,
+    max_band_bucket: int = MAX_BAND_BUCKET,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """→ (doc_a, doc_b): docs agreeing on at least one full LSH band
-    (band = ``band_size`` consecutive signature positions)."""
-    bands = lsh_band_keys(signatures, band_size)
-    return (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "band_key"])
+    (band = ``band_size`` consecutive signature positions).
+
+    Two structural guards keep the band join sublinear on adversarial
+    (boilerplate-heavy) web corpora (VERDICT r3):
+
+    1. **Exact-duplicate collapse.** Signature-identical docs — the
+       dominant hot-bucket source on the web: true duplicates and
+       templated boilerplate — are collapsed to their min-id canonical
+       BEFORE banding. Each m-doc identity group contributes a linear
+       (canon, member) star instead of m²/2 pairs; only canonicals
+       enter the band join. Stars + cross-canonical pairs generate
+       exactly the same connected components as the full pair set, so
+       ``dedup_clusters``/``dedup_keep_list`` downstream are
+       unaffected.
+    2. **Hot-bucket cap.** Band buckets still holding more than
+       ``max_band_bucket`` DISTINCT-signature docs are dropped from
+       candidate generation (anti-join — the same shape as
+       MAX_SHINGLE_DF). A threshold-grade near-dup pair collides in
+       every band independently, so losing one saturated band only
+       costs the pairs whose similarity rests on that
+       boilerplate-grade band — precisely what near-dup dedup should
+       not flag. ``log_dropped=True`` counts and warns about dropped
+       buckets (one extra light job); ``lsh_hot_buckets`` exposes
+       them for offline inspection either way."""
+    groups = signature_groups(signatures)
+    stars = groups.filter(F.col("doc_id") != F.col("canon_id")).select(
+        F.col("canon_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    bands = lsh_band_keys(signatures, band_size).join(
+        groups.filter(F.col("doc_id") == F.col("canon_id")).select("doc_id"),
+        "doc_id",
+    )
+    hot = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_band_bucket)
+    )
+    if log_dropped:
+        import warnings
+
+        dropped = hot.agg(
+            F.count("*").alias("k"), F.sum("_n").alias("docs")
+        ).collect()[0]
+        if dropped["k"]:
+            warnings.warn(
+                f"lsh_candidate_pairs: dropped {dropped['k']} band buckets "
+                f"(> {max_band_bucket} docs; {dropped['docs']} member rows) "
+                "from candidate generation"
+            )
+    cold = bands.join(hot.select("band", "band_key"), ["band", "band_key"], "left_anti")
+    cross = (
+        cold.alias("a")
+        .join(cold.alias("b"), ["band", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    )
+    return cross.unionByName(stars).distinct()
+
+
+def lsh_hot_buckets(
+    signatures: DataFrame,
+    band_size: int = LSH_BAND_SIZE,
+    max_band_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """→ (band, band_key, n_docs): the band buckets
+    ``lsh_candidate_pairs`` would drop (counted over canonical docs,
+    the same population the join sees)."""
+    groups = signature_groups(signatures)
+    bands = lsh_band_keys(signatures, band_size).join(
+        groups.filter(F.col("doc_id") == F.col("canon_id")).select("doc_id"),
+        "doc_id",
+    )
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_band_bucket)
     )
 
 
@@ -301,22 +409,72 @@ def dedup_keep_list(docs: DataFrame, clusters: DataFrame) -> DataFrame:
     return docs.join(drop, "doc_id", "left_anti")
 
 
-def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, text_col: str = "text") -> DataFrame:
-    """→ (doc_id, simhash): per-bit majority vote over the distinct
-    token hash set (bit set iff strictly more ones than zeros)."""
+# Widest supported fingerprint: two 60-bit BIGINT halves (both md5
+# hex slices, so DuckDB oracles stay exact) — segment widths up to 30
+# bits = 2^30 buckets per segment, O(1) expected occupancy to 10^9
+# docs per bucket universe.
+SIMHASH_MAX_BITS = 120
+SIMHASH_MAX_SEG_WIDTH = 30
+
+
+def simhash_params(n_docs: int, max_hamming: int = 3) -> tuple[int, int]:
+    """→ (bits, n_segs) calibrated to corpus size (VERDICT r3): exact
+    pigeonhole recall at radius ``max_hamming`` needs
+    n_segs = max_hamming+1 segments; segment width ≈ log2(n_docs)
+    keeps expected bucket occupancy O(1), so per-segment candidate
+    pairs stay ~linear in N (a FIXED 15-bit segment is ~N²/2^15 —
+    superlinear past ~10^8 docs). Width is clamped to [15, 30]; any
+    width > 15 pushes the fingerprint past 60 bits, which
+    ``simhash_wide`` splits across two BIGINT columns. Same
+    calibration idea as ``similarity.emb_lsh_params``."""
+    n_segs = max(int(max_hamming) + 1, 2)
+    width = min(
+        max(math.ceil(math.log2(max(n_docs, 2))), 15), SIMHASH_MAX_SEG_WIDTH
+    )
+    return width * n_segs, n_segs
+
+
+def _simhash_bit_sums(docs: DataFrame, bits: int, text_col: str) -> DataFrame:
+    """→ (doc_id, b, s): per-bit majority-vote sums over the distinct
+    token set. Bits 0..59 come from the md5-prefix hash, 60..119 from
+    the independent md5-suffix hash."""
     toks = (
         docs.select("doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok"))
         .distinct()
         .withColumn("h", portable_hash60(F.col("tok")))
     )
+    cols = ["h"]
+    if bits > 60:
+        toks = toks.withColumn("h2", portable_hash60b(F.col("tok")))
+        cols.append("h2")
     bit = toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        "h",
-    ).withColumn("vote", (F.expr("shiftright(h, b)") % 2) * 2 - 1)
+        *cols,
+    )
+    hbit = (
+        F.when(F.col("b") < 60, F.expr("shiftright(h, b)")).otherwise(
+            F.expr("shiftright(h2, b - 60)")
+        )
+        if bits > 60
+        else F.expr("shiftright(h, b)")
+    )
     return (
-        bit.groupBy("doc_id", "b")
+        bit.withColumn("vote", (hbit % 2) * 2 - 1)
+        .groupBy("doc_id", "b")
         .agg(F.sum("vote").alias("s"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, simhash): per-bit majority vote over the distinct
+    token hash set (bit set iff strictly more ones than zeros).
+    Single-BIGINT form, bits ≤ 60; wider fingerprints via
+    ``simhash_wide``."""
+    if bits > 60:
+        raise ValueError("simhash packs one BIGINT (≤60 bits); use simhash_wide")
+    return (
+        _simhash_bit_sums(docs, bits, text_col)
         .groupBy("doc_id")
         .agg(
             F.sum(
@@ -326,36 +484,98 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, text_col: str = "text") -
     )
 
 
+def simhash_wide(docs: DataFrame, bits: int, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, simhash_lo, simhash_hi): fingerprint up to 120 bits
+    split across two BIGINTs (lo = bits 0..59, hi = bits 60..)."""
+    if bits > SIMHASH_MAX_BITS:
+        raise ValueError(f"bits > {SIMHASH_MAX_BITS} unsupported")
+    return (
+        _simhash_bit_sums(docs, bits, text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("s") > 0) & (F.col("b") < 60), F.expr("shiftleft(1L, b)")
+                ).otherwise(0)
+            ).alias("simhash_lo"),
+            F.sum(
+                F.when(
+                    (F.col("s") > 0) & (F.col("b") >= 60),
+                    F.expr("shiftleft(1L, b - 60)"),
+                ).otherwise(0)
+            ).alias("simhash_hi"),
+        )
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
-    bits: int = SIMHASH_BITS,
+    bits: int | None = None,
     text_col: str = "text",
-    n_segs: int = SIMHASH_SEGS,
+    n_segs: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """→ (doc_a, doc_b, hamming): pairs within a Hamming radius.
     Candidate generation by n_segs-segment pigeonhole (any pair within
     radius n_segs-1 shares at least one identical segment — recall is
     EXACT, not probabilistic) — join on segment value, verify exact
-    distance with bit_count. Default 60-bit / 4×15-bit segments =
-    32,768 buckets per segment; candidates stay near-linear while the
-    corpus stays below ~10^6 docs per bucket. For radii above
-    n_segs-1 raise n_segs (and accept narrower segments)."""
+    distance with bit_count.
+
+    When ``bits``/``n_segs`` are omitted the layout is CALIBRATED to
+    the corpus via ``simhash_params`` (one count job unless
+    ``n_docs`` is passed): width ≈ log2 N so candidates stay ~linear
+    at any scale; for corpora ≤ 2^15 docs this reproduces the classic
+    60-bit / 4×15-bit layout exactly. Fingerprints wider than 60 bits
+    ride in two BIGINT halves; segments straddling the 60-bit
+    boundary are stitched from both. For radii above n_segs-1 raise
+    n_segs (and accept narrower segments)."""
+    if bits is None and n_segs is None:
+        bits, n_segs = simhash_params(
+            n_docs if n_docs is not None else docs.count(), max_hamming
+        )
+    bits = SIMHASH_BITS if bits is None else bits
+    n_segs = SIMHASH_SEGS if n_segs is None else n_segs
     if max_hamming > n_segs - 1:
         raise ValueError(
             f"pigeonhole with {n_segs} segments only guarantees radius "
             f"{n_segs - 1}; raise n_segs for max_hamming={max_hamming}"
         )
-    sh = simhash(docs, bits, text_col)
-    n_seg = n_segs
-    seg_bits = bits // n_seg
+    seg_bits = bits // n_segs
+    if bits <= 60:
+        sh = simhash(docs, bits, text_col).select(
+            "doc_id",
+            F.col("simhash").alias("simhash_lo"),
+            F.lit(0).cast("long").alias("simhash_hi"),
+        )
+    else:
+        sh = simhash_wide(docs, bits, text_col)
+    seg_structs = []
+    for s in range(n_segs):
+        start, end = s * seg_bits, (s + 1) * seg_bits
+        if end <= 60:
+            val = F.shiftright("simhash_lo", start) % F.lit(1 << seg_bits)
+        elif start >= 60:
+            val = F.shiftright("simhash_hi", start - 60) % F.lit(1 << seg_bits)
+        else:  # straddles the lo/hi boundary: stitch both halves
+            nlo = 60 - start
+            lo_part = F.shiftright("simhash_lo", start) % F.lit(1 << nlo)
+            hi_part = F.col("simhash_hi") % F.lit(1 << (end - 60))
+            val = lo_part + hi_part * F.lit(1 << nlo)
+        seg_structs.append(
+            F.struct(F.lit(s).alias("seg"), val.cast("long").alias("seg_val"))
+        )
     segs = sh.select(
         "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(n_seg - 1))).alias("seg"),
-    ).withColumn(
-        "seg_val",
-        F.expr(f"shiftright(simhash, seg * {seg_bits})") % F.lit(1 << seg_bits),
+        "simhash_lo",
+        "simhash_hi",
+        F.explode(F.array(*seg_structs)).alias("_sv"),
+    ).select(
+        "doc_id",
+        "simhash_lo",
+        "simhash_hi",
+        F.col("_sv.seg").alias("seg"),
+        F.col("_sv.seg_val").alias("seg_val"),
     )
     cand = (
         segs.alias("a")
@@ -364,13 +584,19 @@ def simhash_near_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            F.col("a.simhash_lo").alias("la"),
+            F.col("a.simhash_hi").alias("ha"),
+            F.col("b.simhash_lo").alias("lb"),
+            F.col("b.simhash_hi").alias("hb"),
         )
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

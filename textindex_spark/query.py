@@ -25,6 +25,7 @@ adds on top:
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -63,24 +64,46 @@ _dict_cache: dict[str, tuple[pd.DataFrame, dict]] = {}
 # frame can never read torn state — at worst an EXTERNAL writer's
 # commit is unseen until invalidation, the standard serving-node
 # trade-off (call invalidate_cache on a refresh schedule there).
-_frame_cache: dict[tuple[str, str], DataFrame] = {}
+# Values carry the owning SparkSession: a frame bound to a restarted
+# (dead) session is refreshed instead of served (ADVICE r3).
+_frame_cache: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def canon_dir(index_dir: str) -> str:
+    """Canonical cache key for an index dir: file:/ URIs and
+    scheme-less local paths collapse to ONE realpath spelling, so two
+    spellings of the same directory ('file:/x' vs '/x' vs '/x/')
+    cannot dodge invalidate_cache and serve a stale snapshot (ADVICE
+    r3). Non-local URIs are kept verbatim minus trailing slashes."""
+    p = index_dir
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    if "://" not in p:
+        p = os.path.realpath(p)
+    return p.rstrip("/")
 
 
 def _cached_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
-    key = (index_dir, name)
-    if key not in _frame_cache:
-        _frame_cache[key] = manifest.read_table(spark, index_dir, name)
-    return _frame_cache[key]
+    key = (canon_dir(index_dir), name)
+    hit = _frame_cache.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = manifest.read_table(spark, index_dir, name)
+    _frame_cache[key] = (spark, df)
+    return df
 
 
 def invalidate_cache(index_dir: str) -> None:
     """Drop every query-node cache for an index (dictionary, stats,
     analyzed table frames). Called by all snapshot-mutating ops."""
-    _dict_cache.pop(index_dir, None)
-    _tomb_exists.pop(index_dir, None)
-    for k in [k for k in _frame_cache if k[0] == index_dir]:
+    cd = canon_dir(index_dir)
+    _dict_cache.pop(cd, None)
+    _tomb_exists.pop(cd, None)
+    for k in [k for k in _frame_cache if k[0] == cd]:
         _frame_cache.pop(k, None)
-    for k in [k for k in _shard_cache if k[0] == index_dir]:
+    for k in [k for k in _shard_cache if k[0] == cd]:
         _shard_cache.pop(k, None)
 
 
@@ -106,16 +129,17 @@ def _wild_mask(series: pd.Series, p: str) -> pd.Series:
 
 
 def cached_stats(spark: SparkSession, index_dir: str) -> dict:
-    if index_dir not in _dict_cache:
+    if canon_dir(index_dir) not in _dict_cache:
         _load_dictionary(spark, index_dir)
-    return _dict_cache[index_dir][1]
+    return _dict_cache[canon_dir(index_dir)][1]
 
 
 def _load_dictionary(spark: SparkSession, index_dir: str) -> pd.DataFrame | None:
     """Load (term, df, max_tfnorm) into driver memory once per index
     (None when the vocabulary exceeds TERMS_CACHE_MAX)."""
-    if index_dir in _dict_cache:
-        return _dict_cache[index_dir][0]
+    cd = canon_dir(index_dir)
+    if cd in _dict_cache:
+        return _dict_cache[cd][0]
     stats = read_stats(spark, index_dir)
     terms = None
     if stats["vocab_size"] <= TERMS_CACHE_MAX:
@@ -124,7 +148,7 @@ def _load_dictionary(spark: SparkSession, index_dir: str) -> pd.DataFrame | None
             .select("term", "df", "max_tfnorm")
             .toPandas()
         )
-    _dict_cache[index_dir] = (terms, stats)
+    _dict_cache[cd] = (terms, stats)
     return terms
 
 
@@ -184,7 +208,7 @@ def _cache_shard(index_dir: str, prefix: str, frame: pd.DataFrame) -> None:
     while total > SHARD_CACHE_ROWS and _shard_cache:
         oldest = next(iter(_shard_cache))  # FIFO eviction
         total -= len(_shard_cache.pop(oldest))
-    _shard_cache[(index_dir, prefix)] = frame
+    _shard_cache[(canon_dir(index_dir), prefix)] = frame
 
 
 def _expand_sharded(
@@ -196,9 +220,10 @@ def _expand_sharded(
     Keyless patterns (leading wildcard / 1-char head) go through the
     per-pattern combined predicate, exactly as before. All cold work
     is ONE Spark job."""
+    cd = canon_dir(index_dir)
     keys = {p: _shard_key(p) for p in patterns}
     missing = sorted(
-        {k for k in keys.values() if k is not None and (index_dir, k) not in _shard_cache}
+        {k for k in keys.values() if k is not None and (cd, k) not in _shard_cache}
     )
     keyless = [p for p in patterns if keys[p] is None]
     loose = pd.DataFrame(columns=["term", "df", "max_tfnorm"])
@@ -233,7 +258,7 @@ def _expand_sharded(
     frames = []
     for i, p in enumerate(patterns):
         k = keys[p]
-        src = _shard_cache.get((index_dir, k)) if k is not None else None
+        src = _shard_cache.get((cd, k)) if k is not None else None
         if src is None:
             # keyless pattern, or a too-hot-to-cache shard: match
             # against this probe's result rows
@@ -1084,9 +1109,10 @@ def _tombstones(spark: SparkSession, index_dir: str):
     ``table_exists`` walks the manifest (an FS listing) and this runs
     on every query; deletes go through ``invalidate_cache`` which
     clears both caches."""
-    if index_dir not in _tomb_exists:
-        _tomb_exists[index_dir] = manifest.table_exists(spark, index_dir, "deleted")
-    if _tomb_exists[index_dir]:
+    cd = canon_dir(index_dir)
+    if cd not in _tomb_exists:
+        _tomb_exists[cd] = manifest.table_exists(spark, index_dir, "deleted")
+    if _tomb_exists[cd]:
         return _cached_table(spark, index_dir, "deleted")
     return None
 

@@ -72,6 +72,7 @@ def dedup_batch(
     batch_id: int,
     est_threshold: float = EST_THRESHOLD_DEFAULT,
     text_col: str = "text",
+    max_band_bucket: int = D.MAX_BAND_BUCKET,
 ) -> None:
     """Process one batch: emit verdicts for duplicates (exact first,
     then LSH-confirmed near), add survivors to the state, commit
@@ -136,14 +137,6 @@ def dedup_batch(
     bands_state = _state(spark, state_dir, "dedup_bands").select(
         "doc_id", "band", "band_key"
     )
-    cand_state = (
-        bands_new.alias("n")
-        .join(bands_state.alias("o"), ["band", "band_key"])
-        .select(
-            F.col("n.doc_id").alias("doc_id"),
-            F.col("o.doc_id").alias("dup_of"),
-        )
-    )
     # exact-dropped batch docs are neither near-candidates nor valid
     # dup_of targets (their canonical is already in state / this
     # batch); within-batch NEAR chains (C≈B≈A with B dropped by the
@@ -152,20 +145,41 @@ def dedup_batch(
     # assignment matters downstream
     ex_ids = exact_v.select("doc_id")
     bands_live = bands_new.join(ex_ids, "doc_id", "left_anti")
+    # hot-bucket guard (VERDICT r3, same cap as the batch path): a
+    # band bucket holding > max_band_bucket docs across state + live
+    # batch — the boilerplate-cluster shape exact collapse can't
+    # catch (near-identical but distinct texts) — is excluded from
+    # BOTH candidate joins, bounding every join group. Recall cost is
+    # limited to pairs whose similarity rests on the saturated band;
+    # the other bands still propose them.
+    hot = (
+        bands_state.select("band", "band_key")
+        .unionByName(bands_live.select("band", "band_key"))
+        .groupBy("band", "band_key")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_band_bucket)
+        .select("band", "band_key")
+    )
+    state_cold = bands_state.join(hot, ["band", "band_key"], "left_anti")
+    live_cold = bands_live.join(hot, ["band", "band_key"], "left_anti")
+    cand_state = (
+        live_cold.alias("n")
+        .join(state_cold.alias("o"), ["band", "band_key"])
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("o.doc_id").alias("dup_of"),
+        )
+    )
     cand_batch = (
-        bands_live.alias("n")
-        .join(bands_live.alias("o"), ["band", "band_key"])
+        live_cold.alias("n")
+        .join(live_cold.alias("o"), ["band", "band_key"])
         .filter(F.col("o.doc_id") < F.col("n.doc_id"))
         .select(
             F.col("n.doc_id").alias("doc_id"),
             F.col("o.doc_id").alias("dup_of"),
         )
     )
-    cand = (
-        cand_state.unionByName(cand_batch)
-        .distinct()
-        .join(ex_ids, "doc_id", "left_anti")
-    )
+    cand = cand_state.unionByName(cand_batch).distinct()
     sigs_all = _state(spark, state_dir, "dedup_sigs").unionByName(sig_new)
     est = (
         cand.join(sig_new.select(F.col("doc_id"), "j", F.col("mh").alias("_ma")), "doc_id")
@@ -227,6 +241,7 @@ def stream_dedup(
     checkpoint_dir: str,
     available_now: bool = True,
     est_threshold: float = EST_THRESHOLD_DEFAULT,
+    max_band_bucket: int = D.MAX_BAND_BUCKET,
 ):
     """Continuously dedup parquet document batches arriving under
     ``source_dir`` (input_hint schema). Verdicts accumulate in the
@@ -244,7 +259,8 @@ def stream_dedup(
         if batch_df.isEmpty():
             return
         dedup_batch(
-            batch_df.sparkSession, batch_df, state_dir, batch_id, est_threshold
+            batch_df.sparkSession, batch_df, state_dir, batch_id, est_threshold,
+            max_band_bucket=max_band_bucket,
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

@@ -161,6 +161,20 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_bm25_or_topk(spark, sf_dir):
+    """Disjunctive (OR) BM25 top-10 WITH block-max pruning — the
+    WAND home case (VERDICT r3 task 4). prune=True exercises the
+    OR prune plan; results must stay exact."""
+    idx = ensure_index(spark, sf_dir)
+    res = Q.search(
+        spark, idx, BM25_TERMS, k=10, mode="or", prune=True, with_urls=False
+    )
+    return res.select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro"),
+    )
+
+
 def q_phrase_match(spark, sf_dir):
     """Exact-phrase containment from the pos_bytes position payload:
     (doc_id, occurrence count) for every doc containing PHRASE_2."""
@@ -172,6 +186,21 @@ def q_phrase_rank(spark, sf_dir):
     """Exact-phrase top-10 ranked by BM25 over the phrase's terms."""
     idx = ensure_index(spark, sf_dir)
     res = Q.search_phrase(spark, idx, PHRASE_3, k=10, with_urls=False)
+    return res.select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro"),
+    )
+
+
+PHRASE_WILD = ["agg", "ha*"]
+
+
+def q_phrase_rank_wildcard(spark, sf_dir):
+    """Ranked phrase with a wildcard slot (VERDICT r3 task 5): the
+    wildcard slot's positions are the union over its expansion; its
+    score is the max matched expansion partial."""
+    idx = ensure_index(spark, sf_dir)
+    res = Q.search_phrase(spark, idx, PHRASE_WILD, k=10, with_urls=False)
     return res.select(
         "doc_id",
         F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro"),
@@ -406,8 +435,10 @@ QUERIES = {
     "wildcard_expand": q_wildcard_expand,
     "search_and": q_search_and,
     "bm25_topk": q_bm25_topk,
+    "bm25_or_topk": q_bm25_or_topk,
     "phrase_match": q_phrase_match,
     "phrase_rank": q_phrase_rank,
+    "phrase_rank_wildcard": q_phrase_rank_wildcard,
     "near_match": q_near_match,
     "tf_histogram": q_tf_histogram,
     "find_files": q_find_files,
@@ -825,18 +856,30 @@ SELECT vec_a, vec_b, cos_micro FROM verified WHERE cos_micro >= {thr_micro}
 
 
 
+def _slot_cond(w: str) -> str:
+    """SQL predicate for one phrase slot: equality for literals, LIKE
+    for wildcard patterns (* → %, ? → _; gate patterns contain no
+    literal SQL metachars)."""
+    if "*" in w or "?" in w:
+        return f"term LIKE '{w.replace('*', '%').replace('?', '_')}'"
+    return f"term = {_sql_quote(w)}"
+
+
 def _phrase_sql(phrase: list[str], ranked: bool) -> str:
     """DuckDB mirror of phrase_docs / search_phrase: kept-token
     positions (stop words removed, position = rank among kept tokens,
     identical to refimpl.term_positions on the clean testdata text),
-    one shifted self-join per phrase term, exact occurrence counts;
-    ranked variant adds the BM25 sum over the phrase's distinct
-    terms."""
+    one shifted self-join per phrase slot (wildcard slots take the
+    union of their expansion's positions), exact occurrence counts.
+    The ranked variant sums BM25 over DISTINCT slot patterns: a
+    literal pattern contributes its term's partial, a wildcard
+    pattern the MAX partial over expansion terms present in the doc
+    (engine semantics, query._phrase_frame)."""
     joins = "\n".join(
         f"    JOIN p{i} USING (doc_id, pos)" for i in range(1, len(phrase))
     )
     pcte = ",\n".join(
-        f"p{i} AS (SELECT doc_id, pos - {i} AS pos FROM kept WHERE term = {_sql_quote(t)})"
+        f"p{i} AS (SELECT doc_id, pos - {i} AS pos FROM kept WHERE {_slot_cond(t)})"
         for i, t in enumerate(phrase)
     )
     base = f"""
@@ -857,7 +900,14 @@ matches AS (SELECT doc_id, count(*)::INT AS n_occ FROM occ GROUP BY doc_id)
 """
     if not ranked:
         return f"WITH {base} SELECT doc_id, n_occ FROM matches"
-    terms_sql = ",".join(_sql_quote(t) for t in sorted(set(phrase)))
+    pats = sorted(set(phrase))
+    any_cond = " OR ".join(_slot_cond(p) for p in pats)
+    wctes = ",\n".join(
+        f"w{j} AS (SELECT doc_id, max(w) AS w FROM hits WHERE {_slot_cond(p)} GROUP BY doc_id)"
+        for j, p in enumerate(pats)
+    )
+    wjoins = "\n".join(f"JOIN w{j} USING (doc_id)" for j in range(len(pats)))
+    wsum = " + ".join(f"w{j}.w" for j in range(len(pats)))
     return f"""
 WITH {base},
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM kept GROUP BY doc_id, term),
@@ -869,10 +919,10 @@ alldl AS (
 stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM alldl),
 dfs AS (
     SELECT term, count(*)::DOUBLE AS df FROM tf
-    WHERE term IN ({terms_sql}) GROUP BY term
+    WHERE {any_cond} GROUP BY term
 ),
 hits AS (
-    SELECT t.doc_id,
+    SELECT t.doc_id, t.term,
            ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
            * t.tf * (1.2 + 1.0)
            / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
@@ -880,12 +930,12 @@ hits AS (
     JOIN dfs f ON t.term = f.term
     JOIN alldl d ON t.doc_id = d.doc_id
     CROSS JOIN stats s
-    WHERE t.term IN ({terms_sql})
 ),
-scored AS (SELECT doc_id, sum(w) AS score FROM hits GROUP BY doc_id)
-SELECT m.doc_id, floor(s.score * 1e6 + 0.5)::BIGINT AS score_micro
-FROM matches m JOIN scored s ON m.doc_id = s.doc_id
-ORDER BY s.score DESC, m.doc_id ASC LIMIT 10
+{wctes}
+SELECT m.doc_id, floor(({wsum}) * 1e6 + 0.5)::BIGINT AS score_micro
+FROM matches m
+{wjoins}
+ORDER BY ({wsum}) DESC, m.doc_id ASC LIMIT 10
 """
 
 
@@ -973,6 +1023,30 @@ scored AS (
 SELECT doc_id, floor(score * 1e6 + 0.5)::BIGINT AS score_micro
 FROM scored WHERE npat = {len(BM25_TERMS)}
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "bm25_or_topk": f"""
+WITH {_TOKS_CTE},
+stats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl
+),
+dfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf
+    WHERE term IN ({bm25_terms}) GROUP BY term
+),
+hits AS (
+    SELECT t.doc_id, t.term,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM tf t
+    JOIN dfs f ON t.term = f.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+    WHERE t.term IN ({bm25_terms})
+)
+SELECT doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
 """,
         "tf_histogram": f"""
 WITH {_TOKS_CTE}
@@ -1127,6 +1201,7 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
         "ann_ivf": _ann_ivf_sql(),
         "phrase_match": _phrase_sql(PHRASE_2, ranked=False),
         "phrase_rank": _phrase_sql(PHRASE_3, ranked=True),
+        "phrase_rank_wildcard": _phrase_sql(PHRASE_WILD, ranked=True),
         "near_match": _near_sql(PHRASE_2, NEAR_WINDOW),
         "emb_near_dup": _emb_near_dup_sql(),
     }

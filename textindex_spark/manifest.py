@@ -265,6 +265,47 @@ def commit(
     raise RuntimeError(f"manifest commit contention at {index_dir}")
 
 
+def check_stream_identity(
+    spark: SparkSession, state_dir: str, run_id: str | None, run_prop: str
+) -> None:
+    """Refuse to interpret renumbered micro-batch ids as replays when
+    the state was committed by a DIFFERENT stream.
+
+    The committed-batch-id replay guard is only sound within ONE
+    stream: Structured Streaming numbers batches per checkpoint, so a
+    query restarted against existing state with a NEW checkpoint (or
+    a second pipeline pointed at the same state) restarts ids at 0 —
+    every batch would then be silently skipped as a 'replay' until
+    ids exceed the old committed id (ADVICE r3). Mirrors Spark's own
+    (queryId, batchId) transaction-version pattern. ``run_id=None``
+    skips the check (caller-managed ids)."""
+    if run_id is None:
+        return
+    committed = get_prop(spark, state_dir, run_prop)
+    if committed is not None and str(committed) != str(run_id):
+        raise ValueError(
+            f"{state_dir} was committed by stream '{committed}' but this "
+            f"query runs as '{run_id}'. Batch ids are not comparable "
+            "across streams; continuing would silently skip batches as "
+            "replays. Reuse the original checkpoint location, or adopt "
+            "the state explicitly with manifest.rebind_stream(...)."
+        )
+
+
+def rebind_stream(
+    spark: SparkSession,
+    state_dir: str,
+    run_id: str,
+    run_prop: str,
+    batch_prop: str,
+) -> None:
+    """Adopt existing state under a NEW stream identity: records the
+    new run id and resets the committed batch id to -1 so the new
+    stream's batches (numbered from 0) are all processed. Re-ingested
+    documents are handled by the sinks' own idempotency guards."""
+    commit(spark, state_dir, props={run_prop: str(run_id), batch_prop: -1})
+
+
 def next_staging_dir(index_dir: str, table: str, tag: str) -> str:
     """Deterministic staging dir name (idempotent retries overwrite
     the same staging output rather than duplicating it)."""

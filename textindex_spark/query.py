@@ -404,7 +404,7 @@ def search(
         if dead is not None:  # oversize delete sets go distributed
             res = _search_local(
                 spark, index_dir, expanded, stats, len(patterns), k, mode,
-                with_urls, dead, prune=prune and mode == "and",
+                with_urls, dead, prune=prune,
             )
             if res is not None:
                 return res
@@ -430,9 +430,10 @@ def search(
         qterms = spark.createDataFrame(term_info[["term", "idf", "mask"]])
         term_list = list(term_info["term"])
         decoded = _decoded_postings(spark, index_dir, qterms, stats, term_list)
-        if prune and mode == "and":
+        if prune:
             decoded = _pruned_decode(
-                spark, index_dir, qterms, stats, k, full_mask, term_list, term_info
+                spark, index_dir, qterms, stats, k, full_mask, term_list,
+                term_info, mode=mode,
             )
         scored = (
             decoded.join(F.broadcast(qterms), "term")
@@ -505,7 +506,7 @@ def _search_local(
         if prune:
             plan = _prune_plan(
                 spark, index_dir, None, stats, k, full_mask,
-                list(term_info["term"]), term_info, dead=dead,
+                list(term_info["term"]), term_info, dead=dead, mode=mode,
             )
             if plan is None:
                 return _finish_local(spark, index_dir, [], empty, with_urls)
@@ -572,6 +573,7 @@ def _prune_plan(
     term_list: list[str],
     term_info: pd.DataFrame,
     dead: np.ndarray | None = None,
+    mode: str = "and",
 ) -> tuple[list[int], int] | None:
     """Block-max prune planning — two LIGHT driver round-trips:
 
@@ -592,6 +594,13 @@ def _prune_plan(
     block's encode-time avgdl is current; after incremental appends
     shift avgdl, the avgdl-free bound (k1+1)·max_tf/(max_tf+k1·(1−b))
     which dominates tfnorm for any doc length.
+
+    ``mode='or'`` is the WAND home case (VERDICT r3 task 4): no
+    AND-coverage mask anywhere — a range survives iff the sum of its
+    present terms' upper bounds reaches θ, and θ comes from the k-th
+    live OR score of the best range. Sound because a doc's postings
+    live in exactly ONE range (range_id = doc_id >> range_bits), so
+    the per-range ub bounds any doc's TOTAL score in either mode.
     """
     meta_cols = ["term", "range_id", "n_docs", "max_tf", "max_tfnorm", "enc_avgdl"]
     meta = (
@@ -620,7 +629,8 @@ def _prune_plan(
         mask=("mask", lambda s: int(np.bitwise_or.reduce(s.values))),
         n_docs=("n_docs", "sum"),
     )
-    per_range = per_range[per_range["mask"] == full_mask]
+    if mode == "and":
+        per_range = per_range[per_range["mask"] == full_mask]
     if len(per_range) == 0:
         return None
     best_range = int(per_range["ub"].idxmax())
@@ -636,7 +646,9 @@ def _prune_plan(
             .toPandas()
         )
         uniq, score, mask_acc = _score_blocks_np(probe, stats, term_info)
-        live = (mask_acc == full_mask) & ~np.isin(uniq, dead)
+        live = ~np.isin(uniq, dead)
+        if mode == "and":
+            live &= mask_acc == full_mask
         top = np.sort(score[live])[::-1]
         if len(top) >= k:
             theta = float(top[k - 1])
@@ -655,12 +667,14 @@ def _pruned_decode(
     full_mask: int,
     term_list: list[str],
     term_info: pd.DataFrame,
+    mode: str = "and",
 ) -> DataFrame:
     """Distributed block-max-pruned decode: prune plan (2 light jobs)
     + ONE mapInPandas decode job over surviving blocks (term+range_id
     pushdown reaches the parquet scan)."""
     plan = _prune_plan(
-        spark, index_dir, qterms, stats, k, full_mask, term_list, term_info
+        spark, index_dir, qterms, stats, k, full_mask, term_list, term_info,
+        mode=mode,
     )
     if plan is None:
         return local_df(spark, [], DECODED_SCHEMA)
@@ -919,21 +933,45 @@ def phrase_slots(words: list[str]) -> list[str]:
     return out
 
 
-def _slot_occurrences(decoded: DataFrame, terms: list[str], shift: int, name: str):
-    """→ (doc_id, <name>: array<int>) of slot positions shifted by
-    -shift. Single-term slots stay narrow (no agg); multi-term
-    (wildcard) slots union positions across the expansion with one
-    map-side-combining agg."""
+def _slot_occurrences(
+    decoded: DataFrame,
+    terms: list[str],
+    shift: int,
+    name: str,
+    idf_df: DataFrame | None = None,
+    wname: str | None = None,
+):
+    """→ (doc_id, <name>: array<int>[, <wname>: double]) of slot
+    positions shifted by -shift. Single-term slots stay narrow (no
+    agg); multi-term (wildcard) slots union positions across the
+    expansion with one map-side-combining agg. When ``idf_df``
+    (term, _idf) is given the slot also yields its BM25 partial:
+    MAX over the expansion terms present in the doc of idf·tfnorm —
+    best-match scoring for wildcard slots (VERDICT r3 task 5)."""
     shifted = F.transform("pos", lambda x: x - F.lit(shift))
-    if len(terms) == 1:
+    if len(terms) == 1 and idf_df is None:
         return decoded.filter(F.col("term") == terms[0]).select(
             "doc_id", shifted.alias(name)
         )
+    src = decoded.filter(F.col("term").isin(terms))
+    if idf_df is None:
+        return (
+            src.select("doc_id", shifted.alias("_s"))
+            .groupBy("doc_id")
+            .agg(F.array_distinct(F.flatten(F.collect_list("_s"))).alias(name))
+        )
     return (
-        decoded.filter(F.col("term").isin(terms))
-        .select("doc_id", shifted.alias("_s"))
+        src.join(F.broadcast(idf_df), "term")
+        .select(
+            "doc_id",
+            shifted.alias("_s"),
+            (F.col("_idf") * F.col("tfnorm")).alias("_w"),
+        )
         .groupBy("doc_id")
-        .agg(F.array_distinct(F.flatten(F.collect_list("_s"))).alias(name))
+        .agg(
+            F.array_distinct(F.flatten(F.collect_list("_s"))).alias(name),
+            F.max("_w").alias(wname),
+        )
     )
 
 
@@ -947,22 +985,18 @@ def _phrase_frame(
     positions shifted by -i and intersected across slots
     (n_occ = |intersection|). A slot may be a wildcard pattern
     ("dat*"): its positions are the union over the pattern's expansion
-    terms (count semantics only — with_score requires literal slots).
-    For literal phrases the BM25 partial of each DISTINCT term rides
-    on its first occurrence so candidates and scores come from the
-    same scan (beyond the reference: it stores no positions and has
-    no phrase operator)."""
+    terms. The BM25 partial of each DISTINCT pattern rides on its
+    first occurrence so candidates and scores come from the same
+    scan; a wildcard slot scores as the MAX over its expansion terms
+    present in the doc of idf·tfnorm — deterministic best-match
+    semantics (the strongest matched expansion), the natural analog
+    of literal-slot scoring (beyond the reference: it stores no
+    positions and has no phrase operator)."""
     slots = phrase_slots(words)
     if not slots:
         raise ValueError("phrase contains no indexable terms")
     if len(slots) > PHRASE_MAX_TERMS:
         raise ValueError(f"phrase too long ({len(slots)} > {PHRASE_MAX_TERMS})")
-    has_wildcard = any(_is_wildcard(p) for p in slots)
-    if with_score and has_wildcard:
-        raise ValueError(
-            "search_phrase supports literal phrases only; use phrase_docs "
-            "for wildcard slots"
-        )
     stats = cached_stats(spark, index_dir)
     patterns = sorted(set(slots))
     expanded = expand_patterns(spark, index_dir, patterns)
@@ -985,22 +1019,36 @@ def _phrase_frame(
     first_occ: dict[str, int] = {}
     cur = None
     for i, p in enumerate(slots):
-        occ = _slot_occurrences(decoded, slot_terms[p], i, f"_p{i}")
         if with_score and p not in first_occ:
-            # literal phrase: carry the slot term's BM25 partial on
-            # its first occurrence (slot_terms[p] is a single term)
+            # each DISTINCT pattern's BM25 partial rides on its first
+            # occurrence
             first_occ[p] = i
-            # NB: a 2-arg lambda to F.transform would receive the
-            # ELEMENT INDEX as its second argument — bind the slot
-            # offset via an outer closure instead
-            shift_col = (lambda sh: F.transform("pos", lambda x: x - F.lit(sh)))(i)
-            occ = decoded.filter(F.col("term") == slot_terms[p][0]).select(
-                "doc_id",
-                shift_col.alias(f"_p{i}"),
-                (F.lit(idf_by_term[slot_terms[p][0]]) * F.col("tfnorm")).alias(
-                    f"_w{i}"
-                ),
-            )
+            terms = slot_terms[p]
+            if len(terms) == 1:
+                # NB: a 2-arg lambda to F.transform would receive the
+                # ELEMENT INDEX as its second argument — bind the slot
+                # offset via an outer closure instead
+                shift_col = (lambda sh: F.transform("pos", lambda x: x - F.lit(sh)))(i)
+                occ = decoded.filter(F.col("term") == terms[0]).select(
+                    "doc_id",
+                    shift_col.alias(f"_p{i}"),
+                    (F.lit(idf_by_term[terms[0]]) * F.col("tfnorm")).alias(
+                        f"_w{i}"
+                    ),
+                )
+            else:
+                # wildcard slot: positions = union over expansion,
+                # weight = max matched expansion partial
+                idf_df = local_df(
+                    spark,
+                    [(t, float(idf_by_term[t])) for t in terms],
+                    "term string, _idf double",
+                )
+                occ = _slot_occurrences(
+                    decoded, terms, i, f"_p{i}", idf_df=idf_df, wname=f"_w{i}"
+                )
+        else:
+            occ = _slot_occurrences(decoded, slot_terms[p], i, f"_p{i}")
         cur = occ if cur is None else cur.join(occ, "doc_id")
     inter = F.col("_p0")
     for i in range(1, len(slots)):

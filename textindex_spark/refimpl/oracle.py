@@ -228,22 +228,37 @@ class OracleIndex:
         return out
 
     def search_phrase(self, words: list[str], k: int = 10) -> list[tuple[int, float]]:
-        """Top-k exact-phrase (doc_id, score): BM25 over the phrase's
-        distinct terms, restricted to phrase-matching docs."""
+        """Top-k exact-phrase (doc_id, score): BM25 summed over the
+        phrase's DISTINCT slot patterns — a literal slot adds its
+        term's partial, a wildcard slot adds the MAX partial over its
+        expansion terms present in the doc (engine semantics,
+        query._phrase_frame)."""
         occ = self.phrase_occurrences(words)
         from textindex_spark.refimpl.txt_tokenize import iter_raw_words, normalize_token
 
-        terms = sorted(
-            {
-                t
-                for raw in iter_raw_words(" ".join(words))
-                if (t := normalize_token(raw)) is not None
-            }
-        )
-        scores = {
-            d: sum(self.weight(t, d, self.postings[t][d]) for t in terms)
-            for d in occ
-        }
+        patterns: list[str] = []
+        for w in words:
+            if "*" in w or "?" in w:
+                patterns.append(w.lower())
+            else:
+                for raw in iter_raw_words(w):
+                    t = normalize_token(raw)
+                    if t is not None:
+                        patterns.append(t)
+        scores: dict[int, float] = {}
+        for d in occ:
+            s = 0.0
+            for p in sorted(set(patterns)):
+                if "*" in p or "?" in p:
+                    ws = [
+                        self.weight(t, d, self.postings[t][d])
+                        for t in self.expand(p)
+                        if d in self.postings[t]
+                    ]
+                    s += max(ws) if ws else 0.0
+                else:
+                    s += self.weight(p, d, self.postings[p][d])
+            scores[d] = s
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def find_unranked(self, terms: list[str]) -> list[str]:

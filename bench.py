@@ -35,7 +35,11 @@ def sf_name() -> str:
 
 
 def ensure_bench_corpus(spark, n_docs: int, path: str):
-    """Deterministic synthetic corpus parquet (cached by size)."""
+    """Deterministic synthetic corpus parquet (cached by size),
+    url-sorted like a host-batched crawl delivery — so url-ordered id
+    minting gives same-site docs adjacent ids (clustered postings,
+    prunable ranges), which partition-local sorting alone cannot
+    recover from a site-interleaved file layout."""
     marker = f"{path}/_SUCCESS"
     if os.path.exists(marker):
         return spark.read.parquet(path)
@@ -44,7 +48,7 @@ def ensure_bench_corpus(spark, n_docs: int, path: str):
     from tests.spark_fixtures import corpus_df
 
     rows = synth_corpus(n_docs)
-    df = corpus_df(spark, rows).repartition(CPUS * 2)
+    df = corpus_df(spark, rows).orderBy("url")
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -68,8 +72,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    corpus_path = f"/tmp/textindex_bench/corpus_{n_docs}"
-    corpus = ensure_bench_corpus(spark, n_docs, corpus_path)
+    # v3: site-topic vocabulary (corpus.py r4) + url-sorted delivery
+    corpus_path = f"/tmp/textindex_bench/corpus_v3_{n_docs}"
+    # drop the generator's convenience doc_id: the input_hint corpus
+    # shape has none, so the build exercises url-ordered id minting —
+    # the path that clusters same-site docs into adjacent ids (small
+    # posting gaps, prunable ranges)
+    corpus = ensure_bench_corpus(spark, n_docs, corpus_path).drop("doc_id")
     corpus.count()  # warm the scan
 
     # one-time session warmup: pre-fault worker/JVM memory (this VM
@@ -101,23 +110,58 @@ def main() -> None:
 
     # ---- warm BM25 query latencies over that index
     queries = [
-        ("bm25_hot_and", ["spark", "index"], False),
-        ("bm25_rare", ["zanzibar*", "quizzical"], False),
-        ("bm25_wildcard", ["kar?*"], False),
-        ("bm25_hot_pruned", ["spark", "index"], True),
+        ("bm25_hot_and", ["spark", "index"], False, "and"),
+        ("bm25_rare", ["zanzibar*", "quizzical"], False, "and"),
+        ("bm25_wildcard", ["kar?*"], False, "and"),
+        ("bm25_hot_pruned", ["spark", "index"], True, "and"),
+        # OR is WAND's home turf (r4): pruned vs unpruned pair
+        ("bm25_hot_or", ["spark", "index"], False, "or"),
+        ("bm25_hot_or_pruned", ["spark", "index"], True, "or"),
     ]
-    for name, terms, prune in queries:
-        search(spark, idx_dir, terms, k=10, prune=prune, with_urls=False).collect()
+    for name, terms, prune, mode in queries:
+        search(
+            spark, idx_dir, terms, k=10, mode=mode, prune=prune, with_urls=False
+        ).collect()
         t0 = time.time()
-        search(spark, idx_dir, terms, k=10, prune=prune, with_urls=False).collect()
+        search(
+            spark, idx_dir, terms, k=10, mode=mode, prune=prune, with_urls=False
+        ).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # the DISTRIBUTED OR plans (local_score=False) — the path a
+    # beyond-driver-memory candidate set takes at real scale; this is
+    # where block-max pruning pays (the serving path above reads so
+    # few bytes that 2 extra planning jobs dominate at bench sf).
+    # Two shapes: all-hot terms (uniform scores — WAND's worst case,
+    # nothing prunable, measures pure planning overhead) and the
+    # clustered-rare + hot mix (site topic term: high idf, postings
+    # concentrated in few doc-id ranges — theta kills the hot-only
+    # ranges, WAND's home case).
+    from textindex_spark.corpus import site_topic_word
+
+    or_shapes = [
+        ("bm25_or_dist", ["spark", "index"], False),
+        ("bm25_or_dist_pruned", ["spark", "index"], True),
+        ("bm25_or_rarehot", [site_topic_word(10), "spark"], False),
+        ("bm25_or_rarehot_pruned", [site_topic_word(10), "spark"], True),
+    ]
+    for name, terms, prune in or_shapes:
+        args = dict(k=10, mode="or", prune=prune, with_urls=False, local_score=False)
+        search(spark, idx_dir, terms, **args).collect()
+        t0 = time.time()
+        search(spark, idx_dir, terms, **args).collect()
         timings[name] = round(time.time() - t0, 3)
 
     from textindex_spark.query import search_phrase
 
-    search_phrase(spark, idx_dir, ["agg", "hash"], k=10, with_urls=False).collect()
-    t0 = time.time()
-    search_phrase(spark, idx_dir, ["agg", "hash"], k=10, with_urls=False).collect()
-    timings["phrase_rank"] = round(time.time() - t0, 3)
+    for name, ph in (
+        ("phrase_rank", ["agg", "hash"]),
+        ("phrase_rank_wildcard", ["agg", "ha*"]),
+    ):
+        search_phrase(spark, idx_dir, ph, k=10, with_urls=False).collect()
+        t0 = time.time()
+        search_phrase(spark, idx_dir, ph, k=10, with_urls=False).collect()
+        timings[name] = round(time.time() - t0, 3)
 
     # ---- driver-table ops at the requested sf — measured WARM like
     # the BM25 set (r2 measured these cold and recorded 16-172%

@@ -132,10 +132,15 @@ def mint_doc_ids(documents: DataFrame, base: int = 0) -> DataFrame:
     row through ONE task — a non-starter at 10^12 docs):
 
     1. sortWithinPartitions("url") — narrow, parallel; same-site urls
-       inside a partition become adjacent, keeping most of the
-       posting-gap-shrinking document-clustering effect ("Document
-       Reordering for Faster Intersection", VLDB 2019) without any
-       shuffle or global sort.
+       inside a partition become adjacent (and globally adjacent when
+       the corpus arrives host-batched, as crawls do). Measured effect
+       (BASELINE.md r4): postings BYTES are unchanged on the bench
+       corpus (every delta-gap fits one varint byte either way); the
+       real win is that site-correlated terms concentrate into few
+       doc-id ranges, which block-max pruning then skips (−85%
+       candidate docs on the rare+hot OR query) — locality for the
+       pruner, in the spirit of "Document Reordering for Faster
+       Intersection" (VLDB 2019), not compression.
     2. ``monotonically_increasing_id()`` over that order gives
        (partition_id << 33 | local_ordinal) JVM-side.
     3. A cheap column-pruned pass collects per-partition counts

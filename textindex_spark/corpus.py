@@ -34,6 +34,23 @@ _LONG_WORDS = [
 # Deliberately hot terms (~few % of tokens each) — skew coverage.
 HOT_TERMS = ["spark", "index", "query", "woven", "archive"]
 
+# Site-correlated vocabulary (r4): every fetched page of site s
+# carries a site-topic token that occurs on NO other site. Because
+# doc_ids are minted in url order (same-site pages get adjacent ids),
+# each site's topic postings concentrate in a few doc-id ranges — the
+# clustered-rare-term shape real crawls have. This (a) makes the
+# url-sort doc-id-clustering effect measurable (postings bytes vs a
+# random id assignment) and (b) gives block-max pruning ranges it can
+# actually skip — on the previous all-hot uniform vocabulary no
+# query's theta ever beat any range's upper bound.
+N_SITES = 97
+
+
+def site_topic_word(site: int) -> str:
+    """Alphabetic-only site topic token (digits never survive the
+    reference word tokenizer): 'topiq' + two base-20 syllables."""
+    return "topiq" + _SYLLABLES[(site // 20) % 20] + _SYLLABLES[site % 20]
+
 _ENTITY_SNIPPETS = [
     " Tom &#38; Jerry ",          # dec charref
     " caf&#xE9; au lait ",        # hex charref
@@ -103,6 +120,8 @@ def _html_doc(rng: random.Random, vocab: list[str], lang: str, i: int, scale: in
         if rng.random() < 0.2:
             parts.append("<?php bogus_section(); ?>")
         parts.append("</p>")
+    w = site_topic_word(i % N_SITES)
+    parts.append(f"<p>{w} {w} {w}</p>")  # before the truncation quirk
     if rng.random() < 0.05:
         # named charref → reference quirk truncates extraction here
         parts.append("fin &amp; truncated tail never indexed")
@@ -129,6 +148,8 @@ def _text_doc(rng: random.Random, vocab: list[str], lang: str, i: int) -> str:
         lines += ["BEGIN uuencoded", "QUJDCg==", "END", _sentence(rng, vocab, lang, 5)]
     if rng.random() < 0.2:
         lines.append(f"short <tag{i % 7}> inside text")
+    w = site_topic_word(i % N_SITES)
+    lines.append(f"{w} {w} {w}")
     return "\n".join(lines)
 
 
@@ -138,7 +159,7 @@ def make_row(i: int, vocab: list[str], seed: int = 42, scale: int = 1) -> dict:
     rng = random.Random((seed << 20) + i)
     lang = _LANGS[i % 3]
     roll = rng.random()
-    url = f"https://site{i % 97}.example/{lang}/page{i}.html"
+    url = f"https://site{i % N_SITES}.example/{lang}/page{i}.html"
     text_col = ""
     if roll < 0.70:
         body = _html_doc(rng, vocab, lang, i, scale)

@@ -218,12 +218,23 @@ def signature_groups(signatures: DataFrame) -> DataFrame:
     land in one group (same shingle set ⇒ same signature); so do the
     rare signature collisions — which agree on every band and would
     be candidates anyway."""
-    sig_key = signatures.groupBy("doc_id").agg(
+    return _groups_from_bands(lsh_band_keys(signatures))
+
+
+def _groups_from_bands(bands: DataFrame) -> DataFrame:
+    """(doc_id, canon_id) from a band-keys frame: two docs are
+    signature-identical iff ALL their band keys agree (band_key is
+    the ordered concat of the band's mh values, so the tuple of band
+    keys determines the full signature byte-for-byte). Working from
+    bands instead of raw signatures keeps the agg input at n_bands
+    rows/doc instead of n_hashes and lets callers reuse one
+    lsh_band_keys pass for collapse + join."""
+    sig_key = bands.groupBy("doc_id").agg(
         F.concat_ws(
-            ",",
+            "|",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                lambda x: x["mh"].cast("string"),
+                F.array_sort(F.collect_list(F.struct("band", "band_key"))),
+                lambda x: x["band_key"],
             ),
         ).alias("_sk")
     )
@@ -262,13 +273,21 @@ def lsh_candidate_pairs(
        not flag. ``log_dropped=True`` counts and warns about dropped
        buckets (one extra light job); ``lsh_hot_buckets`` exposes
        them for offline inspection either way."""
-    groups = signature_groups(signatures)
+    # the band table feeds FOUR branches (identity collapse, the hot
+    # count, and both join sides) — persist it so the minhash lineage
+    # runs once, the materialized-signatures-table pattern every LSH
+    # pipeline keeps anyway (cf. embedding_near_pairs)
+    bands_all = lsh_band_keys(signatures, band_size).persist()
+    groups = _groups_from_bands(bands_all)
     stars = groups.filter(F.col("doc_id") != F.col("canon_id")).select(
         F.col("canon_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
-    )
-    bands = lsh_band_keys(signatures, band_size).join(
-        groups.filter(F.col("doc_id") == F.col("canon_id")).select("doc_id"),
-        "doc_id",
+    ).persist()
+    # canonical docs = everyone minus the members: an ANTI join
+    # against the (typically small — dup fraction of the corpus)
+    # member list broadcasts on real data instead of shuffling the
+    # whole band table against a per-doc groups frame
+    bands = bands_all.join(
+        stars.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti"
     )
     hot = (
         bands.groupBy("band", "band_key")
@@ -305,8 +324,9 @@ def lsh_hot_buckets(
     """→ (band, band_key, n_docs): the band buckets
     ``lsh_candidate_pairs`` would drop (counted over canonical docs,
     the same population the join sees)."""
-    groups = signature_groups(signatures)
-    bands = lsh_band_keys(signatures, band_size).join(
+    bands_all = lsh_band_keys(signatures, band_size)
+    groups = _groups_from_bands(bands_all)
+    bands = bands_all.join(
         groups.filter(F.col("doc_id") == F.col("canon_id")).select("doc_id"),
         "doc_id",
     )

@@ -108,7 +108,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3, help="timed builds per level (best wins)")
     args = ap.parse_args()
 
-    corpus = f"/tmp/textindex_bench/scaling_corpus_{args.docs}_{args.scale}"
+    corpus = f"/tmp/textindex_bench/scaling_corpus_v2_{args.docs}_{args.scale}"
     if not os.path.exists(f"{corpus}/_SUCCESS"):
         sys.path.insert(0, str(REPO))
         from textindex_spark.corpus import synth_corpus_spark

@@ -1,0 +1,96 @@
+"""Interactive shell (reference REPL parity, cmds.rs surface)."""
+from __future__ import annotations
+
+import pytest
+
+from textindex_spark.build import build_index
+from textindex_spark.corpus import synth_corpus
+from textindex_spark.shell import PAGE, Shell
+
+from tests.spark_fixtures import corpus_df, spark  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def shell(spark, tmp_path_factory):
+    rows = synth_corpus(220, seed=5)
+    out = str(tmp_path_factory.mktemp("shellidx"))
+    docs_path = str(tmp_path_factory.mktemp("shelldocs") / "documents.parquet")
+    df = corpus_df(spark, rows)
+    df.write.parquet(docs_path, mode="overwrite")
+    build_index(spark, df, out, range_bits=6)
+    return Shell(spark, out, docs_path)
+
+
+def test_help_and_unknown(shell):
+    out = shell.dispatch("help")
+    for cmd in ("find <match>", "files <match>", "stats base | debug | <word>"):
+        assert cmd in out
+    assert "unknown command" in shell.dispatch("bogus")
+    assert shell.dispatch("") == ""
+
+
+def test_find_pages_and_matched_lines(shell):
+    out = shell.dispatch("find spark")
+    # reference prints "  idx:file" then matched lines indented
+    assert "  0:" in out and "https://" in out
+    n_found = len(shell.found)
+    assert n_found > PAGE  # hot term: more than one page
+    assert out.strip().endswith("...")  # cursor not exhausted
+    assert shell.lines_idx == PAGE
+    # every printed line block contains the query term
+    for url, lines in shell.found[:5]:
+        assert all("spark" in line.split(" ") or "spark" in line for line in lines)
+    # next pages forward; first rewinds
+    out2 = shell.dispatch("next")
+    assert f"  {PAGE}:" in out2
+    out3 = shell.dispatch("first")
+    assert "  0:" in out3 and shell.lines_idx == PAGE
+
+
+def test_files_and_stats_and_store(shell, tmp_path):
+    out = shell.dispatch("files *site3.example*")
+    assert "site3.example" in out and "  0:" in out
+    assert shell.dispatch("next") == ""  # files prints everything at once
+
+    out = shell.dispatch("stats base")
+    assert "n_docs=" in out and "postings:" in out and "snapshot=v" in out
+
+    out = shell.dispatch("stats spark")
+    assert "df=" in out and "blocks=" in out and "range=" in out
+    assert "not in dictionary" in shell.dispatch("stats zzznotaword")
+
+    out = shell.dispatch("stats debug")
+    assert "written to" in out
+    log = out.strip().split()[-1]
+    head = open(log, encoding="utf-8").readline()
+    assert ": [" in head and "n=" in head  # "word: [id] n=count" shape
+
+    assert "snapshot v" in shell.dispatch("store")
+    assert shell.dispatch("summary 5") == ""  # reference no-op
+
+
+def test_delete_then_find_excludes(shell):
+    before = len(shell.dispatch("find spark") and shell.found)
+    out = shell.dispatch("delete *site3.example*")
+    assert "deleted" in out and "deleted 0" not in out
+    shell.dispatch("find spark")
+    after = len(shell.found)
+    assert after < before
+    assert all("site3.example" not in url for url, _ in shell.found)
+
+
+def test_completion(shell):
+    assert shell.complete("f", "f") == ["find", "files", "first"]
+    assert shell.complete("st", "st") == ["stats", "store"]
+    terms = shell.complete("spar", "find spar")
+    assert terms == ["spark"]
+    assert shell.complete("", "files ") == []  # no term completion for files
+
+
+def test_run_loop_scripted(shell, capsys):
+    from textindex_spark.shell import run_loop
+
+    run_loop(shell, input_lines=["files *site5*", "quit", "files *site6*"])
+    out = capsys.readouterr().out
+    assert "site5.example" in out
+    assert "site6.example" not in out  # quit stops the loop

@@ -1,0 +1,303 @@
+"""Interactive command shell (the reference's rustyline REPL).
+
+Command surface and behavior mirror ``/root/reference/src/cmds.rs``
+(parser table, :251-273) and ``/root/reference/src/main.rs``
+(execution, :180-370):
+
+    index <parquet>         build or append documents into the index
+    stats base              index overview (main.rs:285 prints queue/
+                            block stats; analog: snapshot tables)
+    stats debug             dump the dictionary "word: [id] n=count"
+                            to the log file (main.rs:339-347)
+    stats <word>            per-term stats (the reference prints a
+                            storage block by number, main.rs:332-338;
+                            the analog of inspecting one term's
+                            storage here is its dictionary row +
+                            posting-block layout)
+    find <match...>         AND search; prints the first 20 hits with
+                            their matched lines and stores the result
+                            cursor (main.rs:201-219)
+    files <match>           file-name wildcard search (main.rs:220-232)
+    first / next            page the stored result 20 at a time,
+                            trailing "..." when more (main.rs:233-276)
+    summary <nr>            no-op in the reference (main.rs:277)
+    delete <file-match>     delete matching files (main.rs:278-284)
+    store                   force a snapshot save (main.rs:349-351 —
+                            every op here already commits atomically,
+                            so this prints the current version)
+    help | ?                usage text (main.rs:354-367)
+    quit | exit             leave (rustyline ctrl-d analog)
+
+Tab completion (``jobs/shell.py``) completes command names and, for
+``find``/``stats``, index terms via the resident dictionary — the
+rustyline Helper analog (``cmdlib.rs``).
+"""
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import SparkSession
+
+PAGE = 20
+
+HELP = """
+index <parquet-path>
+stats base | debug | <word>
+find <match>
+files <match>
+summary <nr>
+delete <file-match>
+store
+help | ?
+quit | exit
+"""
+
+
+class Shell:
+    """Dispatch loop state: one index dir + the Found cursor."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, docs_path: str | None = None):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.docs_path = docs_path  # raw documents table for matched lines
+        self.found: list[tuple[str, list[str]]] = []  # (url, lines)
+        self.lines_idx = 0
+
+    # ------------------------------------------------------------ commands
+
+    def dispatch(self, line: str) -> str:
+        """Execute one command line, return its printed output."""
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            try:
+                self._dispatch(line)
+            except SystemExit:
+                raise
+            except Exception as e:  # REPL: report, keep running
+                print(f"error: {e}")
+        return buf.getvalue()
+
+    def _dispatch(self, line: str) -> None:
+        parts = line.strip().split()
+        if not parts:
+            return
+        cmd, args = parts[0], parts[1:]
+        if cmd in ("help", "?"):
+            print(HELP.strip())
+        elif cmd in ("quit", "exit"):
+            raise SystemExit(0)
+        elif cmd == "index":
+            self._cmd_index(args)
+        elif cmd == "find":
+            self._cmd_find(args)
+        elif cmd == "files":
+            self._cmd_files(args)
+        elif cmd == "first":
+            self.lines_idx = 0
+            self._page()
+        elif cmd == "next":
+            self._page()
+        elif cmd == "stats":
+            self._cmd_stats(args)
+        elif cmd == "delete":
+            self._cmd_delete(args)
+        elif cmd == "summary":
+            pass  # no-op in the reference (main.rs:277)
+        elif cmd == "store":
+            from textindex_spark import manifest
+
+            man = manifest.current_manifest(self.spark, self.index_dir)
+            print(f"snapshot v{int(man['version']) if man else 0} (every op commits atomically)")
+        else:
+            print(f"unknown command: {cmd} (try help)")
+
+    def _cmd_index(self, args: list[str]) -> None:
+        if not args:
+            print("usage: index <parquet-path>")
+            return
+        from textindex_spark import manifest
+        from textindex_spark.build import append_batch, build_index
+
+        docs = self.spark.read.parquet(args[0])
+        if manifest.table_exists(self.spark, self.index_dir, "stats"):
+            stats = append_batch(self.spark, docs, self.index_dir)
+            print(f"appended; n_docs={stats['n_docs']} vocab={stats['vocab_size']}")
+        else:
+            stats = build_index(self.spark, docs, self.index_dir)
+            print(f"indexed; n_docs={stats['n_docs']} vocab={stats['vocab_size']}")
+        self.docs_path = self.docs_path or args[0]
+
+    def _cmd_find(self, args: list[str]) -> None:
+        if not args:
+            print("usage: find <match...>")
+            return
+        from textindex_spark.query import find_unranked, matched_lines
+
+        hits = find_unranked(self.spark, self.index_dir, args)
+        if self.docs_path is not None:
+            docs = self.spark.read.parquet(self.docs_path)
+            rows = matched_lines(self.spark, docs, hits, args).collect()
+            by_id = {r["doc_id"]: list(r["lines"]) for r in rows}
+        else:
+            by_id = {}
+        self.found = [
+            (r["url"], by_id.get(r["doc_id"], []))
+            for r in hits.collect()
+        ]
+        self.lines_idx = 0
+        self._page()
+
+    def _cmd_files(self, args: list[str]) -> None:
+        if not args:
+            print("usage: files <match>")
+            return
+        from textindex_spark.query import find_files
+
+        rows = find_files(self.spark, self.index_dir, args[0]).collect()
+        for idx, r in enumerate(rows):
+            print(f"  {idx}:{r['url']}")
+        self.found = [(r["url"], []) for r in rows]
+        self.lines_idx = len(rows)  # files prints everything (main.rs:220)
+
+    def _page(self) -> None:
+        for idx in range(self.lines_idx, min(self.lines_idx + PAGE, len(self.found))):
+            url, lines = self.found[idx]
+            print(f"  {idx}:{url}")
+            for ln in lines:
+                print(f"    {ln}")
+        self.lines_idx = min(self.lines_idx + PAGE, len(self.found))
+        if self.lines_idx < len(self.found):
+            print("...")
+
+    def _cmd_stats(self, args: list[str]) -> None:
+        from textindex_spark import manifest
+
+        sub = args[0] if args else "base"
+        if sub == "base":
+            from textindex_spark.build import describe_index
+
+            d = describe_index(self.spark, self.index_dir)
+            for t, info in d["tables"].items():
+                print(
+                    f"  {t}: rows={info['rows']} bytes={info['bytes']} "
+                    f"files={info['files']}"
+                )
+            s = d["stats"]
+            print(
+                f"  n_docs={s['n_docs']} vocab={s['vocab_size']} "
+                f"avgdl={s['avgdl']:.2f} snapshot=v{d['snapshot_version']}"
+            )
+        elif sub == "debug":
+            # dictionary dump to the log file (main.rs:339-347)
+            log = f"{self.index_dir}/shell_debug.log"
+            terms = (
+                manifest.read_table(self.spark, self.index_dir, "terms")
+                .orderBy("term")
+                .collect()
+            )
+            with open(log, "w", encoding="utf-8") as f:
+                for i, r in enumerate(terms):
+                    f.write(f"{r['term']}: [{i}] n={r['cf']}\n")
+            print(f"dictionary ({len(terms)} terms) written to {log}")
+        else:
+            from textindex_spark.query import expand_patterns
+
+            exp = expand_patterns(self.spark, self.index_dir, [sub])
+            if len(exp) == 0:
+                print(f"  {sub}: not in dictionary")
+                return
+            postings = manifest.read_table(self.spark, self.index_dir, "postings")
+            from pyspark.sql import functions as F
+
+            terms = sorted(exp["term"])
+            rows = (
+                postings.filter(F.col("term").isin(terms))
+                .select("term", "range_id", "n_docs", "sum_tf", "max_tf")
+                .orderBy("term", "range_id")
+                .collect()
+            )
+            for t in terms:
+                df = int(exp.loc[exp["term"] == t, "df"].iloc[0])
+                blocks = [r for r in rows if r["term"] == t]
+                print(f"  {t}: df={df} blocks={len(blocks)}")
+                for r in blocks[:10]:
+                    print(
+                        f"    range={r['range_id']} n_docs={r['n_docs']} "
+                        f"sum_tf={r['sum_tf']} max_tf={r['max_tf']}"
+                    )
+
+    def _cmd_delete(self, args: list[str]) -> None:
+        if not args:
+            print("usage: delete <file-match>")
+            return
+        from textindex_spark.query import delete_docs
+
+        n = delete_docs(self.spark, self.index_dir, args[0])
+        print(f"deleted {n} docs")
+
+    # ---------------------------------------------------------- completion
+
+    COMMANDS = (
+        "index", "stats", "find", "files", "summary", "delete",
+        "store", "first", "next", "help", "quit", "exit",
+    )
+
+    def complete(self, text: str, state_line: str) -> list[str]:
+        """Completion candidates for the token ``text`` at the end of
+        ``state_line`` — command names in position 0, index terms
+        after ``find``/``stats`` (the rustyline Helper analog)."""
+        words = state_line.split()
+        at_cmd = len(words) == 0 or (len(words) == 1 and not state_line.endswith(" "))
+        if at_cmd:
+            return [c for c in self.COMMANDS if c.startswith(text)]
+        if words[0] in ("find", "stats"):
+            from textindex_spark.query import _load_dictionary
+
+            terms = _load_dictionary(self.spark, self.index_dir)
+            if terms is None:
+                return []
+            hits = terms["term"][terms["term"].str.startswith(text)]
+            return sorted(hits)[:50]
+        return []
+
+
+def run_loop(shell: Shell, input_lines=None) -> None:
+    """REPL loop: readline + tab completion on a tty, or a plain
+    line-at-a-time loop over ``input_lines`` / piped stdin."""
+    import sys
+
+    if input_lines is None and sys.stdin.isatty():
+        try:
+            import readline
+
+            def completer(text, state):
+                line = readline.get_line_buffer()
+                cands = shell.complete(text, line)
+                return cands[state] if state < len(cands) else None
+
+            readline.set_completer(completer)
+            readline.parse_and_bind("tab: complete")
+        except ImportError:
+            pass
+        while True:
+            try:
+                line = input("> ")
+            except (EOFError, KeyboardInterrupt):
+                print()
+                return
+            try:
+                out = shell.dispatch(line)
+            except SystemExit:
+                return
+            if out:
+                print(out, end="")
+    else:
+        src = input_lines if input_lines is not None else sys.stdin
+        for line in src:
+            try:
+                out = shell.dispatch(line)
+            except SystemExit:
+                return
+            if out:
+                print(out, end="")

@@ -6,7 +6,7 @@ pairs → connected-component clusters → canonical keep list):
 
     spark-submit --py-files textindex_spark.zip jobs/dedup_corpus.py \
         --input /data/documents --output /data/dedup \
-        [--method lsh|ngram] [--threshold 0.2] [--keep-list]
+        [--method lsh|ngram|simhash] [--threshold 0.2] [--keep-list]
 
 Streaming mode — online dedup against the kept corpus (state +
 verdicts accumulate under --state; exactly-once per micro-batch):
@@ -30,8 +30,14 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", default=None, help="batch-mode output dir")
     ap.add_argument(
-        "--method", choices=["lsh", "ngram"], default="lsh",
-        help="near-dup candidate generation (lsh = MinHash bands)",
+        "--method", choices=["lsh", "ngram", "simhash"], default="lsh",
+        help="near-dup candidate generation (lsh = MinHash bands; "
+        "simhash = Hamming-radius pigeonhole, width calibrated to "
+        "the corpus)",
+    )
+    ap.add_argument(
+        "--max-hamming", type=int, default=3,
+        help="simhash method: Hamming radius (exact pigeonhole recall)",
     )
     ap.add_argument(
         "--threshold", type=float, default=0.2,
@@ -70,6 +76,10 @@ def main() -> None:
     docs = spark.read.parquet(args.input)
     if args.method == "lsh":
         pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
+    elif args.method == "simhash":
+        pairs = D.simhash_near_pairs(docs, max_hamming=args.max_hamming).select(
+            "doc_a", "doc_b"
+        )
     else:
         pairs = D.ngram_jaccard_pairs(docs, threshold=args.threshold)
     pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")

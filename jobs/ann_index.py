@@ -82,12 +82,9 @@ def main() -> None:
         if not row:
             raise SystemExit(f"vec_id {args.vec_id} not found in {args.input}")
         q = [float(x) for x in row[0]["embedding"]]
-        from textindex_spark import manifest
-
-        n_cent = manifest.read_table(spark, args.output, "centroids").count()
-        probe = args.probe or max(1, int(n_cent) // 8)
+        # n_probe defaults to k/8 inside ivf_search_stored (no extra job)
         for r in S.ivf_search_stored(
-            spark, args.output, q, k=args.k, n_probe=probe
+            spark, args.output, q, k=args.k, n_probe=args.probe
         ).collect():
             print(json.dumps(r.asDict()))
 

@@ -265,6 +265,24 @@ def commit(
     raise RuntimeError(f"manifest commit contention at {index_dir}")
 
 
+def canon_path(path: str) -> str:
+    """One canonical spelling for a local path / file: URI (realpath,
+    no trailing slash); non-local URIs verbatim minus trailing
+    slashes. Used for stream run identities so the same checkpoint
+    spelled relatively vs absolutely vs as a file: URI is ONE stream
+    (review r4), mirroring query.canon_dir for cache keys."""
+    p = path
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif p.startswith("file:"):
+        p = p[len("file:"):]
+    if "://" not in p:
+        import os
+
+        p = os.path.realpath(p)
+    return p.rstrip("/")
+
+
 def check_stream_identity(
     spark: SparkSession, state_dir: str, run_id: str | None, run_prop: str
 ) -> None:
@@ -282,7 +300,7 @@ def check_stream_identity(
     if run_id is None:
         return
     committed = get_prop(spark, state_dir, run_prop)
-    if committed is not None and str(committed) != str(run_id):
+    if committed is not None and canon_path(str(committed)) != canon_path(str(run_id)):
         raise ValueError(
             f"{state_dir} was committed by stream '{committed}' but this "
             f"query runs as '{run_id}'. Batch ids are not comparable "

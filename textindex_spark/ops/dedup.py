@@ -211,6 +211,11 @@ def lsh_band_keys(
 # MAX_SHINGLE_DF in ngram_jaccard_pairs.
 MAX_BAND_BUCKET = 256
 
+# Persisted frames of the LAST lsh_candidate_pairs call (released at
+# the next call — the returned lazy frame references them, so they
+# cannot be freed inside the call itself).
+_lsh_persists: list[DataFrame] = []
+
 
 def signature_groups(signatures: DataFrame) -> DataFrame:
     """→ (doc_id, canon_id): docs collapsed by IDENTICAL full MinHash
@@ -276,12 +281,18 @@ def lsh_candidate_pairs(
     # the band table feeds FOUR branches (identity collapse, the hot
     # count, and both join sides) — persist it so the minhash lineage
     # runs once, the materialized-signatures-table pattern every LSH
-    # pipeline keeps anyway (cf. embedding_near_pairs)
+    # pipeline keeps anyway (cf. embedding_near_pairs). The handles
+    # outlive the call (the returned frame depends on them); a bounded
+    # registry releases the PREVIOUS call's persists so a long-lived
+    # driver holds at most one call's band table (review r4).
+    while _lsh_persists:
+        _lsh_persists.pop().unpersist()
     bands_all = lsh_band_keys(signatures, band_size).persist()
     groups = _groups_from_bands(bands_all)
     stars = groups.filter(F.col("doc_id") != F.col("canon_id")).select(
         F.col("canon_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
     ).persist()
+    _lsh_persists.extend([bands_all, stars])
     # canonical docs = everyone minus the members: an ANTI join
     # against the (typically small — dup fraction of the corpus)
     # member list broadcasts on real data instead of shuffling the
@@ -449,7 +460,11 @@ def simhash_params(n_docs: int, max_hamming: int = 3) -> tuple[int, int]:
     calibration idea as ``similarity.emb_lsh_params``."""
     n_segs = max(int(max_hamming) + 1, 2)
     width = min(
-        max(math.ceil(math.log2(max(n_docs, 2))), 15), SIMHASH_MAX_SEG_WIDTH
+        max(math.ceil(math.log2(max(n_docs, 2))), 15),
+        SIMHASH_MAX_SEG_WIDTH,
+        # bits = width*n_segs must fit the two-BIGINT fingerprint:
+        # larger radii trade segment width, not total width
+        SIMHASH_MAX_BITS // n_segs,
     )
     return width * n_segs, n_segs
 

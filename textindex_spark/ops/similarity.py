@@ -279,20 +279,21 @@ def ivf_append(
     Atomic + idempotent (ADVICE r3): the batch is STAGED under its
     own directory and registered with one manifest commit — readers
     see the append all-or-nothing, and a crash before the commit
-    leaves the index unchanged (the retry overwrites the same staging
-    dir). Pass a caller-stable ``append_id`` to make retries
-    idempotent across a crash AFTER the commit too: a replayed id is
-    detected as already registered and skipped. Re-train
-    (``write_ivf``) when drift degrades recall — centroid staleness
-    is the classic IVF trade-off, not a Spark artifact."""
+    leaves the index unchanged. Pass a caller-stable ``append_id`` to
+    make retries idempotent: a crash-retry overwrites its own staging
+    dir, and a replay after a successful commit is detected as
+    already registered and skipped. Without ``append_id`` the staging
+    dir is uniquely named (concurrent appenders can never collide on
+    one directory — review r4; a crash merely orphans an unreferenced
+    dir) but a caller retry after a successful commit appends again.
+    Re-train (``write_ivf``) when drift degrades recall — centroid
+    staleness is the classic IVF trade-off, not a Spark artifact."""
+    import uuid
+
     from textindex_spark import manifest
 
     man = manifest.current_manifest(spark, out_dir)
-    tag = (
-        f"id_{append_id}"
-        if append_id is not None
-        else f"v{int(man['version']) if man else 0}"
-    )
+    tag = f"id_{append_id}" if append_id is not None else uuid.uuid4().hex[:12]
     stage = f"{out_dir}/vectors_append_{tag}"
     rel = manifest.rel(out_dir, stage)
     if man is not None and rel in man.get("tables", {}).get("vectors", []):
@@ -340,16 +341,20 @@ def ivf_search_stored(
     out_dir: str,
     query_vec: list[float],
     k: int = 10,
-    n_probe: int = 4,
+    n_probe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Query a ``write_ivf`` index: the bucket filter prunes whole
     partitions at the source (verify with .explain: PartitionFilters;
     with appended parts, the filter is pushed below the union into
-    every part's scan)."""
+    every part's scan). ``n_probe=None`` defaults to k/8 of the
+    stored centroids (the suggest_ivf_params fraction) — computed
+    from the centroid list already in hand, no extra job."""
     cent = _read_ivf_table(spark, out_dir, "centroids").orderBy("bucket").collect()
     centroids = [list(r["centroid"]) for r in cent]
+    if n_probe is None:
+        n_probe = max(1, len(centroids) // 8)
     probe = probe_buckets(centroids, query_vec, n_probe)
     vectors = _read_ivf_table(spark, out_dir, "vectors").filter(
         F.col("bucket").isin(probe)

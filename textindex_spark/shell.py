@@ -133,18 +133,21 @@ class Shell:
             print("usage: find <match...>")
             return
         from textindex_spark.query import find_unranked, matched_lines
+        from textindex_spark.session import local_df
 
-        hits = find_unranked(self.spark, self.index_dir, args)
-        if self.docs_path is not None:
+        # collect once; matched_lines gets the ids as a local frame so
+        # the distributed AND query runs exactly one time (review r4)
+        hit_rows = find_unranked(self.spark, self.index_dir, args).collect()
+        if self.docs_path is not None and hit_rows:
+            ids = local_df(
+                self.spark, [(r["doc_id"],) for r in hit_rows], "doc_id long"
+            )
             docs = self.spark.read.parquet(self.docs_path)
-            rows = matched_lines(self.spark, docs, hits, args).collect()
+            rows = matched_lines(self.spark, docs, ids, args).collect()
             by_id = {r["doc_id"]: list(r["lines"]) for r in rows}
         else:
             by_id = {}
-        self.found = [
-            (r["url"], by_id.get(r["doc_id"], []))
-            for r in hits.collect()
-        ]
+        self.found = [(r["url"], by_id.get(r["doc_id"], [])) for r in hit_rows]
         self.lines_idx = 0
         self._page()
 

@@ -352,7 +352,7 @@ def stream_dedup(
         dedup_batch(
             batch_df.sparkSession, batch_df, state_dir, batch_id, est_threshold,
             max_band_bucket=max_band_bucket,
-            run_id=checkpoint_dir.rstrip("/"),
+            run_id=manifest.canon_path(checkpoint_dir),
         )
 
     writer = stream.writeStream.foreachBatch(sink).option(

@@ -48,7 +48,7 @@ def stream_index(
     )
 
     state = {"bootstrapped": _index_exists(spark, index_dir)}
-    run_id = checkpoint_dir.rstrip("/")
+    run_id = manifest.canon_path(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -167,8 +167,15 @@ def mint_doc_ids(documents: DataFrame, base: int = 0) -> DataFrame:
     mids = documents.sortWithinPartitions("url").withColumn(
         "_mid", F.monotonically_increasing_id()
     )
+    # counts come from the UNSORTED input: partition membership is
+    # unchanged by the intra-partition sort (spark_partition_id here
+    # equals monotonically_increasing_id's partition index in the
+    # assignment pass), so the counts job skips the sort entirely —
+    # one full per-partition sort per build instead of two (r4). Any
+    # mismatch a nondeterministic source could still introduce trips
+    # the fused invariant check below.
     counts = (
-        mids.select(F.shiftright("_mid", 33).alias("_pid"))
+        documents.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")
         .agg(F.count("*").alias("_cnt"))
         .collect()

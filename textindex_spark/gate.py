@@ -506,7 +506,7 @@ def _lsh_pairs_sql() -> str:
     buckets above MAX_BAND_BUCKET canonicals are excluded."""
     base = _minhash_sql()
     return f"""
-WITH sig_rows AS ({base}),
+WITH sig_rows AS MATERIALIZED ({base}),
 sigkey AS (
     SELECT doc_id, string_agg(mh::VARCHAR, ',' ORDER BY j) AS sk
     FROM sig_rows GROUP BY doc_id
@@ -517,12 +517,12 @@ grp AS (
 stars AS (
     SELECT canon_id AS doc_a, doc_id AS doc_b FROM grp WHERE doc_id <> canon_id
 ),
-bands AS (
+bands AS MATERIALIZED (
     SELECT doc_id, (j // {dedup.LSH_BAND_SIZE}) AS band,
            string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key
     FROM sig_rows GROUP BY doc_id, (j // {dedup.LSH_BAND_SIZE})
 ),
-cbands AS (
+cbands AS MATERIALIZED (
     SELECT b.doc_id, b.band, b.band_key
     FROM bands b JOIN grp g ON g.doc_id = b.doc_id AND g.doc_id = g.canon_id
 ),
@@ -555,8 +555,8 @@ def _stream_dedup_sql() -> str:
     from textindex_spark.streaming.dedup import EST_THRESHOLD_DEFAULT as THR
 
     return f"""
-WITH sig_rows AS ({_minhash_sql()}),
-bands AS (
+WITH sig_rows AS MATERIALIZED ({_minhash_sql()}),
+bands AS MATERIALIZED (
     SELECT doc_id, (j // {dedup.LSH_BAND_SIZE}) AS band,
            string_agg(mh::VARCHAR, ',' ORDER BY j) AS band_key
     FROM sig_rows GROUP BY doc_id, (j // {dedup.LSH_BAND_SIZE})

@@ -578,6 +578,27 @@ def test_dedup_clusters_and_keep_list(spark):
         dedup.dedup_clusters(pairs, max_iter=1)
 
 
+def test_dedup_clusters_reliable_checkpoint_path(spark, tmp_path):
+    """With a session checkpoint dir configured, lineage truncation
+    uses RELIABLE checkpoint() (executor-loss-safe on real clusters)
+    and results are unchanged."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    try:
+        sc.setCheckpointDir(str(tmp_path / "ck"))
+        pairs = spark.createDataFrame(
+            [(1, 5), (5, 9), (20, 21)], "doc_a long, doc_b long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dedup_clusters(pairs).collect()
+        }
+        assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20}
+    finally:  # reset so later tests see the localCheckpoint default
+        scala_none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+
+
 def test_dedup_clusters_log_rounds_on_long_chain(spark):
     """Pointer jumping: a 64-node chain must converge in O(log n)
     rounds (plain one-hop propagation would need 63)."""

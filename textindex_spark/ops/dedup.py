@@ -362,14 +362,14 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     convergence is O(log component-diameter), not O(diameter):
     max_iter=25 covers diameters up to 2^25 even for adversarial
     chain-shaped graphs. All shuffles key on doc_id (no skew —
-    components are small); ``localCheckpoint`` truncates the
-    iterative lineage. Raises if max_iter is somehow reached without
-    convergence rather than returning partially-merged clusters.
-    (Labels only decrease and are bounded below by the component
-    minimum, which is a fixpoint — the standard pointer-jumping
-    argument. On a real cluster use
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` instead
-    of localCheckpoint so executor loss cannot drop cached blocks.)"""
+    components are small). Lineage truncation per round: RELIABLE
+    ``checkpoint()`` when the session has a checkpoint dir configured
+    (``spark.sparkContext.setCheckpointDir`` — executor loss cannot
+    drop the blocks), else ``localCheckpoint`` (single-JVM / test
+    mode). Raises if max_iter is somehow reached without convergence
+    rather than returning partially-merged clusters. (Labels only
+    decrease and are bounded below by the component minimum, which is
+    a fixpoint — the standard pointer-jumping argument.)"""
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -380,11 +380,16 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = (
+    sc = pairs.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    labels = _truncate(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iter):
@@ -416,7 +421,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 F.col("cluster_id").alias("_old"),
             )
         )
-        new = new.localCheckpoint()
+        new = _truncate(new)
         changed = new.filter(F.col("cluster_id") != F.col("_old")).limit(1).count()
         labels = new.select("doc_id", "cluster_id")
         if changed == 0:

@@ -291,6 +291,15 @@ def dedup_batch(
 
     def _stage(name: str, df: DataFrame, partition_col: str | None = None) -> None:
         path = f"{state_dir}/{name}_{tag}"
+        if partition_col is not None:
+            # co-locate each bucket in ONE task before partitionBy —
+            # otherwise every task writes into every bucket dir
+            # (tasks × K small files per batch; the same shape fix as
+            # write_postings_bucketed)
+            df = df.repartition(
+                min(DEDUP_STATE_BUCKETS, spark.sparkContext.defaultParallelism),
+                partition_col,
+            )
         w = df.write.mode("overwrite")
         if partition_col is not None:
             w = w.partitionBy(partition_col)

@@ -242,6 +242,27 @@ def test_phrase_search_matches_oracle(spark, index_dir, oracle):
     assert any_multi  # the suite exercised a phrase with >1 matching doc
 
 
+def test_near_wildcard_matches_oracle(spark, index_dir, oracle):
+    """NEAR with wildcard slots (r4): slot positions are the union
+    over the expansion; anchored-window counts match the oracle."""
+    from textindex_spark.query import near_docs
+
+    checked = 0
+    for ph in _corpus_phrases(oracle, n=4):
+        if len(ph) < 2 or any(len(t) < 3 for t in ph):
+            continue
+        wild = [ph[0]] + [ph[1][:2] + "*"] + list(ph[2:])
+        for w in (3, 8):
+            want = oracle.near_occurrences(wild, window=w)
+            got = {
+                r["doc_id"]: r["n_near"]
+                for r in near_docs(spark, index_dir, wild, window=w).collect()
+            }
+            assert got == want, (wild, w)
+            checked += bool(want)
+    assert checked
+
+
 def test_phrase_rank_wildcard_matches_oracle(spark, index_dir, oracle):
     """Ranked phrases with wildcard slots (VERDICT r3 task 5): the
     wildcard slot scores as the max matched expansion partial; rank

@@ -218,6 +218,13 @@ def q_near_match(spark, sf_dir):
     return Q.near_docs(spark, idx, PHRASE_2, window=NEAR_WINDOW)
 
 
+def q_near_match_wildcard(spark, sf_dir):
+    """NEAR with a wildcard slot (r4): the slot's positions are the
+    union over its expansion terms."""
+    idx = ensure_index(spark, sf_dir)
+    return Q.near_docs(spark, idx, PHRASE_WILD, window=NEAR_WINDOW)
+
+
 def q_tf_histogram(spark, sf_dir):
     """A2 count inversion (tmp_index.rs:30-38): tf → how many
     (doc, term) cells have that tf."""
@@ -440,6 +447,7 @@ QUERIES = {
     "phrase_rank": q_phrase_rank,
     "phrase_rank_wildcard": q_phrase_rank_wildcard,
     "near_match": q_near_match,
+    "near_match_wildcard": q_near_match_wildcard,
     "tf_histogram": q_tf_histogram,
     "find_files": q_find_files,
     "matched_lines": q_matched_lines,
@@ -941,12 +949,13 @@ ORDER BY ({wsum}) DESC, m.doc_id ASC LIMIT 10
 
 
 def _near_sql(phrase: list[str], window: int) -> str:
-    """DuckDB mirror of query.near_docs (anchored-window NEAR)."""
+    """DuckDB mirror of query.near_docs (anchored-window NEAR);
+    wildcard slots match via LIKE (union over the expansion)."""
     anchor = phrase[0]
-    others = sorted(set(phrase) - {anchor})
+    others = sorted(set(phrase[1:]) - {anchor})
     exists = "\n".join(
         f"      AND EXISTS (SELECT 1 FROM kept o{i} WHERE o{i}.doc_id = a.doc_id"
-        f" AND o{i}.term = {_sql_quote(t)}"
+        f" AND o{i}.{_slot_cond(t)}"
         f" AND o{i}.pos BETWEEN a.pos - {window} AND a.pos + {window})"
         for i, t in enumerate(others)
     )
@@ -961,7 +970,7 @@ kept AS (
 ),
 anchors AS (
     SELECT a.doc_id, a.pos FROM kept a
-    WHERE a.term = {_sql_quote(anchor)}
+    WHERE a.{_slot_cond(anchor)}
 {exists}
 )
 SELECT doc_id, count(*)::INT AS n_near FROM anchors GROUP BY doc_id
@@ -1203,6 +1212,7 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
         "phrase_rank": _phrase_sql(PHRASE_3, ranked=True),
         "phrase_rank_wildcard": _phrase_sql(PHRASE_WILD, ranked=True),
         "near_match": _near_sql(PHRASE_2, NEAR_WINDOW),
+        "near_match_wildcard": _near_sql(PHRASE_WILD, NEAR_WINDOW),
         "emb_near_dup": _emb_near_dup_sql(),
     }
     # incremental build must be indistinguishable from the full build

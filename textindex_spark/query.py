@@ -1067,29 +1067,34 @@ def near_docs(
     spark: SparkSession, index_dir: str, words: list[str], window: int = 8
 ) -> DataFrame:
     """NEAR/k proximity over the positional payload: → (doc_id,
-    n_near) for live docs where every query term occurs within
+    n_near) for live docs where every query slot occurs within
     ``window`` kept-token positions of some occurrence of the FIRST
-    term (anchored-window semantics; n_near = number of such anchor
-    positions). Same single bucket-pruned fetch as phrase_docs; the
-    window test is a JVM-side exists() chain — no Python in the
+    slot (anchored-window semantics; n_near = number of such anchor
+    positions). Slots may be wildcard patterns ("dat*"): a slot's
+    positions are the union over its expansion terms, exactly as in
+    phrase_docs (r4). Same single bucket-pruned fetch as phrase_docs;
+    the window test is a JVM-side exists() chain — no Python in the
     match."""
-    terms = phrase_terms(words)
-    if not terms:
+    slots = phrase_slots(words)
+    if not slots:
         raise ValueError("query contains no indexable terms")
-    if len(terms) > PHRASE_MAX_TERMS:
-        raise ValueError(f"too many terms ({len(terms)} > {PHRASE_MAX_TERMS})")
+    if len(slots) > PHRASE_MAX_TERMS:
+        raise ValueError(f"too many terms ({len(slots)} > {PHRASE_MAX_TERMS})")
     stats = cached_stats(spark, index_dir)
-    # anchor = the query's first term; the rest in stable order
-    uniq = [terms[0]] + sorted(set(terms) - {terms[0]})
+    # anchor = the query's first slot; the remaining DISTINCT slot
+    # patterns in stable order
+    uniq = [slots[0]] + sorted(set(slots[1:]) - {slots[0]})
     expanded = expand_patterns(spark, index_dir, uniq)
-    if expanded["term"].nunique() < len(uniq):
+    slot_terms = {
+        p: sorted(expanded.loc[expanded["pattern_idx"] == i, "term"].unique())
+        for i, p in enumerate(uniq)
+    }
+    if any(not slot_terms[p] for p in uniq):
         return local_df(spark, [], "doc_id long, n_near int")
-    decoded = _decoded_pos(spark, index_dir, [[t] for t in uniq], stats)
+    decoded = _decoded_pos(spark, index_dir, [slot_terms[p] for p in uniq], stats)
     cur = None
-    for i, t in enumerate(uniq):
-        occ = decoded.filter(F.col("term") == t).select(
-            "doc_id", F.col("pos").alias(f"_p{i}")
-        )
+    for i, p in enumerate(uniq):
+        occ = _slot_occurrences(decoded, slot_terms[p], 0, f"_p{i}")
         cur = occ if cur is None else cur.join(occ, "doc_id")
     w = int(window)
 

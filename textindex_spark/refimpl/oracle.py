@@ -195,28 +195,45 @@ class OracleIndex:
 
     def near_occurrences(self, words: list[str], window: int = 8) -> dict[int, int]:
         """doc_id → count of anchor positions (occurrences of the
-        FIRST term) that have every other term within ``window`` kept
-        token positions (ground truth for query.near_docs)."""
+        FIRST slot) that have every other slot within ``window`` kept
+        token positions (ground truth for query.near_docs). Wildcard
+        slots supported: a slot's positions are the union over its
+        expansion terms, as in phrase_occurrences."""
         from textindex_spark.refimpl.txt_tokenize import (
             iter_raw_words,
             normalize_token,
             term_positions,
         )
 
-        terms = []
-        for raw in iter_raw_words(" ".join(words)):
-            t = normalize_token(raw)
-            if t is not None:
-                terms.append(t)
-        others = sorted(set(terms) - {terms[0]})
+        slots: list[str] = []
+        expansions: dict[str, list[str]] = {}
+        for w in words:
+            if "*" in w or "?" in w:
+                p = w.lower()
+                slots.append(p)
+                expansions[p] = self.expand(p)
+            else:
+                for raw in iter_raw_words(w):
+                    t = normalize_token(raw)
+                    if t is not None:
+                        slots.append(t)
+                        expansions[t] = [t]
+        others = sorted(set(slots[1:]) - {slots[0]})
         out: dict[int, int] = {}
         for doc_id, doc in self.docs.items():
             pos, _ = term_positions(doc["text"])
-            anchors = pos.get(terms[0])
-            if anchors is None:
+
+            def union(p):
+                u: set[int] = set()
+                for t in expansions[p]:
+                    u.update(pos.get(t, ()))
+                return u
+
+            anchors = union(slots[0])
+            if not anchors:
                 continue
-            plists = [pos.get(t) for t in others]
-            if any(p is None for p in plists):
+            plists = [union(p) for p in others]
+            if any(not p for p in plists):
                 continue
             n = sum(
                 1

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 import os
+from collections import OrderedDict
 from collections.abc import Iterator
 
 import numpy as np
@@ -95,12 +96,219 @@ def _cached_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
     return df
 
 
+# --- X5: query-node posting-block cache ------------------------------
+# The reference keeps hot index blocks resident between commands and
+# evicts the rest after each save (`cleanup` retains only the bag-head
+# block type, ``/root/reference/src/index2.rs:363-374``; iteration
+# additionally `discard`s visited posting blocks,
+# ``src/index2/word_map.rs:326-334``). The Spark serving-path analog:
+# the query node caches fetched posting-block rows — the varint binary
+# columns plus the block-max metadata, never ``pos_bytes`` — at
+# (term, range_id) granularity under an LRU byte budget, so a warm
+# BM25 query costs ZERO Spark jobs. Bounded: the local serving path
+# only engages when the candidate set fits LOCAL_SCORE_MAX_POSTINGS,
+# so any single insert is small, and the budget caps the total.
+# Invalidation: ``invalidate_cache`` (called by every snapshot
+# mutator), so a cached block can never outlive its snapshot.
+BLOCK_CACHE_MAX_BYTES = 256 * 1024 * 1024
+_BLOCK_COLS = [
+    "term", "range_id", "n_docs", "max_tf", "max_tfnorm", "enc_avgdl",
+    "doc_gaps", "tf_bytes", "dl_bytes",
+]
+# cd -> OrderedDict[(term, range_id) -> (row tuple, nbytes)]
+_block_cache: dict[str, "OrderedDict[tuple[str, int], tuple[tuple, int]]"] = {}
+_block_bytes: dict[str, int] = {}
+
+# Block-max metadata resident per term (the skip/impact data a serving
+# node keeps in memory — what the prune planner reads). Row-bounded:
+# a term's metadata is one row per posting range, so hot vocabularies
+# stay cheap while a 10^8-range stop-word entry is simply not retained.
+META_CACHE_MAX_ROWS = 2_000_000
+META_CACHE_TERM_MAX_ROWS = 262_144
+_META_COLS = ["term", "range_id", "n_docs", "max_tf", "max_tfnorm", "enc_avgdl"]
+# cd -> OrderedDict[term -> meta frame (one row per range)]
+_meta_cache: dict[str, "OrderedDict[str, pd.DataFrame]"] = {}
+_meta_rows: dict[str, int] = {}
+
+
+def _block_row_bytes(row: tuple) -> int:
+    # 3 binary columns + fixed per-row overhead for the scalars/keys
+    return len(row[6]) + len(row[7]) + len(row[8]) + 64
+
+
+def _block_cache_put(cd: str, key: tuple[str, int], row: tuple) -> None:
+    cache = _block_cache.setdefault(cd, OrderedDict())
+    nb = _block_row_bytes(row)
+    if nb > BLOCK_CACHE_MAX_BYTES:
+        return
+    old = cache.pop(key, None)
+    if old is not None:
+        _block_bytes[cd] = _block_bytes.get(cd, 0) - old[1]
+    cache[key] = (row, nb)
+    _block_bytes[cd] = _block_bytes.get(cd, 0) + nb
+    while _block_bytes.get(cd, 0) > BLOCK_CACHE_MAX_BYTES and cache:
+        _, (_, ev_nb) = cache.popitem(last=False)
+        _block_bytes[cd] -= ev_nb
+
+
+def _meta_cache_put(cd: str, term: str, pdf: pd.DataFrame) -> None:
+    if len(pdf) > META_CACHE_TERM_MAX_ROWS:
+        return
+    cache = _meta_cache.setdefault(cd, OrderedDict())
+    old = cache.pop(term, None)
+    if old is not None:
+        _meta_rows[cd] = _meta_rows.get(cd, 0) - len(old)
+    cache[term] = pdf
+    _meta_rows[cd] = _meta_rows.get(cd, 0) + len(pdf)
+    while _meta_rows.get(cd, 0) > META_CACHE_MAX_ROWS and cache:
+        _, ev = cache.popitem(last=False)
+        _meta_rows[cd] -= len(ev)
+
+
+def _block_meta(
+    spark: SparkSession, index_dir: str, term_list: list[str], stats: dict
+) -> pd.DataFrame:
+    """Block-max metadata rows for the query terms, served from the
+    resident metadata cache; missing terms probed in ONE metadata-only
+    scan (binary columns never read). Terms with no blocks cache an
+    empty frame so absent vocabulary stops costing jobs."""
+    cd = canon_dir(index_dir)
+    cache = _meta_cache.setdefault(cd, OrderedDict())
+    want = list(dict.fromkeys(term_list))
+    frames: dict[str, pd.DataFrame] = {}
+    misses = []
+    for t in want:
+        hit = cache.get(t)
+        if hit is not None:
+            cache.move_to_end(t)
+            frames[t] = hit
+        else:
+            misses.append(t)
+    if misses:
+        fetched = (
+            _query_blocks(spark, index_dir, None, misses, stats.get("n_term_buckets"))
+            .select(*_META_COLS)
+            .toPandas()
+        )
+        groups = (
+            {t: g.reset_index(drop=True) for t, g in fetched.groupby("term")}
+            if len(fetched)
+            else {}
+        )
+        for t in misses:
+            pdf = groups.get(t, fetched.iloc[0:0].reset_index(drop=True))
+            frames[t] = pdf
+            _meta_cache_put(cd, t, pdf)
+    got = [frames[t] for t in want if len(frames[t])]
+    if not got:
+        return pd.DataFrame(columns=_META_COLS)
+    return pd.concat(got, ignore_index=True)
+
+
+def _fetch_blocks(
+    spark: SparkSession,
+    index_dir: str,
+    term_list: list[str],
+    stats: dict,
+    ranges: list[int] | None = None,
+) -> pd.DataFrame:
+    """Serving-path posting-block fetch through the block cache.
+    ``ranges=None`` → every range of each term; else only those
+    range_ids. Cold terms cost one pushdown scan (exactly the
+    pre-cache plan) and warm the cache; fully-warm queries cost zero
+    Spark jobs. Falls back to an uncached direct scan for expansions
+    past ISIN_PUSHDOWN_MAX (the cache is for serving-sized queries)."""
+    want = list(dict.fromkeys(term_list))
+    range_set = None if ranges is None else set(int(r) for r in ranges)
+    if ranges is not None and len(ranges) > ISIN_PUSHDOWN_MAX:
+        range_set = None  # matches the pre-cache plan: read everything
+    if len(want) == 0 or len(want) > ISIN_PUSHDOWN_MAX:
+        fetch = _query_blocks(spark, index_dir, None, want, stats.get("n_term_buckets"))
+        if range_set is not None:
+            fetch = fetch.filter(F.col("range_id").isin(sorted(range_set)))
+        return fetch.select(*_BLOCK_COLS).toPandas()
+
+    cd = canon_dir(index_dir)
+    cache = _block_cache.setdefault(cd, OrderedDict())
+    meta = _meta_cache.get(cd, {})
+    rows: list[tuple] = []
+    full_miss: list[str] = []   # no metadata → fetch the whole term
+    missing_pairs: set[tuple[str, int]] = set()
+    for t in want:
+        m = meta.get(t)
+        if m is None:
+            full_miss.append(t)
+            continue
+        needed = [int(r) for r in m["range_id"]]
+        if range_set is not None:
+            needed = [r for r in needed if r in range_set]
+        for r in needed:
+            hit = cache.get((t, r))
+            if hit is not None:
+                cache.move_to_end((t, r))
+                rows.append(hit[0])
+            else:
+                missing_pairs.add((t, r))
+    if full_miss or missing_pairs:
+        pair_terms = sorted({t for t, _ in missing_pairs})
+        pair_ranges = sorted({r for _, r in missing_pairs})
+        conds = []
+        if full_miss:
+            conds.append(F.col("term").isin(full_miss))
+        if missing_pairs:
+            # the in-list cross can over-deliver (term, range) combos;
+            # exact membership is re-checked driver-side below
+            conds.append(
+                F.col("term").isin(pair_terms)
+                & F.col("range_id").isin(pair_ranges)
+            )
+        pred = conds[0] if len(conds) == 1 else conds[0] | conds[1]
+        fetched = (
+            _bucket_filter(
+                _cached_table(spark, index_dir, "postings"),
+                full_miss + pair_terms,
+                stats.get("n_term_buckets"),
+            )
+            .filter(pred)
+            .select(*_BLOCK_COLS)
+            .toPandas()
+        )
+        full_set = set(full_miss)
+        for tup in fetched.itertuples(index=False, name=None):
+            t, r = tup[0], int(tup[1])
+            _block_cache_put(cd, (t, r), tup)
+            if t in full_set:
+                if range_set is None or r in range_set:
+                    rows.append(tup)
+            elif (t, r) in missing_pairs:
+                rows.append(tup)
+        # metadata rides along free on a full-term fetch; terms with no
+        # blocks cache an empty frame (negative entry)
+        if full_miss:
+            groups = (
+                {t: g for t, g in fetched[fetched["term"].isin(full_miss)].groupby("term")}
+                if len(fetched)
+                else {}
+            )
+            for t in full_miss:
+                g = groups.get(t, fetched.iloc[0:0])
+                _meta_cache_put(cd, t, g[_META_COLS].reset_index(drop=True))
+    if not rows:
+        return pd.DataFrame(columns=_BLOCK_COLS)
+    return pd.DataFrame(rows, columns=_BLOCK_COLS)
+
+
 def invalidate_cache(index_dir: str) -> None:
     """Drop every query-node cache for an index (dictionary, stats,
-    analyzed table frames). Called by all snapshot-mutating ops."""
+    analyzed table frames, posting blocks). Called by all
+    snapshot-mutating ops."""
     cd = canon_dir(index_dir)
     _dict_cache.pop(cd, None)
     _tomb_exists.pop(cd, None)
+    _block_cache.pop(cd, None)
+    _block_bytes.pop(cd, None)
+    _meta_cache.pop(cd, None)
+    _meta_rows.pop(cd, None)
     for k in [k for k in _frame_cache if k[0] == cd]:
         _frame_cache.pop(k, None)
     for k in [k for k in _shard_cache if k[0] == cd]:
@@ -498,25 +706,20 @@ def _search_local(
     if mode == "and" and covered != full_mask:
         result_rows = []
     else:
-        fetch = _bucket_filter(
-            _cached_table(spark, index_dir, "postings"),
-            list(term_info["term"]),
-            stats.get("n_term_buckets"),
-        ).filter(F.col("term").isin(list(term_info["term"])))
+        surviving = None
         if prune:
             plan = _prune_plan(
-                spark, index_dir, None, stats, k, full_mask,
+                spark, index_dir, stats, k, full_mask,
                 list(term_info["term"]), term_info, dead=dead, mode=mode,
             )
             if plan is None:
                 return _finish_local(spark, index_dir, [], empty, with_urls)
             surviving, _ = plan
-            if len(surviving) <= ISIN_PUSHDOWN_MAX:
-                fetch = fetch.filter(F.col("range_id").isin(surviving))
-            # (a wider survivor set just reads everything — still exact)
-        blocks = fetch.select(
-            "term", "range_id", "doc_gaps", "tf_bytes", "dl_bytes"
-        ).toPandas()
+            # (_fetch_blocks reads everything for a survivor set wider
+            # than the isin cap — still exact)
+        blocks = _fetch_blocks(
+            spark, index_dir, list(term_info["term"]), stats, ranges=surviving
+        )
         uniq, score, mask_acc = _score_blocks_np(blocks, stats, term_info)
         if mode == "and":
             keep = mask_acc == full_mask
@@ -566,7 +769,6 @@ def _dead_ids_capped(spark: SparkSession, index_dir: str) -> np.ndarray | None:
 def _prune_plan(
     spark: SparkSession,
     index_dir: str,
-    qterms: DataFrame,
     stats: dict,
     k: int,
     full_mask: int,
@@ -575,17 +777,19 @@ def _prune_plan(
     dead: np.ndarray | None = None,
     mode: str = "and",
 ) -> tuple[list[int], int] | None:
-    """Block-max prune planning — two LIGHT driver round-trips:
+    """Block-max prune planning — two LIGHT driver round-trips, both
+    served from the resident caches when warm (zero Spark jobs):
 
-    1. metadata probe — fetch ONLY the block-stats columns for the
-       query terms (isin pushdown, binary columns never read; a few
-       rows per term per range). Range upper bounds Σ_term idf·ub and
-       AND-coverage masks are computed in pandas on the driver.
-    2. θ probe — fetch the binary blocks of the single best range
-       (pushdown on term AND range_id) and score them in numpy on the
-       driver; θ = the k-th LIVE score (tombstones excluded — a range
-       full of deleted docs must not inflate θ and prune the true
-       top-k away; ADVICE r1).
+    1. metadata probe — the block-stats columns for the query terms
+       (``_block_meta``: resident metadata cache, or one isin-pushdown
+       scan that never reads binary columns; a few rows per term per
+       range). Range upper bounds Σ_term idf·ub and AND-coverage masks
+       are computed in pandas on the driver.
+    2. θ probe — the binary blocks of the single best range
+       (``_fetch_blocks``: block cache, or one pushdown scan on
+       term AND range_id), scored in numpy on the driver; θ = the k-th
+       LIVE score (tombstones excluded — a range full of deleted docs
+       must not inflate θ and prune the true top-k away; ADVICE r1).
 
     Returns (surviving range_ids, Σ n_docs over surviving blocks), or
     None when no range can satisfy the AND mask (empty result).
@@ -602,12 +806,7 @@ def _prune_plan(
     live in exactly ONE range (range_id = doc_id >> range_bits), so
     the per-range ub bounds any doc's TOTAL score in either mode.
     """
-    meta_cols = ["term", "range_id", "n_docs", "max_tf", "max_tfnorm", "enc_avgdl"]
-    meta = (
-        _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets"))
-        .select(*meta_cols)
-        .toPandas()
-    )
+    meta = _block_meta(spark, index_dir, term_list, stats)
     if len(meta) == 0:
         return None
     info = term_info.set_index("term")
@@ -639,12 +838,7 @@ def _prune_plan(
         dead = _dead_ids_capped(spark, index_dir)
     theta = 0.0
     if dead is not None:  # uncapped delete sets force θ=0 (safe: no pruning)
-        probe = (
-            _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets"))
-            .filter(F.col("range_id") == best_range)
-            .select("term", "range_id", "doc_gaps", "tf_bytes", "dl_bytes")
-            .toPandas()
-        )
+        probe = _fetch_blocks(spark, index_dir, term_list, stats, ranges=[best_range])
         uniq, score, mask_acc = _score_blocks_np(probe, stats, term_info)
         live = ~np.isin(uniq, dead)
         if mode == "and":
@@ -673,7 +867,7 @@ def _pruned_decode(
     + ONE mapInPandas decode job over surviving blocks (term+range_id
     pushdown reaches the parquet scan)."""
     plan = _prune_plan(
-        spark, index_dir, qterms, stats, k, full_mask, term_list, term_info,
+        spark, index_dir, stats, k, full_mask, term_list, term_info,
         mode=mode,
     )
     if plan is None:

@@ -254,7 +254,14 @@ def _fetch_blocks(
         pair_ranges = sorted({r for _, r in missing_pairs})
         conds = []
         if full_miss:
-            conds.append(F.col("term").isin(full_miss))
+            cond = F.col("term").isin(full_miss)
+            if range_set is not None:
+                # a requested-range fetch must keep the range predicate
+                # in the SCAN even for meta-less terms — a θ probe on a
+                # term too large for the metadata cache must never pull
+                # the term's whole postings driver-side
+                cond &= F.col("range_id").isin(sorted(range_set))
+            conds.append(cond)
         if missing_pairs:
             # the in-list cross can over-deliver (term, range) combos;
             # exact membership is re-checked driver-side below
@@ -283,8 +290,9 @@ def _fetch_blocks(
             elif (t, r) in missing_pairs:
                 rows.append(tup)
         # metadata rides along free on a full-term fetch; terms with no
-        # blocks cache an empty frame (negative entry)
-        if full_miss:
+        # blocks cache an empty frame (negative entry). Range-restricted
+        # fetches see only a slice of the term, so no metadata is cached.
+        if full_miss and range_set is None:
             groups = (
                 {t: g for t, g in fetched[fetched["term"].isin(full_miss)].groupby("term")}
                 if len(fetched)

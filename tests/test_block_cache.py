@@ -7,15 +7,17 @@ evicts the rest after each save (``cleanup``, reference
 posting-block rows on the query node under an LRU byte budget
 (``textindex_spark/query.py``: ``_block_cache`` / ``_fetch_blocks``).
 These tests pin: (1) a warm serving query launches ZERO Spark jobs,
-(2) warm results are identical to cold, on every path, (3) the byte
-budget evicts LRU, (4) snapshot mutations invalidate.
+(2) warm results are identical to cold, on every path — including an
+appended index where one (term, range_id) key owns several block
+rows, (3) the byte budget evicts LRU, (4) snapshot mutations
+invalidate.
 """
 from __future__ import annotations
 
 import pytest
 
 from textindex_spark import query
-from textindex_spark.build import build_index
+from textindex_spark.build import append_batch, build_index
 from textindex_spark.corpus import synth_corpus
 from textindex_spark.query import delete_docs, invalidate_cache, search
 
@@ -28,6 +30,10 @@ def index_dir(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("blockcache") / "idx")
     build_index(spark, corpus_df(spark, rows), out, range_bits=6)
     return out
+
+
+def _cd_bytes(cd: str) -> int:
+    return sum(v[1] for k, v in query._block_cache.items() if k[0] == cd)
 
 
 def _jobs_during(spark, group: str, fn):
@@ -62,8 +68,8 @@ def test_warm_query_zero_jobs_and_identical(spark, index_dir):
         assert [tuple(r) for r in warm] == [tuple(r) for r in cold], kw
         assert n_jobs == 0, f"{kw}: warm serving query launched {n_jobs} Spark jobs"
     cd = query.canon_dir(index_dir)
-    assert query._block_bytes[cd] > 0
-    assert query._meta_rows[cd] > 0
+    assert _cd_bytes(cd) > 0
+    assert any(k[0] == cd for k in query._meta_cache)
 
 
 def test_wildcard_and_partial_warm_parity(spark, index_dir):
@@ -82,15 +88,14 @@ def test_eviction_respects_byte_budget(spark, index_dir, monkeypatch):
     invalidate_cache(index_dir)
     search(spark, index_dir, ["spark"], k=5, with_urls=False).collect()
     cd = query.canon_dir(index_dir)
-    one_term = query._block_bytes[cd]
+    one_term = _cd_bytes(cd)
     assert one_term > 0
     # budget fits roughly one term's blocks: loading a second evicts
-    # the first (LRU), never exceeding the budget
+    # older entries (LRU), the GLOBAL total never exceeding the budget
     monkeypatch.setattr(query, "BLOCK_CACHE_MAX_BYTES", int(one_term * 1.5))
     search(spark, index_dir, ["index"], k=5, with_urls=False).collect()
-    assert query._block_bytes[cd] <= int(one_term * 1.5)
-    keys = {t for t, _ in query._block_cache[cd]}
-    assert "index" in keys
+    assert query._block_bytes <= int(one_term * 1.5)
+    assert "index" in {k[1] for k in query._block_cache if k[0] == cd}
     invalidate_cache(index_dir)
 
 
@@ -100,8 +105,30 @@ def test_oversize_insert_skipped(spark, index_dir, monkeypatch):
     a = search(spark, index_dir, ["spark"], k=5, with_urls=False).collect()
     b = search(spark, index_dir, ["spark"], k=5, with_urls=False).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
-    assert query._block_bytes.get(query.canon_dir(index_dir), 0) == 0
+    assert _cd_bytes(query.canon_dir(index_dir)) == 0
     invalidate_cache(index_dir)
+
+
+def test_split_key_after_append_warm_parity(spark, tmp_path_factory):
+    """After append_batch a (term, range_id) key owns SEVERAL block
+    rows (build.py append_batch docstring); the cache must serve all
+    of them — a warm query on an appended index must match cold on
+    every shape (the r4 review's split-key finding)."""
+    rows = synth_corpus(90, seed=3)
+    out = str(tmp_path_factory.mktemp("splitkey") / "idx")
+    # range_bits=6 → 64-doc ranges: batch 2 starts at doc_id 60,
+    # inside batch 1's last range → guaranteed split keys for hot terms
+    build_index(spark, corpus_df(spark, rows[:60]), out, range_bits=6)
+    append_batch(spark, corpus_df(spark, rows[60:]), out)
+    pdf = query._cached_table(spark, out, "postings").toPandas()
+    dup = pdf.groupby(["term", "range_id"]).size()
+    assert (dup > 1).any(), "fixture must produce split (term, range) keys"
+    for kw in (dict(prune=False), dict(prune=True), dict(mode="or", prune=True)):
+        cold = search(spark, out, ["spark", "index"], k=10, with_urls=False, **kw).collect()
+        warm = search(spark, out, ["spark", "index"], k=10, with_urls=False, **kw).collect()
+        warm2 = search(spark, out, ["spark", "index"], k=10, with_urls=False, **kw).collect()
+        assert [tuple(r) for r in warm] == [tuple(r) for r in cold], kw
+        assert [tuple(r) for r in warm2] == [tuple(r) for r in cold], kw
 
 
 def test_mutation_invalidates_block_cache(spark, index_dir):

@@ -115,54 +115,86 @@ _BLOCK_COLS = [
     "term", "range_id", "n_docs", "max_tf", "max_tfnorm", "enc_avgdl",
     "doc_gaps", "tf_bytes", "dl_bytes",
 ]
-# cd -> OrderedDict[(term, range_id) -> (row tuple, nbytes)]
-_block_cache: dict[str, "OrderedDict[tuple[str, int], tuple[tuple, int]]"] = {}
-_block_bytes: dict[str, int] = {}
+# (cd, term, range_id) -> (tuple of block-row tuples, nbytes). One key
+# can own SEVERAL block rows: ``append_batch`` adds rows next to
+# existing ones until compaction folds them (build.py append_batch
+# docstring) — the cache must serve ALL of a key's rows or none.
+# Budgets are GLOBAL across index dirs (a long-lived driver touching
+# many indexes must not accumulate a budget per dir).
+_block_cache: "OrderedDict[tuple[str, str, int], tuple[tuple, int]]" = OrderedDict()
+_block_bytes = 0
 
 # Block-max metadata resident per term (the skip/impact data a serving
 # node keeps in memory — what the prune planner reads). Row-bounded:
-# a term's metadata is one row per posting range, so hot vocabularies
+# a term's metadata is one row per posting block, so hot vocabularies
 # stay cheap while a 10^8-range stop-word entry is simply not retained.
 META_CACHE_MAX_ROWS = 2_000_000
 META_CACHE_TERM_MAX_ROWS = 262_144
 _META_COLS = ["term", "range_id", "n_docs", "max_tf", "max_tfnorm", "enc_avgdl"]
-# cd -> OrderedDict[term -> meta frame (one row per range)]
-_meta_cache: dict[str, "OrderedDict[str, pd.DataFrame]"] = {}
-_meta_rows: dict[str, int] = {}
+# (cd, term) -> meta frame (one row per block row; range_id can repeat)
+_meta_cache: "OrderedDict[tuple[str, str], pd.DataFrame]" = OrderedDict()
+_meta_rows = 0
 
 
-def _block_row_bytes(row: tuple) -> int:
+def _block_cache_put(cd: str, term: str, range_id: int, rows: list[tuple]) -> None:
+    global _block_bytes
+    key = (cd, term, range_id)
     # 3 binary columns + fixed per-row overhead for the scalars/keys
-    return len(row[6]) + len(row[7]) + len(row[8]) + 64
-
-
-def _block_cache_put(cd: str, key: tuple[str, int], row: tuple) -> None:
-    cache = _block_cache.setdefault(cd, OrderedDict())
-    nb = _block_row_bytes(row)
+    nb = sum(len(r[6]) + len(r[7]) + len(r[8]) + 64 for r in rows)
     if nb > BLOCK_CACHE_MAX_BYTES:
         return
-    old = cache.pop(key, None)
+    old = _block_cache.pop(key, None)
     if old is not None:
-        _block_bytes[cd] = _block_bytes.get(cd, 0) - old[1]
-    cache[key] = (row, nb)
-    _block_bytes[cd] = _block_bytes.get(cd, 0) + nb
-    while _block_bytes.get(cd, 0) > BLOCK_CACHE_MAX_BYTES and cache:
-        _, (_, ev_nb) = cache.popitem(last=False)
-        _block_bytes[cd] -= ev_nb
+        _block_bytes -= old[1]
+    _block_cache[key] = (tuple(rows), nb)
+    _block_bytes += nb
+    while _block_bytes > BLOCK_CACHE_MAX_BYTES and _block_cache:
+        _, (_, ev_nb) = _block_cache.popitem(last=False)
+        _block_bytes -= ev_nb
 
 
 def _meta_cache_put(cd: str, term: str, pdf: pd.DataFrame) -> None:
+    global _meta_rows
     if len(pdf) > META_CACHE_TERM_MAX_ROWS:
         return
-    cache = _meta_cache.setdefault(cd, OrderedDict())
-    old = cache.pop(term, None)
+    key = (cd, term)
+    old = _meta_cache.pop(key, None)
     if old is not None:
-        _meta_rows[cd] = _meta_rows.get(cd, 0) - len(old)
-    cache[term] = pdf
-    _meta_rows[cd] = _meta_rows.get(cd, 0) + len(pdf)
-    while _meta_rows.get(cd, 0) > META_CACHE_MAX_ROWS and cache:
-        _, ev = cache.popitem(last=False)
-        _meta_rows[cd] -= len(ev)
+        _meta_rows -= len(old)
+    _meta_cache[key] = pdf
+    _meta_rows += len(pdf)
+    while _meta_rows > META_CACHE_MAX_ROWS and _meta_cache:
+        _, ev = _meta_cache.popitem(last=False)
+        _meta_rows -= len(ev)
+
+
+def _meta_get(cd: str, term: str) -> pd.DataFrame | None:
+    hit = _meta_cache.get((cd, term))
+    if hit is not None:
+        _meta_cache.move_to_end((cd, term))
+    return hit
+
+
+def _cache_meta_groups(
+    cd: str, fetched: pd.DataFrame, terms: list[str]
+) -> dict[str, pd.DataFrame]:
+    """Split a fetched frame per term and cache each term's metadata;
+    a term with no rows caches an empty frame (negative entry) so
+    absent vocabulary stops costing jobs. Shared by the metadata probe
+    and the ride-along path of a full-term block fetch."""
+    groups = (
+        {t: g[_META_COLS].reset_index(drop=True) for t, g in fetched.groupby("term")}
+        if len(fetched)
+        else {}
+    )
+    out = {}
+    for t in terms:
+        pdf = groups.get(t)
+        if pdf is None:
+            pdf = fetched.iloc[0:0][_META_COLS].reset_index(drop=True)
+        out[t] = pdf
+        _meta_cache_put(cd, t, pdf)
+    return out
 
 
 def _block_meta(
@@ -173,14 +205,12 @@ def _block_meta(
     scan (binary columns never read). Terms with no blocks cache an
     empty frame so absent vocabulary stops costing jobs."""
     cd = canon_dir(index_dir)
-    cache = _meta_cache.setdefault(cd, OrderedDict())
     want = list(dict.fromkeys(term_list))
     frames: dict[str, pd.DataFrame] = {}
     misses = []
     for t in want:
-        hit = cache.get(t)
+        hit = _meta_get(cd, t)
         if hit is not None:
-            cache.move_to_end(t)
             frames[t] = hit
         else:
             misses.append(t)
@@ -190,15 +220,7 @@ def _block_meta(
             .select(*_META_COLS)
             .toPandas()
         )
-        groups = (
-            {t: g.reset_index(drop=True) for t, g in fetched.groupby("term")}
-            if len(fetched)
-            else {}
-        )
-        for t in misses:
-            pdf = groups.get(t, fetched.iloc[0:0].reset_index(drop=True))
-            frames[t] = pdf
-            _meta_cache_put(cd, t, pdf)
+        frames.update(_cache_meta_groups(cd, fetched, misses))
     got = [frames[t] for t in want if len(frames[t])]
     if not got:
         return pd.DataFrame(columns=_META_COLS)
@@ -229,24 +251,25 @@ def _fetch_blocks(
         return fetch.select(*_BLOCK_COLS).toPandas()
 
     cd = canon_dir(index_dir)
-    cache = _block_cache.setdefault(cd, OrderedDict())
-    meta = _meta_cache.get(cd, {})
     rows: list[tuple] = []
     full_miss: list[str] = []   # no metadata → fetch the whole term
     missing_pairs: set[tuple[str, int]] = set()
     for t in want:
-        m = meta.get(t)
+        m = _meta_get(cd, t)
         if m is None:
             full_miss.append(t)
             continue
-        needed = [int(r) for r in m["range_id"]]
+        # dedupe: a range_id repeats in the metadata when a key owns
+        # several block rows (append before compaction) — the cache
+        # entry already holds ALL of the key's rows
+        needed = list(dict.fromkeys(int(r) for r in m["range_id"]))
         if range_set is not None:
             needed = [r for r in needed if r in range_set]
         for r in needed:
-            hit = cache.get((t, r))
+            hit = _block_cache.get((cd, t, r))
             if hit is not None:
-                cache.move_to_end((t, r))
-                rows.append(hit[0])
+                _block_cache.move_to_end((cd, t, r))
+                rows.extend(hit[0])
             else:
                 missing_pairs.add((t, r))
     if full_miss or missing_pairs:
@@ -281,26 +304,21 @@ def _fetch_blocks(
             .toPandas()
         )
         full_set = set(full_miss)
+        by_key: dict[tuple[str, int], list[tuple]] = {}
         for tup in fetched.itertuples(index=False, name=None):
-            t, r = tup[0], int(tup[1])
-            _block_cache_put(cd, (t, r), tup)
+            by_key.setdefault((tup[0], int(tup[1])), []).append(tup)
+        for (t, r), key_rows in by_key.items():
+            _block_cache_put(cd, t, r, key_rows)
             if t in full_set:
                 if range_set is None or r in range_set:
-                    rows.append(tup)
+                    rows.extend(key_rows)
             elif (t, r) in missing_pairs:
-                rows.append(tup)
-        # metadata rides along free on a full-term fetch; terms with no
-        # blocks cache an empty frame (negative entry). Range-restricted
-        # fetches see only a slice of the term, so no metadata is cached.
+                rows.extend(key_rows)
+        # metadata rides along free on a full-term fetch. Range-
+        # restricted fetches see only a slice of the term, so no
+        # metadata is cached for them.
         if full_miss and range_set is None:
-            groups = (
-                {t: g for t, g in fetched[fetched["term"].isin(full_miss)].groupby("term")}
-                if len(fetched)
-                else {}
-            )
-            for t in full_miss:
-                g = groups.get(t, fetched.iloc[0:0])
-                _meta_cache_put(cd, t, g[_META_COLS].reset_index(drop=True))
+            _cache_meta_groups(cd, fetched, full_miss)
     if not rows:
         return pd.DataFrame(columns=_BLOCK_COLS)
     return pd.DataFrame(rows, columns=_BLOCK_COLS)
@@ -310,13 +328,14 @@ def invalidate_cache(index_dir: str) -> None:
     """Drop every query-node cache for an index (dictionary, stats,
     analyzed table frames, posting blocks). Called by all
     snapshot-mutating ops."""
+    global _block_bytes, _meta_rows
     cd = canon_dir(index_dir)
     _dict_cache.pop(cd, None)
     _tomb_exists.pop(cd, None)
-    _block_cache.pop(cd, None)
-    _block_bytes.pop(cd, None)
-    _meta_cache.pop(cd, None)
-    _meta_rows.pop(cd, None)
+    for k in [k for k in _block_cache if k[0] == cd]:
+        _block_bytes -= _block_cache.pop(k)[1]
+    for k in [k for k in _meta_cache if k[0] == cd]:
+        _meta_rows -= len(_meta_cache.pop(k))
     for k in [k for k in _frame_cache if k[0] == cd]:
         _frame_cache.pop(k, None)
     for k in [k for k in _shard_cache if k[0] == cd]:

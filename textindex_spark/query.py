@@ -1096,19 +1096,32 @@ def _decoded_pos(
             for t in lst:
                 mask_by_term[t] = mask_by_term.get(t, 0) | (1 << i)
         full = (1 << len(slot_term_lists)) - 1
-        mdf = local_df(
-            spark, sorted(mask_by_term.items()), "term string, slot_mask long"
-        )
-        surv = (
-            blocks.select("term", "range_id")
-            .join(F.broadcast(mdf), "term")
-            .groupBy("range_id")
-            .agg(F.bit_or("slot_mask").alias("_m"))
-            .filter(F.col("_m") == full)
-        )
-        ids = [
-            r["range_id"] for r in surv.limit(ISIN_PUSHDOWN_MAX + 1).collect()
-        ]
+        if len(all_terms) <= ISIN_PUSHDOWN_MAX:
+            # serving-sized vocabulary: the same AND-bitmask agg over
+            # the RESIDENT block-max metadata — zero Spark jobs when
+            # warm, one metadata-only probe when cold
+            meta = _block_meta(spark, index_dir, all_terms, stats)
+            masks = meta["term"].map(mask_by_term).values.astype(np.int64)
+            per_range = pd.DataFrame(
+                {"range_id": meta["range_id"].values, "m": masks}
+            ).groupby("range_id")["m"].agg(
+                lambda s: int(np.bitwise_or.reduce(s.values))
+            )
+            ids = [int(r) for r, v in per_range.items() if v == full]
+        else:
+            mdf = local_df(
+                spark, sorted(mask_by_term.items()), "term string, slot_mask long"
+            )
+            surv = (
+                blocks.select("term", "range_id")
+                .join(F.broadcast(mdf), "term")
+                .groupBy("range_id")
+                .agg(F.bit_or("slot_mask").alias("_m"))
+                .filter(F.col("_m") == full)
+            )
+            ids = [
+                r["range_id"] for r in surv.limit(ISIN_PUSHDOWN_MAX + 1).collect()
+            ]
         if not ids:
             blocks = blocks.filter(F.lit(False))
         elif len(ids) <= ISIN_PUSHDOWN_MAX:

@@ -6,6 +6,7 @@
         [--k 10] [--mode and|or] [--prune] [--unranked] [--files PAT]
         [--phrase]            # treat --terms as one exact phrase
         [--near N]            # docs with all terms within N kept tokens
+        [--exclude PAT ...]   # NOT: drop docs matching any pattern
 """
 from __future__ import annotations
 
@@ -29,6 +30,11 @@ def main() -> None:
     ap.add_argument(
         "--near", type=int, default=None, metavar="N",
         help="proximity search: all terms within N kept tokens",
+    )
+    ap.add_argument(
+        "--exclude", nargs="*", default=None, metavar="PAT",
+        help="NOT semantics: drop docs containing any of these "
+        "term patterns (wildcards allowed); ranked search only",
     )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
@@ -55,7 +61,8 @@ def main() -> None:
         rows = find_unranked(spark, args.index, args.terms).collect()
     else:
         rows = search(
-            spark, args.index, args.terms, k=args.k, mode=args.mode, prune=args.prune
+            spark, args.index, args.terms, k=args.k, mode=args.mode,
+            prune=args.prune, exclude=args.exclude,
         ).collect()
     for r in rows:
         print(json.dumps(r.asDict()))

@@ -117,6 +117,61 @@ def test_bm25_pruned_matches_exact(spark, index_dir, oracle):
         assert [d for d, _ in got] == [d for d, _ in want], q
 
 
+def test_search_exclude_matches_oracle(spark, index_dir, oracle):
+    """NOT semantics (``exclude``): rank-identical to the oracle on
+    all four execution-path variants — local, pruned local,
+    distributed, pruned distributed. Wildcard exclusions expand."""
+    # first two exclusions provably change the top-10 (asserted);
+    # the last is a matches-nothing no-op
+    cases = [
+        (["spark", "vector"], "or", ["ha*"]),
+        (["qu*"], "or", ["spark", "vec*"]),
+        (["spark", "vector"], "and", ["qu*"]),
+        (["spark"], "or", ["nosuchterm"]),
+    ]
+    variants = [
+        {},
+        {"prune": True},
+        {"local_score": False},
+        {"local_score": False, "prune": True},
+    ]
+    for terms, mode, excl in cases:
+        want = oracle.search(terms, 10, mode=mode, exclude=excl)
+        base = oracle.search(terms, 10, mode=mode)
+        for kw in variants:
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    spark, index_dir, terms, k=10, mode=mode,
+                    with_urls=False, exclude=excl, **kw,
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], (terms, excl, kw)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9), (terms, excl, kw, gd)
+        if (terms, excl) in ((["spark", "vector"], ["ha*"]), (["qu*"], ["spark", "vec*"])):
+            assert want != base, (terms, excl, "exclusion must change results")
+
+
+def test_search_exclude_oversize_fallback(spark, index_dir, oracle, monkeypatch):
+    """An exclusion set past LOCAL_SCORE_MAX_POSTINGS must fall back
+    to the distributed anti-join (pruning disabled) and stay exact."""
+    import textindex_spark.query as Qm
+
+    monkeypatch.setattr(Qm, "LOCAL_SCORE_MAX_POSTINGS", 1)
+    terms, excl = ["spark", "vector"], ["merge"]
+    want = oracle.search(terms, 10, mode="or", exclude=excl)
+    for kw in ({}, {"prune": True}):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                spark, index_dir, terms, k=10, mode="or",
+                with_urls=False, exclude=excl, **kw,
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], kw
+
+
 def test_bm25_or_pruned_matches_exact(spark, index_dir, oracle):
     """OR-mode block-max pruning (WAND's home turf, VERDICT r3 task
     4): pruned OR results must be rank-identical to the exact OR

@@ -23,7 +23,7 @@ def shell(spark, tmp_path_factory):
 
 def test_help_and_unknown(shell):
     out = shell.dispatch("help")
-    for cmd in ("find <match>", "files <match>", "stats base | debug | <word>"):
+    for cmd in ("find <match...> [-exclude...]", "files <match>", "stats base | debug | <word>"):
         assert cmd in out
     assert "unknown command" in shell.dispatch("bogus")
     assert shell.dispatch("") == ""
@@ -45,6 +45,30 @@ def test_find_pages_and_matched_lines(shell):
     assert f"  {PAGE}:" in out2
     out3 = shell.dispatch("first")
     assert "  0:" in out3 and shell.lines_idx == PAGE
+
+
+def test_find_with_not_terms(shell, spark):
+    """`find spark -archive` drops every doc containing `archive`
+    (NOT syntax, engine extension) and matches
+    find_unranked(exclude=)."""
+    from textindex_spark.query import find_unranked
+
+    shell.dispatch("find spark")
+    base = {u for u, _ in shell.found}
+    shell.dispatch("find spark -archive")
+    got = {u for u, _ in shell.found}
+    want = {
+        r["url"]
+        for r in find_unranked(
+            spark, shell.index_dir, ["spark"], exclude=["archive"]
+        ).collect()
+    }
+    assert got == want
+    with_excl = {
+        r["url"]
+        for r in find_unranked(spark, shell.index_dir, ["archive"]).collect()
+    }
+    assert got == base - with_excl and got < base
 
 
 def test_files_and_stats_and_store(shell, tmp_path):

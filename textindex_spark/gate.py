@@ -175,6 +175,25 @@ def q_bm25_or_topk(spark, sf_dir):
     )
 
 
+NOT_PATTERN = "qu*"
+
+
+def q_bm25_not(spark, sf_dir):
+    """Disjunctive BM25 top-10 with NOT semantics: docs containing
+    any expansion of NOT_PATTERN are excluded before top-k.
+    prune=True exercises the θ-probe exclusion merge (an excluded doc
+    in the probe must not inflate θ)."""
+    idx = ensure_index(spark, sf_dir)
+    res = Q.search(
+        spark, idx, BM25_TERMS, k=10, mode="or", prune=True,
+        with_urls=False, exclude=[NOT_PATTERN],
+    )
+    return res.select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro"),
+    )
+
+
 def q_phrase_match(spark, sf_dir):
     """Exact-phrase containment from the pos_bytes position payload:
     (doc_id, occurrence count) for every doc containing PHRASE_2."""
@@ -443,6 +462,7 @@ QUERIES = {
     "search_and": q_search_and,
     "bm25_topk": q_bm25_topk,
     "bm25_or_topk": q_bm25_or_topk,
+    "bm25_not": q_bm25_not,
     "phrase_match": q_phrase_match,
     "phrase_rank": q_phrase_rank,
     "phrase_rank_wildcard": q_phrase_rank_wildcard,
@@ -1052,6 +1072,35 @@ hits AS (
     JOIN dl d ON t.doc_id = d.doc_id
     CROSS JOIN stats s
     WHERE t.term IN ({bm25_terms})
+)
+SELECT doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT AS score_micro
+FROM hits GROUP BY doc_id
+ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
+""",
+        "bm25_not": f"""
+WITH {_TOKS_CTE},
+stats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl
+),
+dfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf
+    WHERE term IN ({bm25_terms}) GROUP BY term
+),
+excluded AS (
+    SELECT DISTINCT doc_id FROM tf
+    WHERE term LIKE '{NOT_PATTERN.replace("*", "%")}'
+),
+hits AS (
+    SELECT t.doc_id, t.term,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM tf t
+    JOIN dfs f ON t.term = f.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+    WHERE t.term IN ({bm25_terms})
+      AND t.doc_id NOT IN (SELECT doc_id FROM excluded)
 )
 SELECT doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT AS score_micro
 FROM hits GROUP BY doc_id

@@ -618,12 +618,27 @@ def search(
     prune: bool = False,
     with_urls: bool = True,
     local_score: bool | None = None,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """BM25 top-k → DataFrame (doc_id, score[, url]), ordered
     (score desc, doc_id asc). mode='and' keeps reference AND
-    semantics across query patterns."""
+    semantics across query patterns.
+
+    ``exclude``: NOT semantics — docs containing ANY expansion of an
+    exclude pattern (wildcards allowed) are dropped before top-k;
+    surviving scores are unchanged. Implemented as per-query
+    tombstoning: when the exclusion postings fit the query node
+    (≤ LOCAL_SCORE_MAX_POSTINGS) the ids merge into the ``dead`` set,
+    so all three execution paths (local, distributed, block-max
+    pruned) stay rank-identical and θ probes remain sound; oversize
+    exclusions fall back to a distributed anti-join with pruning
+    disabled (an unaccounted exclusion would inflate θ and over-
+    prune)."""
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
+    excl_ids: np.ndarray | None = None
+    if exclude:
+        excl_ids = _exclusion_ids(spark, index_dir, exclude, stats)
     fits_local = (
         len(expanded) > 0
         and expanded.drop_duplicates("term")["df"].sum() <= LOCAL_SCORE_MAX_POSTINGS
@@ -634,9 +649,13 @@ def search(
         # explicit local_score=True must not bypass the driver-memory
         # guard — a stop-word-grade wildcard would OOM the query node
         local_score = local_score and fits_local
+    if exclude and excl_ids is None:
+        local_score = False  # exclusion set must stay distributed
     if local_score and len(expanded) > 0:
         dead = _dead_ids_capped(spark, index_dir)
         if dead is not None:  # oversize delete sets go distributed
+            if excl_ids is not None and len(excl_ids):
+                dead = np.union1d(dead, excl_ids)
             res = _search_local(
                 spark, index_dir, expanded, stats, len(patterns), k, mode,
                 with_urls, dead, prune=prune,
@@ -665,10 +684,24 @@ def search(
         qterms = spark.createDataFrame(term_info[["term", "idf", "mask"]])
         term_list = list(term_info["term"])
         decoded = _decoded_postings(spark, index_dir, qterms, stats, term_list)
+        if prune and exclude and excl_ids is None:
+            # θ cannot account for an oversize exclusion set: an
+            # excluded doc in the θ probe would inflate θ and prune
+            # ranges holding the true top-k. Fall back to exact
+            # unpruned decode (still one distributed job).
+            prune = False
         if prune:
+            dead_p = None
+            if excl_ids is not None and len(excl_ids):
+                tomb = _dead_ids_capped(spark, index_dir)
+                # oversize tombstones leave dead_p=None: _prune_plan
+                # then recomputes (None again) and keeps θ=0 — safe
+                dead_p = (
+                    np.union1d(tomb, excl_ids) if tomb is not None else None
+                )
             decoded = _pruned_decode(
                 spark, index_dir, qterms, stats, k, full_mask, term_list,
-                term_info, mode=mode,
+                term_info, mode=mode, dead=dead_p,
             )
         scored = (
             decoded.join(F.broadcast(qterms), "term")
@@ -681,6 +714,20 @@ def search(
         if mode == "and":
             scored = scored.filter(F.col("mask") == full_mask)
         scored = apply_tombstones(spark, index_dir, scored)
+        if exclude:
+            if excl_ids is not None and len(excl_ids) == 0:
+                pass  # no exclude pattern matched anything
+            elif excl_ids is not None and len(excl_ids) <= TOMBSTONE_LOCAL_MAX:
+                # ids already resident and small: broadcast anti-join,
+                # no second decode job
+                excl_df = local_df(
+                    spark, [(int(i),) for i in excl_ids], "doc_id long"
+                )
+                scored = scored.join(F.broadcast(excl_df), "doc_id", "left_anti")
+            else:
+                excl_df = _exclusion_docs_df(spark, index_dir, exclude, stats)
+                if excl_df is not None:
+                    scored = scored.join(excl_df, "doc_id", "left_anti")
         result = scored.select("doc_id", "score").orderBy(
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
@@ -793,6 +840,49 @@ def _dead_ids_capped(spark: SparkSession, index_dir: str) -> np.ndarray | None:
     return np.array([r["doc_id"] for r in dead.collect()], dtype=np.int64)
 
 
+def _exclusion_ids(
+    spark: SparkSession, index_dir: str, exclude: list[str], stats: dict
+) -> np.ndarray | None:
+    """doc_ids containing ANY expansion of an exclude pattern, as a
+    driver-side array — or None when the exclusion postings exceed
+    LOCAL_SCORE_MAX_POSTINGS (a stop-word-grade exclusion must never
+    be collected onto the query node; callers then anti-join
+    distributed and disable θ-based pruning). Exclusion is per-query
+    tombstoning: the ids merge into the ``dead`` set downstream, so
+    the θ probe and the block-max prune plan stay exact — a θ
+    inflated by docs later excluded could prune ranges holding the
+    true top-k."""
+    expanded = expand_patterns(spark, index_dir, exclude)
+    if len(expanded) == 0:
+        return np.empty(0, dtype=np.int64)
+    uniq = expanded.drop_duplicates("term")
+    if uniq["df"].sum() > LOCAL_SCORE_MAX_POSTINGS:
+        return None
+    blocks = _fetch_blocks(spark, index_dir, list(uniq["term"]), stats)
+    if len(blocks) == 0:
+        return np.empty(0, dtype=np.int64)
+    bases = blocks["range_id"].values.astype(np.int64) << stats["range_bits"]
+    (doc_lists,) = decode_batch(list(blocks["doc_gaps"]), bases)
+    return np.unique(np.concatenate(doc_lists))
+
+
+def _exclusion_docs_df(
+    spark: SparkSession, index_dir: str, exclude: list[str], stats: dict
+) -> DataFrame | None:
+    """Distinct doc_ids matching any exclude pattern as a DataFrame
+    (the distributed anti-join side for exclusion sets too large to
+    hold on the query node), or None when no pattern matches."""
+    expanded = expand_patterns(spark, index_dir, exclude)
+    if len(expanded) == 0:
+        return None
+    terms = sorted(set(expanded["term"]))
+    return (
+        _decoded_postings(spark, index_dir, None, stats, terms)
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def _prune_plan(
     spark: SparkSession,
     index_dir: str,
@@ -889,13 +979,16 @@ def _pruned_decode(
     term_list: list[str],
     term_info: pd.DataFrame,
     mode: str = "and",
+    dead: np.ndarray | None = None,
 ) -> DataFrame:
     """Distributed block-max-pruned decode: prune plan (2 light jobs)
     + ONE mapInPandas decode job over surviving blocks (term+range_id
-    pushdown reaches the parquet scan)."""
+    pushdown reaches the parquet scan). ``dead`` augments the θ
+    probe's live filter (tombstones ∪ per-query exclusions); None →
+    the plan fetches tombstones itself."""
     plan = _prune_plan(
         spark, index_dir, stats, k, full_mask, term_list, term_info,
-        mode=mode,
+        mode=mode, dead=dead,
     )
     if plan is None:
         return local_df(spark, [], DECODED_SCHEMA)
@@ -945,10 +1038,15 @@ def _score_blocks_np(
 
 
 def find_unranked(
-    spark: SparkSession, index_dir: str, patterns: list[str]
+    spark: SparkSession,
+    index_dir: str,
+    patterns: list[str],
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """Exact reference `find` semantics (index2.rs:550-582): unranked
-    AND-intersection, urls ordered by doc_id."""
+    AND-intersection, urls ordered by doc_id. ``exclude`` (an engine
+    extension; the reference has no NOT) drops docs matching any
+    exclusion pattern via one anti-join."""
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
     n_patterns = len(patterns)
@@ -975,6 +1073,10 @@ def find_unranked(
     )
     docs = _cached_table(spark, index_dir, "docs").select("doc_id", "url")
     hits = apply_tombstones(spark, index_dir, hits)
+    if exclude:
+        excl_df = _exclusion_docs_df(spark, index_dir, exclude, stats)
+        if excl_df is not None:
+            hits = hits.join(excl_df, "doc_id", "left_anti")
     return hits.join(docs, "doc_id", "left").orderBy("doc_id")
 
 

@@ -127,9 +127,17 @@ class OracleIndex:
         norm = tf + K1 * (1.0 - B + B * dl / self.avgdl)
         return self.idf(term) * tf * (K1 + 1.0) / norm
 
-    def search(self, terms: list[str], k: int = 10, mode: str = "and") -> list[tuple[int, float]]:
+    def search(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "and",
+        exclude: list[str] | None = None,
+    ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score). mode='and' is reference find
-        semantics; 'or' is pure disjunctive BM25."""
+        semantics; 'or' is pure disjunctive BM25. ``exclude`` drops
+        any doc containing any expansion of an exclude pattern
+        (NOT semantics); surviving docs' scores are unchanged."""
         expansions = [self.expand(t) for t in terms]
         if mode == "and":
             cand: set[int] | None = None
@@ -144,6 +152,9 @@ class OracleIndex:
             for exp in expansions:
                 for v in exp:
                     candidates.update(self.postings[v])
+        for p in exclude or []:
+            for v in self.expand(p):
+                candidates -= set(self.postings[v])
         vocab_terms = sorted({v for exp in expansions for v in exp})
         scores: dict[int, float] = {}
         for v in vocab_terms:

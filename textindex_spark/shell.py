@@ -44,7 +44,7 @@ PAGE = 20
 HELP = """
 index <parquet-path>
 stats base | debug | <word>
-find <match>
+find <match...> [-exclude...]
 files <match>
 summary <nr>
 delete <file-match>
@@ -129,15 +129,21 @@ class Shell:
         self.docs_path = self.docs_path or args[0]
 
     def _cmd_find(self, args: list[str]) -> None:
+        # `-pattern` tokens are NOT terms (engine extension): docs
+        # matching them are excluded from the AND result
+        exclude = [a[1:] for a in args if a.startswith("-") and len(a) > 1]
+        args = [a for a in args if not a.startswith("-")]
         if not args:
-            print("usage: find <match...>")
+            print("usage: find <match...> [-exclude ...]")
             return
         from textindex_spark.query import find_unranked, matched_lines
         from textindex_spark.session import local_df
 
         # collect once; matched_lines gets the ids as a local frame so
         # the distributed AND query runs exactly one time (review r4)
-        hit_rows = find_unranked(self.spark, self.index_dir, args).collect()
+        hit_rows = find_unranked(
+            self.spark, self.index_dir, args, exclude=exclude or None
+        ).collect()
         if self.docs_path is not None and hit_rows:
             ids = local_df(
                 self.spark, [(r["doc_id"],) for r in hit_rows], "doc_id long"

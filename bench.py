@@ -128,6 +128,15 @@ def main() -> None:
         ).collect()
         timings[name] = round(time.time() - t0, 3)
 
+    # NOT-semantics exclusion (r4): warm serving cost of per-query
+    # tombstoning = one extra resident-cache fetch for the exclusion
+    # term's ids, then the normal pruned-OR plan
+    args = dict(k=10, mode="or", prune=True, with_urls=False, exclude=["merge"])
+    search(spark, idx_dir, ["spark", "index"], **args).collect()
+    t0 = time.time()
+    search(spark, idx_dir, ["spark", "index"], **args).collect()
+    timings["bm25_not"] = round(time.time() - t0, 3)
+
     # the DISTRIBUTED OR plans (local_score=False) — the path a
     # beyond-driver-memory candidate set takes at real scale; this is
     # where block-max pruning pays (the serving path above reads so

@@ -32,6 +32,10 @@ def main() -> None:
         help="proximity search: all terms within N kept tokens",
     )
     ap.add_argument(
+        "--facet", choices=["lang", "site"], default=None,
+        help="print matched-doc counts per facet value instead of hits",
+    )
+    ap.add_argument(
         "--exclude", nargs="*", default=None, metavar="PAT",
         help="NOT semantics: drop docs containing any of these "
         "term patterns (wildcards allowed); ranked search only",
@@ -40,6 +44,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from textindex_spark.query import (
+        facet_counts,
         find_files,
         find_unranked,
         near_docs,
@@ -53,6 +58,11 @@ def main() -> None:
     spark = get_spark("textindex-search", cpus=args.cpus)
     if args.files:
         rows = find_files(spark, args.index, args.files).collect()
+    elif args.facet:
+        rows = facet_counts(
+            spark, args.index, args.terms, by=args.facet, mode=args.mode,
+            exclude=args.exclude,
+        ).collect()
     elif args.phrase:
         rows = search_phrase(spark, args.index, args.terms, k=args.k).collect()
     elif args.near is not None:

@@ -172,6 +172,39 @@ def test_search_exclude_oversize_fallback(spark, index_dir, oracle, monkeypatch)
         assert [d for d, _ in got] == [d for d, _ in want], kw
 
 
+def test_facet_counts_match_oracle(spark, index_dir, oracle, rows):
+    """Facet slices (lang / site) over the match set equal the
+    brute-force per-doc recount, with and without exclusion."""
+    import re
+
+    from textindex_spark.query import facet_counts
+
+    by_id = {r["doc_id"]: r for r in rows}
+    matched = set(oracle.postings["spark"]) & set(oracle.postings["index"])
+    langs: dict[str, int] = {}
+    for d in matched:
+        langs[by_id[d]["lang"]] = langs.get(by_id[d]["lang"], 0) + 1
+    got = {
+        (r["value"], r["n_docs"])
+        for r in facet_counts(spark, index_dir, ["spark", "index"], by="lang").collect()
+    }
+    assert got == set(langs.items())
+
+    excl = set(oracle.postings.get("merge", {}))
+    sites: dict[str, int] = {}
+    for d in (set(oracle.postings["spark"]) | set(oracle.postings["index"])) - excl:
+        host = re.match(r"^[a-z]+://([^/]+)", by_id[d]["url"]).group(1)
+        sites[host] = sites.get(host, 0) + 1
+    got = {
+        (r["value"], r["n_docs"])
+        for r in facet_counts(
+            spark, index_dir, ["spark", "index"], by="site", mode="or",
+            exclude=["merge"],
+        ).collect()
+    }
+    assert got == set(sites.items()) and len(got) > 1
+
+
 def test_bm25_or_pruned_matches_exact(spark, index_dir, oracle):
     """OR-mode block-max pruning (WAND's home turf, VERDICT r3 task
     4): pruned OR results must be rank-identical to the exact OR

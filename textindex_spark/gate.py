@@ -194,6 +194,22 @@ def q_bm25_not(spark, sf_dir):
     )
 
 
+def q_facet_lang(spark, sf_dir):
+    """Matched-doc counts per language for the AND query — the
+    corpus-analytics facet slice."""
+    idx = ensure_index(spark, sf_dir)
+    return Q.facet_counts(spark, idx, AND_TERMS, by="lang", mode="and")
+
+
+def q_facet_site(spark, sf_dir):
+    """Matched-doc counts per site (url host) for the OR query with a
+    NOT exclusion — facet × exclude composition."""
+    idx = ensure_index(spark, sf_dir)
+    return Q.facet_counts(
+        spark, idx, BM25_TERMS, by="site", mode="or", exclude=[NOT_PATTERN]
+    )
+
+
 def q_phrase_match(spark, sf_dir):
     """Exact-phrase containment from the pos_bytes position payload:
     (doc_id, occurrence count) for every doc containing PHRASE_2."""
@@ -463,6 +479,8 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_or_topk": q_bm25_or_topk,
     "bm25_not": q_bm25_not,
+    "facet_lang": q_facet_lang,
+    "facet_site": q_facet_site,
     "phrase_match": q_phrase_match,
     "phrase_rank": q_phrase_rank,
     "phrase_rank_wildcard": q_phrase_rank_wildcard,
@@ -1105,6 +1123,32 @@ hits AS (
 SELECT doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT AS score_micro
 FROM hits GROUP BY doc_id
 ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
+""",
+        "facet_lang": f"""
+WITH {_TOKS_CTE},
+hits AS (
+    SELECT doc_id FROM tf WHERE term IN ({and_terms})
+    GROUP BY doc_id HAVING count(DISTINCT term) = {len(AND_TERMS)}
+)
+SELECT d.lang AS value, count(*)::BIGINT AS n_docs
+FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+GROUP BY d.lang
+ORDER BY n_docs DESC, value ASC
+""",
+        "facet_site": f"""
+WITH {_TOKS_CTE},
+hits AS (
+    SELECT DISTINCT doc_id FROM tf WHERE term IN ({bm25_terms})
+),
+excluded AS (
+    SELECT DISTINCT doc_id FROM tf
+    WHERE term LIKE '{NOT_PATTERN.replace("*", "%")}'
+)
+SELECT coalesce(d.source, 'src') AS value, count(*)::BIGINT AS n_docs
+FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+WHERE h.doc_id NOT IN (SELECT doc_id FROM excluded)
+GROUP BY value
+ORDER BY n_docs DESC, value ASC
 """,
         "tf_histogram": f"""
 WITH {_TOKS_CTE}

@@ -1533,6 +1533,74 @@ class SearchSession:
         return page
 
 
+def facet_counts(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: list[str],
+    by: str = "lang",
+    mode: str = "and",
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """→ (value, n_docs): matched-document counts per facet — the
+    corpus-analytics slice a training-data pipeline runs over a query
+    ("how many matching docs per language / site"). ``by``:
+
+    * ``lang`` — the docs table's language column
+    * ``site`` — the url host (``regexp_extract``, codegen'd)
+
+    Match semantics are exactly ``find_unranked``'s (AND/OR over
+    wildcard-expanded patterns, tombstones and ``exclude`` applied).
+    Scale shape: decoded postings → one distinct+mask agg keyed on
+    doc_id → equality join with the docs table on doc_id → one
+    groupBy(value) count. No collect; the facet agg is map-side
+    partial (few distinct values), and the doc_id join broadcasts
+    whenever the match set is small."""
+    if by not in ("lang", "site"):
+        raise ValueError("facet by must be 'lang' or 'site'")
+    stats = cached_stats(spark, index_dir)
+    expanded = expand_patterns(spark, index_dir, patterns)
+    n_patterns = len(patterns)
+    empty = local_df(spark, [], "value string, n_docs long")
+    if len(expanded) == 0 or (
+        mode == "and" and expanded["pattern_idx"].nunique() < n_patterns
+    ):
+        return empty
+    term_info = (
+        expanded.groupby("term")
+        .agg(mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s]))))
+        .reset_index()
+    )
+    qterms = spark.createDataFrame(term_info[["term", "mask"]])
+    decoded = _decoded_postings(
+        spark, index_dir, qterms.withColumn("idf", F.lit(0.0)),
+        stats, list(term_info["term"]),
+    )
+    hits = (
+        decoded.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    if mode == "and":
+        hits = hits.filter(F.col("mask") == (1 << n_patterns) - 1)
+    hits = apply_tombstones(spark, index_dir, hits.select("doc_id"))
+    if exclude:
+        excl_df = _exclusion_docs_df(spark, index_dir, exclude, stats)
+        if excl_df is not None:
+            hits = hits.join(excl_df, "doc_id", "left_anti")
+    docs = _cached_table(spark, index_dir, "docs")
+    facet = (
+        F.col("lang")
+        if by == "lang"
+        else F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    )
+    return (
+        hits.join(docs.select("doc_id", facet.alias("value")), "doc_id")
+        .groupBy("value")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("value"))
+    )
+
+
 def find_files(spark: SparkSession, index_dir: str, pattern: str) -> DataFrame:
     """File-name wildcard search (index2.rs:447-456)."""
     rx = wildcard_to_regex(pattern).pattern

@@ -172,6 +172,32 @@ def test_search_exclude_oversize_fallback(spark, index_dir, oracle, monkeypatch)
         assert [d for d, _ in got] == [d for d, _ in want], kw
 
 
+def test_and_range_preintersection(spark, index_dir, oracle):
+    """Candidate-range pre-intersection for conjunctive queries: the
+    surviving set equals ranges(a) ∩ ranges(b) from the oracle's
+    postings, and is strictly smaller than the hot term's range set
+    for a rare+hot pair (the I/O win at scale)."""
+    from textindex_spark import query as Qm
+
+    stats = Qm.cached_stats(spark, index_dir)
+    rb = stats["range_bits"]
+    rare = min(
+        (t for t in oracle.postings if len(oracle.postings[t]) >= 1),
+        key=lambda t: (len(oracle.postings[t]), t),
+    )
+    ranges = {
+        t: {d >> rb for d in oracle.postings[t]} for t in ("spark", rare)
+    }
+    want = sorted(ranges["spark"] & ranges[rare])
+    got = Qm._and_surviving_ranges(
+        spark, index_dir, {"spark": 1, rare: 2}, 3, stats
+    )
+    assert sorted(got) == want
+    assert len(want) < len(ranges["spark"])
+    # single pattern: not applicable
+    assert Qm._and_surviving_ranges(spark, index_dir, {"spark": 1}, 1, stats) is None
+
+
 def test_facet_counts_match_oracle(spark, index_dir, oracle, rows):
     """Facet slices (lang / site) over the match set equal the
     brute-force per-doc recount, with and without exclusion."""

@@ -577,16 +577,85 @@ def _query_blocks(
     return postings.join(F.broadcast(qterms.select("term").distinct()), "term")
 
 
+def _and_surviving_ranges(
+    spark: SparkSession,
+    index_dir: str,
+    mask_by_term: dict[str, int],
+    full: int,
+    stats: dict,
+    blocks: DataFrame | None = None,
+) -> list[int] | None:
+    """Candidate-range pre-intersection for conjunctive queries: the
+    range_ids where the OR of present terms' pattern-coverage masks
+    reaches ``full`` — a doc matching ALL patterns has all its terms'
+    blocks in its OWN range (range_id = doc_id >> range_bits), so
+    restricting the decode to these ranges is EXACT for any AND
+    consumer. Returns None when not applicable/selective (single
+    pattern, or more surviving ranges than the isin cap — pruning
+    only when it prunes), else the (possibly empty) range list.
+
+    Serving-sized vocabularies aggregate the RESIDENT block-max
+    metadata (zero Spark jobs warm, one metadata-only probe cold);
+    wider expansions run one distributed (term, range_id) agg over
+    ``blocks`` — binary columns never read either way."""
+    if full == 0 or (full & (full - 1)) == 0:  # <2 patterns: nothing to intersect
+        return None
+    terms = sorted(mask_by_term)
+    if len(terms) <= ISIN_PUSHDOWN_MAX:
+        meta = _block_meta(spark, index_dir, terms, stats)
+        if len(meta) == 0:
+            return []
+        masks = meta["term"].map(mask_by_term).values.astype(np.int64)
+        per_range = pd.DataFrame(
+            {"range_id": meta["range_id"].values, "m": masks}
+        ).groupby("range_id")["m"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.values))
+        )
+        ids = [int(r) for r, v in per_range.items() if v == full]
+    else:
+        if blocks is None:
+            blocks = _query_blocks(
+                spark, index_dir, None, terms, stats.get("n_term_buckets")
+            )
+        mdf = local_df(
+            spark, sorted(mask_by_term.items()), "term string, slot_mask long"
+        )
+        surv = (
+            blocks.select("term", "range_id")
+            .join(F.broadcast(mdf), "term")
+            .groupBy("range_id")
+            .agg(F.bit_or("slot_mask").alias("_m"))
+            .filter(F.col("_m") == full)
+        )
+        ids = [r["range_id"] for r in surv.limit(ISIN_PUSHDOWN_MAX + 1).collect()]
+    return ids if len(ids) <= ISIN_PUSHDOWN_MAX else None
+
+
 def _decoded_postings(
     spark: SparkSession,
     index_dir: str,
     qterms: DataFrame,
     stats: dict,
     term_list: list[str],
+    and_masks: tuple[dict[str, int], int] | None = None,
 ) -> DataFrame:
     """Posting blocks for the query vocabulary, decoded to
-    (term, doc_id, tf, doc_len, tfnorm) rows."""
+    (term, doc_id, tf, doc_len, tfnorm) rows. ``and_masks``
+    (mask_by_term, full_mask) enables candidate-range
+    pre-intersection for conjunctive consumers — only ranges where
+    every pattern is present are decoded (exact; see
+    ``_and_surviving_ranges``)."""
     blocks = _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets"))
+    if and_masks is not None:
+        ids = _and_surviving_ranges(
+            spark, index_dir, and_masks[0], and_masks[1], stats, blocks
+        )
+        if ids is not None:
+            blocks = (
+                blocks.filter(F.col("range_id").isin(ids))
+                if ids
+                else blocks.filter(F.lit(False))
+            )
     blocks = blocks.select(*_DECODE_COLS).withColumn(
         "range_bits", F.lit(stats["range_bits"])
     ).withColumn("avgdl", F.lit(stats["avgdl"]))
@@ -683,13 +752,25 @@ def search(
         )
         qterms = spark.createDataFrame(term_info[["term", "idf", "mask"]])
         term_list = list(term_info["term"])
-        decoded = _decoded_postings(spark, index_dir, qterms, stats, term_list)
         if prune and exclude and excl_ids is None:
             # θ cannot account for an oversize exclusion set: an
             # excluded doc in the θ probe would inflate θ and prune
             # ranges holding the true top-k. Fall back to exact
             # unpruned decode (still one distributed job).
             prune = False
+        and_masks = None
+        if mode == "and" and not prune and n_patterns > 1:
+            # candidate-range pre-intersection: decode only ranges
+            # where every pattern is present (exact — a matching
+            # doc's postings live in one range). The pruned plan does
+            # its own per-range AND-mask filtering.
+            and_masks = (
+                dict(zip(term_info["term"], (int(m) for m in term_info["mask"]))),
+                full_mask,
+            )
+        decoded = _decoded_postings(
+            spark, index_dir, qterms, stats, term_list, and_masks=and_masks
+        )
         if prune:
             dead_p = None
             if excl_ids is not None and len(excl_ids):
@@ -789,6 +870,19 @@ def _search_local(
             if plan is None:
                 return _finish_local(spark, index_dir, [], empty, with_urls)
             surviving, _ = plan
+        elif mode == "and" and n_patterns > 1:
+            # unpruned AND still gets candidate-range pre-intersection
+            # from the resident metadata (zero jobs warm): only ranges
+            # where every pattern is present are fetched
+            surviving = _and_surviving_ranges(
+                spark,
+                index_dir,
+                dict(zip(term_info["term"], (int(m) for m in term_info["mask"]))),
+                full_mask,
+                stats,
+            )
+            if surviving == []:
+                return _finish_local(spark, index_dir, [], empty, with_urls)
             # (_fetch_blocks reads everything for a survivor set wider
             # than the isin cap — still exact)
         blocks = _fetch_blocks(
@@ -1060,10 +1154,14 @@ def find_unranked(
     qterms = spark.createDataFrame(term_info[["term", "mask"]]).withColumn(
         "idf", F.lit(0.0)
     )
-    decoded = _decoded_postings(
-        spark, index_dir, qterms, stats, list(term_info["term"])
-    )
     full_mask = (1 << n_patterns) - 1
+    decoded = _decoded_postings(
+        spark, index_dir, qterms, stats, list(term_info["term"]),
+        and_masks=(
+            dict(zip(term_info["term"], (int(m) for m in term_info["mask"]))),
+            full_mask,
+        ),
+    )
     hits = (
         decoded.join(F.broadcast(qterms.select("term", "mask")), "term")
         .groupBy("doc_id")
@@ -1198,37 +1296,16 @@ def _decoded_pos(
             for t in lst:
                 mask_by_term[t] = mask_by_term.get(t, 0) | (1 << i)
         full = (1 << len(slot_term_lists)) - 1
-        if len(all_terms) <= ISIN_PUSHDOWN_MAX:
-            # serving-sized vocabulary: the same AND-bitmask agg over
-            # the RESIDENT block-max metadata — zero Spark jobs when
-            # warm, one metadata-only probe when cold
-            meta = _block_meta(spark, index_dir, all_terms, stats)
-            masks = meta["term"].map(mask_by_term).values.astype(np.int64)
-            per_range = pd.DataFrame(
-                {"range_id": meta["range_id"].values, "m": masks}
-            ).groupby("range_id")["m"].agg(
-                lambda s: int(np.bitwise_or.reduce(s.values))
+        ids = _and_surviving_ranges(
+            spark, index_dir, mask_by_term, full, stats, blocks
+        )
+        if ids is not None:
+            blocks = (
+                blocks.filter(F.col("range_id").isin(ids))
+                if ids
+                else blocks.filter(F.lit(False))
             )
-            ids = [int(r) for r, v in per_range.items() if v == full]
-        else:
-            mdf = local_df(
-                spark, sorted(mask_by_term.items()), "term string, slot_mask long"
-            )
-            surv = (
-                blocks.select("term", "range_id")
-                .join(F.broadcast(mdf), "term")
-                .groupBy("range_id")
-                .agg(F.bit_or("slot_mask").alias("_m"))
-                .filter(F.col("_m") == full)
-            )
-            ids = [
-                r["range_id"] for r in surv.limit(ISIN_PUSHDOWN_MAX + 1).collect()
-            ]
-        if not ids:
-            blocks = blocks.filter(F.lit(False))
-        elif len(ids) <= ISIN_PUSHDOWN_MAX:
-            blocks = blocks.filter(F.col("range_id").isin(ids))
-        # else: unselective — keep the unpruned scan
+        # ids None: unselective — keep the unpruned scan
     blocks = blocks.select(*_DECODE_POS_COLS).withColumn(
         "range_bits", F.lit(stats["range_bits"])
     ).withColumn("avgdl", F.lit(stats["avgdl"]))
@@ -1571,9 +1648,15 @@ def facet_counts(
         .reset_index()
     )
     qterms = spark.createDataFrame(term_info[["term", "mask"]])
+    and_masks = None
+    if mode == "and" and n_patterns > 1:
+        and_masks = (
+            dict(zip(term_info["term"], (int(m) for m in term_info["mask"]))),
+            (1 << n_patterns) - 1,
+        )
     decoded = _decoded_postings(
         spark, index_dir, qterms.withColumn("idf", F.lit(0.0)),
-        stats, list(term_info["term"]),
+        stats, list(term_info["term"]), and_masks=and_masks,
     )
     hits = (
         decoded.join(F.broadcast(qterms), "term")

@@ -207,6 +207,38 @@ def test_quality_score(spark, docs):
     assert q[7]["n_tokens"] == 0 and q[7]["quality_micro"] >= 0
 
 
+def test_filter_verdicts_and_corpus(spark, docs):
+    """Verdict composition (lang > length > quality precedence) and
+    the anti-join filter."""
+    v = {
+        r["doc_id"]: r
+        for r in textstats.filter_verdicts(
+            docs, ("the", "over"), langs=("en",), min_quality_micro=1,
+            min_tokens=2, max_tokens=100,
+        ).collect()
+    }
+    assert set(v) == {d for d, _ in TEXTS}
+    for d, r in v.items():
+        if r["pred_lang"] != "en":
+            assert not r["keep"] and r["reason"] == "lang", d
+        elif not (2 <= r["n_tokens"] <= 100):
+            assert not r["keep"] and r["reason"] == "length", d
+        else:
+            assert r["keep"] and r["reason"] == "", d
+    assert not v[4]["keep"] and not v[7]["keep"]  # de doc; empty doc
+    kept = {
+        r["doc_id"]
+        for r in textstats.filter_corpus(
+            docs,
+            textstats.filter_verdicts(
+                docs, ("the", "over"), langs=("en",), min_quality_micro=1,
+                min_tokens=2, max_tokens=100,
+            ),
+        ).collect()
+    }
+    assert kept == {d for d, r in v.items() if r["keep"]}
+
+
 def test_cosine_topk_exact_and_ivf(spark):
     rng = np.random.default_rng(3)
     vecs = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in range(64)]

@@ -437,6 +437,19 @@ def q_quality(spark, sf_dir):
     )
 
 
+FILTER_PARAMS = dict(
+    langs=("en",), min_quality_micro=500_000, min_tokens=20, max_tokens=5_000
+)
+
+
+def q_corpus_filter(spark, sf_dir):
+    """Composed training-pipeline document filter: language allowlist
+    + quality floor + token bounds → per-doc keep verdict + reason."""
+    return textstats.filter_verdicts(
+        _documents(spark, sf_dir), tuple(sorted(STOP_WORD_SET)), **FILTER_PARAMS
+    )
+
+
 def q_token_counts(spark, sf_dir):
     return textstats.token_counts(_documents(spark, sf_dir))
 
@@ -501,6 +514,7 @@ QUERIES = {
     "simhash": q_simhash,
     "lang_id": q_lang_id,
     "quality": q_quality,
+    "corpus_filter": q_corpus_filter,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "ann_cosine": q_ann_cosine,
@@ -767,6 +781,32 @@ SELECT doc_id, n_tokens, n_chars,
                 THEN 1.0 ELSE 0.0 END) * 0.3
     ) * 1e6 + 0.5)::BIGINT AS quality_micro
 FROM agg
+"""
+
+
+def _corpus_filter_sql() -> str:
+    """DuckDB mirror of filter_verdicts at FILTER_PARAMS: the quality
+    and lang-id oracle queries composed as subquery CTEs, verdict and
+    reason with the same lang > length > quality precedence."""
+    p = FILTER_PARAMS
+    lang_list = ",".join(_sql_quote(lg) for lg in p["langs"])
+    return f"""
+WITH q AS ( {_quality_sql()} ),
+l AS ( {_lang_id_sql()} ),
+j AS (
+    SELECT q.doc_id, l.pred_lang, q.quality_micro, q.n_tokens,
+           (l.pred_lang IN ({lang_list})) AS lang_ok,
+           (q.n_tokens >= {p["min_tokens"]} AND q.n_tokens <= {p["max_tokens"]}) AS len_ok,
+           (q.quality_micro >= {p["min_quality_micro"]}) AS qual_ok
+    FROM q JOIN l ON q.doc_id = l.doc_id
+)
+SELECT doc_id, pred_lang, quality_micro, n_tokens,
+       (lang_ok AND len_ok AND qual_ok) AS keep,
+       CASE WHEN NOT lang_ok THEN 'lang'
+            WHEN NOT len_ok THEN 'length'
+            WHEN NOT qual_ok THEN 'quality'
+            ELSE '' END AS reason
+FROM j
 """
 
 
@@ -1274,6 +1314,7 @@ FROM bits GROUP BY doc_id
 """,
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
+        "corpus_filter": _corpus_filter_sql(),
         "token_counts": r"""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS n_ws_tokens,

@@ -106,6 +106,53 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def filter_verdicts(
+    docs: DataFrame,
+    stop_words: tuple[str, ...],
+    langs: tuple[str, ...] = ("en",),
+    min_quality_micro: int = 500_000,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, pred_lang, quality_micro, n_tokens, keep, reason):
+    the training-pipeline document filter — language allowlist +
+    quality floor + token-count bounds composed into one verdict per
+    doc. ``reason`` is the FIRST failing check in the fixed
+    precedence lang > length > quality ('' when kept).
+
+    Scale shape: ``lang_id`` is a narrow per-row expression;
+    ``quality_score`` is one explode + map-side-combining
+    groupBy(doc_id); the verdict join keys on doc_id (co-partitioned
+    with the quality agg output). No collect, no Python in the hot
+    path."""
+    lid = lang_id(docs, text_col)
+    q = quality_score(docs, stop_words, text_col)
+    j = q.join(lid.select("doc_id", "pred_lang"), "doc_id")
+    lang_ok = F.col("pred_lang").isin(list(langs))
+    len_ok = (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    qual_ok = F.col("quality_micro") >= min_quality_micro
+    return j.select(
+        "doc_id",
+        "pred_lang",
+        "quality_micro",
+        "n_tokens",
+        (lang_ok & len_ok & qual_ok).alias("keep"),
+        F.when(~lang_ok, F.lit("lang"))
+        .when(~len_ok, F.lit("length"))
+        .when(~qual_ok, F.lit("quality"))
+        .otherwise(F.lit(""))
+        .alias("reason"),
+    )
+
+
+def filter_corpus(docs: DataFrame, verdicts: DataFrame) -> DataFrame:
+    """→ docs minus the dropped documents: one anti-join against the
+    (typically small relative to the corpus) drop set."""
+    drop = verdicts.filter(~F.col("keep")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """→ (doc_id, fp60): 60-bit content fingerprint over the
     whitespace-normalized text (join of tokens with single spaces)."""

@@ -109,9 +109,19 @@ def main() -> None:
         timings[f"index_build_run{i}"] = round(r, 3)
 
     # ---- warm BM25 query latencies over that index
+    from textindex_spark.corpus import site_topic_word
+
     queries = [
         ("bm25_hot_and", ["spark", "index"], False, "and"),
-        ("bm25_rare", ["zanzibar*", "quizzical"], False, "and"),
+        # rare site-topic term + hot term: the serving-path AND shape
+        # where candidate-range pre-intersection skips the hot term's
+        # postings outside the rare term's ranges. (Until r4 this
+        # queried two words absent from the corpus and measured only
+        # the empty-result short-circuit.)
+        ("bm25_rare", [site_topic_word(7), "spark"], False, "and"),
+        # absent vocabulary: the empty-result short-circuit (one
+        # local_df collect job, no postings I/O)
+        ("bm25_absent", ["zanzibar*", "quizzical"], False, "and"),
         ("bm25_wildcard", ["kar?*"], False, "and"),
         ("bm25_hot_pruned", ["spark", "index"], True, "and"),
         # OR is WAND's home turf (r4): pruned vs unpruned pair
@@ -146,8 +156,6 @@ def main() -> None:
     # clustered-rare + hot mix (site topic term: high idf, postings
     # concentrated in few doc-id ranges — theta kills the hot-only
     # ranges, WAND's home case).
-    from textindex_spark.corpus import site_topic_word
-
     or_shapes = [
         ("bm25_or_dist", ["spark", "index"], False),
         ("bm25_or_dist_pruned", ["spark", "index"], True),

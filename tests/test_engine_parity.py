@@ -196,6 +196,18 @@ def test_and_range_preintersection(spark, index_dir, oracle):
     assert len(want) < len(ranges["spark"])
     # single pattern: not applicable
     assert Qm._and_surviving_ranges(spark, index_dir, {"spark": 1}, 1, stats) is None
+    # the surviving-range predicate must reach the parquet SCAN
+    # (PushedFilters), alongside the term in-list and bucket pruning
+    plan = (
+        find_unranked(spark, index_dir, ["spark", rare])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan = next(
+        l for l in plan.splitlines()
+        if "PushedFilters" in l and "postings" in l
+    )
+    assert "range_id" in scan.split("PushedFilters")[1], scan
+    assert "In(term" in scan and "PartitionFilters: [term_bucket" in scan
 
 
 def test_facet_counts_match_oracle(spark, index_dir, oracle, rows):

@@ -606,8 +606,15 @@ def test_dedup_clusters_and_keep_list(spark):
     )
     assert kept == [1, 20, 99]  # component minima + the singleton
 
+    # distributed path (forced): identical labels, and the
+    # convergence guard still raises under an impossible budget
+    got_dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs, max_local_pairs=0).collect()
+    }
+    assert got_dist == got
     with pytest.raises(RuntimeError, match="converge"):
-        dedup.dedup_clusters(pairs, max_iter=1)
+        dedup.dedup_clusters(pairs, max_iter=1, max_local_pairs=0)
 
 
 def test_dedup_clusters_reliable_checkpoint_path(spark, tmp_path):
@@ -623,7 +630,7 @@ def test_dedup_clusters_reliable_checkpoint_path(spark, tmp_path):
         )
         got = {
             r["doc_id"]: r["cluster_id"]
-            for r in dedup.dedup_clusters(pairs).collect()
+            for r in dedup.dedup_clusters(pairs, max_local_pairs=0).collect()
         }
         assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20}
     finally:  # reset so later tests see the localCheckpoint default
@@ -639,7 +646,9 @@ def test_dedup_clusters_log_rounds_on_long_chain(spark):
     )
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.dedup_clusters(pairs, max_iter=10).collect()
+        for r in dedup.dedup_clusters(
+            pairs, max_iter=10, max_local_pairs=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(64)}
 

@@ -348,7 +348,53 @@ def lsh_hot_buckets(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+# Pair graphs at or below this size are labeled driver-side with
+# union-find instead of iterative distributed label propagation —
+# the near-dup pair set after exact-dup collapse and hot-bucket
+# capping is typically a small fraction of the corpus, and each
+# distributed iteration costs 2 joins + an agg + a checkpoint.
+# Mirrors LOCAL_SCORE_MAX_POSTINGS in query.py: right tool at each
+# scale, identical results (both produce min-id component labels).
+LOCAL_CLUSTER_MAX_PAIRS = 200_000
+
+
+def _clusters_local(spark, rows: list) -> DataFrame:
+    """Union-find with path compression over a collected pair list →
+    (doc_id, cluster_id) with cluster_id = component min doc_id."""
+    from textindex_spark.session import local_df
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the root the component minimum
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(x, find(x)) for x in parent]
+    out.sort()
+    return local_df(spark, out, "doc_id long, cluster_id long")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    max_local_pairs: int = LOCAL_CLUSTER_MAX_PAIRS,
+) -> DataFrame:
     """→ (doc_id, cluster_id): connected components of a near-dup pair
     graph (``doc_a``/``doc_b`` columns, e.g. lsh_candidate_pairs or
     ngram_jaccard_pairs output); cluster_id = the component's minimum
@@ -369,7 +415,19 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     mode). Raises if max_iter is somehow reached without convergence
     rather than returning partially-merged clusters. (Labels only
     decrease and are bounded below by the component minimum, which is
-    a fixpoint — the standard pointer-jumping argument.)"""
+    a fixpoint — the standard pointer-jumping argument.)
+
+    Pair sets at or below ``max_local_pairs`` short-circuit to
+    driver-side union-find (``_clusters_local``) — one capped collect
+    instead of O(log diameter) join rounds; identical output (min-id
+    labels over the same components). Pass ``max_local_pairs=0`` to
+    force the distributed path."""
+    if max_local_pairs:
+        head = pairs.select("doc_a", "doc_b").limit(max_local_pairs + 1).collect()
+        if len(head) <= max_local_pairs:
+            return _clusters_local(
+                pairs.sparkSession, [(r["doc_a"], r["doc_b"]) for r in head]
+            )
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

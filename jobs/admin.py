@@ -3,7 +3,8 @@
 
     spark-submit --py-files textindex_spark.zip jobs/admin.py \
         --index /path/to/index (--describe | --delete 'url-glob' |
-                                --compact | --append INPUT_PARQUET)
+                                --compact | --append INPUT_PARQUET |
+                                --versions | --rollback V)
 
 Mirrors the reference's `stats` / `delete` commands
 (``/root/reference/src/main.rs:277-347``; `delete` is a stub there)
@@ -23,11 +24,22 @@ def main() -> None:
     ap.add_argument("--delete", default=None, metavar="URL_GLOB")
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--append", default=None, metavar="INPUT_PARQUET")
+    ap.add_argument(
+        "--versions", action="store_true",
+        help="print the snapshot history (version, table dir counts, props)",
+    )
+    ap.add_argument(
+        "--rollback", type=int, default=None, metavar="V",
+        help="roll back to snapshot V (commits a new manifest; "
+        "nothing is deleted)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
-    if not (args.describe or args.delete or args.compact or args.append):
-        ap.error("provide one of --describe / --delete / --compact / --append")
+    if not (args.describe or args.delete or args.compact or args.append
+            or args.versions or args.rollback is not None):
+        ap.error("provide one of --describe / --delete / --compact / "
+                 "--append / --versions / --rollback")
 
     from textindex_spark.build import append_batch, compact_postings, describe_index
     from textindex_spark.query import delete_docs
@@ -42,6 +54,17 @@ def main() -> None:
         out["deleted"] = delete_docs(spark, args.index, args.delete)
     if args.compact:
         out["compacted_keys"] = compact_postings(spark, args.index)
+    if args.rollback is not None:
+        from textindex_spark import manifest
+        from textindex_spark.query import invalidate_cache
+
+        man = manifest.rollback(spark, args.index, args.rollback)
+        invalidate_cache(args.index)
+        out["rollback"] = {"new_version": man["version"], **man["props"]}
+    if args.versions:
+        from textindex_spark import manifest
+
+        out["versions"] = manifest.list_versions(spark, args.index)
     if args.describe:
         out["describe"] = describe_index(spark, args.index)
     print(json.dumps(out, default=str))

@@ -161,3 +161,36 @@ def test_append_zero_surviving_docs_no_collision(spark, rows, tmp_path_factory):
     # registered postings dirs are all distinct
     paths = manifest.table_paths(spark, d, "postings")
     assert len(paths) == len(set(paths))
+
+
+def test_rollback_restores_snapshot(spark, rows, tmp_path_factory):
+    """Iceberg-style rollback: build(200) → append(100) → rollback to
+    the pre-append snapshot must reproduce the 200-doc index exactly
+    (tables, stats, and BM25 results), with history moving forward
+    and list_versions reflecting both steps."""
+    from textindex_spark.query import invalidate_cache
+
+    d = str(tmp_path_factory.mktemp("rb") / "idx")
+    build_index(spark, corpus_df(spark, rows[:200]), d, range_bits=6)
+    v_before = manifest.current_manifest(spark, d)["version"]
+    sig_before = _sig(spark, d)
+    oracle200 = OracleIndex.build(rows[:200])
+    append_batch(spark, corpus_df(spark, rows[200:]), d)
+    assert _sig(spark, d) != sig_before
+
+    man = manifest.rollback(spark, d, v_before)
+    invalidate_cache(d)
+    assert man["version"] > manifest.manifest_at(spark, d, v_before)["version"]
+    assert man["props"]["rolled_back_to"] == v_before
+    assert _sig(spark, d) == sig_before
+    q = query_set()[0]
+    want = oracle200.search(q["terms"], q["k"])
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(spark, d, q["terms"], k=q["k"], with_urls=False).collect()
+    ]
+    assert got == [(doc, round(s, 9)) for doc, s in want]
+    hist = manifest.list_versions(spark, d)
+    assert [h["version"] for h in hist] == list(range(1, man["version"] + 1))
+    # nothing was deleted: the appended snapshot is still readable
+    assert manifest.manifest_at(spark, d, v_before + 1)["tables"]["postings"]

@@ -164,6 +164,72 @@ def table_paths(spark: SparkSession, index_dir: str, name: str) -> list[str]:
     return [f"{index_dir}/{name}"]
 
 
+def manifest_at(spark: SparkSession, index_dir: str, version: int) -> dict:
+    """The manifest of a specific snapshot version (manifests are
+    immutable and never garbage-collected, so every committed version
+    stays readable)."""
+    path = f"{index_dir}/{MANIFEST_DIR}/v{int(version):012d}.json"
+    if not _exists(spark, path):
+        raise ValueError(f"no snapshot v{version} at {index_dir}")
+    return json.loads(_read_file(spark, path).decode("utf-8"))
+
+
+def list_versions(spark: SparkSession, index_dir: str) -> list[dict]:
+    """Snapshot history, ascending: [{version, tables: {name:
+    n_dirs}, props}]. Empty for a manifest-less (legacy) index."""
+    mdir = f"{index_dir}/{MANIFEST_DIR}"
+    fs, jpath, _ = _fs(spark, mdir)
+    if not fs.exists(jpath):
+        return []
+    versions = sorted(
+        int(m.group(1))
+        for status in fs.listStatus(jpath)
+        if (m := _V_RE.match(status.getPath().getName()))
+    )
+    out = []
+    for v in versions:
+        man = manifest_at(spark, index_dir, v)
+        out.append(
+            {
+                "version": v,
+                "tables": {t: len(d) for t, d in man.get("tables", {}).items()},
+                "props": man.get("props", {}),
+            }
+        )
+    return out
+
+
+def rollback(spark: SparkSession, index_dir: str, version: int) -> dict:
+    """Roll the index back to snapshot ``version`` — Iceberg's
+    rollback-to-snapshot: commits a NEW manifest whose table lists
+    (and props, minus this marker) are the old version's, so history
+    keeps moving forward and nothing is deleted. Sound because every
+    snapshot-mutating op except a full rebuild stages NEW directories
+    and never touches old ones (append/compact/delete/stream); a
+    rebuild overwrites the default dirs in place, so snapshots from
+    before the latest rebuild may be unreadable — callers roll back
+    across append/delete/compact boundaries, which is the use case
+    (undo a bad batch). Callers must invalidate query-node caches for
+    this index_dir after rollback (``query.invalidate_cache``)."""
+    man = manifest_at(spark, index_dir, version)
+    cur = current_manifest(spark, index_dir) or {}
+    props = dict(man.get("props", {}))
+    props["rolled_back_from"] = int(cur.get("version", 0))
+    props["rolled_back_to"] = int(version)
+    tables = {t: list(d) for t, d in man.get("tables", {}).items()}
+    # tables that did not exist at the target snapshot are dropped
+    # (empty dir-list == dropped, see table_exists)
+    for t in cur.get("tables", {}):
+        tables.setdefault(t, [])
+    return commit(
+        spark,
+        index_dir,
+        set_tables=tables,
+        props=props,
+        replace_props=True,
+    )
+
+
 # Authoritative DDL per table, used (a) to read EMPTY data dirs — an
 # empty parquet write leaves no footer to infer from — and (b) to keep
 # multi-dir unions column-stable. term_bucket is the postings table's
@@ -228,11 +294,15 @@ def commit(
     set_tables: dict[str, list[str]] | None = None,
     add_to_tables: dict[str, list[str]] | None = None,
     props: dict | None = None,
+    replace_props: bool = False,
 ) -> dict:
     """Publish a new snapshot: ``set_tables`` replaces a table's
     directory list (relative paths), ``add_to_tables`` appends to it,
-    ``props`` merge-updates the free-form properties. Retries the
-    version race a few times; returns the committed manifest."""
+    ``props`` merge-updates the free-form properties
+    (``replace_props=True`` substitutes them wholesale — rollback
+    must not leak props committed after the target snapshot, e.g.
+    stream batch-id replay guards). Retries the version race a few
+    times; returns the committed manifest."""
     for _ in range(16):
         man = current_manifest(spark, index_dir)
         if man is None:
@@ -255,7 +325,10 @@ def commit(
             # staged directory twice — that would union every row of
             # the batch into queries twice (round-3 review)
             tables[t].extend(p for p in paths if p not in tables[t])
-        mprops.update(props or {})
+        if replace_props:
+            mprops = dict(props or {})
+        else:
+            mprops.update(props or {})
         new = {"version": version + 1, "tables": tables, "props": mprops}
         path = f"{index_dir}/{MANIFEST_DIR}/v{version + 1:012d}.json"
         if _write_file_atomic(

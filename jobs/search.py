@@ -16,7 +16,12 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index", default=None)
+    ap.add_argument(
+        "--shards", nargs="*", default=None, metavar="DIR",
+        help="federated search over multiple index shards (global "
+        "df/avgdl; ranked --terms mode only)",
+    )
     ap.add_argument("--terms", nargs="*", default=[])
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["and", "or"], default="and")
@@ -50,12 +55,22 @@ def main() -> None:
         near_docs,
         search,
         search_phrase,
+        search_sharded,
     )
     from textindex_spark.session import get_spark
 
     if not args.files and not args.terms:
         ap.error("provide --terms T [T ...] or --files PATTERN")
+    if bool(args.index) == bool(args.shards):
+        ap.error("provide exactly one of --index / --shards")
     spark = get_spark("textindex-search", cpus=args.cpus)
+    if args.shards:
+        rows = search_sharded(
+            spark, args.shards, args.terms, k=args.k, mode=args.mode
+        ).collect()
+        for r in rows:
+            print(json.dumps(r.asDict()))
+        return
     if args.files:
         rows = find_files(spark, args.index, args.files).collect()
     elif args.facet:

@@ -172,6 +172,31 @@ def test_search_exclude_oversize_fallback(spark, index_dir, oracle, monkeypatch)
         assert [d for d, _ in got] == [d for d, _ in want], kw
 
 
+def test_sharded_search_matches_single_index(spark, rows, oracle, tmp_path_factory):
+    """Federated BM25 over two shards is rank- and score-identical
+    to the single-index oracle (global df/avgdl), AND and OR modes,
+    including a pattern that only expands in one shard."""
+    from textindex_spark.query import search_sharded
+
+    base = tmp_path_factory.mktemp("shards")
+    d1, d2 = str(base / "s0"), str(base / "s1")
+    build_index(spark, corpus_df(spark, rows[:160]), d1, range_bits=6)
+    build_index(spark, corpus_df(spark, rows[160:]), d2, range_bits=6)
+    cases = [(q["terms"], q["k"], "and") for q in query_set()[:4]]
+    cases += [(["spark", "vector"], 10, "or"), (["zanzibar*", "spark"], 5, "and")]
+    for terms, k, mode in cases:
+        want = oracle.search(terms, k, mode=mode)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_sharded(
+                spark, [d1, d2], terms, k=k, mode=mode, with_urls=False
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], (terms, mode)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), (terms, mode, gd)
+
+
 def test_and_range_preintersection(spark, index_dir, oracle):
     """Candidate-range pre-intersection for conjunctive queries: the
     surviving set equals ranges(a) ∩ ranges(b) from the oracle's

@@ -175,6 +175,35 @@ def q_bm25_or_topk(spark, sf_dir):
     )
 
 
+def ensure_sharded_index(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Two shard indexes over a doc_id split of the documents table
+    (the federated layout). Built once per sf_dir."""
+    tune_session(spark)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    dirs = [f"{GATE_DIR}/{key}_shard{i}" for i in (0, 1)]
+    docs = _documents(spark, sf_dir)
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    halves = [docs.filter(f"doc_id < {mid}"), docs.filter(f"doc_id >= {mid}")]
+    for d, half in zip(dirs, halves):
+        try:
+            spark.read.parquet(f"{d}/stats").collect()
+        except Exception:
+            B.build_index(spark, half, d, range_bits=10)
+    return dirs
+
+
+def q_bm25_sharded(spark, sf_dir):
+    """Federated BM25 over two shards must equal the single-index
+    query bit-for-bit (global df/avgdl; the oracle SQL is the same
+    one bm25_topk uses over the whole corpus)."""
+    dirs = ensure_sharded_index(spark, sf_dir)
+    res = Q.search_sharded(spark, dirs, BM25_TERMS, k=10, mode="and", with_urls=False)
+    return res.select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro"),
+    )
+
+
 NOT_PATTERN = "qu*"
 
 
@@ -492,6 +521,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_or_topk": q_bm25_or_topk,
     "bm25_not": q_bm25_not,
+    "bm25_sharded": q_bm25_sharded,
     "facet_lang": q_facet_lang,
     "facet_site": q_facet_site,
     "phrase_match": q_phrase_match,
@@ -1351,4 +1381,7 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
     }
     # incremental build must be indistinguishable from the full build
     out["bm25_after_append"] = out["bm25_topk"]
+    # federation is lossless: two shards with global df/avgdl must
+    # reproduce the single-corpus BM25 oracle exactly
+    out["bm25_sharded"] = out["bm25_topk"]
     return out

@@ -254,15 +254,28 @@ TABLE_SCHEMAS = {
 }
 
 
-def read_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, index_dir: str, name: str, version: int | None = None
+) -> DataFrame:
     """Union of the snapshot's data dirs. Each root is loaded
     separately (directory-partitioned tables like the bucketed
     postings reject multi-root discovery with
     CONFLICTING_DIRECTORY_STRUCTURES); Catalyst pushes filters below
     the Union, so partition pruning still applies per root. Known
     tables read with their explicit schema so an empty table (e.g. a
-    corpus the filters fully rejected) stays readable."""
-    paths = table_paths(spark, index_dir, name)
+    corpus the filters fully rejected) stays readable.
+
+    ``version`` time-travels the read to that snapshot (sound across
+    append/delete/compact/stream commits — they never delete dirs;
+    snapshots predating a full REBUILD may be unreadable)."""
+    if version is not None:
+        man = manifest_at(spark, index_dir, version)
+        rels = man.get("tables", {}).get(name, [])
+        if not rels:
+            raise ValueError(f"table {name} absent in snapshot v{version}")
+        paths = [f"{index_dir}/{rel}" for rel in rels]
+    else:
+        paths = table_paths(spark, index_dir, name)
     ddl = TABLE_SCHEMAS.get(name)
 
     def _one(p):

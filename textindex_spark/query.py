@@ -822,6 +822,115 @@ def search(
     return result
 
 
+def search_sharded(
+    spark: SparkSession,
+    index_dirs: list[str],
+    patterns: list[str],
+    k: int = 10,
+    mode: str = "and",
+    with_urls: bool = True,
+) -> DataFrame:
+    """Federated BM25 top-k over MULTIPLE index shards — the layout a
+    100 TB corpus actually uses (one index per time window / site
+    group / ingest partition). Results are IDENTICAL to one index
+    built over the union corpus, because every corpus-dependent
+    quantity is computed globally before scoring:
+
+    * global n_docs / avgdl from the shards' stats tables (resident);
+    * global df per term = Σ shard df (resident dictionaries — one
+      driver-side concat, no jobs when warm);
+    * per-shard postings are decoded with the SHARD's layout
+      (range_bits) but scored with the GLOBAL idf and avgdl — the
+      BM25 partial is recomputed in Catalyst from (tf, doc_len), so
+      shard-local encode-time avgdl never leaks into scores.
+
+    A doc lives in exactly one shard, so per-shard AND-mask
+    aggregation, candidate-range pre-intersection, and tombstone
+    anti-joins all stay shard-local; the merge is one union + global
+    top-k (TakeOrderedAndProject — k rows per shard reach the
+    driver). doc_ids must be unique across shards (url-hash minting
+    or a partitioned id space both guarantee this).
+
+    Serving extras (prune/exclude) are single-index features for now;
+    the distributed plan here is one job over all shards."""
+    stats_list = [cached_stats(spark, d) for d in index_dirs]
+    n_docs_g = sum(int(s["n_docs"]) for s in stats_list)
+    total_tokens_g = sum(int(s["total_tokens"]) for s in stats_list)
+    avgdl_g = (total_tokens_g / n_docs_g) if n_docs_g else 1.0
+    n_patterns = len(patterns)
+    full_mask = (1 << n_patterns) - 1
+    expansions = [expand_patterns(spark, d, patterns) for d in index_dirs]
+    cat = []
+    for i, e in enumerate(expansions):
+        if len(e):
+            e = e.copy()
+            e["shard"] = i
+            cat.append(e)
+    empty = local_df(spark, [], "doc_id long, score double")
+    covered = (
+        pd.concat(cat)["pattern_idx"].nunique() if cat else 0
+    )
+    if not cat or (mode == "and" and covered < n_patterns):
+        result = empty
+    else:
+        allx = pd.concat(cat)
+        df_g = allx.drop_duplicates(["shard", "term"]).groupby("term")["df"].sum()
+        tinfo = (
+            allx.groupby("term")
+            .agg(mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s]))))
+            .reset_index()
+        )
+        tinfo["idf"] = [idf(n_docs_g, int(df_g[t])) for t in tinfo["term"]]
+        tinfo = tinfo.set_index("term")
+        scored_frames = []
+        for i, d in enumerate(index_dirs):
+            e = expansions[i]
+            if len(e) == 0:
+                continue
+            terms_s = sorted(set(e["term"]))
+            ti = tinfo.loc[terms_s].reset_index()
+            qterms = spark.createDataFrame(ti[["term", "idf", "mask"]])
+            and_masks = None
+            if mode == "and" and n_patterns > 1:
+                and_masks = (
+                    dict(zip(ti["term"], (int(m) for m in ti["mask"]))),
+                    full_mask,
+                )
+            decoded = _decoded_postings(
+                spark, d, qterms, stats_list[i], terms_s, and_masks=and_masks
+            )
+            w = (
+                F.col("idf")
+                * F.col("tf")
+                * (K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avgdl_g))
+                )
+            )
+            sc = (
+                decoded.join(F.broadcast(qterms), "term")
+                .groupBy("doc_id")
+                .agg(F.sum(w).alias("score"), F.bit_or("mask").alias("mask"))
+            )
+            if mode == "and":
+                sc = sc.filter(F.col("mask") == full_mask)
+            sc = apply_tombstones(spark, d, sc)
+            if with_urls:
+                docs_s = _cached_table(spark, d, "docs").select("doc_id", "url")
+                sc = sc.join(docs_s, "doc_id", "left")
+            scored_frames.append(
+                sc.select("doc_id", "score", *(["url"] if with_urls else []))
+            )
+        merged = scored_frames[0]
+        for f in scored_frames[1:]:
+            merged = merged.unionByName(f)
+        return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if with_urls:
+        result = result.withColumn("url", F.lit(None).cast("string"))
+    return result
+
+
 def _search_local(
     spark: SparkSession,
     index_dir: str,

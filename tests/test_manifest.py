@@ -142,3 +142,30 @@ def test_rebuild_invalidates_query_caches(spark, tmp_path):
     assert cached_stats(spark, out)["n_docs"] == read_stats(spark, out)["n_docs"]
     again = _topk(spark, out)  # must read the NEW files, no dead refs
     assert again and again != first
+
+
+def test_rollback_replaces_props_for_replay_guards(spark, tmp_path):
+    """Rollback must revert the free-form props WHOLESALE: a stream's
+    committed batch-id replay guard (stream_batch_id) has to return
+    to the target snapshot's value — and keys absent at the target
+    must disappear — or a re-delivered micro-batch after rollback
+    would be silently skipped as a replay."""
+    from textindex_spark import manifest
+
+    d = str(tmp_path / "idx")
+    rows = synth_corpus(60)
+    build_index(spark, corpus_df(spark, rows), d, range_bits=6)
+    manifest.commit(spark, d, props={"stream_batch_id": 0, "stream_run_id": "ck"})
+    v0 = manifest.current_manifest(spark, d)["version"]
+    manifest.commit(
+        spark, d, props={"stream_batch_id": 3, "dedup_batch_id": 7}
+    )
+    assert manifest.get_prop(spark, d, "stream_batch_id") == 3
+
+    manifest.rollback(spark, d, v0)
+    assert manifest.get_prop(spark, d, "stream_batch_id") == 0
+    assert manifest.get_prop(spark, d, "stream_run_id") == "ck"
+    # key committed after the target snapshot is gone, not merged
+    assert manifest.get_prop(spark, d, "dedup_batch_id") is None
+    # the replay guard now accepts batch 1 again (1 > committed 0)
+    assert 1 > manifest.get_prop(spark, d, "stream_batch_id", -1)

@@ -186,15 +186,17 @@ def test_sharded_search_matches_single_index(spark, rows, oracle, tmp_path_facto
     cases += [(["spark", "vector"], 10, "or"), (["zanzibar*", "spark"], 5, "and")]
     for terms, k, mode in cases:
         want = oracle.search(terms, k, mode=mode)
-        got = [
-            (r["doc_id"], r["score"])
-            for r in search_sharded(
-                spark, [d1, d2], terms, k=k, mode=mode, with_urls=False
-            ).collect()
-        ]
-        assert [d for d, _ in got] == [d for d, _ in want], (terms, mode)
-        for (gd, gs), (wd, ws) in zip(got, want):
-            assert math.isclose(gs, ws, rel_tol=1e-9), (terms, mode, gd)
+        for local in (None, False):  # serving path AND distributed plan
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search_sharded(
+                    spark, [d1, d2], terms, k=k, mode=mode,
+                    with_urls=False, local_score=local,
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], (terms, mode, local)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9), (terms, mode, gd)
 
 
 def test_and_range_preintersection(spark, index_dir, oracle):

@@ -829,6 +829,7 @@ def search_sharded(
     k: int = 10,
     mode: str = "and",
     with_urls: bool = True,
+    local_score: bool | None = None,
 ) -> DataFrame:
     """Federated BM25 top-k over MULTIPLE index shards — the layout a
     100 TB corpus actually uses (one index per time window / site
@@ -882,6 +883,16 @@ def search_sharded(
         )
         tinfo["idf"] = [idf(n_docs_g, int(df_g[t])) for t in tinfo["term"]]
         tinfo = tinfo.set_index("term")
+        local = (
+            _sharded_local(
+                spark, index_dirs, stats_list, expansions, tinfo, avgdl_g,
+                n_patterns, full_mask, k, mode, with_urls,
+            )
+            if local_score is not False
+            else None
+        )
+        if local is not None:
+            return local
         scored_frames = []
         for i, d in enumerate(index_dirs):
             e = expansions[i]
@@ -928,6 +939,88 @@ def search_sharded(
         return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_urls:
         result = result.withColumn("url", F.lit(None).cast("string"))
+    return result
+
+
+def _sharded_local(
+    spark: SparkSession,
+    index_dirs: list[str],
+    stats_list: list[dict],
+    expansions: list[pd.DataFrame],
+    tinfo: pd.DataFrame,
+    avgdl_g: float,
+    n_patterns: int,
+    full_mask: int,
+    k: int,
+    mode: str,
+    with_urls: bool,
+) -> DataFrame | None:
+    """Query-node serving path for federated search: per-shard
+    resident block fetch (range pre-intersected for AND) + numpy BM25
+    with the GLOBAL avgdl/idf, merged driver-side — zero Spark jobs
+    warm, same zero-job contract as the single-index serving path.
+    Returns None when any shard's candidate postings or tombstone set
+    exceeds the driver caps (caller runs the distributed plan)."""
+    total_df = 0
+    for e in expansions:
+        if len(e):
+            total_df += int(e.drop_duplicates("term")["df"].sum())
+    if total_df == 0 or total_df > LOCAL_SCORE_MAX_POSTINGS:
+        return None
+    deads = []
+    for d in index_dirs:
+        dead = _dead_ids_capped(spark, d)
+        if dead is None:
+            return None
+        deads.append(dead)
+    merged: list[tuple[int, float, int]] = []  # (doc_id, score, shard)
+    for i, d in enumerate(index_dirs):
+        e = expansions[i]
+        if len(e) == 0:
+            continue
+        terms_s = sorted(set(e["term"]))
+        ti = tinfo.loc[terms_s].reset_index()
+        if len(ti) > ISIN_PUSHDOWN_MAX:
+            return None
+        stats_s = dict(stats_list[i])
+        stats_s["avgdl"] = avgdl_g  # global stats for scoring
+        surviving = None
+        if mode == "and" and n_patterns > 1:
+            surviving = _and_surviving_ranges(
+                spark, d,
+                dict(zip(ti["term"], (int(m) for m in ti["mask"]))),
+                full_mask, stats_s,
+            )
+            if surviving == []:
+                continue
+        blocks = _fetch_blocks(spark, d, terms_s, stats_s, ranges=surviving)
+        uniq, score, mask_acc = _score_blocks_np(blocks, stats_s, ti)
+        if mode == "and":
+            keep = mask_acc == full_mask
+            uniq, score = uniq[keep], score[keep]
+        if len(deads[i]):
+            alive = ~np.isin(uniq, deads[i])
+            uniq, score = uniq[alive], score[alive]
+        order = np.lexsort((uniq, -score))[:k]
+        merged.extend((int(uniq[j]), float(score[j]), i) for j in order)
+    merged.sort(key=lambda t: (-t[1], t[0]))
+    merged = merged[:k]
+    empty = local_df(spark, [], "doc_id long, score double")
+    result = (
+        local_df(spark, [(d, s) for d, s, _ in merged], "doc_id long, score double")
+        if merged
+        else empty
+    )
+    if with_urls:
+        docs = None
+        for d in index_dirs:
+            t = _cached_table(spark, d, "docs").select("doc_id", "url")
+            docs = t if docs is None else docs.unionByName(t)
+        result = (
+            result.join(docs, "doc_id", "left")
+            .select("doc_id", "score", "url")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
     return result
 
 

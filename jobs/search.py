@@ -66,7 +66,8 @@ def main() -> None:
     spark = get_spark("textindex-search", cpus=args.cpus)
     if args.shards:
         rows = search_sharded(
-            spark, args.shards, args.terms, k=args.k, mode=args.mode
+            spark, args.shards, args.terms, k=args.k, mode=args.mode,
+            exclude=args.exclude,
         ).collect()
         for r in rows:
             print(json.dumps(r.asDict()))

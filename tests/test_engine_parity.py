@@ -197,6 +197,18 @@ def test_sharded_search_matches_single_index(spark, rows, oracle, tmp_path_facto
             assert [d for d, _ in got] == [d for d, _ in want], (terms, mode, local)
             for (gd, gs), (wd, ws) in zip(got, want):
                 assert math.isclose(gs, ws, rel_tol=1e-9), (terms, mode, gd)
+    # NOT exclusion federates too (shard-local exclusion is global:
+    # a doc lives in exactly one shard)
+    want = oracle.search(["spark", "vector"], 10, mode="or", exclude=["ha*"])
+    for local in (None, False):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_sharded(
+                spark, [d1, d2], ["spark", "vector"], k=10, mode="or",
+                with_urls=False, local_score=local, exclude=["ha*"],
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], local
 
 
 def test_and_range_preintersection(spark, index_dir, oracle):

@@ -830,6 +830,7 @@ def search_sharded(
     mode: str = "and",
     with_urls: bool = True,
     local_score: bool | None = None,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """Federated BM25 top-k over MULTIPLE index shards — the layout a
     100 TB corpus actually uses (one index per time window / site
@@ -852,8 +853,12 @@ def search_sharded(
     driver). doc_ids must be unique across shards (url-hash minting
     or a partitioned id space both guarantee this).
 
-    Serving extras (prune/exclude) are single-index features for now;
-    the distributed plan here is one job over all shards."""
+    ``exclude`` (NOT semantics) applies per shard — a doc lives in
+    one shard, so shard-local exclusion is global exclusion; the
+    serving path merges each shard's exclusion ids into its dead set,
+    the distributed plan anti-joins per shard. Block-max pruning
+    stays a single-index feature (federated scoring is already one
+    decode job over all shards)."""
     stats_list = [cached_stats(spark, d) for d in index_dirs]
     n_docs_g = sum(int(s["n_docs"]) for s in stats_list)
     total_tokens_g = sum(int(s["total_tokens"]) for s in stats_list)
@@ -886,7 +891,7 @@ def search_sharded(
         local = (
             _sharded_local(
                 spark, index_dirs, stats_list, expansions, tinfo, avgdl_g,
-                n_patterns, full_mask, k, mode, with_urls,
+                n_patterns, full_mask, k, mode, with_urls, exclude,
             )
             if local_score is not False
             else None
@@ -927,6 +932,10 @@ def search_sharded(
             if mode == "and":
                 sc = sc.filter(F.col("mask") == full_mask)
             sc = apply_tombstones(spark, d, sc)
+            if exclude:
+                excl_df = _exclusion_docs_df(spark, d, exclude, stats_list[i])
+                if excl_df is not None:
+                    sc = sc.join(excl_df, "doc_id", "left_anti")
             if with_urls:
                 docs_s = _cached_table(spark, d, "docs").select("doc_id", "url")
                 sc = sc.join(docs_s, "doc_id", "left")
@@ -954,6 +963,7 @@ def _sharded_local(
     k: int,
     mode: str,
     with_urls: bool,
+    exclude: list[str] | None = None,
 ) -> DataFrame | None:
     """Query-node serving path for federated search: per-shard
     resident block fetch (range pre-intersected for AND) + numpy BM25
@@ -968,10 +978,16 @@ def _sharded_local(
     if total_df == 0 or total_df > LOCAL_SCORE_MAX_POSTINGS:
         return None
     deads = []
-    for d in index_dirs:
+    for i, d in enumerate(index_dirs):
         dead = _dead_ids_capped(spark, d)
         if dead is None:
             return None
+        if exclude:
+            excl = _exclusion_ids(spark, d, exclude, stats_list[i])
+            if excl is None:
+                return None  # oversize exclusion: distributed plan
+            if len(excl):
+                dead = np.union1d(dead, excl)
         deads.append(dead)
     merged: list[tuple[int, float, int]] = []  # (doc_id, score, shard)
     for i, d in enumerate(index_dirs):

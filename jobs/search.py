@@ -80,11 +80,18 @@ def main() -> None:
             exclude=args.exclude,
         ).collect()
     elif args.phrase:
-        rows = search_phrase(spark, args.index, args.terms, k=args.k).collect()
+        rows = search_phrase(
+            spark, args.index, args.terms, k=args.k, exclude=args.exclude
+        ).collect()
     elif args.near is not None:
-        rows = near_docs(spark, args.index, args.terms, window=args.near).collect()
+        rows = near_docs(
+            spark, args.index, args.terms, window=args.near,
+            exclude=args.exclude,
+        ).collect()
     elif args.unranked:
-        rows = find_unranked(spark, args.index, args.terms).collect()
+        rows = find_unranked(
+            spark, args.index, args.terms, exclude=args.exclude
+        ).collect()
     else:
         rows = search(
             spark, args.index, args.terms, k=args.k, mode=args.mode,

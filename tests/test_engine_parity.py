@@ -249,6 +249,36 @@ def test_and_range_preintersection(spark, index_dir, oracle):
     assert "In(term" in scan and "PartitionFilters: [term_bucket" in scan
 
 
+def test_phrase_near_exclude(spark, index_dir, oracle):
+    """NOT exclusion on the positional operators: result set equals
+    the unexcluded set minus docs containing the excluded term."""
+    from textindex_spark.query import near_docs, search_phrase
+
+    ph = next(p for p in _corpus_phrases(oracle)
+              if len(oracle.phrase_occurrences(p)) > 1)
+    base = set(oracle.phrase_occurrences(ph))
+    # exclusion that bites: a term from ONE matching doc's text
+    some = sorted(base)[0]
+    excl_term = next(
+        t for t in oracle.docs[some]["text"].lower().split()
+        if t in oracle.postings and base - set(oracle.postings[t])
+    )
+    with_t = set(oracle.postings[excl_term])
+    exc = {
+        r["doc_id"]
+        for r in search_phrase(
+            spark, index_dir, ph, k=1000, with_urls=False, exclude=[excl_term]
+        ).collect()
+    }
+    assert exc == base - with_t and exc < base
+    nb = {r["doc_id"] for r in near_docs(spark, index_dir, ph, 8).collect()}
+    ne = {
+        r["doc_id"]
+        for r in near_docs(spark, index_dir, ph, 8, exclude=[excl_term]).collect()
+    }
+    assert ne == nb - with_t and nb
+
+
 def test_facet_counts_match_oracle(spark, index_dir, oracle, rows):
     """Facet slices (lang / site) over the match set equal the
     brute-force per-doc recount, with and without exclusion."""

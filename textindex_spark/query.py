@@ -1695,7 +1695,11 @@ def _phrase_frame(
 
 
 def near_docs(
-    spark: SparkSession, index_dir: str, words: list[str], window: int = 8
+    spark: SparkSession,
+    index_dir: str,
+    words: list[str],
+    window: int = 8,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """NEAR/k proximity over the positional payload: → (doc_id,
     n_near) for live docs where every query slot occurs within
@@ -1746,6 +1750,10 @@ def near_docs(
         .filter(F.col("n_near") > 0)
         .select("doc_id", "n_near")
     )
+    if exclude:
+        excl_df = _exclusion_docs_df(spark, index_dir, exclude, stats)
+        if excl_df is not None:
+            out = out.join(excl_df, "doc_id", "left_anti")
     return apply_tombstones(spark, index_dir, out)
 
 
@@ -1767,10 +1775,18 @@ def search_phrase(
     words: list[str],
     k: int = 10,
     with_urls: bool = True,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """Exact-phrase top-k, ranked by BM25 over the phrase's distinct
-    terms (same formula, same doc_id tie-break as ``search``)."""
+    terms (same formula, same doc_id tie-break as ``search``).
+    ``exclude``: NOT semantics, one anti-join before top-k."""
     frame = _phrase_frame(spark, index_dir, words)
+    if frame is not None and exclude:
+        excl_df = _exclusion_docs_df(
+            spark, index_dir, exclude, cached_stats(spark, index_dir)
+        )
+        if excl_df is not None:
+            frame = frame.join(excl_df, "doc_id", "left_anti")
     result = (
         local_df(spark, [], "doc_id long, score double")
         if frame is None

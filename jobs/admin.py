@@ -4,7 +4,7 @@
     spark-submit --py-files textindex_spark.zip jobs/admin.py \
         --index /path/to/index (--describe | --delete 'url-glob' |
                                 --compact | --append INPUT_PARQUET |
-                                --versions | --rollback V)
+                                --purge | --versions | --rollback V)
 
 Mirrors the reference's `stats` / `delete` commands
 (``/root/reference/src/main.rs:277-347``; `delete` is a stub there)
@@ -23,6 +23,11 @@ def main() -> None:
     ap.add_argument("--describe", action="store_true")
     ap.add_argument("--delete", default=None, metavar="URL_GLOB")
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument(
+        "--purge", action="store_true",
+        help="physically remove tombstoned docs (rewrite from the "
+        "segments log; atomic swap; drops the deleted table)",
+    )
     ap.add_argument("--append", default=None, metavar="INPUT_PARQUET")
     ap.add_argument(
         "--versions", action="store_true",
@@ -37,11 +42,16 @@ def main() -> None:
     args = ap.parse_args()
 
     if not (args.describe or args.delete or args.compact or args.append
-            or args.versions or args.rollback is not None):
+            or args.purge or args.versions or args.rollback is not None):
         ap.error("provide one of --describe / --delete / --compact / "
-                 "--append / --versions / --rollback")
+                 "--append / --purge / --versions / --rollback")
 
-    from textindex_spark.build import append_batch, compact_postings, describe_index
+    from textindex_spark.build import (
+        append_batch,
+        compact_postings,
+        describe_index,
+        purge_deleted,
+    )
     from textindex_spark.query import delete_docs
     from textindex_spark.session import get_spark
 
@@ -54,6 +64,8 @@ def main() -> None:
         out["deleted"] = delete_docs(spark, args.index, args.delete)
     if args.compact:
         out["compacted_keys"] = compact_postings(spark, args.index)
+    if args.purge:
+        out["purged_docs"] = purge_deleted(spark, args.index)
     if args.rollback is not None:
         from textindex_spark import manifest
         from textindex_spark.query import invalidate_cache

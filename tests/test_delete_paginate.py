@@ -74,3 +74,65 @@ def test_pagination(spark, index_dir):
     assert [r["doc_id"] for r in p1] != [r["doc_id"] for r in p2]
     # first() rewinds
     assert [r["doc_id"] for r in sess.first()] == [r["doc_id"] for r in p1]
+
+
+def test_purge_deleted_equals_fresh_build(spark, tmp_path_factory):
+    """Physical purge after tombstone deletes: the purged index must
+    be rank- AND score-identical to a fresh build over the surviving
+    docs (exact df/avgdl, not the tombstone approximation), with the
+    deleted table dropped, no dead doc in any posting block, and the
+    pre-purge snapshot still readable for rollback."""
+    import math
+
+    from textindex_spark import manifest
+    from textindex_spark.build import purge_deleted
+    from textindex_spark.corpus import query_set
+
+    rows = synth_corpus(200)
+    base = tmp_path_factory.mktemp("purge")
+    idx = str(base / "idx")
+    build_index(spark, corpus_df(spark, rows), idx, range_bits=6)
+    assert purge_deleted(spark, idx) == 0  # no tombstones: no-op
+    n = delete_docs(spark, idx, "*site3.example*")
+    assert n > 0
+    v_tomb = manifest.current_manifest(spark, idx)["version"]
+    dead = {
+        r["doc_id"] for r in manifest.read_table(spark, idx, "deleted").collect()
+    }
+    assert purge_deleted(spark, idx) == n
+    assert not manifest.table_exists(spark, idx, "deleted")
+    # no dead doc survives in docs or postings
+    live = {r["doc_id"] for r in manifest.read_table(spark, idx, "docs").collect()}
+    assert not (live & dead)
+    from textindex_spark.query import _decoded_postings, cached_stats
+
+    stats = cached_stats(spark, idx)
+    import pyspark.sql.functions as F
+
+    some_docs = {
+        r["doc_id"]
+        for r in _decoded_postings(
+            spark, idx,
+            spark.createDataFrame([("spark", 0.0, 1)], "term string, idf double, mask int"),
+            stats, ["spark"],
+        ).select("doc_id").distinct().collect()
+    }
+    assert not (some_docs & dead)
+    # score-identical to a fresh build over the survivors
+    fresh = str(base / "fresh")
+    kept_rows = [r for r in rows if "site3.example" not in r["url"]]
+    build_index(spark, corpus_df(spark, kept_rows), fresh, range_bits=6)
+    for q in query_set()[:3]:
+        want = [
+            (r["doc_id"], r["score"])
+            for r in search(spark, fresh, q["terms"], k=q["k"], with_urls=False).collect()
+        ]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(spark, idx, q["terms"], k=q["k"], with_urls=False).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), (q, gd)
+    # the tombstoned snapshot is still there (rollback-able)
+    assert manifest.manifest_at(spark, idx, v_tomb)["tables"]["deleted"]

@@ -800,6 +800,55 @@ def _consolidate_postings(spark: SparkSession, out_dir: str) -> None:
     _q.invalidate_cache(out_dir)
 
 
+def purge_deleted(spark: SparkSession, out_dir: str) -> int:
+    """Physically remove tombstoned documents — the offline companion
+    to the ``delete`` tombstones (Iceberg's rewrite-data-files after
+    row-level deletes). Returns the number of docs purged.
+
+    The segments table is the ingest log (extraction + tokenization
+    already materialized), so purge = ONE anti-join over segments +
+    the finalize phase re-derived into a staged ``purge_{gen}/``
+    subtree, then one atomic manifest swap pointing every table at
+    the purged dirs and dropping ``deleted``. The expensive build
+    phase (HTML extract + tokenize) is never re-run; nothing touches
+    the live snapshot until the commit, so a crash mid-purge leaves
+    the tombstoned index intact, and the pre-purge snapshot stays
+    readable (rollback-able) afterwards.
+
+    After purge, term df/cf and the corpus stats are EXACT for the
+    live corpus (tombstone-filtered queries keep n_docs/avgdl fresh
+    but score with the pre-delete df), so results equal a fresh build
+    over the surviving docs — test-pinned. Also consolidates
+    append-accumulated segment/posting dirs as a side effect."""
+    if not manifest.table_exists(spark, out_dir, "deleted"):
+        return 0
+    dead = manifest.read_table(spark, out_dir, "deleted").select("doc_id")
+    n = dead.count()
+    if n == 0:
+        return 0
+    stats = read_stats(spark, out_dir)
+    man = manifest.current_manifest(spark, out_dir)
+    gen = (int(man["version"]) + 1) if man else 1
+    sub = f"purge_{gen}"
+    seg = manifest.read_table(spark, out_dir, "segments")
+    seg.join(F.broadcast(dead), "doc_id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/{sub}/segments")
+    finalize_index(
+        spark, f"{out_dir}/{sub}", range_bits=int(stats["range_bits"])
+    )
+    tables = {
+        t: [f"{sub}/{t}"]
+        for t in ("segments", "docs", "postings", "terms", "stats")
+    }
+    tables["deleted"] = []
+    manifest.commit(spark, out_dir, set_tables=tables)
+    from textindex_spark import query as _q
+
+    _q.invalidate_cache(out_dir)
+    return n
+
+
 def compact_postings(spark: SparkSession, out_dir: str) -> int:
     """Merge split block rows (a (term, range_id) key owning several
     rows after appends) back to one row per key. Returns the number of

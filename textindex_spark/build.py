@@ -407,10 +407,6 @@ def finalize_index(
     write_postings_bucketed(
         postings, f"{out_dir}/postings", nparts, N_TERM_BUCKETS_DEFAULT
     )
-    docs_job.join()  # must be durable before the manifest commit
-    if docs_err:
-        raise docs_err[0]
-
     postings_df = spark.read.schema(manifest.TABLE_SCHEMAS["postings"]).parquet(
         f"{out_dir}/postings"
     )
@@ -431,6 +427,12 @@ def finalize_index(
         .parquet(f"{out_dir}/terms")
     )
     vocab_size = int(obs.get["n"] or 0)
+    # the docs write ran concurrently with everything above (stats
+    # agg, postings shuffle+write, terms write); it only has to be
+    # durable before the manifest commit below
+    docs_job.join()
+    if docs_err:
+        raise docs_err[0]
     stats = {
         "n_docs": int(n_docs),
         "avgdl": avgdl,

@@ -136,3 +136,38 @@ def test_purge_deleted_equals_fresh_build(spark, tmp_path_factory):
             assert math.isclose(gs, ws, rel_tol=1e-9), (q, gd)
     # the tombstoned snapshot is still there (rollback-able)
     assert manifest.manifest_at(spark, idx, v_tomb)["tables"]["deleted"]
+
+
+def test_append_after_purge(spark, tmp_path_factory):
+    """The purged snapshot composes with incremental append: purge
+    swaps every table to purge_{gen}/ dirs, and a later append must
+    stage against THOSE lists and stay rank-identical to a fresh
+    build over (survivors + appended batch)."""
+    import math
+
+    from textindex_spark.build import append_batch, purge_deleted
+    from textindex_spark.corpus import query_set
+
+    rows = synth_corpus(250)
+    base = tmp_path_factory.mktemp("purgeapp")
+    idx = str(base / "idx")
+    build_index(spark, corpus_df(spark, rows[:200]), idx, range_bits=6)
+    assert delete_docs(spark, idx, "*site3.example*") > 0
+    purge_deleted(spark, idx)
+    append_batch(spark, corpus_df(spark, rows[200:]), idx)
+
+    fresh = str(base / "fresh")
+    kept = [r for r in rows[:200] if "site3.example" not in r["url"]] + rows[200:]
+    build_index(spark, corpus_df(spark, kept), fresh, range_bits=6)
+    for q in query_set()[:3]:
+        want = [
+            (r["doc_id"], r["score"])
+            for r in search(spark, fresh, q["terms"], k=q["k"], with_urls=False).collect()
+        ]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(spark, idx, q["terms"], k=q["k"], with_urls=False).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), (q, gd)

@@ -538,10 +538,18 @@ def test_simhash_wide_matches_python_oracle(spark, docs):
         return lo, hi
 
     fps = {d: py_wide(t) for d, t in TEXTS if t.strip()}
-    want = set()
-    ids = sorted(fps)
-    for i, a in enumerate(ids):
-        for b in ids[i + 1 :]:
+    # collapse semantics (r4): identical fingerprints reduce to their
+    # min-id canonical; expected = hamming-0 stars + radius pairs
+    # among canonical representatives (component-equivalent)
+    canon = {}
+    for d in sorted(fps):
+        canon.setdefault(fps[d], d)
+    want = {
+        (canon[f], d, 0) for d, f in fps.items() if canon[f] != d
+    }
+    reps = sorted(canon.values())
+    for i, a in enumerate(reps):
+        for b in reps[i + 1 :]:
             ham = bin(fps[a][0] ^ fps[b][0]).count("1") + bin(
                 fps[a][1] ^ fps[b][1]
             ).count("1")
@@ -727,3 +735,24 @@ def test_ivf_append_incremental(spark, tmp_path):
     # a replayed append_id is a no-op, not a duplication
     assert similarity.ivf_append(spark, emb2, out, append_id="batch7") == 0
     assert manifest.read_table(spark, out, "vectors").count() == 80
+
+
+def test_simhash_boilerplate_cluster_stays_linear(spark):
+    """A 500-doc identical-text cluster must yield a linear
+    (canonical, member, 0) star from simhash_near_pairs — not m²/2
+    segment-join rows (the same guard shape as the LSH band join)."""
+    m = 500
+    rows = [(i, "all rights reserved boilerplate footer page text") for i in range(m)]
+    rows += [(m + i, f"organic doc alpha{i} beta{i} gamma{i} delta{i} eps{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3, n_docs=m + 10)
+    rows_out = pairs.collect()
+    star = [(r["doc_a"], r["doc_b"]) for r in rows_out if r["doc_b"] < m]
+    assert len(star) == m - 1
+    assert all(a == 0 and r == 0 for (a, _), r in zip(star, [x["hamming"] for x in rows_out if x["doc_b"] < m]))
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs.select("doc_a", "doc_b")).collect()
+    }
+    for i in range(m):
+        assert clusters[i] == 0

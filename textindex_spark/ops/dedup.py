@@ -620,6 +620,12 @@ def simhash_near_pairs(
     EXACT, not probabilistic) — join on segment value, verify exact
     distance with bit_count.
 
+    Identical fingerprints are collapsed to a min-id canonical before
+    the segment join (see the inline comment): the output is
+    COMPONENT-EQUIVALENT to the full pair set — each identity group
+    appears as a (canonical, member, 0) star and only canonicals pair
+    with other docs — the same contract as ``lsh_candidate_pairs``.
+
     When ``bits``/``n_segs`` are omitted the layout is CALIBRATED to
     the corpus via ``simhash_params`` (one count job unless
     ``n_docs`` is passed): width ≈ log2 N so candidates stay ~linear
@@ -663,7 +669,29 @@ def simhash_near_pairs(
         seg_structs.append(
             F.struct(F.lit(s).alias("seg"), val.cast("long").alias("seg_val"))
         )
-    segs = sh.select(
+    # Identical-fingerprint collapse (the simhash analog of the LSH
+    # exact-dup star guard, VERDICT r4): m docs with one fingerprint —
+    # true duplicates / templated boilerplate — would otherwise emit
+    # m²/2 rows in EVERY segment's join group. Canonical = min doc_id
+    # per fingerprint; only canonicals enter the segment join, each
+    # identity group contributes a linear (canon, member, hamming=0)
+    # star. Stars + cross-canonical pairs generate the same connected
+    # components as the full pair set (every member is hamming-0 from
+    # its canonical), so dedup clustering downstream is unaffected;
+    # member↔other-doc pairs are represented through the canonical.
+    canon = sh.groupBy("simhash_lo", "simhash_hi").agg(
+        F.min("doc_id").alias("canon_id")
+    )
+    sh_c = sh.join(canon, ["simhash_lo", "simhash_hi"])
+    stars = sh_c.filter(F.col("doc_id") != F.col("canon_id")).select(
+        F.col("canon_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    reps = sh_c.filter(F.col("doc_id") == F.col("canon_id")).select(
+        "doc_id", "simhash_lo", "simhash_hi"
+    )
+    segs = reps.select(
         "doc_id",
         "simhash_lo",
         "simhash_hi",
@@ -689,7 +717,7 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    return (
+    near = (
         cand.withColumn(
             "hamming",
             F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
@@ -698,3 +726,4 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    return near.unionByName(stars)

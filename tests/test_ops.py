@@ -756,3 +756,30 @@ def test_simhash_boilerplate_cluster_stays_linear(spark):
     }
     for i in range(m):
         assert clusters[i] == 0
+
+
+def test_emb_near_dup_duplicate_vectors_stay_linear(spark):
+    """300 identical embeddings must come back as a linear (canon,
+    member, 1e6) star — not 45k segment-join rows — while distinct
+    near vectors still pair through the canonical."""
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=16)
+    m = 300
+    rows = [(i, [float(x) for x in base]) for i in range(m)]
+    rows += [
+        (m + i, [float(x) for x in rng.normal(size=16)]) for i in range(20)
+    ]
+    # one near-duplicate of the cluster vector (tiny perturbation)
+    rows.append((m + 50, [float(x + 1e-4) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_pairs(emb, threshold=0.9).collect()
+    star = [(r["vec_a"], r["vec_b"]) for r in pairs if r["vec_b"] < m]
+    assert len(star) == m - 1 and all(a == 0 for a, _ in star)
+    assert all(
+        r["cos_micro"] == 1_000_000 for r in pairs if r["vec_b"] < m
+    )
+    # the near (not identical) vector pairs with the CANONICAL only
+    near = [(r["vec_a"], r["vec_b"]) for r in pairs if r["vec_b"] == m + 50]
+    assert near == [(0, m + 50)]
+    # total output is linear in the cluster size, never quadratic
+    assert len(pairs) < 2 * m

@@ -941,11 +941,31 @@ WITH planes AS (
              generate_series(0, {emb_dim - 1}) AS s(i)
     ) GROUP BY b
 ),
+-- r4 exact-duplicate-vector collapse (mirror of the engine's star
+-- guard): identical non-zero embeddings reduce to a min-id canonical;
+-- members ride as (canon, member, 1e6) stars, only canonicals band
+canon AS (
+    SELECT embedding, min(vec_id) AS canon_id FROM embeddings
+    WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    GROUP BY embedding
+),
+tagged AS (
+    SELECT e.vec_id, e.embedding,
+           coalesce(c.canon_id, e.vec_id) AS canon_id
+    FROM embeddings e LEFT JOIN canon c ON e.embedding = c.embedding
+),
+stars AS (
+    SELECT canon_id AS vec_a, vec_id AS vec_b, 1000000::BIGINT AS cos_micro
+    FROM tagged WHERE vec_id <> canon_id
+),
+reps AS (
+    SELECT vec_id, embedding FROM tagged WHERE vec_id = canon_id
+),
 bits AS (
     SELECT e.vec_id, p.b,
            CASE WHEN round(list_dot_product(e.embedding::DOUBLE[], p.p), 6) >= 0
                 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
-    FROM embeddings e, planes p
+    FROM reps e, planes p
 ),
 segs AS (
     SELECT vec_id, (b // {width}) AS seg,
@@ -968,6 +988,8 @@ verified AS (
     JOIN embeddings eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cos_micro FROM verified WHERE cos_micro >= {thr_micro}
+UNION ALL
+SELECT vec_a, vec_b, cos_micro FROM stars WHERE 1000000 >= {thr_micro}
 """
 
 

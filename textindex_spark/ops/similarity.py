@@ -495,7 +495,40 @@ def embedding_near_pairs(
     (``emb_lsh_params``)."""
     if n_bits is None or n_segs is None:
         n_bits, n_segs = emb_lsh_params(emb.count(), threshold, recall_target)
-    segs = embedding_lsh_segments(emb, n_bits, n_segs, id_col, vec_col)
+    # Exact-duplicate-vector collapse (r4, the star guard the minhash
+    # and simhash paths already have): identical embeddings — the
+    # dominant hot-bucket source at web scale, duplicate docs embed
+    # identically — share every signature segment, so m of them would
+    # make m²/2 rows in EVERY segment's join group. Collapse to a
+    # min-id canonical: members ride as (canon, member, cos=1) stars
+    # (identical non-zero vectors have cosine exactly 1 — no
+    # verification needed; zero vectors are left uncollapsed, they
+    # can never verify), only canonicals are signed and joined.
+    # Member↔other pairs are represented through the canonical —
+    # component-equivalent output, same contract as the other two.
+    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    canon = (
+        base.filter(_dot(F.col("_v"), F.col("_v")) > 0)
+        .groupBy("_v")
+        .agg(F.min("vec_id").alias("_canon"))
+    )
+    tagged = base.join(canon, "_v", "left").withColumn(
+        "_canon", F.coalesce("_canon", F.col("vec_id"))
+    )
+    thr_micro_i = int(np.floor(threshold * 1e6 + 0.5))
+    stars = (
+        tagged.filter(F.col("vec_id") != F.col("_canon"))
+        .select(
+            F.col("_canon").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.lit(1_000_000).cast("long").alias("cos_micro"),
+        )
+        .filter(F.lit(1_000_000 >= thr_micro_i))
+    )
+    reps = tagged.filter(F.col("vec_id") == F.col("_canon")).select(
+        F.col("vec_id").alias(id_col), F.col("_v").alias(vec_col)
+    )
+    segs = embedding_lsh_segments(reps, n_bits, n_segs, id_col, vec_col)
     # the self-join consumes the signature kernel on BOTH sides; a
     # narrow mapInPandas lineage would run the matmul twice. Persist
     # the (tiny: 3 longs/row) signature table instead — at warehouse
@@ -522,7 +555,7 @@ def embedding_near_pairs(
         * F.greatest(_norm(F.col("_eb")), F.lit(1e-12))
     )
     thr_micro = int(np.floor(threshold * 1e6 + 0.5))
-    return (
+    verified = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .withColumn(
@@ -531,3 +564,4 @@ def embedding_near_pairs(
         .filter(F.col("cos_micro") >= thr_micro)
         .select("vec_a", "vec_b", "cos_micro")
     )
+    return verified.unionByName(stars)

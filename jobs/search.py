@@ -63,6 +63,15 @@ def main() -> None:
         ap.error("provide --terms T [T ...] or --files PATTERN")
     if bool(args.index) == bool(args.shards):
         ap.error("provide exactly one of --index / --shards")
+    if args.shards and (
+        args.phrase or args.near is not None or args.unranked
+        or args.facet or args.files or args.prune
+    ):
+        ap.error(
+            "--shards supports ranked --terms search only (with --mode/"
+            "--k/--exclude); --phrase/--near/--unranked/--facet/--files/"
+            "--prune are single-index modes"
+        )
     spark = get_spark("textindex-search", cpus=args.cpus)
     if args.shards:
         rows = search_sharded(

@@ -216,6 +216,9 @@ MAX_BAND_BUCKET = 256
 # cannot be freed inside the call itself).
 _lsh_persists: list[DataFrame] = []
 
+# Same pattern for simhash_near_pairs' fingerprint frame.
+_simhash_persists: list[DataFrame] = []
+
 
 def signature_groups(signatures: DataFrame) -> DataFrame:
     """→ (doc_id, canon_id): docs collapsed by IDENTICAL full MinHash
@@ -679,10 +682,19 @@ def simhash_near_pairs(
     # components as the full pair set (every member is hamming-0 from
     # its canonical), so dedup clustering downstream is unaffected;
     # member↔other-doc pairs are represented through the canonical.
+    # the fingerprint frame feeds FOUR consumers (canon agg, stars,
+    # and both sides of the segment self-join via reps) — persist it
+    # so the token-explode + per-bit aggregation lineage runs once
+    # (same registry pattern as _lsh_persists: the returned lazy frame
+    # references it, so the PREVIOUS call's persist is released here)
+    while _simhash_persists:
+        _simhash_persists.pop().unpersist()
+    sh = sh.persist()
     canon = sh.groupBy("simhash_lo", "simhash_hi").agg(
         F.min("doc_id").alias("canon_id")
     )
-    sh_c = sh.join(canon, ["simhash_lo", "simhash_hi"])
+    sh_c = sh.join(canon, ["simhash_lo", "simhash_hi"]).persist()
+    _simhash_persists.extend([sh, sh_c])
     stars = sh_c.filter(F.col("doc_id") != F.col("canon_id")).select(
         F.col("canon_id").alias("doc_a"),
         F.col("doc_id").alias("doc_b"),

@@ -705,9 +705,20 @@ def search(
     prune)."""
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
+    n_patterns = len(patterns)
+    query_is_empty = len(expanded) == 0 or (
+        mode == "and" and expanded["pattern_idx"].nunique() < n_patterns
+    )
     excl_ids: np.ndarray | None = None
-    if exclude:
-        excl_ids = _exclusion_ids(spark, index_dir, exclude, stats)
+    excl_expanded: pd.DataFrame | None = None
+    if exclude and not query_is_empty:
+        # expand exclusion patterns ONCE (the dictionary wildcard scan
+        # is shared by the id fetch and any distributed anti-join);
+        # skip entirely when the positive query is provably empty
+        excl_expanded = expand_patterns(spark, index_dir, exclude)
+        excl_ids = _exclusion_ids(
+            spark, index_dir, exclude, stats, expanded=excl_expanded
+        )
     fits_local = (
         len(expanded) > 0
         and expanded.drop_duplicates("term")["df"].sum() <= LOCAL_SCORE_MAX_POSTINGS
@@ -718,9 +729,9 @@ def search(
         # explicit local_score=True must not bypass the driver-memory
         # guard — a stop-word-grade wildcard would OOM the query node
         local_score = local_score and fits_local
-    if exclude and excl_ids is None:
+    if exclude and not query_is_empty and excl_ids is None:
         local_score = False  # exclusion set must stay distributed
-    if local_score and len(expanded) > 0:
+    if local_score and not query_is_empty:
         dead = _dead_ids_capped(spark, index_dir)
         if dead is not None:  # oversize delete sets go distributed
             if excl_ids is not None and len(excl_ids):
@@ -731,12 +742,9 @@ def search(
             )
             if res is not None:
                 return res
-    n_patterns = len(patterns)
     full_mask = (1 << n_patterns) - 1
     empty = local_df(spark, [], "doc_id long, score double")
-    if len(expanded) == 0 or (
-        mode == "and" and expanded["pattern_idx"].nunique() < n_patterns
-    ):
+    if query_is_empty:
         result = empty
     else:
         expanded = expanded.copy()
@@ -806,7 +814,9 @@ def search(
                 )
                 scored = scored.join(F.broadcast(excl_df), "doc_id", "left_anti")
             else:
-                excl_df = _exclusion_docs_df(spark, index_dir, exclude, stats)
+                excl_df = _exclusion_docs_df(
+                    spark, index_dir, exclude, stats, expanded=excl_expanded
+                )
                 if excl_df is not None:
                     scored = scored.join(excl_df, "doc_id", "left_anti")
         result = scored.select("doc_id", "score").orderBy(
@@ -873,13 +883,11 @@ def search_sharded(
             e["shard"] = i
             cat.append(e)
     empty = local_df(spark, [], "doc_id long, score double")
-    covered = (
-        pd.concat(cat)["pattern_idx"].nunique() if cat else 0
-    )
-    if not cat or (mode == "and" and covered < n_patterns):
+    allx = pd.concat(cat) if cat else None
+    covered = allx["pattern_idx"].nunique() if allx is not None else 0
+    if allx is None or (mode == "and" and covered < n_patterns):
         result = empty
     else:
-        allx = pd.concat(cat)
         df_g = allx.drop_duplicates(["shard", "term"]).groupby("term")["df"].sum()
         tinfo = (
             allx.groupby("term")
@@ -977,8 +985,14 @@ def _sharded_local(
             total_df += int(e.drop_duplicates("term")["df"].sum())
     if total_df == 0 or total_df > LOCAL_SCORE_MAX_POSTINGS:
         return None
-    deads = []
+    deads: list[np.ndarray | None] = []
     for i, d in enumerate(index_dirs):
+        if len(expansions[i]) == 0:
+            # shard matches no query term: it contributes nothing, so
+            # its tombstone/exclusion sizes must not force the whole
+            # query off the serving path (review r4)
+            deads.append(None)
+            continue
         dead = _dead_ids_capped(spark, d)
         if dead is None:
             return None
@@ -1153,7 +1167,11 @@ def _dead_ids_capped(spark: SparkSession, index_dir: str) -> np.ndarray | None:
 
 
 def _exclusion_ids(
-    spark: SparkSession, index_dir: str, exclude: list[str], stats: dict
+    spark: SparkSession,
+    index_dir: str,
+    exclude: list[str],
+    stats: dict,
+    expanded: pd.DataFrame | None = None,
 ) -> np.ndarray | None:
     """doc_ids containing ANY expansion of an exclude pattern, as a
     driver-side array — or None when the exclusion postings exceed
@@ -1163,8 +1181,10 @@ def _exclusion_ids(
     tombstoning: the ids merge into the ``dead`` set downstream, so
     the θ probe and the block-max prune plan stay exact — a θ
     inflated by docs later excluded could prune ranges holding the
-    true top-k."""
-    expanded = expand_patterns(spark, index_dir, exclude)
+    true top-k. ``expanded`` reuses a caller-side expansion of the
+    same patterns (one dictionary wildcard scan, not two)."""
+    if expanded is None:
+        expanded = expand_patterns(spark, index_dir, exclude)
     if len(expanded) == 0:
         return np.empty(0, dtype=np.int64)
     uniq = expanded.drop_duplicates("term")
@@ -1179,12 +1199,18 @@ def _exclusion_ids(
 
 
 def _exclusion_docs_df(
-    spark: SparkSession, index_dir: str, exclude: list[str], stats: dict
+    spark: SparkSession,
+    index_dir: str,
+    exclude: list[str],
+    stats: dict,
+    expanded: pd.DataFrame | None = None,
 ) -> DataFrame | None:
     """Distinct doc_ids matching any exclude pattern as a DataFrame
     (the distributed anti-join side for exclusion sets too large to
-    hold on the query node), or None when no pattern matches."""
-    expanded = expand_patterns(spark, index_dir, exclude)
+    hold on the query node), or None when no pattern matches.
+    ``expanded`` reuses a caller-side expansion."""
+    if expanded is None:
+        expanded = expand_patterns(spark, index_dir, exclude)
     if len(expanded) == 0:
         return None
     terms = sorted(set(expanded["term"]))

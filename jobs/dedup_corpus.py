@@ -30,10 +30,10 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", default=None, help="batch-mode output dir")
     ap.add_argument(
-        "--method", choices=["lsh", "ngram", "simhash"], default="lsh",
-        help="near-dup candidate generation (lsh = MinHash bands; "
-        "simhash = Hamming-radius pigeonhole, width calibrated to "
-        "the corpus)",
+        "--method", choices=["lsh", "ngram", "simhash", "exact"], default="lsh",
+        help="candidate generation (lsh = MinHash bands; simhash = "
+        "Hamming-radius pigeonhole, width calibrated to the corpus; "
+        "exact = full-content-hash star pairs)",
     )
     ap.add_argument(
         "--max-hamming", type=int, default=3,
@@ -72,16 +72,12 @@ def main() -> None:
     if not args.output:
         ap.error("batch mode requires --output")
     from textindex_spark.ops import dedup as D
+    from textindex_spark.pipeline import dedup_pairs
 
     docs = spark.read.parquet(args.input)
-    if args.method == "lsh":
-        pairs = D.lsh_candidate_pairs(D.minhash_signatures(docs))
-    elif args.method == "simhash":
-        pairs = D.simhash_near_pairs(docs, max_hamming=args.max_hamming).select(
-            "doc_a", "doc_b"
-        )
-    else:
-        pairs = D.ngram_jaccard_pairs(docs, threshold=args.threshold)
+    pairs = dedup_pairs(
+        docs, args.method, threshold=args.threshold, max_hamming=args.max_hamming
+    )
     pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
     pairs = spark.read.parquet(f"{args.output}/pairs")
 

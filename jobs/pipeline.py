@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: the full training-data ingest pipeline —
+filter → dedup → index — in one command:
+
+    spark-submit --py-files textindex_spark.zip jobs/pipeline.py \
+        --input /data/documents --output /data/corpus_v1 \
+        [--langs en fr] [--min-quality-micro 500000] \
+        [--min-tokens 20] [--max-tokens 100000] \
+        [--dedup lsh|simhash|ngram|exact|none] [--threshold 0.2] \
+        [--max-hamming 3] [--extract-html] [--parts N]
+
+Outputs under --output: ``verdicts/`` (per-doc filter verdicts),
+``kept/`` (filtered corpus), ``dedup/pairs`` + ``dedup/clusters``,
+``index/`` (queryable BM25 index) and ``pipeline.json`` (lineage).
+Prints the lineage JSON. Query the result with jobs/search.py
+--index <output>/index.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--langs", nargs="*", default=["en"])
+    ap.add_argument("--min-quality-micro", type=int, default=500_000)
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--max-tokens", type=int, default=100_000)
+    ap.add_argument(
+        "--dedup", choices=["lsh", "simhash", "ngram", "exact", "none"],
+        default="lsh",
+    )
+    ap.add_argument("--threshold", type=float, default=0.2)
+    ap.add_argument("--max-hamming", type=int, default=3)
+    ap.add_argument(
+        "--extract-html", action="store_true",
+        help="extract text for rows whose text column is null but "
+        "html is set (one kernel pass over only those rows)",
+    )
+    ap.add_argument("--parts", type=int, default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from textindex_spark.pipeline import run_pipeline
+    from textindex_spark.session import get_spark
+
+    spark = get_spark("textindex-pipeline", cpus=args.cpus)
+    lineage = run_pipeline(
+        spark,
+        spark.read.parquet(args.input),
+        args.output,
+        langs=tuple(args.langs),
+        min_quality_micro=args.min_quality_micro,
+        min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens,
+        dedup_method=args.dedup,
+        threshold=args.threshold,
+        max_hamming=args.max_hamming,
+        extract_html=args.extract_html,
+        write_partitions=args.parts,
+    )
+    print(json.dumps(lineage, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

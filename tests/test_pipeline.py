@@ -1,0 +1,149 @@
+"""End-to-end pipeline tests: filter → dedup → index composition
+(`textindex_spark.pipeline.run_pipeline`)."""
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from tests.spark_fixtures import corpus_df, spark  # noqa: F401
+
+TS = datetime.datetime(2025, 1, 1, tzinfo=datetime.timezone.utc)
+
+EN = (
+    "the quick brown fox jumps over the lazy dog and runs to the river "
+    "in the morning because it is hungry for a fresh meal of trout"
+)
+EN2 = (
+    "searching the web index is a matter of postings and terms that "
+    "live in the compressed blocks of a distributed table for queries"
+)
+EN3 = (
+    "spark executes the plan in stages and shuffles data between the "
+    "workers so that every join key lands in exactly one partition"
+)
+EN4 = (
+    "documents flow through the filters and the deduplication before "
+    "the tokenizer turns them into postings for the ranked index"
+)
+DE = (
+    "der hund und die katze sind nicht mit dem vogel in das haus "
+    "gelaufen weil der regen von dem himmel auf die strasse fiel und "
+    "ein kind mit der mutter zu dem markt gegangen ist"
+)
+HTML_EN = (
+    b"<html><head><title>page</title></head><body><p>"
+    b"the crawler fetched this page from the web and the extractor "
+    b"pulled the visible words out of the markup so that the index "
+    b"can rank it for a query about crawling</p></body></html>"
+)
+
+
+def _row(i: int, text: str | None, html: bytes | None = None) -> dict:
+    return {
+        "doc_id": i,
+        "url": f"https://site{i}.example/en/page{i}.html",
+        "warc_ts": TS,
+        "html": html,
+        "text": text,
+        "lang": "en",
+    }
+
+
+@pytest.fixture(scope="module")
+def pipe_docs(spark):  # noqa: F811
+    rows = [
+        _row(1, EN),
+        _row(2, EN2),
+        _row(3, EN3),
+        _row(4, EN4),
+        _row(5, EN),  # exact duplicate of 1 → dedup drop
+        _row(6, EN),  # exact duplicate of 1 → dedup drop
+        _row(7, DE),  # lang drop
+        _row(8, "the fox ran"),  # english but 3 tokens → length drop
+        _row(9, None, HTML_EN),  # html-only: needs extract_html
+    ]
+    return corpus_df(spark, rows)
+
+
+def test_pipeline_exact_dedup(spark, pipe_docs, tmp_path):  # noqa: F811
+    from textindex_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "pipe")
+    lineage = run_pipeline(
+        spark,
+        pipe_docs,
+        out,
+        langs=("en",),
+        min_quality_micro=0,
+        min_tokens=5,
+        dedup_method="exact",
+        extract_html=True,
+    )
+    # filter stage: 9 in, 7 kept (doc 7 lang, doc 8 length)
+    assert lineage["input_docs"] == 9
+    assert lineage["filter"]["lang"] == 1
+    assert lineage["filter"]["length"] == 1
+    assert lineage["filter"]["kept"] == 7
+    # dedup stage: docs 5 and 6 collapse into doc 1's cluster
+    assert lineage["dup_dropped"] == 2
+    assert lineage["indexed_docs"] == 5
+    # the index is a normal queryable index
+    from textindex_spark import manifest
+
+    docs = manifest.read_table(spark, f"{out}/index", "docs")
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert ids == [1, 2, 3, 4, 9]
+    from textindex_spark.query import search
+
+    hits = search(spark, f"{out}/index", ["crawler"], k=5).collect()
+    assert [r["doc_id"] for r in hits] == [9]  # the extracted html doc
+    # lineage report persisted
+    rep = json.loads((tmp_path / "pipe" / "pipeline.json").read_text())
+    assert rep["indexed_docs"] == 5
+    assert rep["dedup_method"] == "exact"
+
+
+def test_pipeline_lsh_matches_exact_on_dups(spark, pipe_docs, tmp_path):  # noqa: F811
+    from textindex_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "pipe_lsh")
+    lineage = run_pipeline(
+        spark,
+        pipe_docs,
+        out,
+        langs=("en",),
+        min_quality_micro=0,
+        min_tokens=5,
+        dedup_method="lsh",
+        extract_html=True,
+    )
+    # LSH must catch the exact duplicates at minimum
+    assert lineage["dup_dropped"] >= 2
+    assert lineage["indexed_docs"] <= 5
+
+
+def test_pipeline_dedup_none(spark, pipe_docs, tmp_path):  # noqa: F811
+    from textindex_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "pipe_none")
+    lineage = run_pipeline(
+        spark,
+        pipe_docs,
+        out,
+        langs=("en",),
+        min_quality_micro=0,
+        min_tokens=5,
+        dedup_method="none",
+        extract_html=True,
+    )
+    assert lineage["dup_dropped"] == 0
+    assert lineage["indexed_docs"] == 7  # duplicates stay
+
+
+def test_pipeline_rejects_unknown_method(spark, pipe_docs, tmp_path):  # noqa: F811
+    from textindex_spark.pipeline import run_pipeline
+
+    with pytest.raises(ValueError, match="unknown dedup method"):
+        run_pipeline(spark, pipe_docs, str(tmp_path / "x"), dedup_method="bogus")

@@ -1,0 +1,202 @@
+"""End-to-end training-data ingest pipeline: filter → dedup → index.
+
+One call chains the engine's corpus operators in the order a
+large-scale pipeline runs them — cheap verdicts first so expensive
+stages never see dropped rows:
+
+1. **Filter** (`ops.textstats.filter_verdicts`): language allowlist +
+   quality floor + token-count bounds; verdicts persisted for audit.
+2. **Dedup** (`ops.dedup`): exact / MinHash-LSH / simhash / n-gram
+   candidate pairs → connected-component clusters → canonical keep
+   list. All candidate joins are the capped, calibrated layouts
+   (MAX_BAND_BUCKET, corpus-sized simhash segments).
+3. **Index** (`build.build_index`): the surviving corpus becomes a
+   queryable BM25 index under ``<out>/index``.
+
+Scale shape (the pass structure a 100 TB run pays for):
+
+* input is scanned twice — once for the verdict aggregation (text
+  column only) and once to write the filtered corpus;
+* the filtered corpus is MATERIALIZED at ``<out>/kept`` so the dedup
+  signature pass and the index build each re-read a parquet whose
+  column pruning matches their needs (dedup: doc_id+text; build:
+  doc_id+url+html+text+lang) instead of re-running the filter
+  anti-join per consumer;
+* the near-dup drop set is small relative to the corpus, so the
+  final keep list stays a broadcast anti-join fused into the build's
+  first scan — the deduped corpus is never rewritten.
+
+Every stage output (verdicts, kept, pairs, clusters, index) is a
+plain parquet/ index directory, so partial reruns can start from any
+materialized stage.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import RANGE_BITS_DEFAULT, build_index, normalize_input
+from .functions.kernels import extract_text_batches
+from .ops import dedup as D
+from .ops.textstats import filter_corpus, filter_verdicts
+from .refimpl.stop_words import STOP_WORD_SET
+
+DEDUP_METHODS = ("lsh", "simhash", "ngram", "exact", "none")
+
+
+def _with_analysis_text(docs: DataFrame, extract_html: bool) -> DataFrame:
+    """Ensure every row's ``text`` column holds the content the filter
+    and dedup stages should judge. With ``extract_html``, rows whose
+    ``text`` is null but ``html`` is set are routed through the
+    extraction kernel (one mapInPandas over ONLY those rows) and
+    unioned back; otherwise ``text`` is used as-is and null-text rows
+    fall out at the length filter with an explicit reason."""
+    if not extract_html:
+        return docs
+    needs = F.col("text").isNull() & F.col("html").isNotNull()
+    ready = docs.filter(~needs)
+    extracted = (
+        docs.filter(needs)
+        .select("doc_id", "url", "html")
+        .mapInPandas(
+            extract_text_batches, "doc_id long, url string, text string, truncated boolean"
+        )
+        .select("doc_id", "text")
+    )
+    rejoined = (
+        docs.filter(needs)
+        .drop("text")
+        .join(extracted, "doc_id")
+        .select(*docs.columns)
+    )
+    return ready.unionByName(rejoined)
+
+
+def dedup_pairs(
+    docs: DataFrame,
+    method: str,
+    threshold: float = 0.2,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """→ (doc_a, doc_b) near/exact-duplicate candidate pairs by the
+    named method — the shared dispatch for `jobs/dedup_corpus.py` and
+    `run_pipeline`."""
+    if method == "lsh":
+        return D.lsh_candidate_pairs(D.minhash_signatures(docs))
+    if method == "simhash":
+        return D.simhash_near_pairs(docs, max_hamming=max_hamming).select(
+            "doc_a", "doc_b"
+        )
+    if method == "ngram":
+        # keeps jaccard_micro: the clusterer ignores it, audits use it
+        return D.ngram_jaccard_pairs(docs, threshold=threshold)
+    if method == "exact":
+        # exact groups as star pairs (keep_doc_id ← member), the same
+        # shape the clusterer consumes
+        sigs = docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+        canon = sigs.groupBy("text_md5").agg(F.min("doc_id").alias("doc_a"))
+        return (
+            sigs.join(canon, "text_md5")
+            .filter(F.col("doc_id") != F.col("doc_a"))
+            .select("doc_a", F.col("doc_id").alias("doc_b"))
+        )
+    raise ValueError(f"unknown dedup method {method!r} (use one of {DEDUP_METHODS})")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    langs: tuple[str, ...] = ("en",),
+    min_quality_micro: int = 500_000,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    dedup_method: str = "lsh",
+    threshold: float = 0.2,
+    max_hamming: int = 3,
+    extract_html: bool = False,
+    range_bits: int = RANGE_BITS_DEFAULT,
+    write_partitions: int | None = None,
+) -> dict:
+    """Run filter → dedup → index over ``docs``; returns the lineage
+    dict (also written to ``<out_dir>/pipeline.json``)."""
+    if dedup_method not in DEDUP_METHODS:
+        raise ValueError(f"unknown dedup method {dedup_method!r}")
+    t0 = time.time()
+    docs = _with_analysis_text(normalize_input(docs), extract_html)
+
+    # -- stage 1: filter ------------------------------------------------
+    verdicts = filter_verdicts(
+        docs,
+        tuple(sorted(STOP_WORD_SET)),
+        langs=tuple(langs),
+        min_quality_micro=min_quality_micro,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+    )
+    verdicts.write.mode("overwrite").parquet(f"{out_dir}/verdicts")
+    verdicts = spark.read.parquet(f"{out_dir}/verdicts")
+    by_reason = {
+        r["reason"] or "kept": r["n"]
+        for r in verdicts.groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    filter_corpus(docs, verdicts).write.mode("overwrite").parquet(f"{out_dir}/kept")
+    kept = spark.read.parquet(f"{out_dir}/kept")
+
+    # -- stage 2: dedup ---------------------------------------------------
+    lineage: dict = {
+        "input_docs": int(sum(by_reason.values())),
+        "filter": by_reason,
+        "dedup_method": dedup_method,
+    }
+    if dedup_method == "none":
+        survivors = kept
+        lineage["dup_pairs"] = 0
+        lineage["dup_dropped"] = 0
+    else:
+        pairs = dedup_pairs(
+            kept, dedup_method, threshold=threshold, max_hamming=max_hamming
+        )
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/dedup/pairs")
+        pairs = spark.read.parquet(f"{out_dir}/dedup/pairs")
+        clusters = D.dedup_clusters(pairs)
+        clusters.write.mode("overwrite").parquet(f"{out_dir}/dedup/clusters")
+        clusters = spark.read.parquet(f"{out_dir}/dedup/clusters")
+        survivors = D.dedup_keep_list(kept, clusters)
+        lineage["dup_pairs"] = pairs.count()
+        lineage["dup_dropped"] = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).count()
+
+    # -- stage 3: index ---------------------------------------------------
+    stats = build_index(
+        spark,
+        survivors,
+        f"{out_dir}/index",
+        range_bits=range_bits,
+        write_partitions=write_partitions,
+    )
+    lineage["indexed_docs"] = stats.get("n_docs")
+    lineage["index"] = f"{out_dir}/index"
+    lineage["wall_s"] = round(time.time() - t0, 3)
+    _write_json(spark, f"{out_dir}/pipeline.json", lineage)
+    return lineage
+
+
+def _write_json(spark: SparkSession, path: str, payload: dict) -> None:
+    """Overwrite a small JSON report, FS-agnostically (reruns replace
+    the previous report — unlike manifest versions, this is not a
+    commit point, just lineage)."""
+    from . import manifest
+
+    data = json.dumps(payload, indent=1, sort_keys=True).encode("utf-8")
+    fs, jpath, _ = manifest._fs(spark, path)
+    out = fs.create(jpath, True)  # overwrite=True
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()

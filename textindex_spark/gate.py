@@ -479,6 +479,23 @@ def q_corpus_filter(spark, sf_dir):
     )
 
 
+def q_pipeline_keep(spark, sf_dir):
+    """The composed ingest pipeline's survivor set (filter → LSH
+    dedup → keep list): the doc_ids `run_pipeline` would index.
+    Exercises the stage COMPOSITION — dedup runs over the filtered
+    corpus, so its band statistics (and hot-bucket cuts) differ from
+    dedup-over-everything."""
+    from textindex_spark.pipeline import dedup_pairs
+
+    docs = _documents(spark, sf_dir)
+    verdicts = textstats.filter_verdicts(
+        docs, tuple(sorted(STOP_WORD_SET)), **FILTER_PARAMS
+    )
+    kept = textstats.filter_corpus(docs, verdicts)
+    clusters = dedup.dedup_clusters(dedup_pairs(kept, "lsh"))
+    return dedup.dedup_keep_list(kept, clusters).select("doc_id")
+
+
 def q_token_counts(spark, sf_dir):
     return textstats.token_counts(_documents(spark, sf_dir))
 
@@ -545,6 +562,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality": q_quality,
     "corpus_filter": q_corpus_filter,
+    "pipeline_keep": q_pipeline_keep,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "ann_cosine": q_ann_cosine,
@@ -555,7 +573,7 @@ QUERIES = {
 
 # ------------------------------------------------------------- oracle SQL
 
-def _minhash_sql() -> str:
+def _minhash_sql(src: str = "documents") -> str:
     params = dedup.minhash_params()
     p = dedup.MINHASH_P
     mins = ",\n        ".join(
@@ -566,7 +584,7 @@ def _minhash_sql() -> str:
     )
     return f"""
 WITH toks AS (
-    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    SELECT doc_id, string_split(text, ' ') AS t FROM {src}
 ),
 idx AS (
     SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
@@ -589,12 +607,12 @@ sigs AS (
 """
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_pairs_sql(src: str = "documents") -> str:
     """Mirror of lsh_candidate_pairs WITH the r4 hot-bucket guards:
     signature-identical docs collapse to min-id canonicals (linear
     star pairs), only canonicals enter the band join, and band
     buckets above MAX_BAND_BUCKET canonicals are excluded."""
-    base = _minhash_sql()
+    base = _minhash_sql(src)
     return f"""
 WITH sig_rows AS MATERIALIZED ({base}),
 sigkey AS (
@@ -782,6 +800,36 @@ reach(src, dst) AS (
 )
 SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
 FROM reach GROUP BY src
+"""
+
+
+def _pipeline_keep_sql() -> str:
+    """Mirror of q_pipeline_keep: corpus_filter keepers → LSH pairs
+    over ONLY those docs → recursive-CTE closure → canonical keep
+    list."""
+    return f"""
+WITH RECURSIVE v AS MATERIALIZED ({_corpus_filter_sql()}),
+kdocs AS MATERIALIZED (
+    SELECT d.doc_id, d.text FROM documents d
+    JOIN v ON d.doc_id = v.doc_id WHERE v.keep
+),
+pairs AS ({_lsh_pairs_sql('kdocs')}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+dropset AS (
+    SELECT src AS doc_id FROM reach
+    GROUP BY src HAVING src > least(src, min(dst))
+)
+SELECT doc_id FROM kdocs
+WHERE doc_id NOT IN (SELECT doc_id FROM dropset)
 """
 
 
@@ -1367,6 +1415,7 @@ FROM bits GROUP BY doc_id
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
         "corpus_filter": _corpus_filter_sql(),
+        "pipeline_keep": _pipeline_keep_sql(),
         "token_counts": r"""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS n_ws_tokens,

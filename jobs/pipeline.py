@@ -14,6 +14,14 @@ Outputs under --output: ``verdicts/`` (per-doc filter verdicts),
 ``index/`` (queryable BM25 index) and ``pipeline.json`` (lineage).
 Prints the lineage JSON. Query the result with jobs/search.py
 --index <output>/index.
+
+Streaming mode — the same composition applied per micro-batch as
+files arrive (filter → online dedup vs the kept-corpus state →
+incremental index append; exactly-once across both state stores):
+
+    spark-submit --py-files textindex_spark.zip jobs/pipeline.py \
+        --stream --input '/data/incoming/*' --output /data/corpus_v1 \
+        --checkpoint /data/corpus_v1_ckpt [--langs en ...]
 """
 from __future__ import annotations
 
@@ -41,6 +49,8 @@ def main() -> None:
         "html is set (one kernel pass over only those rows)",
     )
     ap.add_argument("--parts", type=int, default=None)
+    ap.add_argument("--stream", action="store_true")
+    ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -48,6 +58,33 @@ def main() -> None:
     from textindex_spark.session import get_spark
 
     spark = get_spark("textindex-pipeline", cpus=args.cpus)
+    if args.stream:
+        if not args.checkpoint:
+            ap.error("--stream requires --checkpoint")
+        if args.dedup not in ("lsh", "none"):
+            ap.error("--stream dedup is the online exact+LSH state "
+                     "machine; --dedup must stay 'lsh'")
+        from textindex_spark.streaming.pipeline import stream_pipeline
+
+        stream_pipeline(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint,
+            langs=tuple(args.langs),
+            min_quality_micro=args.min_quality_micro,
+            min_tokens=args.min_tokens,
+            max_tokens=args.max_tokens,
+            extract_html=args.extract_html,
+        )
+        from textindex_spark import manifest
+
+        stats = manifest.read_table(
+            spark, f"{args.output}/index", "stats"
+        ).collect()[0]
+        print(json.dumps({"indexed_docs": stats["n_docs"],
+                          "index": f"{args.output}/index"}))
+        return
     lineage = run_pipeline(
         spark,
         spark.read.parquet(args.input),

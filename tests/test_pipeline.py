@@ -147,3 +147,60 @@ def test_pipeline_rejects_unknown_method(spark, pipe_docs, tmp_path):  # noqa: F
 
     with pytest.raises(ValueError, match="unknown dedup method"):
         run_pipeline(spark, pipe_docs, str(tmp_path / "x"), dedup_method="bogus")
+
+
+def test_stream_pipeline_end_to_end(spark, tmp_path):  # noqa: F811
+    """Composed streaming ingest: per-micro-batch filter + online
+    dedup + incremental index append; exactly-once across reruns."""
+    from textindex_spark import manifest
+    from textindex_spark.query import search
+    from textindex_spark.streaming.dedup import read_verdicts
+    from textindex_spark.streaming.pipeline import stream_pipeline
+
+    en5 = (
+        "a completely new page about the harvest arrived in the batch "
+        "and the farmer counted the apples in the orchard for the fair"
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(
+        langs=("en",), min_quality_micro=0, min_tokens=5, range_bits=6
+    )
+    # batch 1: four keepers + a lang drop + a length drop
+    corpus_df(
+        spark,
+        [
+            _row(1, EN), _row(2, EN2), _row(3, EN3), _row(4, EN4),
+            _row(7, DE), _row(8, "the fox ran"),
+        ],
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream_pipeline(spark, str(src / "*"), out, ckpt, **kwargs)
+    idx = f"{out}/index"
+    ids1 = sorted(
+        r["doc_id"] for r in manifest.read_table(spark, idx, "docs").collect()
+    )
+    assert ids1 == [1, 2, 3, 4]
+    # batch 2: one exact duplicate of doc 1 + one genuinely new doc
+    corpus_df(spark, [_row(10, EN), _row(11, en5)]).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream_pipeline(spark, str(src / "*"), out, ckpt, **kwargs)
+    ids2 = sorted(
+        r["doc_id"] for r in manifest.read_table(spark, idx, "docs").collect()
+    )
+    assert ids2 == [1, 2, 3, 4, 11]
+    v = read_verdicts(spark, f"{out}/dedup_state").collect()
+    assert {(r["doc_id"], r["dup_of"], r["kind"]) for r in v} == {(10, 1, "exact")}
+    # the live index answers queries (doc 11 is the only harvest page)
+    hits = search(spark, idx, ["harvest"], k=5).collect()
+    assert [r["doc_id"] for r in hits] == [11]
+    # re-running with no new files is a no-op (exactly-once)
+    stream_pipeline(spark, str(src / "*"), out, ckpt, **kwargs)
+    ids3 = sorted(
+        r["doc_id"] for r in manifest.read_table(spark, idx, "docs").collect()
+    )
+    assert ids3 == ids2
+    stats = manifest.read_table(spark, idx, "stats").collect()[0]
+    assert stats["n_docs"] == 5

@@ -349,14 +349,21 @@ def build_index(
     out_dir: str,
     range_bits: int = RANGE_BITS_DEFAULT,
     write_partitions: int | None = None,
+    extra_props: dict | None = None,
 ) -> dict:
     """Full single-shot build. Returns the stats row as a dict.
-    (``build_index_resumable`` is the checkpointed variant.)"""
+    (``build_index_resumable`` is the checkpointed variant.)
+    ``extra_props`` ride the snapshot-publishing commit itself —
+    streaming bootstrap records its batch-id replay guard atomically
+    with the data, leaving no window where the index exists but the
+    guard doesn't."""
     t0 = time.time()
     documents = normalize_input(documents)
     segments = tokenize_segments(documents)
     segments.write.mode("overwrite").parquet(f"{out_dir}/segments")
-    return finalize_index(spark, out_dir, range_bits, write_partitions, t0)
+    return finalize_index(
+        spark, out_dir, range_bits, write_partitions, t0, extra_props
+    )
 
 
 def finalize_index(
@@ -365,6 +372,7 @@ def finalize_index(
     range_bits: int = RANGE_BITS_DEFAULT,
     write_partitions: int | None = None,
     t0: float | None = None,
+    extra_props: dict | None = None,
 ) -> dict:
     """Phase 2: segments → docs/stats/postings/terms. Reads the
     segments table (column-pruned per consumer) so extraction runs
@@ -460,6 +468,7 @@ def finalize_index(
             "stats": ["stats"],
             "deleted": [],
         },
+        props=extra_props,
     )
     # a REBUILD overwrites the default table dirs in place — unlike
     # append/compact it deletes old parquet files, so any cached

@@ -55,11 +55,15 @@ def stream_index(
             return
         s = batch_df.sparkSession
         if not state["bootstrapped"]:
-            build_index(s, batch_df, index_dir, range_bits=range_bits)
-            manifest.commit(
-                s,
-                index_dir,
-                props={"stream_batch_id": int(batch_id), "stream_run_id": run_id},
+            # the batch-id guard rides the build's own snapshot commit:
+            # no window where the index exists without the guard (a
+            # crash there would replay batch 0 as a duplicating append)
+            build_index(
+                s, batch_df, index_dir, range_bits=range_bits,
+                extra_props={
+                    "stream_batch_id": int(batch_id),
+                    "stream_run_id": run_id,
+                },
             )
             state["bootstrapped"] = True
             return

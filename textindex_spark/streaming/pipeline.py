@@ -1,0 +1,140 @@
+"""Composed streaming ingest: filter → online dedup → incremental
+index.
+
+The online counterpart of ``textindex_spark.pipeline.run_pipeline``:
+each micro-batch is filtered (lang / quality / length verdicts),
+deduplicated against the kept-corpus state (exact + LSH-estimated
+near, `streaming.dedup.dedup_batch`), and its survivors appended to a
+live BM25 index (`build.append_batch` under the stream-identity
+protocol of `streaming.incremental`).
+
+Exactly-once across TWO state stores. The dedup state and the index
+each publish with their own atomic manifest commit carrying a
+(run_id, batch_id) idempotence marker. The composition is replay-safe
+because each phase is independently idempotent and the index phase's
+input is a pure function of the dedup phase's COMMITTED state:
+
+* crash before the dedup commit → the whole batch re-runs;
+* crash between the two commits → the dedup replay is a no-op and the
+  survivor set is recomputed from the already-committed verdicts —
+  the same rows — then the index append commits;
+* crash after both commits → both replays are no-ops.
+
+Survivors = batch keepers ∖ verdict doc_ids ∖ already-indexed
+doc_ids: the last anti-join makes a re-ingested already-kept doc_id
+(which ``dedup_batch`` tolerates as a no-op) idempotent for the index
+too.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from textindex_spark import manifest
+from textindex_spark.build import append_batch, build_index, maybe_compact
+from textindex_spark.ops.textstats import filter_corpus, filter_verdicts
+from textindex_spark.pipeline import _with_analysis_text
+from textindex_spark.refimpl.stop_words import STOP_WORD_SET
+from textindex_spark.streaming.dedup import (
+    EST_THRESHOLD_DEFAULT,
+    dedup_batch,
+    read_verdicts,
+)
+from textindex_spark.streaming.incremental import DOC_SCHEMA, _index_exists
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    langs: tuple[str, ...] = ("en",),
+    min_quality_micro: int = 500_000,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    est_threshold: float = EST_THRESHOLD_DEFAULT,
+    extract_html: bool = False,
+    available_now: bool = True,
+    range_bits: int = 13,
+    max_files_per_trigger: int = 8,
+):
+    """Continuously ingest parquet files arriving under ``source_dir``
+    into ``<out_dir>/index``, with filtering and online dedup
+    (state under ``<out_dir>/dedup_state``) applied per micro-batch."""
+    state_dir = f"{out_dir}/dedup_state"
+    index_dir = f"{out_dir}/index"
+    run_id = manifest.canon_path(checkpoint_dir)
+    stop = tuple(sorted(STOP_WORD_SET))
+    state = {"bootstrapped": _index_exists(spark, index_dir)}
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        batch = _with_analysis_text(batch_df, extract_html)
+        verdicts = filter_verdicts(
+            batch,
+            stop,
+            langs=tuple(langs),
+            min_quality_micro=min_quality_micro,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+        )
+        kept = filter_corpus(batch, verdicts).persist()
+        try:
+            # phase 1: dedup vs the kept-corpus state (atomic commit,
+            # idempotent per (run_id, batch_id))
+            dedup_batch(
+                s, kept, state_dir, batch_id,
+                est_threshold=est_threshold, run_id=run_id,
+            )
+            # phase 2: survivors → the index. Recomputed from the
+            # committed verdicts so a replay lands on the same rows.
+            dup_ids = read_verdicts(s, state_dir).select("doc_id")
+            survivors = kept.join(dup_ids, "doc_id", "left_anti")
+            if not state["bootstrapped"]:
+                if survivors.isEmpty():
+                    return  # nothing survived yet; bootstrap later
+                build_index(
+                    s, survivors, index_dir, range_bits=range_bits,
+                    extra_props={
+                        "stream_batch_id": int(batch_id),
+                        "stream_run_id": run_id,
+                    },
+                )
+                state["bootstrapped"] = True
+                return
+            manifest.check_stream_identity(s, index_dir, run_id, "stream_run_id")
+            committed = manifest.get_prop(s, index_dir, "stream_batch_id", -1)
+            if int(batch_id) <= int(committed):
+                return  # index replay of an already-committed batch
+            indexed = manifest.read_table(s, index_dir, "docs").select("doc_id")
+            survivors = survivors.join(indexed, "doc_id", "left_anti")
+            if survivors.isEmpty():
+                return
+            append_batch(
+                s, survivors, index_dir,
+                extra_props={
+                    "stream_batch_id": int(batch_id),
+                    "stream_run_id": run_id,
+                },
+            )
+            maybe_compact(s, index_dir)
+        finally:
+            kept.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

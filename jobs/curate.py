@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: corpus-curation passes (decontamination,
+PII redaction, stratified sampling, token-budget selection, n-gram
+stats) — the `ops/curate.py` suite as one subcommand surface:
+
+    spark-submit --py-files textindex_spark.zip jobs/curate.py \\
+        decontam --input docs.parquet --bench bench.parquet \\
+                 --output /data/clean [--ngram 5] [--max-hits 0]
+        pii      --input docs.parquet --output /data/redacted
+        sample   --input docs.parquet --output /data/sampled \\
+                 --rate en=0.3 de=0.7 [--default-rate 0.1] [--strata lang]
+        budget   --input docs.parquet --output /data/selected \\
+                 --tokens 1000000 [--strata lang] [--buckets 256]
+        ngrams   --input docs.parquet --output /data/ngrams \\
+                 [--ngram 3] [--top 1000]
+
+Each writes parquet under ``--output`` and prints one JSON summary
+line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--input", required=True)
+        p.add_argument("--output", required=True)
+        p.add_argument("--cpus", type=int, default=None)
+
+    p = sub.add_parser("decontam", help="drop benchmark-overlapping docs")
+    common(p)
+    p.add_argument("--bench", required=True, help="benchmark parquet (text column)")
+    p.add_argument("--ngram", type=int, default=5)
+    p.add_argument("--max-hits", type=int, default=0)
+
+    p = sub.add_parser("pii", help="redact emails / IPv4 / phone numbers")
+    common(p)
+
+    p = sub.add_parser("sample", help="deterministic stratified sample")
+    common(p)
+    p.add_argument("--rate", nargs="+", default=[], metavar="STRATUM=FRAC")
+    p.add_argument("--default-rate", type=float, default=0.0)
+    p.add_argument("--strata", default="lang")
+
+    p = sub.add_parser("budget", help="per-stratum token-budget selection")
+    common(p)
+    p.add_argument("--tokens", type=int, required=True)
+    p.add_argument("--strata", default="lang")
+    p.add_argument("--buckets", type=int, default=256)
+
+    p = sub.add_parser("ngrams", help="top-k corpus n-grams")
+    common(p)
+    p.add_argument("--ngram", type=int, default=3)
+    p.add_argument("--top", type=int, default=1000)
+
+    args = ap.parse_args()
+
+    from textindex_spark.ops import curate
+    from textindex_spark.session import get_spark
+
+    spark = get_spark("textindex-curate", cpus=args.cpus)
+    docs = spark.read.parquet(args.input)
+    out: dict = {"cmd": args.cmd, "output": args.output}
+
+    if args.cmd == "decontam":
+        bench = spark.read.parquet(args.bench)
+        hits = curate.contamination_hits(docs, bench, n=args.ngram)
+        hits.write.mode("overwrite").parquet(f"{args.output}/hits")
+        hits = spark.read.parquet(f"{args.output}/hits")
+        drop = hits.filter(hits.n_hits > args.max_hits).select("doc_id")
+        docs.join(drop, "doc_id", "left_anti").write.mode("overwrite").parquet(
+            f"{args.output}/clean"
+        )
+        out["dropped"] = drop.count()
+        out["kept"] = spark.read.parquet(f"{args.output}/clean").count()
+    elif args.cmd == "pii":
+        red = curate.redact_pii(docs)
+        red.write.mode("overwrite").parquet(f"{args.output}/redacted")
+        red = spark.read.parquet(f"{args.output}/redacted")
+        agg = red.groupBy().sum("n_emails", "n_ipv4", "n_phones").collect()[0]
+        out["n_emails"], out["n_ipv4"], out["n_phones"] = [int(x or 0) for x in agg]
+    elif args.cmd == "sample":
+        rates = {}
+        for spec in args.rate:
+            stratum, _, frac = spec.partition("=")
+            rates[stratum] = int(round(float(frac) * 1e6))
+        sampled = curate.sample_stratified(
+            docs,
+            rates,
+            default_micro=int(round(args.default_rate * 1e6)),
+            strata_col=args.strata,
+        )
+        sampled.write.mode("overwrite").parquet(f"{args.output}/sampled")
+        out["sampled"] = spark.read.parquet(f"{args.output}/sampled").count()
+    elif args.cmd == "budget":
+        from textindex_spark.refimpl.stop_words import STOP_WORD_SET
+
+        sel = curate.budget_select(
+            docs,
+            tuple(sorted(STOP_WORD_SET)),
+            args.tokens,
+            strata_col=args.strata,
+            n_buckets=args.buckets,
+        )
+        sel.write.mode("overwrite").parquet(f"{args.output}/selected")
+        sel = spark.read.parquet(f"{args.output}/selected")
+        out["selected"] = sel.count()
+        out["tokens"] = int(
+            sel.groupBy().sum("n_tokens").collect()[0][0] or 0
+        )
+    elif args.cmd == "ngrams":
+        curate.top_ngrams(docs, n=args.ngram, k=args.top).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/ngrams")
+        out["rows"] = spark.read.parquet(f"{args.output}/ngrams").count()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from textindex_spark import build as B
 from textindex_spark import query as Q
-from textindex_spark.ops import dedup, similarity, textstats
+from textindex_spark.ops import curate, dedup, similarity, textstats
 from textindex_spark.ops.dedup import MAX_SHINGLE_DF
 from textindex_spark.refimpl.stop_words import STOP_WORD_SET
 from textindex_spark.session import local_df
@@ -504,6 +504,59 @@ def q_fingerprint(spark, sf_dir):
     return textstats.doc_fingerprint(_documents(spark, sf_dir))
 
 
+# curation gates (ops/curate.py): every parameter here is mirrored
+# verbatim in the oracle SQL below.
+DECONTAM_MOD = 17          # benchmark = docs with doc_id % 17 == 0
+SAMPLE_RATES = {"en": 300_000, "de": 700_000}
+SAMPLE_DEFAULT = 100_000   # zh/es/fr take the default rate
+BUDGET_TOKENS = 5_000      # per-lang token budget
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination: per-doc n-gram overlap with an
+    eval set carved deterministically out of the corpus itself."""
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    return curate.contamination_hits(docs, bench, n=3)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over text with deterministically injected email /
+    IPv4 / phone values (the raw corpus contains none — injection
+    makes the regexes actually fire; the oracle injects identically)."""
+    docs = _documents(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com ip 10.2."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".9 tel 555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ).alias("text"),
+    )
+    return curate.redact_pii(injected)
+
+
+def q_sample_strat(spark, sf_dir):
+    return curate.sample_stratified(
+        _documents(spark, sf_dir), SAMPLE_RATES, default_micro=SAMPLE_DEFAULT
+    ).select("doc_id", "lang")
+
+
+def q_budget_select(spark, sf_dir):
+    return curate.budget_select(
+        _documents(spark, sf_dir), tuple(sorted(STOP_WORD_SET)), BUDGET_TOKENS
+    )
+
+
+def q_top_ngrams(spark, sf_dir):
+    return curate.top_ngrams(_documents(spark, sf_dir), n=3, k=20)
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -565,6 +618,11 @@ QUERIES = {
     "pipeline_keep": q_pipeline_keep,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
+    "decontam": q_decontam,
+    "pii_redact": q_pii_redact,
+    "sample_strat": q_sample_strat,
+    "budget_select": q_budget_select,
+    "top_ngrams": q_top_ngrams,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,
     "emb_near_dup": q_emb_near_dup,
@@ -1429,6 +1487,86 @@ SELECT doc_id,
             list_filter(string_split(text, ' '), x -> x <> ''), ' ')), 1, 15))::BIGINT
            AS fp60
 FROM documents
+""",
+        "decontam": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+sh AS (
+    SELECT DISTINCT doc_id,
+        ('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15))::BIGINT AS h
+    FROM idx
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % {DECONTAM_MOD} = 0),
+stats AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id),
+hits AS (
+    SELECT s.doc_id, count(*)::BIGINT AS n_hits
+    FROM sh s JOIN bench b ON s.h = b.h GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       coalesce(st.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       floor(coalesce(h.n_hits, 0)::DOUBLE
+             / greatest(coalesce(st.n_shingles, 0), 1) * 1e6 + 0.5)::BIGINT
+           AS contam_micro
+FROM documents d
+LEFT JOIN stats st ON d.doc_id = st.doc_id
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+        "pii_redact": f"""
+WITH injected AS (
+    SELECT doc_id,
+           text || ' mail u' || doc_id::VARCHAR || '@ex.com ip 10.2.' ||
+           (doc_id % 256)::VARCHAR || '.9 tel 555-' ||
+           lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199' AS text
+    FROM documents
+),
+r1 AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{curate.PII_EMAIL}'))::BIGINT AS n_emails,
+           regexp_replace(text, '{curate.PII_EMAIL}', '<EMAIL>', 'g') AS t1
+    FROM injected
+),
+r2 AS (
+    SELECT doc_id, n_emails,
+           len(regexp_extract_all(t1, '{curate.PII_IPV4}'))::BIGINT AS n_ipv4,
+           regexp_replace(t1, '{curate.PII_IPV4}', '<IP>', 'g') AS t2
+    FROM r1
+)
+SELECT doc_id, n_emails, n_ipv4,
+       len(regexp_extract_all(t2, '{curate.PII_PHONE}'))::BIGINT AS n_phones,
+       regexp_replace(t2, '{curate.PII_PHONE}', '<PHONE>', 'g') AS clean_text
+FROM r2
+""",
+        "sample_strat": f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substring(md5('{curate.SAMPLE_SALT}' || doc_id::VARCHAR), 1, 15))::BIGINT
+      % 1000000
+      < (CASE lang WHEN 'de' THEN {SAMPLE_RATES["de"]}
+                   WHEN 'en' THEN {SAMPLE_RATES["en"]}
+                   ELSE {SAMPLE_DEFAULT} END)
+""",
+        "budget_select": f"""
+WITH q AS ( {_quality_sql()} ),
+j AS (
+    SELECT q.doc_id, d.lang AS stratum, q.n_tokens, q.quality_micro
+    FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+w AS (
+    SELECT doc_id, stratum, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY stratum
+                               ORDER BY quality_micro DESC, doc_id ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM j
+)
+SELECT doc_id, stratum, n_tokens::INT AS n_tokens, cum_tokens::BIGINT AS cum_tokens
+FROM w WHERE cum_tokens <= {BUDGET_TOKENS}
+""",
+        "top_ngrams": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
+ng AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram FROM idx)
+SELECT ngram, count(*)::BIGINT AS freq FROM ng
+GROUP BY ngram ORDER BY freq DESC, ngram ASC LIMIT 20
 """,
         "ann_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

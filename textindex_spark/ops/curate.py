@@ -1,0 +1,285 @@
+"""Corpus-curation operators for training-data pipelines:
+benchmark decontamination, PII redaction, deterministic stratified
+sampling, per-stratum token-budget selection, corpus n-gram stats.
+
+These extend the filter/dedup suite (`ops.textstats`, `ops.dedup`)
+with the remaining passes a pre-training data pipeline runs between
+"crawl" and "tokenizer":
+
+* **Decontamination** — drop documents sharing n-gram overlap with an
+  evaluation benchmark, so the training set cannot memorize test
+  items. Shape: the benchmark's distinct shingle hashes are a SMALL
+  set (eval suites are 10^4-10^6 items) → broadcast semi-join against
+  the corpus shingles; the 100 TB side is never shuffled.
+* **PII redaction** — regex scrubbing (emails, IPv4, phone numbers)
+  as pure Catalyst `regexp_replace`/`regexp_count` expressions:
+  whole-stage-codegen'd, no Python in the hot path. Patterns are
+  RE2-compatible (no lookaround) so the DuckDB oracle runs the SAME
+  patterns.
+* **Stratified sampling** — deterministic hash-threshold sampling
+  (`pmod(h60(salt||doc_id), 1e6) < rate_micro[stratum]`): per-row
+  expression, no shuffle, reproducible across runs/engines — the
+  property `df.sample()` does NOT give (partition-layout dependent).
+* **Token-budget selection** — "take the highest-quality documents
+  per stratum until the token budget": NOT one global sort. A
+  histogram pass (one groupBy on (stratum, quality-bucket)) finds
+  each stratum's boundary bucket driver-side (≤ strata×n_buckets
+  rows), full buckets above it are kept with a filter, and only
+  per-(stratum, bucket) windows — n_buckets× finer partitions than a
+  per-stratum sort — assign exact running totals. Result is
+  bit-identical to the naive global window (the oracle runs that
+  formulation) at a fraction of the sort.
+
+All float outputs are `*_micro` integers (floor(x*1e6+0.5)) so value
+hashes can't drift on formatting, matching the rest of the gate.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from textindex_spark.ops.dedup import portable_hash60, shingles_col, tokens_col
+from textindex_spark.ops.textstats import quality_score
+from textindex_spark.session import local_df
+
+# RE2-compatible (and java.util.regex-compatible) PII patterns, applied
+# in this order — email first so an address's dotted-digit tail can't
+# be half-eaten by the IPv4 pass.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+DECONTAM_NGRAM = 5
+
+
+def bench_shingle_hashes(
+    bench: DataFrame, n: int = DECONTAM_NGRAM, text_col: str = "text"
+) -> DataFrame:
+    """→ (h): distinct 60-bit hashes of the benchmark's n-word
+    shingles — the broadcast side of decontamination. Hashes (not
+    strings) keep the broadcast ~8 bytes/shingle."""
+    return (
+        bench.select(
+            F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("shingle")
+        )
+        .select(portable_hash60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_shingles, n_hits, contam_micro): per-document
+    benchmark n-gram overlap. ``n_hits`` counts the document's
+    DISTINCT shingle hashes that appear anywhere in the benchmark;
+    ``contam_micro`` = floor(n_hits/max(n_shingles,1)*1e6+0.5).
+    Documents with fewer than ``n`` tokens have 0 shingles and 0 hits.
+
+    Scale shape: corpus shingles are hashed per-row (narrow); the only
+    join is a BROADCAST semi-join against the benchmark's distinct
+    shingle-hash set, then one map-side-combining groupBy(doc_id).
+    The corpus is never shuffled on shingle."""
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("shingle"),
+        )
+        .select("doc_id", portable_hash60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    stats = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(bench_shingle_hashes(bench, n, text_col)), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.floor(
+                F.coalesce("n_hits", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("contam_micro"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    max_hits: int = 0,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ docs minus benchmark-contaminated documents (more than
+    ``max_hits`` overlapping n-gram hashes). The drop set is an
+    anti-join — typically tiny relative to the corpus."""
+    drop = (
+        contamination_hits(docs, bench, n, text_col)
+        .filter(F.col("n_hits") > max_hits)
+        .select("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_emails, n_ipv4, n_phones, clean_text): PII
+    scrubbed sequentially (email → IPv4 → phone), each count taken on
+    the text as the PREVIOUS pass left it — so an email's dotted tail
+    is never double-counted as an IP. Pure codegen'd expressions."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t0, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        t3.alias("clean_text"),
+    )
+
+
+SAMPLE_SALT = "strat:"
+
+
+def sample_stratified(
+    docs: DataFrame,
+    rates_micro: dict[str, int],
+    default_micro: int = 0,
+    strata_col: str = "lang",
+) -> DataFrame:
+    """→ the deterministic per-stratum sample: keep a row iff
+    ``pmod(h60('strat:'||doc_id), 1e6) < rate_micro[stratum]``.
+
+    Hash-threshold sampling is the data-mixing primitive: rates are
+    exact in expectation, the decision is a pure per-row function of
+    doc_id (no shuffle, no RNG state, engine-reproducible — DuckDB
+    computes the identical sample), and re-runs/appends sample
+    consistently (a doc's verdict never changes as the corpus grows,
+    unlike ``df.sample`` whose draw depends on partition layout)."""
+    coin = F.pmod(
+        portable_hash60(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    rate = F.lit(int(default_micro))
+    for stratum, micro in sorted(rates_micro.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(int(micro))).otherwise(rate)
+    return docs.filter(coin < rate)
+
+
+def budget_select(
+    docs: DataFrame,
+    stop_words: tuple[str, ...],
+    token_budget: int,
+    strata_col: str = "lang",
+    n_buckets: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, stratum, n_tokens, cum_tokens): per stratum, the
+    highest-quality documents whose running token total stays within
+    ``token_budget``, ordered by (quality_micro DESC, doc_id ASC) —
+    the deterministic prefix of the quality-sorted stratum.
+
+    Semantics match the one-window formulation the oracle runs::
+
+        SUM(n_tokens) OVER (PARTITION BY stratum
+                            ORDER BY quality_micro DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) <= budget
+
+    but the execution NEVER sorts a whole stratum (a per-lang window
+    is a handful of giant partitions at web scale). Instead:
+
+    1. histogram pass — one groupBy((stratum, quality bucket)) token
+       sum; ≤ strata×n_buckets rows collected driver-side;
+    2. the driver walks each stratum's buckets top-down: buckets that
+       fit entirely are kept by a broadcast-joined filter, the first
+       bucket that would overflow is the BOUNDARY bucket;
+    3. exact running totals come from windows partitioned by
+       (stratum, bucket) — n_buckets× finer than a stratum sort; the
+       boundary bucket's prefix cut uses its driver-computed prior
+       total. Buckets below the boundary are dropped by the filter.
+
+    The bucket is a monotone function of quality_micro, so bucket-desc
+    + in-bucket (quality DESC, doc_id) order IS the global order and
+    the result is bit-identical to the naive window. ``n_buckets``
+    bounds the largest window partition (raise it toward 1e6 distinct
+    quality values if strata are few and huge)."""
+    spark = docs.sparkSession
+    step = max(1_000_001 // n_buckets + 1, 1)
+    q = quality_score(docs, stop_words, text_col).join(
+        docs.select("doc_id", F.col(strata_col).alias("stratum")), "doc_id"
+    )
+    rows = q.select(
+        "doc_id",
+        "stratum",
+        "n_tokens",
+        "quality_micro",
+        F.floor(F.col("quality_micro") / F.lit(step)).cast("int").alias("bucket"),
+    )
+    hist = (
+        rows.groupBy("stratum", "bucket")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    )
+    by_stratum: dict[str, list] = {}
+    for r in hist:
+        by_stratum.setdefault(r["stratum"], []).append((r["bucket"], r["toks"]))
+    # (stratum, bucket, prior, boundary?): prior = tokens in all
+    # HIGHER buckets of the stratum; buckets below the first overflow
+    # are omitted — the join drops them
+    plan_rows = []
+    for stratum, buckets in by_stratum.items():
+        cum = 0
+        for bucket, toks in sorted(buckets, reverse=True):
+            if cum + toks <= token_budget:
+                plan_rows.append((stratum, bucket, cum, False))
+                cum += toks
+            else:
+                plan_rows.append((stratum, bucket, cum, True))
+                break
+    plan = local_df(
+        spark, plan_rows, "stratum string, bucket int, prior long, boundary boolean"
+    )
+    w = (
+        Window.partitionBy("stratum", "bucket")
+        .orderBy(F.col("quality_micro").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rows.join(F.broadcast(plan), ["stratum", "bucket"])
+        .withColumn("cum_tokens", F.col("prior") + F.sum("n_tokens").over(w))
+        .filter(~F.col("boundary") | (F.col("cum_tokens") <= F.lit(token_budget)))
+        .select("doc_id", "stratum", "n_tokens", "cum_tokens")
+    )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 3, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """→ (ngram, freq): the corpus's k most frequent n-word grams
+    (multiplicity counted, ties broken by ngram ASC). One
+    map-side-combining groupBy + TakeOrderedAndProject — the global
+    top-k never materializes the full sort."""
+    return (
+        docs.select(
+            F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -7,6 +7,8 @@
         [--phrase]            # treat --terms as one exact phrase
         [--near N]            # docs with all terms within N kept tokens
         [--exclude PAT ...]   # NOT: drop docs matching any pattern
+        [--bool "EXPR"]       # nested boolean tree, e.g.
+                              #   "spark AND (vector OR merge) AND NOT qu*"
 """
 from __future__ import annotations
 
@@ -45,6 +47,11 @@ def main() -> None:
         help="NOT semantics: drop docs containing any of these "
         "term patterns (wildcards allowed); ranked search only",
     )
+    ap.add_argument(
+        "--bool", dest="bool_expr", default=None, metavar="EXPR",
+        help="nested boolean query tree (AND/OR/NOT + parens; "
+        "wildcard leaves allowed); ranked, single-index",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -59,8 +66,13 @@ def main() -> None:
     )
     from textindex_spark.session import get_spark
 
-    if not args.files and not args.terms:
-        ap.error("provide --terms T [T ...] or --files PATTERN")
+    if not args.files and not args.terms and not args.bool_expr:
+        ap.error("provide --terms T [T ...], --bool EXPR, or --files PATTERN")
+    if args.bool_expr and (
+        args.terms or args.files or args.phrase or args.near is not None
+        or args.unranked or args.facet or args.shards or args.exclude
+    ):
+        ap.error("--bool is a standalone ranked single-index mode")
     if bool(args.index) == bool(args.shards):
         ap.error("provide exactly one of --index / --shards")
     if args.shards and (
@@ -73,6 +85,13 @@ def main() -> None:
             "--prune are single-index modes"
         )
     spark = get_spark("textindex-search", cpus=args.cpus)
+    if args.bool_expr:
+        from textindex_spark.boolquery import search_bool
+
+        rows = search_bool(spark, args.index, args.bool_expr, k=args.k).collect()
+        for r in rows:
+            print(json.dumps(r.asDict()))
+        return
     if args.shards:
         rows = search_sharded(
             spark, args.shards, args.terms, k=args.k, mode=args.mode,

@@ -1,0 +1,144 @@
+"""Boolean query trees (boolquery.py) vs a brute-force oracle over
+the pure-Python reference index."""
+import pytest
+
+from textindex_spark.boolquery import (
+    _eval_py,
+    parse_bool,
+    positive_leaves,
+    search_bool,
+)
+from textindex_spark.build import build_index
+from textindex_spark.corpus import synth_corpus
+from textindex_spark.query import search
+from textindex_spark.refimpl.oracle import OracleIndex
+
+from tests.spark_fixtures import corpus_df, spark  # noqa: F401
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return synth_corpus(300)
+
+
+@pytest.fixture(scope="module")
+def oracle(rows):
+    return OracleIndex.build(rows)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, rows, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("boolidx"))
+    build_index(spark, corpus_df(spark, rows), out, range_bits=6)
+    return out
+
+
+def oracle_bool(oracle, query, k=10):
+    """Brute-force evaluation: truth per leaf per candidate doc,
+    score = BM25 sum over the distinct positive-leaf vocabulary."""
+    ast, patterns = parse_bool(query)
+    expansions = [oracle.expand(p) for p in patterns]
+    pos = positive_leaves(ast)
+    pos_vocab = sorted({v for i in pos for v in expansions[i]})
+    cand = set()
+    for exp in expansions:
+        for v in exp:
+            cand.update(oracle.postings[v])
+    out = []
+    for d in sorted(cand):
+        truth = [any(d in oracle.postings[v] for v in exp) for exp in expansions]
+        if _eval_py(ast, truth):
+            score = sum(
+                oracle.weight(v, d, oracle.postings[v][d])
+                for v in pos_vocab
+                if d in oracle.postings[v]
+            )
+            out.append((d, score))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+def test_parse_shapes():
+    ast, leaves = parse_bool("spark AND (vector OR merge) AND NOT qu*")
+    assert leaves == ["spark", "vector", "merge", "qu*"]
+    assert ast[0] == "and" and len(ast[1]) == 3
+    assert positive_leaves(ast) == {0, 1, 2}
+    # implicit AND between adjacent atoms
+    ast2, leaves2 = parse_bool("spark merge")
+    assert ast2[0] == "and" and leaves2 == ["spark", "merge"]
+    # double negation restores positivity
+    ast3, _ = parse_bool("NOT NOT spark")
+    assert positive_leaves(ast3) == {0}
+    # keywords are case-insensitive; parens bind
+    ast4, leaves4 = parse_bool("a or (b and not c)")
+    assert ast4[0] == "or" and leaves4 == ["a", "b", "c"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    ["", "AND spark", "spark AND", "spark OR", "(spark", "spark)", "NOT", "a AND OR b"],
+)
+def test_parse_rejects_malformed(bad):
+    with pytest.raises(ValueError):
+        parse_bool(bad)
+
+
+def test_pure_negation_rejected(spark, index_dir):
+    for q in ("NOT spark", "spark OR NOT merge", "NOT (spark AND merge)"):
+        with pytest.raises(ValueError, match="positive term"):
+            search_bool(spark, index_dir, q)
+
+
+QUERIES = [
+    "spark AND (vector OR merge) AND NOT qu*",
+    "spark AND vector",                       # flat AND
+    "spark OR vector OR merge",               # flat OR
+    "(spark OR vector) AND (merge OR table)",  # CNF
+    "spark AND NOT (merge AND vector)",       # nested negation
+    "qu* AND NOT quer*",                      # overlapping wildcards
+    "spark AND (merge OR NOT vector)",        # mixed-polarity branch
+    "spark AND zz_absent_term",               # unsatisfiable leaf
+    "spark OR zz_absent_term",                # absent leaf in OR
+    "NOT NOT spark",                          # double negation
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_search_bool_matches_bruteforce(spark, index_dir, oracle, q):
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_bool(spark, index_dir, q, k=10, with_urls=False).collect()
+    ]
+    exp = [(d, round(s, 9)) for d, s in oracle_bool(oracle, q, k=10)]
+    assert got == exp, q
+
+
+def test_flat_forms_agree_with_search(spark, index_dir):
+    """search_bool on flat expressions reproduces query.search."""
+    flat_and = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, index_dir, ["spark", "merge"], k=10, mode="and", with_urls=False
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_bool(
+            spark, index_dir, "spark AND merge", k=10, with_urls=False
+        ).collect()
+    ]
+    assert got == flat_and
+    flat_not = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, index_dir, ["spark"], k=10, mode="and",
+            exclude=["merge"], with_urls=False,
+        ).collect()
+    ]
+    got_not = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_bool(
+            spark, index_dir, "spark AND NOT merge", k=10, with_urls=False
+        ).collect()
+    ]
+    assert got_not == flat_not

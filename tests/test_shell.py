@@ -118,3 +118,22 @@ def test_run_loop_scripted(shell, capsys):
     out = capsys.readouterr().out
     assert "site5.example" in out
     assert "site6.example" not in out  # quit stops the loop
+
+
+def test_bool_command(shell, spark):
+    """`bool` runs a ranked nested tree and pages urls+scores; the
+    hit set matches search_bool directly."""
+    from textindex_spark.boolquery import search_bool
+
+    out = shell.dispatch("bool spark AND (query OR woven)")
+    assert "  0:" in out and "[" in out  # url + score rendering
+    want = [
+        r["url"]
+        for r in search_bool(
+            spark, shell.index_dir, "spark AND (query OR woven)", k=PAGE
+        ).collect()
+    ]
+    got = [u.split("  [")[0] for u, _ in shell.found]
+    assert got == want
+    assert "usage: bool" in shell.dispatch("bool")
+    assert "error" in shell.dispatch("bool NOT spark")  # pure negation

@@ -1,0 +1,242 @@
+"""Boolean query trees: arbitrarily nested AND / OR / NOT retrieval
+with BM25 ranking.
+
+Generalizes the flat `query.search` surface (mode="and"/"or" +
+``exclude``) to full boolean expressions::
+
+    search_bool(spark, idx, "spark AND (vector OR merge) AND NOT index")
+
+Semantics: a leaf is a term or wildcard pattern; a document's leaf is
+TRUE iff the document contains at least one expansion of the pattern.
+A document is retrieved iff the formula evaluates TRUE, ranked by the
+BM25 sum over the distinct matched vocabulary terms of POSITIVE
+leaves (leaves under an even number of NOTs) — negated leaves gate
+membership but never contribute score, matching `search(exclude=)`.
+
+Execution (one distributed pass, the flat-search shape):
+
+* expand every leaf pattern against the resident dictionary (zero
+  jobs warm);
+* decode postings ONLY for matched vocabulary terms — negated leaves'
+  postings must be read anyway to know their truth;
+* one shuffle keyed doc_id aggregates (Σ idf·tfnorm·is_positive,
+  bit_or(leaf mask)) — no chained joins, exactly the `search` plan;
+* the formula is compiled to a Catalyst predicate over the leaf mask
+  ((mask & 1<<i) != 0 per leaf, ~/&/| per node) — codegen'd, no UDF;
+* top-k via TakeOrderedAndProject.
+
+A document matching NO leaf has the all-false assignment; it can
+never be enumerated, so formulas the all-false assignment satisfies
+(e.g. ``NOT a``, ``a OR NOT b``) are rejected with ValueError — the
+complement of a postings set is not retrievable at scale (the
+reference CLI has no negation at all; `search(exclude=)` imposes the
+same positivity by construction).
+
+Grammar (case-insensitive keywords, parens free-form)::
+
+    expr  := or ;  or := and ( OR and )* ;  and := unary ( AND? unary )*
+    unary := NOT unary | '(' expr ')' | PATTERN
+
+Adjacent atoms without a keyword are an implicit AND ("spark merge"),
+matching the flat CLI default.
+"""
+from __future__ import annotations
+
+import re
+from functools import reduce
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from textindex_spark.query import (
+    _cached_table,
+    _decoded_postings,
+    apply_tombstones,
+    cached_stats,
+    expand_patterns,
+    idf,
+)
+from textindex_spark.session import local_df
+
+_TOKEN_RE = re.compile(r"\(|\)|[^\s()]+")
+_KEYWORDS = {"and", "or", "not"}
+
+# AST nodes: ("leaf", leaf_idx), ("not", child), ("and", [children]),
+# ("or", [children])
+
+
+def parse_bool(query: str) -> tuple[tuple, list[str]]:
+    """→ (ast, leaf_patterns): recursive-descent parse of the grammar
+    above. Each PATTERN occurrence is its own leaf (the same pattern
+    may appear at several polarities)."""
+    toks = _TOKEN_RE.findall(query)
+    if not toks:
+        raise ValueError("empty boolean query")
+    leaves: list[str] = []
+    pos = 0
+
+    def peek() -> str | None:
+        return toks[pos] if pos < len(toks) else None
+
+    def take() -> str:
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def p_or():
+        node = p_and()
+        parts = [node]
+        while peek() is not None and peek().lower() == "or":
+            take()
+            parts.append(p_and())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def p_and():
+        parts = [p_unary()]
+        while True:
+            t = peek()
+            if t is None or t == ")" or t.lower() == "or":
+                break
+            if t.lower() == "and":
+                take()
+                t = peek()
+                if t is None or t == ")" or t.lower() in ("and", "or"):
+                    raise ValueError("AND must be followed by an operand")
+            parts.append(p_unary())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def p_unary():
+        t = peek()
+        if t is None:
+            raise ValueError("unexpected end of query")
+        if t.lower() == "not":
+            take()
+            return ("not", p_unary())
+        if t == "(":
+            take()
+            node = p_or()
+            if peek() != ")":
+                raise ValueError("unbalanced parentheses")
+            take()
+            return node
+        if t == ")" or t.lower() in _KEYWORDS:
+            raise ValueError(f"unexpected token {t!r}")
+        take()
+        leaves.append(t)
+        return ("leaf", len(leaves) - 1)
+
+    ast = p_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens at {toks[pos]!r}")
+    return ast, leaves
+
+
+def _eval_py(node: tuple, truth) -> bool:
+    if node[0] == "leaf":
+        return bool(truth[node[1]])
+    if node[0] == "not":
+        return not _eval_py(node[1], truth)
+    vals = (_eval_py(c, truth) for c in node[1])
+    return all(vals) if node[0] == "and" else any(vals)
+
+
+def positive_leaves(node: tuple, depth: int = 0, out: set | None = None) -> set:
+    """Leaf indices under an EVEN number of NOTs — the score-bearing
+    leaves."""
+    if out is None:
+        out = set()
+    if node[0] == "leaf":
+        if depth % 2 == 0:
+            out.add(node[1])
+    elif node[0] == "not":
+        positive_leaves(node[1], depth + 1, out)
+    else:
+        for c in node[1]:
+            positive_leaves(c, depth, out)
+    return out
+
+
+def _mask_predicate(node: tuple, mask: Column) -> Column:
+    """Compile the AST to a Catalyst boolean over the leaf bitmask."""
+    if node[0] == "leaf":
+        return mask.bitwiseAND(F.lit(1 << node[1])) != 0
+    if node[0] == "not":
+        return ~_mask_predicate(node[1], mask)
+    cols = [_mask_predicate(c, mask) for c in node[1]]
+    op = (lambda a, b: a & b) if node[0] == "and" else (lambda a, b: a | b)
+    return reduce(op, cols)
+
+
+def search_bool(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    with_urls: bool = True,
+) -> DataFrame:
+    """BM25 top-k for a boolean query tree → DataFrame
+    (doc_id, score[, url]), ordered (score desc, doc_id asc). See the
+    module docstring for semantics and the execution plan. Flat
+    single-mode queries should keep using `query.search`, which adds
+    the local serving path and block-max pruning; this path is exact
+    and fully distributed."""
+    ast, patterns = parse_bool(query)
+    if _eval_py(ast, [False] * len(patterns)):
+        raise ValueError(
+            "boolean query is satisfied by documents matching no term "
+            "(pure-negation form) — the complement of a postings set "
+            "is not retrievable; anchor the query with a positive term"
+        )
+    stats = cached_stats(spark, index_dir)
+    expanded = expand_patterns(spark, index_dir, patterns)
+    empty = local_df(spark, [], "doc_id long, score double")
+    if len(expanded) == 0:
+        result = empty
+    else:
+        pos = positive_leaves(ast)
+        expanded = expanded.copy()
+        expanded["idf"] = [idf(stats["n_docs"], int(d)) for d in expanded["df"]]
+        term_info = (
+            expanded.groupby("term")
+            .agg(
+                idf=("idf", "first"),
+                mask=(
+                    "pattern_idx",
+                    lambda s: int(np.bitwise_or.reduce([1 << i for i in s])),
+                ),
+                pos=(
+                    "pattern_idx",
+                    lambda s: 1.0 if any(i in pos for i in s) else 0.0,
+                ),
+            )
+            .reset_index()
+        )
+        qterms = spark.createDataFrame(term_info[["term", "idf", "mask", "pos"]])
+        decoded = _decoded_postings(
+            spark, index_dir, qterms, stats, list(term_info["term"])
+        )
+        scored = (
+            decoded.join(F.broadcast(qterms), "term")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("idf") * F.col("tfnorm") * F.col("pos")).alias("score"),
+                F.bit_or("mask").alias("mask"),
+            )
+            .filter(_mask_predicate(ast, F.col("mask")))
+        )
+        scored = apply_tombstones(spark, index_dir, scored)
+        result = (
+            scored.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+    if with_urls:
+        docs = _cached_table(spark, index_dir, "docs").select("doc_id", "url")
+        result = (
+            result.join(docs, "doc_id", "left")
+            .select("doc_id", "score", "url")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return result

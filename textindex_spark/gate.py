@@ -175,6 +175,22 @@ def q_bm25_or_topk(spark, sf_dir):
     )
 
 
+BOOL_QUERY = "spark AND (vector OR merge) AND NOT qu*"
+
+
+def q_bool_query(spark, sf_dir):
+    """Nested boolean tree (AND / OR / NOT with a wildcard under the
+    negation) — the mask-predicate path in boolquery.search_bool."""
+    from textindex_spark.boolquery import search_bool
+
+    idx = ensure_index(spark, sf_dir)
+    res = search_bool(spark, idx, BOOL_QUERY, k=10, with_urls=False)
+    return res.select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro"),
+    )
+
+
 def ensure_sharded_index(spark: SparkSession, sf_dir: str) -> list[str]:
     """Two shard indexes over a doc_id split of the documents table
     (the federated layout). Built once per sf_dir."""
@@ -591,6 +607,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_or_topk": q_bm25_or_topk,
     "bm25_not": q_bm25_not,
+    "bool_query": q_bool_query,
     "bm25_sharded": q_bm25_sharded,
     "facet_lang": q_facet_lang,
     "facet_site": q_facet_site,
@@ -1487,6 +1504,42 @@ SELECT doc_id,
             list_filter(string_split(text, ' '), x -> x <> ''), ' ')), 1, 15))::BIGINT
            AS fp60
 FROM documents
+""",
+        # BOOL_QUERY = spark AND (vector OR merge) AND NOT qu*
+        # positive vocabulary = {spark, vector, merge}; the NOT leaf
+        # (wildcard) gates membership only, never contributes score.
+        "bool_query": f"""
+WITH {_TOKS_CTE},
+stats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl
+),
+flags AS (
+    SELECT doc_id,
+           bool_or(term = 'spark') AS l0,
+           bool_or(term = 'vector') AS l1,
+           bool_or(term = 'merge') AS l2,
+           bool_or(term LIKE 'qu%') AS l3
+    FROM tf GROUP BY doc_id
+),
+dfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf
+    WHERE term IN ('spark','vector','merge') GROUP BY term
+),
+hits AS (
+    SELECT t.doc_id,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM tf t
+    JOIN dfs f ON t.term = f.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+),
+scored AS (SELECT doc_id, sum(w) AS score FROM hits GROUP BY doc_id)
+SELECT g.doc_id, floor(s.score * 1e6 + 0.5)::BIGINT AS score_micro
+FROM flags g JOIN scored s ON g.doc_id = s.doc_id
+WHERE g.l0 AND (g.l1 OR g.l2) AND NOT g.l3
+ORDER BY s.score DESC, g.doc_id ASC LIMIT 10
 """,
         "decontam": f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

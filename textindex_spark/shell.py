@@ -45,6 +45,7 @@ HELP = """
 index <parquet-path>
 stats base | debug | <word>
 find <match...> [-exclude...]
+bool <expr>            e.g. bool spark AND (vector OR merge) AND NOT qu*
 files <match>
 summary <nr>
 delete <file-match>
@@ -91,6 +92,8 @@ class Shell:
             self._cmd_index(args)
         elif cmd == "find":
             self._cmd_find(args)
+        elif cmd == "bool":
+            self._cmd_bool(args)
         elif cmd == "files":
             self._cmd_files(args)
         elif cmd == "first":
@@ -154,6 +157,21 @@ class Shell:
         else:
             by_id = {}
         self.found = [(r["url"], by_id.get(r["doc_id"], [])) for r in hit_rows]
+        self.lines_idx = 0
+        self._page()
+
+    def _cmd_bool(self, args: list[str]) -> None:
+        # ranked boolean tree (engine extension): AND/OR/NOT + parens,
+        # wildcard leaves; prints BM25 top hits (url + score)
+        if not args:
+            print("usage: bool <expr>   e.g. bool spark AND (vector OR merge)")
+            return
+        from textindex_spark.boolquery import search_bool
+
+        rows = search_bool(
+            self.spark, self.index_dir, " ".join(args), k=PAGE
+        ).collect()
+        self.found = [(f"{r['url']}  [{r['score']:.4f}]", []) for r in rows]
         self.lines_idx = 0
         self._page()
 
@@ -248,7 +266,7 @@ class Shell:
     # ---------------------------------------------------------- completion
 
     COMMANDS = (
-        "index", "stats", "find", "files", "summary", "delete",
+        "index", "stats", "find", "bool", "files", "summary", "delete",
         "store", "first", "next", "help", "quit", "exit",
     )
 
@@ -260,7 +278,7 @@ class Shell:
         at_cmd = len(words) == 0 or (len(words) == 1 and not state_line.endswith(" "))
         if at_cmd:
             return [c for c in self.COMMANDS if c.startswith(text)]
-        if words[0] in ("find", "stats"):
+        if words[0] in ("find", "stats", "bool"):
             from textindex_spark.query import _load_dictionary
 
             terms = _load_dictionary(self.spark, self.index_dir)

@@ -142,3 +142,42 @@ def test_flat_forms_agree_with_search(spark, index_dir):
         ).collect()
     ]
     assert got_not == flat_not
+
+
+def test_required_leaves():
+    ast, _ = parse_bool("a AND (b OR c) AND NOT d")
+    from textindex_spark.boolquery import required_leaves
+
+    assert required_leaves(ast) == {0}
+    ast2, _ = parse_bool("(a AND b) OR (a AND c)")  # 'a' is leaf 0 and 2
+    assert required_leaves(ast2) == set()  # distinct leaf occurrences
+    ast3, _ = parse_bool("a AND b AND (c OR d)")
+    assert required_leaves(ast3) == {0, 1}
+    ast4, _ = parse_bool("(a OR a) AND b")
+    assert required_leaves(ast4) == {2}
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        "spark AND merge AND (vector OR table)",
+        "spark AND qu* AND NOT merge",
+        "spark AND (vector OR merge) AND table",
+    ],
+)
+def test_pre_intersection_is_exact(spark, index_dir, q):
+    """Range pre-intersection on the certain conjuncts never changes
+    the result (docs, scores, order)."""
+    a = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_bool(
+            spark, index_dir, q, k=50, with_urls=False, pre_intersect=True
+        ).collect()
+    ]
+    b = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_bool(
+            spark, index_dir, q, k=50, with_urls=False, pre_intersect=False
+        ).collect()
+    ]
+    assert a == b, q

@@ -158,6 +158,26 @@ def positive_leaves(node: tuple, depth: int = 0, out: set | None = None) -> set:
     return out
 
 
+def required_leaves(node: tuple) -> set:
+    """Leaf indices that are TRUE in every satisfying assignment —
+    the certain positive conjuncts: leaves required by all children
+    of an AND (union) or by every branch of an OR (intersection);
+    nothing is required under a NOT (conservative — a double-negated
+    conjunction is treated as requiring nothing). These drive the
+    candidate-range pre-intersection exactly like flat AND queries."""
+    if node[0] == "leaf":
+        return {node[1]}
+    if node[0] == "not":
+        return set()
+    parts = [required_leaves(c) for c in node[1]]
+    if node[0] == "and":
+        return set().union(*parts)
+    out = parts[0]
+    for p in parts[1:]:
+        out &= p
+    return out
+
+
 def _mask_predicate(node: tuple, mask: Column) -> Column:
     """Compile the AST to a Catalyst boolean over the leaf bitmask."""
     if node[0] == "leaf":
@@ -175,6 +195,7 @@ def search_bool(
     query: str,
     k: int = 10,
     with_urls: bool = True,
+    pre_intersect: bool = True,
 ) -> DataFrame:
     """BM25 top-k for a boolean query tree → DataFrame
     (doc_id, score[, url]), ordered (score desc, doc_id asc). See the
@@ -214,8 +235,39 @@ def search_bool(
             .reset_index()
         )
         qterms = spark.createDataFrame(term_info[["term", "idf", "mask", "pos"]])
+        # candidate-range pre-intersection on the CERTAIN conjuncts:
+        # a satisfying doc has every required leaf true, and a doc's
+        # postings live in one range — so only ranges where each
+        # required leaf has ≥1 expansion present can hold results.
+        # Dropping the other ranges for ALL query terms (negated
+        # leaves included) is sound: a doc there can never satisfy
+        # the formula, and surviving docs keep every one of their
+        # rows, so scores are unchanged. Same machinery as the flat
+        # AND path (query._and_surviving_ranges).
+        and_masks = None
+        req = sorted(required_leaves(ast))
+        if pre_intersect and len(req) > 1:
+            bit = {leaf: i for i, leaf in enumerate(req)}
+            req_set = set(req)
+            mask_by_term: dict[str, int] = {}
+            for term, grp in expanded.groupby("term"):
+                m = 0
+                for i in grp["pattern_idx"]:
+                    if i in req_set:
+                        m |= 1 << bit[i]
+                if m:
+                    mask_by_term[term] = m
+            covered = 0
+            for m in mask_by_term.values():
+                covered |= m
+            full = (1 << len(req)) - 1
+            if covered != full:
+                # a required leaf expanded to nothing: unsatisfiable
+                return _attach_urls(spark, index_dir, empty, with_urls)
+            and_masks = (mask_by_term, full)
         decoded = _decoded_postings(
-            spark, index_dir, qterms, stats, list(term_info["term"])
+            spark, index_dir, qterms, stats, list(term_info["term"]),
+            and_masks=and_masks,
         )
         scored = (
             decoded.join(F.broadcast(qterms), "term")
@@ -232,11 +284,17 @@ def search_bool(
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
-    if with_urls:
-        docs = _cached_table(spark, index_dir, "docs").select("doc_id", "url")
-        result = (
-            result.join(docs, "doc_id", "left")
-            .select("doc_id", "score", "url")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
-    return result
+    return _attach_urls(spark, index_dir, result, with_urls)
+
+
+def _attach_urls(
+    spark: SparkSession, index_dir: str, result: DataFrame, with_urls: bool
+) -> DataFrame:
+    if not with_urls:
+        return result
+    docs = _cached_table(spark, index_dir, "docs").select("doc_id", "url")
+    return (
+        result.join(docs, "doc_id", "left")
+        .select("doc_id", "score", "url")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

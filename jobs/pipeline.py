@@ -7,7 +7,8 @@ filter → dedup → index — in one command:
         [--langs en fr] [--min-quality-micro 500000] \
         [--min-tokens 20] [--max-tokens 100000] \
         [--dedup lsh|simhash|ngram|exact|none] [--threshold 0.2] \
-        [--max-hamming 3] [--extract-html] [--parts N]
+        [--max-hamming 3] [--extract-html] [--parts N] \
+        [--bench BENCH.parquet [--decontam-ngram 5] [--decontam-max-hits 0]]
 
 Outputs under --output: ``verdicts/`` (per-doc filter verdicts),
 ``kept/`` (filtered corpus), ``dedup/pairs`` + ``dedup/clusters``,
@@ -49,6 +50,13 @@ def main() -> None:
         "html is set (one kernel pass over only those rows)",
     )
     ap.add_argument("--parts", type=int, default=None)
+    ap.add_argument(
+        "--bench", default=None,
+        help="evaluation-benchmark parquet (text column): drop "
+        "documents sharing n-grams with it (decontamination stage)",
+    )
+    ap.add_argument("--decontam-ngram", type=int, default=5)
+    ap.add_argument("--decontam-max-hits", type=int, default=0)
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--cpus", type=int, default=None)
@@ -76,6 +84,9 @@ def main() -> None:
             min_tokens=args.min_tokens,
             max_tokens=args.max_tokens,
             extract_html=args.extract_html,
+            bench_path=args.bench,
+            decontam_ngram=args.decontam_ngram,
+            decontam_max_hits=args.decontam_max_hits,
         )
         from textindex_spark import manifest
 
@@ -98,6 +109,9 @@ def main() -> None:
         max_hamming=args.max_hamming,
         extract_html=args.extract_html,
         write_partitions=args.parts,
+        bench=spark.read.parquet(args.bench) if args.bench else None,
+        decontam_ngram=args.decontam_ngram,
+        decontam_max_hits=args.decontam_max_hits,
     )
     print(json.dumps(lineage, sort_keys=True))
 

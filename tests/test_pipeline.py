@@ -204,3 +204,78 @@ def test_stream_pipeline_end_to_end(spark, tmp_path):  # noqa: F811
     assert ids3 == ids2
     stats = manifest.read_table(spark, idx, "stats").collect()[0]
     assert stats["n_docs"] == 5
+
+
+def test_pipeline_decontam_stage(spark, pipe_docs, tmp_path):  # noqa: F811
+    """--bench drops benchmark-overlapping docs after the filter and
+    before dedup: EN2 shares its 5-grams with the benchmark, so it
+    (and nothing else) disappears; exact dups of EN still collapse."""
+    from textindex_spark.pipeline import run_pipeline
+
+    bench = spark.createDataFrame([(100, EN2)], "doc_id long, text string")
+    out = str(tmp_path / "pipe_decon")
+    lineage = run_pipeline(
+        spark,
+        pipe_docs,
+        out,
+        langs=("en",),
+        min_quality_micro=0,
+        min_tokens=5,
+        dedup_method="exact",
+        extract_html=True,
+        bench=bench,
+    )
+    assert lineage["decontam_dropped"] == 1
+    assert lineage["dup_dropped"] == 2
+    assert lineage["indexed_docs"] == 4
+    from textindex_spark import manifest
+
+    ids = sorted(
+        r["doc_id"]
+        for r in manifest.read_table(spark, f"{out}/index", "docs").collect()
+    )
+    assert ids == [1, 3, 4, 9]  # EN2's doc 2 decontaminated away
+    # per-doc hit counts persisted for audit
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in spark.read.parquet(f"{out}/decontam/hits").collect()
+    }
+    assert hits[2] > 0 and hits[1] == 0
+
+
+def test_stream_pipeline_decontam(spark, tmp_path):  # noqa: F811
+    """Streaming decontamination: contaminated docs never reach the
+    index, across batches and replays."""
+    from textindex_spark import manifest
+    from textindex_spark.streaming.pipeline import stream_pipeline
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame([(100, EN3)], "doc_id long, text string").write.parquet(
+        bench_path
+    )
+    kwargs = dict(
+        langs=("en",), min_quality_micro=0, min_tokens=5, range_bits=6,
+        bench_path=bench_path,
+    )
+    corpus_df(spark, [_row(1, EN), _row(3, EN3)]).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream_pipeline(spark, str(src / "*"), out, ckpt, **kwargs)
+    idx = f"{out}/index"
+    ids = sorted(
+        r["doc_id"] for r in manifest.read_table(spark, idx, "docs").collect()
+    )
+    assert ids == [1]  # EN3 contaminated
+    # second batch: another contaminated doc + a clean one
+    corpus_df(spark, [_row(12, EN3), _row(13, EN4)]).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream_pipeline(spark, str(src / "*"), out, ckpt, **kwargs)
+    ids2 = sorted(
+        r["doc_id"] for r in manifest.read_table(spark, idx, "docs").collect()
+    )
+    assert ids2 == [1, 13]

@@ -72,12 +72,16 @@ def contamination_hits(
     bench: DataFrame,
     n: int = DECONTAM_NGRAM,
     text_col: str = "text",
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """→ (doc_id, n_shingles, n_hits, contam_micro): per-document
     benchmark n-gram overlap. ``n_hits`` counts the document's
     DISTINCT shingle hashes that appear anywhere in the benchmark;
     ``contam_micro`` = floor(n_hits/max(n_shingles,1)*1e6+0.5).
     Documents with fewer than ``n`` tokens have 0 shingles and 0 hits.
+    ``pre_hashed=True`` takes ``bench`` as an already-computed
+    ``bench_shingle_hashes`` frame (column ``h``) — the streaming
+    pipeline persists it once across micro-batches.
 
     Scale shape: corpus shingles are hashed per-row (narrow); the only
     join is a BROADCAST semi-join against the benchmark's distinct
@@ -92,8 +96,9 @@ def contamination_hits(
         .distinct()
     )
     stats = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    bench_h = bench if pre_hashed else bench_shingle_hashes(bench, n, text_col)
     hits = (
-        sh.join(F.broadcast(bench_shingle_hashes(bench, n, text_col)), "h")
+        sh.join(F.broadcast(bench_h), "h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )

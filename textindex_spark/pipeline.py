@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from .build import RANGE_BITS_DEFAULT, build_index, normalize_input
 from .functions.kernels import extract_text_batches
 from .ops import dedup as D
+from .ops.curate import DECONTAM_NGRAM, contamination_hits
 from .ops.textstats import filter_corpus, filter_verdicts
 from .refimpl.stop_words import STOP_WORD_SET
 
@@ -121,9 +122,18 @@ def run_pipeline(
     extract_html: bool = False,
     range_bits: int = RANGE_BITS_DEFAULT,
     write_partitions: int | None = None,
+    bench: DataFrame | None = None,
+    decontam_ngram: int = DECONTAM_NGRAM,
+    decontam_max_hits: int = 0,
 ) -> dict:
-    """Run filter → dedup → index over ``docs``; returns the lineage
-    dict (also written to ``<out_dir>/pipeline.json``)."""
+    """Run filter → [decontam] → dedup → index over ``docs``; returns
+    the lineage dict (also written to ``<out_dir>/pipeline.json``).
+
+    ``bench`` (optional): an evaluation-benchmark frame (text column);
+    documents sharing more than ``decontam_max_hits`` n-gram hashes
+    with it are dropped AFTER the cheap filter and BEFORE the dedup
+    signatures (`ops.curate.contamination_hits`; per-doc hit counts
+    persisted at ``<out>/decontam/hits`` for audit)."""
     if dedup_method not in DEDUP_METHODS:
         raise ValueError(f"unknown dedup method {dedup_method!r}")
     t0 = time.time()
@@ -147,12 +157,24 @@ def run_pipeline(
     filter_corpus(docs, verdicts).write.mode("overwrite").parquet(f"{out_dir}/kept")
     kept = spark.read.parquet(f"{out_dir}/kept")
 
-    # -- stage 2: dedup ---------------------------------------------------
     lineage: dict = {
         "input_docs": int(sum(by_reason.values())),
         "filter": by_reason,
         "dedup_method": dedup_method,
     }
+
+    # -- stage 1b: benchmark decontamination (optional) -------------------
+    if bench is not None:
+        hits = contamination_hits(kept, bench, n=decontam_ngram)
+        hits.write.mode("overwrite").parquet(f"{out_dir}/decontam/hits")
+        hits = spark.read.parquet(f"{out_dir}/decontam/hits")
+        contaminated = hits.filter(
+            F.col("n_hits") > decontam_max_hits
+        ).select("doc_id")
+        kept = kept.join(contaminated, "doc_id", "left_anti")
+        lineage["decontam_dropped"] = contaminated.count()
+
+    # -- stage 2: dedup ---------------------------------------------------
     if dedup_method == "none":
         survivors = kept
         lineage["dup_pairs"] = 0

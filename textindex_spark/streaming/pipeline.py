@@ -57,15 +57,34 @@ def stream_pipeline(
     available_now: bool = True,
     range_bits: int = 13,
     max_files_per_trigger: int = 8,
+    bench_path: str | None = None,
+    decontam_ngram: int = 5,
+    decontam_max_hits: int = 0,
 ):
     """Continuously ingest parquet files arriving under ``source_dir``
     into ``<out_dir>/index``, with filtering and online dedup
-    (state under ``<out_dir>/dedup_state``) applied per micro-batch."""
+    (state under ``<out_dir>/dedup_state``) applied per micro-batch.
+
+    ``bench_path`` (optional): parquet of an evaluation benchmark;
+    each batch is decontaminated against its (persisted, broadcast)
+    shingle-hash set before dedup. The verdict is a pure per-doc
+    function of (doc text, benchmark), so replays decide identically —
+    no extra state store needed."""
     state_dir = f"{out_dir}/dedup_state"
     index_dir = f"{out_dir}/index"
     run_id = manifest.canon_path(checkpoint_dir)
     stop = tuple(sorted(STOP_WORD_SET))
     state = {"bootstrapped": _index_exists(spark, index_dir)}
+    bench_hashes = None
+    if bench_path is not None:
+        from textindex_spark.ops.curate import bench_shingle_hashes
+
+        # small (eval-suite-sized) hash set, computed once and kept
+        # resident across micro-batches
+        bench_hashes = bench_shingle_hashes(
+            spark.read.parquet(bench_path), n=decontam_ngram
+        ).persist()
+        bench_hashes.count()
 
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
@@ -86,7 +105,17 @@ def stream_pipeline(
             min_tokens=min_tokens,
             max_tokens=max_tokens,
         )
-        kept = filter_corpus(batch, verdicts).persist()
+        kept = filter_corpus(batch, verdicts)
+        if bench_hashes is not None:
+            from pyspark.sql import functions as F
+
+            from textindex_spark.ops.curate import contamination_hits
+
+            contaminated = contamination_hits(
+                kept, bench_hashes, n=decontam_ngram, pre_hashed=True
+            ).filter(F.col("n_hits") > decontam_max_hits).select("doc_id")
+            kept = kept.join(contaminated, "doc_id", "left_anti")
+        kept = kept.persist()
         try:
             # phase 1: dedup vs the kept-corpus state (atomic commit,
             # idempotent per (run_id, batch_id))

@@ -169,6 +169,16 @@ def main() -> None:
         search(spark, idx_dir, terms, **args).collect()
         timings[name] = round(time.time() - t0, 3)
 
+    # nested boolean tree (r4): certain-conjunct range pre-intersection
+    # + mask-predicate evaluation, measured warm like the flat queries
+    from textindex_spark.boolquery import search_bool
+
+    bool_q = f"spark AND (index OR {site_topic_word(7)}) AND NOT merge"
+    search_bool(spark, idx_dir, bool_q, k=10, with_urls=False).collect()
+    t0 = time.time()
+    search_bool(spark, idx_dir, bool_q, k=10, with_urls=False).collect()
+    timings["bm25_bool"] = round(time.time() - t0, 3)
+
     from textindex_spark.query import search_phrase
 
     for name, ph in (
@@ -193,6 +203,16 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
+    # benchmark decontamination (r4 curation suite): broadcast
+    # semi-join of corpus shingle hashes against an eval set carved
+    # from the corpus itself (same shape as the driver gate)
+    from textindex_spark.ops import curate
+
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    timed(
+        "decontam",
+        lambda: curate.contamination_hits(docs, bench_docs, n=3).count(),
+    )
     timed("minhash_signatures", lambda: dedup.minhash_signatures(docs).count())
     timed(
         "lsh_pairs",

@@ -13,6 +13,8 @@ stats) — the `ops/curate.py` suite as one subcommand surface:
                  --tokens 1000000 [--strata lang] [--buckets 256]
         ngrams   --input docs.parquet --output /data/ngrams \\
                  [--ngram 3] [--top 1000]
+        nll      --input docs.parquet --output /data/nll
+                 (per-doc mean unigram NLL — perplexity-style filter signal)
 
 Each writes parquet under ``--output`` and prints one JSON summary
 line.
@@ -57,6 +59,9 @@ def main() -> None:
     common(p)
     p.add_argument("--ngram", type=int, default=3)
     p.add_argument("--top", type=int, default=1000)
+
+    p = sub.add_parser("nll", help="per-doc mean unigram NLL (perplexity-style)")
+    common(p)
 
     args = ap.parse_args()
 
@@ -118,6 +123,14 @@ def main() -> None:
             "overwrite"
         ).parquet(f"{args.output}/ngrams")
         out["rows"] = spark.read.parquet(f"{args.output}/ngrams").count()
+    elif args.cmd == "nll":
+        curate.unigram_logprob(docs).write.mode("overwrite").parquet(
+            f"{args.output}/nll"
+        )
+        nll = spark.read.parquet(f"{args.output}/nll")
+        agg = nll.groupBy().avg("avg_nll_micro").collect()[0][0]
+        out["rows"] = nll.count()
+        out["mean_avg_nll_micro"] = int(agg or 0)
     print(json.dumps(out))
 
 

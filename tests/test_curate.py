@@ -167,3 +167,30 @@ def test_top_ngrams(spark, docs):
             c[" ".join(toks[i : i + 5])] += 1
     exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert got == exp
+
+
+def test_unigram_logprob(spark, docs):
+    """Exact match against a Python mirror (add-one-smoothed unigram
+    NLL with per-term micro quantization, integer per-doc sums)."""
+    import math
+    from collections import Counter
+
+    got = {r["doc_id"]: r for r in curate.unigram_logprob(docs).collect()}
+    counts = Counter()
+    for _, text, _ in DOCS:
+        counts.update(t for t in text.split(" ") if t)
+    T, V = sum(counts.values()), len(counts)
+    nll = {
+        t: math.floor(-math.log2((c + 1) / (T + V)) * 1e6 + 0.5)
+        for t, c in counts.items()
+    }
+    for doc_id, text, _ in DOCS:
+        toks = [t for t in text.split(" ") if t]
+        s = sum(nll[t] for t in toks)
+        r = got[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["sum_nll_micro"] == s
+        assert r["avg_nll_micro"] == (math.floor(s / len(toks)) if toks else 0)
+    # rare tokens carry more information than corpus-common ones
+    per_tok = {t: nll[t] for t in counts}
+    assert per_tok["alpha"] < per_tok["springt"]  # df 3 vs df 1

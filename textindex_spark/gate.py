@@ -573,6 +573,10 @@ def q_top_ngrams(spark, sf_dir):
     return curate.top_ngrams(_documents(spark, sf_dir), n=3, k=20)
 
 
+def q_unigram_nll(spark, sf_dir):
+    return curate.unigram_logprob(_documents(spark, sf_dir))
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -640,6 +644,7 @@ QUERIES = {
     "sample_strat": q_sample_strat,
     "budget_select": q_budget_select,
     "top_ngrams": q_top_ngrams,
+    "unigram_nll": q_unigram_nll,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,
     "emb_near_dup": q_emb_near_dup,
@@ -1620,6 +1625,32 @@ idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
 ng AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram FROM idx)
 SELECT ngram, count(*)::BIGINT AS freq FROM ng
 GROUP BY ngram ORDER BY freq DESC, ngram ASC LIMIT 20
+""",
+        "unigram_nll": """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks
+    WHERE tok <> '' GROUP BY doc_id, tok
+),
+counts AS (SELECT tok, sum(tf)::BIGINT AS c FROM tf GROUP BY tok),
+tot AS (SELECT sum(c)::BIGINT AS T, count(*)::BIGINT AS V FROM counts),
+nll AS (
+    SELECT tok,
+           floor(-log2((c + 1) / (t.T + t.V)) * 1e6 + 0.5)::BIGINT AS nll_micro
+    FROM counts CROSS JOIN tot t
+),
+scored AS (
+    SELECT f.doc_id, sum(f.tf)::BIGINT AS n_tokens,
+           sum(f.tf * n.nll_micro)::BIGINT AS sum_nll_micro
+    FROM tf f JOIN nll n ON f.tok = n.tok GROUP BY f.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(s.sum_nll_micro, 0)::BIGINT AS sum_nll_micro,
+       coalesce(floor(s.sum_nll_micro / s.n_tokens)::BIGINT, 0) AS avg_nll_micro
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """,
         "ann_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -272,6 +272,75 @@ def budget_select(
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_tokens, sum_nll_micro, avg_nll_micro): mean
+    negative log2-probability of the document's tokens under the
+    corpus's OWN unigram distribution with add-one smoothing —
+    the cheap stand-in for LM perplexity filtering (CCNet-style):
+    a high mean NLL marks unusual token mixes (gibberish,
+    non-language, encoding junk), a very low one marks boilerplate;
+    both tails are drop candidates.
+
+    Determinism across engines: the per-TERM NLL is quantized to
+    micro first (one double expression of three integers —
+    floor(-log2((c+1)/(T+V))·1e6+0.5)), so the per-doc aggregate is
+    INTEGER arithmetic (Σ tf·nll_micro, then an integer division) —
+    immune to float summation order, which a few-hundred-addend
+    double sum is not. Two passes over the token table: corpus
+    unigram counts (one groupBy(term)), then a join back keyed on
+    term (vocab-sized build side) + one groupBy(doc_id). No Python
+    in the hot path."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    counts = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("T"), F.count("*").alias("V")
+    ).select("T", "V")
+    nll = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            -F.log2((F.col("c") + 1) / (F.col("T") + F.col("V"))) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    scored = (
+        tf.join(nll, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("nll_micro")).cast("long").alias(
+                "sum_nll_micro"
+            ),
+        )
+        .withColumn(
+            "avg_nll_micro",
+            # floor of an IEEE double quotient of two <2^53 ints is
+            # engine-independent (correctly-rounded division; the
+            # quotient is ≥1/n_tokens away from an integer unless
+            # exact) — the DuckDB oracle floors the same quotient
+            F.floor(F.col("sum_nll_micro") / F.col("n_tokens")).cast("long"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("sum_nll_micro", F.lit(0)).cast("long").alias(
+                "sum_nll_micro"
+            ),
+            F.coalesce("avg_nll_micro", F.lit(0)).cast("long").alias(
+                "avg_nll_micro"
+            ),
+        )
+    )
+
+
 def top_ngrams(
     docs: DataFrame, n: int = 3, k: int = 20, text_col: str = "text"
 ) -> DataFrame:

@@ -141,3 +141,24 @@ def test_mutation_invalidates_block_cache(spark, index_dir):
     assert delete_docs(spark, index_dir, url) == 1
     after = search(spark, index_dir, ["spark"], k=5, with_urls=False).collect()
     assert victim not in [r["doc_id"] for r in after]
+
+
+def test_warm_bool_query_zero_jobs(spark, index_dir):
+    """A warm boolean-tree query serves entirely from the resident
+    caches — zero Spark jobs, identical to the cold result."""
+    from textindex_spark.boolquery import search_bool
+
+    invalidate_cache(index_dir)
+    q = "spark AND (index OR quer*) AND NOT merge"
+    cold = search_bool(spark, index_dir, q, k=5, with_urls=False).collect()
+    warm, n_jobs = _jobs_during(
+        spark,
+        "warm-bool",
+        lambda: search_bool(spark, index_dir, q, k=5, with_urls=False).collect(),
+    )
+    # scores rounded: the cache returns blocks in a different order
+    # than the cold scan, so the float sum can differ in the last ulp
+    assert [(r["doc_id"], round(r["score"], 9)) for r in warm] == [
+        (r["doc_id"], round(r["score"], 9)) for r in cold
+    ]
+    assert n_jobs == 0, f"warm bool query launched {n_jobs} Spark jobs"

@@ -181,3 +181,18 @@ def test_pre_intersection_is_exact(spark, index_dir, q):
         ).collect()
     ]
     assert a == b, q
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_distributed_path_matches_local(spark, index_dir, oracle, q):
+    """Both execution paths are rank-identical to the brute force
+    (the default path on this corpus is the local serving one; force
+    the distributed plan explicitly)."""
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_bool(
+            spark, index_dir, q, k=10, with_urls=False, local_score=False
+        ).collect()
+    ]
+    exp = [(d, round(s, 9)) for d, s in oracle_bool(oracle, q, k=10)]
+    assert got == exp, q

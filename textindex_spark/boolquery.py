@@ -50,8 +50,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from textindex_spark.query import (
+    LOCAL_SCORE_MAX_POSTINGS,
+    _and_surviving_ranges,
     _cached_table,
+    _dead_ids_capped,
     _decoded_postings,
+    _fetch_blocks,
+    _finish_local,
+    _score_blocks_np,
     apply_tombstones,
     cached_stats,
     expand_patterns,
@@ -189,6 +195,40 @@ def _mask_predicate(node: tuple, mask: Column) -> Column:
     return reduce(op, cols)
 
 
+def _required_masks(expanded, req: list) -> tuple[dict[str, int], int] | None:
+    """(mask_by_term, full_mask) over the required leaves — the
+    ``and_masks`` input of `query._and_surviving_ranges`, with leaf
+    indices re-packed into contiguous bits. Returns None when some
+    required leaf has no vocabulary expansion (query unsatisfiable)."""
+    bit = {leaf: i for i, leaf in enumerate(req)}
+    req_set = set(req)
+    mask_by_term: dict[str, int] = {}
+    for term, grp in expanded.groupby("term"):
+        m = 0
+        for i in grp["pattern_idx"]:
+            if i in req_set:
+                m |= 1 << bit[i]
+        if m:
+            mask_by_term[term] = m
+    covered = 0
+    for m in mask_by_term.values():
+        covered |= m
+    full = (1 << len(req)) - 1
+    return (mask_by_term, full) if covered == full else None
+
+
+def _eval_np(node: tuple, mask_acc: np.ndarray) -> np.ndarray:
+    """Vectorized formula evaluation over per-doc leaf bitmasks — the
+    numpy twin of ``_mask_predicate`` for the serving path."""
+    if node[0] == "leaf":
+        return (mask_acc & (1 << node[1])) != 0
+    if node[0] == "not":
+        return ~_eval_np(node[1], mask_acc)
+    parts = [_eval_np(c, mask_acc) for c in node[1]]
+    op = np.logical_and if node[0] == "and" else np.logical_or
+    return reduce(op, parts)
+
+
 def search_bool(
     spark: SparkSession,
     index_dir: str,
@@ -196,13 +236,21 @@ def search_bool(
     k: int = 10,
     with_urls: bool = True,
     pre_intersect: bool = True,
+    local_score: bool | None = None,
 ) -> DataFrame:
     """BM25 top-k for a boolean query tree → DataFrame
     (doc_id, score[, url]), ordered (score desc, doc_id asc). See the
-    module docstring for semantics and the execution plan. Flat
-    single-mode queries should keep using `query.search`, which adds
-    the local serving path and block-max pruning; this path is exact
-    and fully distributed."""
+    module docstring for semantics and the execution plan.
+
+    Serving path: when the matched vocabulary's total df fits
+    LOCAL_SCORE_MAX_POSTINGS (and the tombstone set is capped),
+    scoring runs on the query node — resident-block-cache fetch,
+    numpy decode/score, vectorized formula evaluation (``_eval_np``)
+    — warm queries launch zero Spark jobs, exactly like flat
+    `query.search`. Wider candidate sets use the distributed plan
+    (one shuffle + codegen'd mask predicate). ``local_score`` forces
+    the choice (still capped); results are rank-identical either
+    way."""
     ast, patterns = parse_bool(query)
     if _eval_py(ast, [False] * len(patterns)):
         raise ValueError(
@@ -234,40 +282,60 @@ def search_bool(
             )
             .reset_index()
         )
-        qterms = spark.createDataFrame(term_info[["term", "idf", "mask", "pos"]])
-        # candidate-range pre-intersection on the CERTAIN conjuncts:
-        # a satisfying doc has every required leaf true, and a doc's
-        # postings live in one range — so only ranges where each
-        # required leaf has ≥1 expansion present can hold results.
-        # Dropping the other ranges for ALL query terms (negated
-        # leaves included) is sound: a doc there can never satisfy
-        # the formula, and surviving docs keep every one of their
-        # rows, so scores are unchanged. Same machinery as the flat
-        # AND path (query._and_surviving_ranges).
-        and_masks = None
+        # positive-only scoring via the idf map: a term whose leaves
+        # are all negated scores 0 everywhere (idf·pos), while its
+        # mask bits still gate membership — one column serves both
+        # execution paths
+        term_info["idf_pos"] = term_info["idf"] * term_info["pos"]
+        fits_local = (
+            expanded.drop_duplicates("term")["df"].sum()
+            <= LOCAL_SCORE_MAX_POSTINGS
+        )
+        use_local = fits_local if local_score is None else (local_score and fits_local)
+        # candidate-range pre-intersection on the CERTAIN conjuncts
+        # (required_leaves): a satisfying doc has every required leaf
+        # true, and a doc's postings live in one range — so only
+        # ranges where each required leaf has ≥1 expansion present
+        # can hold results. Dropping the other ranges for ALL query
+        # terms (negated leaves included) is sound: a doc there can
+        # never satisfy the formula, and surviving docs keep every
+        # one of their rows, so scores are unchanged. Same machinery
+        # as the flat AND path (query._and_surviving_ranges).
         req = sorted(required_leaves(ast))
+        req_masks = None
         if pre_intersect and len(req) > 1:
-            bit = {leaf: i for i, leaf in enumerate(req)}
-            req_set = set(req)
-            mask_by_term: dict[str, int] = {}
-            for term, grp in expanded.groupby("term"):
-                m = 0
-                for i in grp["pattern_idx"]:
-                    if i in req_set:
-                        m |= 1 << bit[i]
-                if m:
-                    mask_by_term[term] = m
-            covered = 0
-            for m in mask_by_term.values():
-                covered |= m
-            full = (1 << len(req)) - 1
-            if covered != full:
-                # a required leaf expanded to nothing: unsatisfiable
+            req_masks = _required_masks(expanded, req)
+            if req_masks is None:  # a required leaf has no expansion
                 return _attach_urls(spark, index_dir, empty, with_urls)
-            and_masks = (mask_by_term, full)
+        if use_local:
+            dead = _dead_ids_capped(spark, index_dir)
+            if dead is not None:
+                surviving = None
+                if req_masks is not None:
+                    surviving = _and_surviving_ranges(
+                        spark, index_dir, req_masks[0], req_masks[1], stats
+                    )
+                    if surviving == []:
+                        return _finish_local(spark, index_dir, [], empty, with_urls)
+                blocks = _fetch_blocks(
+                    spark, index_dir, list(term_info["term"]), stats,
+                    ranges=surviving,
+                )
+                ti = term_info[["term", "mask"]].copy()
+                ti["idf"] = term_info["idf_pos"]
+                uniq, score, mask_acc = _score_blocks_np(blocks, stats, ti)
+                sat = _eval_np(ast, mask_acc)
+                uniq, score = uniq[sat], score[sat]
+                if len(dead):
+                    alive = ~np.isin(uniq, dead)
+                    uniq, score = uniq[alive], score[alive]
+                order = np.lexsort((uniq, -score))[:k]
+                rows = [(int(uniq[i]), float(score[i])) for i in order]
+                return _finish_local(spark, index_dir, rows, empty, with_urls)
+        qterms = spark.createDataFrame(term_info[["term", "idf", "mask", "pos"]])
         decoded = _decoded_postings(
             spark, index_dir, qterms, stats, list(term_info["term"]),
-            and_masks=and_masks,
+            and_masks=req_masks,
         )
         scored = (
             decoded.join(F.broadcast(qterms), "term")

@@ -332,6 +332,7 @@ def invalidate_cache(index_dir: str) -> None:
     cd = canon_dir(index_dir)
     _dict_cache.pop(cd, None)
     _tomb_exists.pop(cd, None)
+    _tomb_ids_cache.pop(cd, None)
     for k in [k for k in _block_cache if k[0] == cd]:
         _block_bytes -= _block_cache.pop(k)[1]
     for k in [k for k in _meta_cache if k[0] == cd]:
@@ -1154,16 +1155,31 @@ def _finish_local(
     return result
 
 
+# Resident capped tombstone-id arrays per canon_dir (None = delete
+# set over TOMBSTONE_LOCAL_MAX). Snapshots are immutable between
+# manifest commits and every mutating op calls invalidate_cache, so
+# a warm serving query on a tombstoned index stays zero-job instead
+# of re-collecting the delete set per query.
+_tomb_ids_cache: dict[str, np.ndarray | None] = {}
+
+
 def _dead_ids_capped(spark: SparkSession, index_dir: str) -> np.ndarray | None:
     """Tombstoned doc_ids as a driver-side array, or None when the
     delete set exceeds TOMBSTONE_LOCAL_MAX (callers must then either
-    anti-join distributed or treat every doc as potentially live)."""
+    anti-join distributed or treat every doc as potentially live).
+    Cached per index until the next snapshot mutation."""
+    cd = canon_dir(index_dir)
+    if cd in _tomb_ids_cache:
+        return _tomb_ids_cache[cd]
     dead = _tombstones(spark, index_dir)
     if dead is None:
-        return np.empty(0, dtype=np.int64)
-    if dead.limit(TOMBSTONE_LOCAL_MAX + 1).count() > TOMBSTONE_LOCAL_MAX:
-        return None
-    return np.array([r["doc_id"] for r in dead.collect()], dtype=np.int64)
+        out: np.ndarray | None = np.empty(0, dtype=np.int64)
+    elif dead.limit(TOMBSTONE_LOCAL_MAX + 1).count() > TOMBSTONE_LOCAL_MAX:
+        out = None
+    else:
+        out = np.array([r["doc_id"] for r in dead.collect()], dtype=np.int64)
+    _tomb_ids_cache[cd] = out
+    return out
 
 
 def _exclusion_ids(

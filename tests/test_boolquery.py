@@ -196,3 +196,10 @@ def test_distributed_path_matches_local(spark, index_dir, oracle, q):
     ]
     exp = [(d, round(s, 9)) for d, s in oracle_bool(oracle, q, k=10)]
     assert got == exp, q
+
+
+def test_leaf_count_cap():
+    q = " OR ".join(f"t{i}" for i in range(64))
+    with pytest.raises(ValueError, match="63"):
+        parse_bool(q)
+    parse_bool(" OR ".join(f"t{i}" for i in range(63)))  # at the cap: fine

@@ -136,6 +136,13 @@ def parse_bool(query: str) -> tuple[tuple, list[str]]:
     ast = p_or()
     if pos != len(toks):
         raise ValueError(f"trailing tokens at {toks[pos]!r}")
+    if len(leaves) > 63:
+        # the per-doc coverage mask is one signed BIGINT in both
+        # execution paths (and the DuckDB oracle)
+        raise ValueError(
+            f"boolean query has {len(leaves)} pattern occurrences; "
+            "at most 63 are supported (one mask bit each)"
+        )
     return ast, leaves
 
 

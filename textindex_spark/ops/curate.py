@@ -160,6 +160,11 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 SAMPLE_SALT = "strat:"
 
+# Persisted quality frame of the LAST budget_select call (released on
+# the next call — the returned lazy frame references it; same bounded
+# registry pattern as ops.dedup._lsh_persists).
+_budget_persists: list[DataFrame] = []
+
 
 def sample_stratified(
     docs: DataFrame,
@@ -235,6 +240,12 @@ def budget_select(
         "quality_micro",
         F.floor(F.col("quality_micro") / F.lit(step)).cast("int").alias("bucket"),
     )
+    # the quality pass (token explode + groupBy) feeds the histogram
+    # collect AND the final windowed frame — persist so it runs once
+    while _budget_persists:
+        _budget_persists.pop().unpersist()
+    rows = rows.persist()
+    _budget_persists.append(rows)
     hist = (
         rows.groupBy("stratum", "bucket")
         .agg(F.sum("n_tokens").alias("toks"))

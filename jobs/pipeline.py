@@ -8,7 +8,8 @@ filter → dedup → index — in one command:
         [--min-tokens 20] [--max-tokens 100000] \
         [--dedup lsh|simhash|ngram|exact|none] [--threshold 0.2] \
         [--max-hamming 3] [--extract-html] [--parts N] \
-        [--bench BENCH.parquet [--decontam-ngram 5] [--decontam-max-hits 0]]
+        [--bench BENCH.parquet [--decontam-ngram 5] [--decontam-max-hits 0]] \
+        [--redact]            # scrub PII from kept text before dedup/index
 
 Outputs under --output: ``verdicts/`` (per-doc filter verdicts),
 ``kept/`` (filtered corpus), ``dedup/pairs`` + ``dedup/clusters``,
@@ -57,6 +58,11 @@ def main() -> None:
     )
     ap.add_argument("--decontam-ngram", type=int, default=5)
     ap.add_argument("--decontam-max-hits", type=int, default=0)
+    ap.add_argument(
+        "--redact", action="store_true",
+        help="scrub PII (email/IPv4/phone) from kept documents' text "
+        "before dedup and indexing; counts land in the lineage",
+    )
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--cpus", type=int, default=None)
@@ -87,6 +93,7 @@ def main() -> None:
             bench_path=args.bench,
             decontam_ngram=args.decontam_ngram,
             decontam_max_hits=args.decontam_max_hits,
+            redact=args.redact,
         )
         from textindex_spark import manifest
 
@@ -112,6 +119,7 @@ def main() -> None:
         bench=spark.read.parquet(args.bench) if args.bench else None,
         decontam_ngram=args.decontam_ngram,
         decontam_max_hits=args.decontam_max_hits,
+        redact=args.redact,
     )
     print(json.dumps(lineage, sort_keys=True))
 

@@ -279,3 +279,72 @@ def test_stream_pipeline_decontam(spark, tmp_path):  # noqa: F811
         r["doc_id"] for r in manifest.read_table(spark, idx, "docs").collect()
     )
     assert ids2 == [1, 13]
+
+
+def test_pipeline_redact_stage(spark, tmp_path):  # noqa: F811
+    """--redact scrubs PII from kept text before dedup and indexing:
+    the scrubbed corpus is what lands in <out>/kept and the index
+    (searching the redaction placeholder token finds the doc; the
+    raw address never enters the postings)."""
+    from textindex_spark.pipeline import run_pipeline
+    from textindex_spark.query import search
+
+    pii_doc = _row(
+        20,
+        EN + " contact the farmer at old.macdonald@example.org or "
+        "10.1.2.3 or 555-123-4567 for apples",
+    )
+    rows = [_row(1, EN2), pii_doc]
+    out = str(tmp_path / "pipe_redact")
+    lineage = run_pipeline(
+        spark,
+        corpus_df(spark, rows),
+        out,
+        langs=("en",),
+        min_quality_micro=0,
+        min_tokens=5,
+        dedup_method="exact",
+        redact=True,
+    )
+    assert lineage["redacted"] == {"emails": 1, "ipv4": 1, "phones": 1}
+    kept_text = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/kept").collect()
+    }
+    assert "<EMAIL>" in kept_text[20] and "@" not in kept_text[20]
+    assert "10.1.2.3" not in kept_text[20] and "555-123-4567" not in kept_text[20]
+    assert kept_text[1] == EN2  # clean doc untouched
+    # the index was built over the scrubbed text
+    # (the tokenizer keeps alphabetic runs, so "<EMAIL>" indexes as
+    # the term "email" and the address's words vanish entirely)
+    hits = search(spark, f"{out}/index", ["email"], k=5).collect()
+    assert [r["doc_id"] for r in hits] == [20]
+    assert search(spark, f"{out}/index", ["macdonald"], k=5).count() == 0
+
+
+def test_stream_pipeline_redact(spark, tmp_path):  # noqa: F811
+    """Streaming redaction: scrubbed text is what gets indexed."""
+    from textindex_spark import manifest
+    from textindex_spark.query import search
+    from textindex_spark.streaming.pipeline import stream_pipeline
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_df(
+        spark,
+        [_row(1, EN + " write to farmer.joe@example.org for apples")],
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream_pipeline(
+        spark, str(src / "*"), out, ckpt,
+        langs=("en",), min_quality_micro=0, min_tokens=5, range_bits=6,
+        redact=True,
+    )
+    idx = f"{out}/index"
+    assert [
+        r["doc_id"] for r in search(spark, idx, ["email"], k=5).collect()
+    ] == [1]
+    assert search(spark, idx, ["farmer.joe@example.org"], k=5).count() == 0
+    docs_text = manifest.read_table(spark, idx, "docs").collect()
+    assert len(docs_text) == 1

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from .build import RANGE_BITS_DEFAULT, build_index, normalize_input
 from .functions.kernels import extract_text_batches
 from .ops import dedup as D
-from .ops.curate import DECONTAM_NGRAM, contamination_hits
+from .ops.curate import DECONTAM_NGRAM, contamination_hits, redact_pii
 from .ops.textstats import filter_corpus, filter_verdicts
 from .refimpl.stop_words import STOP_WORD_SET
 
@@ -125,15 +125,24 @@ def run_pipeline(
     bench: DataFrame | None = None,
     decontam_ngram: int = DECONTAM_NGRAM,
     decontam_max_hits: int = 0,
+    redact: bool = False,
 ) -> dict:
-    """Run filter → [decontam] → dedup → index over ``docs``; returns
-    the lineage dict (also written to ``<out_dir>/pipeline.json``).
+    """Run filter → [redact] → [decontam] → dedup → index over
+    ``docs``; returns the lineage dict (also written to
+    ``<out_dir>/pipeline.json``).
 
     ``bench`` (optional): an evaluation-benchmark frame (text column);
     documents sharing more than ``decontam_max_hits`` n-gram hashes
     with it are dropped AFTER the cheap filter and BEFORE the dedup
     signatures (`ops.curate.contamination_hits`; per-doc hit counts
-    persisted at ``<out>/decontam/hits`` for audit)."""
+    persisted at ``<out>/decontam/hits`` for audit).
+
+    ``redact=True`` scrubs PII (email / IPv4 / phone →
+    ``ops.curate.redact_pii``) from the text of every KEPT document
+    before it reaches dedup or the index — the redaction is baked
+    into the materialized ``<out>/kept`` corpus, so no PII survives
+    into shingles, signatures, postings, or matched-line display.
+    Lineage reports total redaction counts per category."""
     if dedup_method not in DEDUP_METHODS:
         raise ValueError(f"unknown dedup method {dedup_method!r}")
     t0 = time.time()
@@ -154,14 +163,36 @@ def run_pipeline(
         r["reason"] or "kept": r["n"]
         for r in verdicts.groupBy("reason").agg(F.count("*").alias("n")).collect()
     }
-    filter_corpus(docs, verdicts).write.mode("overwrite").parquet(f"{out_dir}/kept")
-    kept = spark.read.parquet(f"{out_dir}/kept")
-
+    kept_frame = filter_corpus(docs, verdicts)
     lineage: dict = {
         "input_docs": int(sum(by_reason.values())),
         "filter": by_reason,
         "dedup_method": dedup_method,
     }
+    if redact:
+        # one redaction pass, materialized as the audit table; the
+        # kept corpus then swaps in the scrubbed text so no PII
+        # reaches shingles, signatures, postings, or matched lines
+        redact_pii(kept_frame).write.mode("overwrite").parquet(
+            f"{out_dir}/redact"
+        )
+        red = spark.read.parquet(f"{out_dir}/redact")
+        kept_frame = (
+            kept_frame.drop("text")
+            .join(
+                red.select("doc_id", F.col("clean_text").alias("text")),
+                "doc_id",
+            )
+            .select(*kept_frame.columns)
+        )
+        counts = red.groupBy().sum("n_emails", "n_ipv4", "n_phones").collect()[0]
+        lineage["redacted"] = {
+            "emails": int(counts[0] or 0),
+            "ipv4": int(counts[1] or 0),
+            "phones": int(counts[2] or 0),
+        }
+    kept_frame.write.mode("overwrite").parquet(f"{out_dir}/kept")
+    kept = spark.read.parquet(f"{out_dir}/kept")
 
     # -- stage 1b: benchmark decontamination (optional) -------------------
     if bench is not None:

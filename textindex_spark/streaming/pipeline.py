@@ -60,6 +60,7 @@ def stream_pipeline(
     bench_path: str | None = None,
     decontam_ngram: int = 5,
     decontam_max_hits: int = 0,
+    redact: bool = False,
 ):
     """Continuously ingest parquet files arriving under ``source_dir``
     into ``<out_dir>/index``, with filtering and online dedup
@@ -106,6 +107,18 @@ def stream_pipeline(
             max_tokens=max_tokens,
         )
         kept = filter_corpus(batch, verdicts)
+        if redact:
+            # stateless per-doc scrub (same regexes every batch), so
+            # replays redact identically; runs BEFORE dedup so state
+            # signatures are taken over the scrubbed text
+            from pyspark.sql import functions as F
+
+            from textindex_spark.ops.curate import redact_pii
+
+            red = redact_pii(kept).select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+            kept = kept.drop("text").join(red, "doc_id").select(*kept.columns)
         if bench_hashes is not None:
             from pyspark.sql import functions as F
 

@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--max-iter", type=int, default=8)
     ap.add_argument("--append-id", default=None)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--where", default=None,
+        help="filtered ANN: a SQL predicate over the stored vector "
+        "columns (e.g. \"label = 3\"), applied inside the probed "
+        "buckets; raise --probe for selective filters",
+    )
     ap.add_argument("--vec-id", type=int, default=None,
                     help="query: use this row of --input as the query vector")
     ap.add_argument("--cpus", type=int, default=None)
@@ -83,8 +89,11 @@ def main() -> None:
             raise SystemExit(f"vec_id {args.vec_id} not found in {args.input}")
         q = [float(x) for x in row[0]["embedding"]]
         # n_probe defaults to k/8 inside ivf_search_stored (no extra job)
+        from pyspark.sql import functions as F
+
         for r in S.ivf_search_stored(
-            spark, args.output, q, k=args.k, n_probe=args.probe
+            spark, args.output, q, k=args.k, n_probe=args.probe,
+            where=F.expr(args.where) if args.where else None,
         ).collect():
             print(json.dumps(r.asDict()))
 

@@ -783,3 +783,52 @@ def test_emb_near_dup_duplicate_vectors_stay_linear(spark):
     assert near == [(0, m + 50)]
     # total output is linear in the cluster size, never quadratic
     assert len(pairs) < 2 * m
+
+
+def test_ivf_filtered_search(spark, tmp_path):
+    """Filtered ANN: ivf_cosine_topk(where=) returns exactly the
+    exact filtered ranking restricted to the probed buckets; with all
+    buckets probed it equals brute force over the filtered set. Same
+    for the stored-index path."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)], int(i % 3))
+        for i in range(90)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = rows[0][1]
+    from pyspark.sql import functions as F
+
+    assigned, cents = similarity.build_ivf(emb, n_centroids=6)
+    # probing ALL buckets: filtered IVF == brute force over label==1
+    got = [
+        r["vec_id"]
+        for r in similarity.ivf_cosine_topk(
+            assigned, cents, q, k=5, n_probe=6, where=F.col("label") == 1
+        ).collect()
+    ]
+    want = [
+        r["vec_id"]
+        for r in similarity.cosine_topk(emb.filter("label = 1"), q, k=5).collect()
+    ]
+    assert got == want
+    assert all(i % 3 == 1 for i in got)
+    # partial probe: results still honor the predicate and are a
+    # subset of the probed buckets' filtered members
+    part = [
+        r["vec_id"]
+        for r in similarity.ivf_cosine_topk(
+            assigned, cents, q, k=5, n_probe=2, where=F.col("label") == 1
+        ).collect()
+    ]
+    assert all(i % 3 == 1 for i in part)
+    # stored-index path
+    out = str(tmp_path / "ivf_f")
+    similarity.write_ivf(spark, emb, out, n_centroids=6)
+    got_stored = [
+        r["vec_id"]
+        for r in similarity.ivf_search_stored(
+            spark, out, q, k=5, n_probe=6, where=F.col("label") == 1
+        ).collect()
+    ]
+    assert got_stored == want

@@ -601,6 +601,23 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+ANN_FILTER_LABEL = 3
+ANN_FILTER_PROBE = 8  # selective predicate → probe more buckets
+
+
+def q_ann_filtered(spark, sf_dir):
+    """Filtered ANN: the q_ann_ivf machinery with a metadata
+    predicate (label = 3) applied inside the probed buckets."""
+    emb = _embeddings(spark, sf_dir)
+    seeds = similarity.seed_centroids(emb, IVF_K)
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+    assigned = similarity.assign_buckets(emb.filter(F.col("vec_id") != 0), seeds)
+    return similarity.ivf_cosine_topk(
+        assigned, [list(c) for c in seeds], qvec, k=10,
+        n_probe=ANN_FILTER_PROBE, where=F.col("label") == ANN_FILTER_LABEL,
+    )
+
+
 QUERIES = {
     "doc_stats": q_doc_stats,
     "tokenize_tf": q_tokenize_tf,
@@ -647,6 +664,7 @@ QUERIES = {
     "unigram_nll": q_unigram_nll,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,
+    "ann_filtered": q_ann_filtered,
     "emb_near_dup": q_emb_near_dup,
 }
 
@@ -999,11 +1017,13 @@ FROM ranked
 """
 
 
-def _ann_ivf_sql() -> str:
+def _ann_ivf_sql(n_probe: int = IVF_N_PROBE, where: str = "TRUE") -> str:
     """Mirror of q_ann_ivf: hash-ranked seed centroids, cosine-argmax
     bucket assignment (dots rounded to 6 decimals on BOTH engines so
     last-ulp summation differences can't flip the argmax), probe the
-    IVF_N_PROBE query-nearest buckets, exact top-10 within them."""
+    ``n_probe`` query-nearest buckets, exact top-10 within them.
+    ``where``: the filtered-ANN metadata predicate (mirrors
+    ``ivf_cosine_topk(where=)``)."""
     cos6 = (
         "round(list_dot_product({a}, {b})"
         " / (greatest(sqrt(list_dot_product({a}, {a})), 1e-12)"
@@ -1026,12 +1046,12 @@ assign AS (
             ORDER BY {cos6.format(a="e.embedding::DOUBLE[]", b="b.cvec")} DESC,
                      b.bucket ASC
             LIMIT 1) AS bucket
-    FROM embeddings e WHERE e.vec_id <> 0
+    FROM embeddings e WHERE e.vec_id <> 0 AND ({where})
 ),
 probe AS (
     SELECT b.bucket FROM buckets b, q
     ORDER BY {cos6.format(a="q.qv", b="b.cvec")} DESC, b.bucket ASC
-    LIMIT {IVF_N_PROBE}
+    LIMIT {n_probe}
 ),
 scored AS (
     SELECT a.vec_id,
@@ -1665,6 +1685,9 @@ SELECT vec_id, floor(cos * 1e6 + 0.5)::BIGINT AS cos_micro
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
 """,
         "ann_ivf": _ann_ivf_sql(),
+        "ann_filtered": _ann_ivf_sql(
+            n_probe=ANN_FILTER_PROBE, where=f"e.label = {ANN_FILTER_LABEL}"
+        ),
         "phrase_match": _phrase_sql(PHRASE_2, ranked=False),
         "phrase_rank": _phrase_sql(PHRASE_3, ranked=True),
         "phrase_rank_wildcard": _phrase_sql(PHRASE_WILD, ranked=True),

@@ -328,11 +328,23 @@ def ivf_cosine_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only the n_probe buckets whose
-    centroids are most query-similar."""
+    centroids are most query-similar.
+
+    ``where`` (optional): FILTERED ANN — a metadata predicate (e.g.
+    ``F.col("label") == 3``) applied inside the probed buckets,
+    before scoring; Catalyst pushes it into the scan alongside the
+    bucket filter. With a selective predicate, raise ``n_probe``
+    (recall within the filtered set scales with the number of its
+    members the probes reach — the standard post-filter trade-off;
+    brute-force `cosine_topk(emb.filter(...))` is the exact
+    fallback)."""
     probe = probe_buckets(centroids, query_vec, n_probe)
     pruned = assigned.filter(F.col("bucket").isin(probe))
+    if where is not None:
+        pruned = pruned.filter(where)
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
@@ -344,13 +356,16 @@ def ivf_search_stored(
     n_probe: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    where: Column | None = None,
 ) -> DataFrame:
     """Query a ``write_ivf`` index: the bucket filter prunes whole
     partitions at the source (verify with .explain: PartitionFilters;
     with appended parts, the filter is pushed below the union into
     every part's scan). ``n_probe=None`` defaults to k/8 of the
     stored centroids (the suggest_ivf_params fraction) — computed
-    from the centroid list already in hand, no extra job."""
+    from the centroid list already in hand, no extra job. ``where``:
+    filtered ANN (see `ivf_cosine_topk`) — the predicate lands in
+    the same pruned scan as PushedFilters."""
     cent = _read_ivf_table(spark, out_dir, "centroids").orderBy("bucket").collect()
     centroids = [list(r["centroid"]) for r in cent]
     if n_probe is None:
@@ -359,6 +374,8 @@ def ivf_search_stored(
     vectors = _read_ivf_table(spark, out_dir, "vectors").filter(
         F.col("bucket").isin(probe)
     )
+    if where is not None:
+        vectors = vectors.filter(where)
     return cosine_topk(vectors, query_vec, k, id_col, vec_col)
 
 

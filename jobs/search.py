@@ -9,6 +9,8 @@
         [--exclude PAT ...]   # NOT: drop docs matching any pattern
         [--bool "EXPR"]       # nested boolean tree, e.g.
                               #   "spark AND (vector OR merge) AND NOT qu*"
+        [--lines DOCS.parquet]  # attach matched lines (snippets) to each
+                                # ranked hit, re-read from the raw corpus
 """
 from __future__ import annotations
 
@@ -52,6 +54,11 @@ def main() -> None:
         help="nested boolean query tree (AND/OR/NOT + parens; "
         "wildcard leaves allowed); ranked, single-index",
     )
+    ap.add_argument(
+        "--lines", default=None, metavar="DOCS",
+        help="raw documents parquet: attach matched-line snippets to "
+        "each ranked hit (--terms ranked mode and --bool)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -85,12 +92,37 @@ def main() -> None:
             "--prune are single-index modes"
         )
     spark = get_spark("textindex-search", cpus=args.cpus)
-    if args.bool_expr:
-        from textindex_spark.boolquery import search_bool
 
-        rows = search_bool(spark, args.index, args.bool_expr, k=args.k).collect()
+    def emit(rows, snippet_patterns):
+        """Print hits; with --lines, attach matched-line snippets
+        (one extra kernel pass over ONLY the hit documents)."""
+        if args.lines and rows:
+            from textindex_spark.query import matched_lines
+            from textindex_spark.session import local_df
+
+            ids = local_df(
+                spark, [(r["doc_id"],) for r in rows], "doc_id long"
+            )
+            docs = spark.read.parquet(args.lines)
+            by_id = {
+                r["doc_id"]: list(r["lines"])
+                for r in matched_lines(spark, docs, ids, snippet_patterns).collect()
+            }
+            for r in rows:
+                d = r.asDict()
+                d["lines"] = by_id.get(r["doc_id"], [])
+                print(json.dumps(d))
+            return
         for r in rows:
             print(json.dumps(r.asDict()))
+
+    if args.bool_expr:
+        from textindex_spark.boolquery import parse_bool, positive_leaves, search_bool
+
+        rows = search_bool(spark, args.index, args.bool_expr, k=args.k).collect()
+        ast, leaves = parse_bool(args.bool_expr)
+        # snippets show evidence: only positive leaves are matched
+        emit(rows, [leaves[i] for i in sorted(positive_leaves(ast))])
         return
     if args.shards:
         rows = search_sharded(
@@ -125,6 +157,8 @@ def main() -> None:
             spark, args.index, args.terms, k=args.k, mode=args.mode,
             prune=args.prune, exclude=args.exclude,
         ).collect()
+        emit(rows, args.terms)
+        return
     for r in rows:
         print(json.dumps(r.asDict()))
 

@@ -41,6 +41,10 @@ def main() -> None:
         help="proximity search: all terms within N kept tokens",
     )
     ap.add_argument(
+        "--ranked", action="store_true",
+        help="with --near: BM25-ranked top-k instead of (doc, count)",
+    )
+    ap.add_argument(
         "--facet", choices=["lang", "site"], default=None,
         help="print matched-doc counts per facet value instead of hits",
     )
@@ -143,6 +147,15 @@ def main() -> None:
         rows = search_phrase(
             spark, args.index, args.terms, k=args.k, exclude=args.exclude
         ).collect()
+    elif args.near is not None and args.ranked:
+        from textindex_spark.query import search_near
+
+        rows = search_near(
+            spark, args.index, args.terms, window=args.near, k=args.k,
+            exclude=args.exclude,
+        ).collect()
+        emit(rows, args.terms)
+        return
     elif args.near is not None:
         rows = near_docs(
             spark, args.index, args.terms, window=args.near,

@@ -665,3 +665,35 @@ def test_phrase_pos_fetch_prunes_ranges(spark, index_dir, oracle):
     )
     assert "In(term, " in scan or "EqualTo(term" in scan, scan
     assert "In(range_id, " in scan or "EqualTo(range_id" in scan, scan
+
+
+def test_search_near_ranked_matches_oracle(spark, index_dir, oracle):
+    """Ranked NEAR: membership = anchored-window oracle, score = BM25
+    sum over distinct slot patterns (max matched expansion for
+    wildcards), tie-break (score desc, doc_id asc)."""
+    from textindex_spark.query import search_near
+
+    for ph, w in ((_corpus_phrases(oracle)[0], 8), (["agg", "ha*"], 4)):
+        members = set(oracle.near_occurrences(ph, window=w))
+        if not members:
+            continue
+        pats = sorted(set(ph))
+        want = []
+        for d in members:
+            s = 0.0
+            for p in pats:
+                partials = [
+                    oracle.weight(t, d, oracle.postings[t][d])
+                    for t in oracle.expand(p)
+                    if d in oracle.postings[t]
+                ]
+                s += max(partials)
+            want.append((d, round(s, 9)))
+        want.sort(key=lambda t: (-t[1], t[0]))
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search_near(
+                spark, index_dir, ph, window=w, k=10, with_urls=False
+            ).collect()
+        ]
+        assert got == want[:10], (ph, w)

@@ -305,6 +305,21 @@ def q_near_match_wildcard(spark, sf_dir):
     return Q.near_docs(spark, idx, PHRASE_WILD, window=NEAR_WINDOW)
 
 
+def q_near_rank(spark, sf_dir):
+    """Ranked NEAR (proximity-gated BM25 top-k, wildcard slot):
+    membership by the anchored-window test, rank by the BM25 sum over
+    the distinct slot patterns (max matched expansion for the
+    wildcard)."""
+    idx = ensure_index(spark, sf_dir)
+    res = Q.search_near(
+        spark, idx, PHRASE_WILD, window=NEAR_WINDOW, k=10, with_urls=False
+    )
+    return res.select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro"),
+    )
+
+
 def q_tf_histogram(spark, sf_dir):
     """A2 count inversion (tmp_index.rs:30-38): tf → how many
     (doc, term) cells have that tf."""
@@ -637,6 +652,7 @@ QUERIES = {
     "phrase_rank_wildcard": q_phrase_rank_wildcard,
     "near_match": q_near_match,
     "near_match_wildcard": q_near_match_wildcard,
+    "near_rank": q_near_rank,
     "tf_histogram": q_tf_histogram,
     "find_files": q_find_files,
     "matched_lines": q_matched_lines,
@@ -1226,9 +1242,12 @@ ORDER BY ({wsum}) DESC, m.doc_id ASC LIMIT 10
 
 
 
-def _near_sql(phrase: list[str], window: int) -> str:
-    """DuckDB mirror of query.near_docs (anchored-window NEAR);
-    wildcard slots match via LIKE (union over the expansion)."""
+def _near_sql(phrase: list[str], window: int, ranked: bool = False) -> str:
+    """DuckDB mirror of query.near_docs / search_near (anchored-window
+    NEAR); wildcard slots match via LIKE (union over the expansion).
+    The ranked variant scores like _phrase_sql: BM25 summed over
+    DISTINCT slot patterns, wildcard patterns taking the MAX partial
+    over expansion terms present in the doc."""
     anchor = phrase[0]
     others = sorted(set(phrase[1:]) - {anchor})
     exists = "\n".join(
@@ -1237,8 +1256,8 @@ def _near_sql(phrase: list[str], window: int) -> str:
         f" AND o{i}.pos BETWEEN a.pos - {window} AND a.pos + {window})"
         for i, t in enumerate(others)
     )
-    return f"""
-WITH rawtoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    base = f"""
+rawtoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 widx AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM rawtoks),
 flat AS (SELECT doc_id, l[i] AS term, i FROM widx WHERE l[i] <> ''),
 kept AS (
@@ -1250,8 +1269,49 @@ anchors AS (
     SELECT a.doc_id, a.pos FROM kept a
     WHERE a.{_slot_cond(anchor)}
 {exists}
-)
+)"""
+    if not ranked:
+        return f"""
+WITH {base}
 SELECT doc_id, count(*)::INT AS n_near FROM anchors GROUP BY doc_id
+"""
+    pats = sorted(set(phrase))
+    any_cond = " OR ".join(_slot_cond(p) for p in pats)
+    wctes = ",\n".join(
+        f"w{j} AS (SELECT doc_id, max(w) AS w FROM hits WHERE {_slot_cond(p)} GROUP BY doc_id)"
+        for j, p in enumerate(pats)
+    )
+    wjoins = "\n".join(f"JOIN w{j} USING (doc_id)" for j in range(len(pats)))
+    wsum = " + ".join(f"w{j}.w" for j in range(len(pats)))
+    return f"""
+WITH {base},
+matches AS (SELECT DISTINCT doc_id FROM anchors),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM kept GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM kept GROUP BY doc_id),
+alldl AS (
+    SELECT d.doc_id, coalesce(dl.doc_len, 0) AS doc_len
+    FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+),
+stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM alldl),
+dfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf
+    WHERE {any_cond} GROUP BY term
+),
+hits AS (
+    SELECT t.doc_id, t.term,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM tf t
+    JOIN dfs f ON t.term = f.term
+    JOIN alldl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+),
+{wctes}
+SELECT m.doc_id, floor(({wsum}) * 1e6 + 0.5)::BIGINT AS score_micro
+FROM matches m
+{wjoins}
+ORDER BY ({wsum}) DESC, m.doc_id ASC LIMIT 10
 """
 
 
@@ -1693,6 +1753,7 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
         "phrase_rank_wildcard": _phrase_sql(PHRASE_WILD, ranked=True),
         "near_match": _near_sql(PHRASE_2, NEAR_WINDOW),
         "near_match_wildcard": _near_sql(PHRASE_WILD, NEAR_WINDOW),
+        "near_rank": _near_sql(PHRASE_WILD, NEAR_WINDOW, ranked=True),
         "emb_near_dup": _emb_near_dup_sql(),
     }
     # incremental build must be indistinguishable from the full build

@@ -1742,16 +1742,22 @@ def near_docs(
     words: list[str],
     window: int = 8,
     exclude: list[str] | None = None,
+    with_score: bool = False,
 ) -> DataFrame:
     """NEAR/k proximity over the positional payload: → (doc_id,
-    n_near) for live docs where every query slot occurs within
-    ``window`` kept-token positions of some occurrence of the FIRST
-    slot (anchored-window semantics; n_near = number of such anchor
-    positions). Slots may be wildcard patterns ("dat*"): a slot's
-    positions are the union over its expansion terms, exactly as in
-    phrase_docs (r4). Same single bucket-pruned fetch as phrase_docs;
-    the window test is a JVM-side exists() chain — no Python in the
-    match."""
+    n_near[, score]) for live docs where every query slot occurs
+    within ``window`` kept-token positions of some occurrence of the
+    FIRST slot (anchored-window semantics; n_near = number of such
+    anchor positions). Slots may be wildcard patterns ("dat*"): a
+    slot's positions are the union over its expansion terms, exactly
+    as in phrase_docs (r4). Same single bucket-pruned fetch as
+    phrase_docs; the window test is a JVM-side exists() chain — no
+    Python in the match.
+
+    ``with_score``: BM25 sum over the DISTINCT slot patterns —
+    literal slots contribute idf·tfnorm, wildcard slots the MAX
+    matched expansion partial, exactly `_phrase_frame`'s scoring
+    (candidates and scores from the same scan)."""
     slots = phrase_slots(words)
     if not slots:
         raise ValueError("query contains no indexable terms")
@@ -1767,11 +1773,30 @@ def near_docs(
         for i, p in enumerate(uniq)
     }
     if any(not slot_terms[p] for p in uniq):
-        return local_df(spark, [], "doc_id long, n_near int")
+        schema = "doc_id long, n_near int" + (", score double" if with_score else "")
+        return local_df(spark, [], schema)
     decoded = _decoded_pos(spark, index_dir, [slot_terms[p] for p in uniq], stats)
+    if with_score:
+        idf_by_term = {
+            t: idf(stats["n_docs"], int(d))
+            for t, d in zip(expanded["term"], expanded["df"])
+        }
     cur = None
     for i, p in enumerate(uniq):
-        occ = _slot_occurrences(decoded, slot_terms[p], 0, f"_p{i}")
+        if with_score:
+            # uniq is already the DISTINCT patterns: every slot
+            # carries its BM25 partial (wildcards: max over matched
+            # expansions — same semantics as _phrase_frame)
+            idf_df = local_df(
+                spark,
+                [(t, float(idf_by_term[t])) for t in slot_terms[p]],
+                "term string, _idf double",
+            )
+            occ = _slot_occurrences(
+                decoded, slot_terms[p], 0, f"_p{i}", idf_df=idf_df, wname=f"_w{i}"
+            )
+        else:
+            occ = _slot_occurrences(decoded, slot_terms[p], 0, f"_p{i}")
         cur = occ if cur is None else cur.join(occ, "doc_id")
     w = int(window)
 
@@ -1785,18 +1810,52 @@ def near_docs(
             cond = c if cond is None else cond & c
         return cond if cond is not None else F.lit(True)
 
-    out = (
-        cur.withColumn(
-            "n_near", F.size(F.filter(F.col("_p0"), _anchor_ok)).cast("int")
-        )
-        .filter(F.col("n_near") > 0)
-        .select("doc_id", "n_near")
+    cols = ["doc_id", "n_near"]
+    cur = cur.withColumn(
+        "n_near", F.size(F.filter(F.col("_p0"), _anchor_ok)).cast("int")
     )
+    if with_score:
+        score = None
+        for i in range(len(uniq)):
+            score = F.col(f"_w{i}") if score is None else score + F.col(f"_w{i}")
+        cur = cur.withColumn("score", score)
+        cols.append("score")
+    out = cur.filter(F.col("n_near") > 0).select(*cols)
     if exclude:
         excl_df = _exclusion_docs_df(spark, index_dir, exclude, stats)
         if excl_df is not None:
             out = out.join(excl_df, "doc_id", "left_anti")
     return apply_tombstones(spark, index_dir, out)
+
+
+def search_near(
+    spark: SparkSession,
+    index_dir: str,
+    words: list[str],
+    window: int = 8,
+    k: int = 10,
+    with_urls: bool = True,
+    exclude: list[str] | None = None,
+) -> DataFrame:
+    """Ranked NEAR/k: proximity-gated BM25 top-k → (doc_id,
+    score[, url]), ordered (score desc, doc_id asc) — membership by
+    the anchored-window test (`near_docs`), rank by the BM25 sum over
+    the distinct slot patterns (`search_phrase` semantics applied to
+    proximity)."""
+    frame = near_docs(
+        spark, index_dir, words, window=window, exclude=exclude, with_score=True
+    )
+    result = (
+        frame.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    if with_urls:
+        docs_df = _cached_table(spark, index_dir, "docs").select("doc_id", "url")
+        result = result.join(docs_df, "doc_id", "left").select(
+            "doc_id", "score", "url"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+    return result
 
 
 def phrase_docs(

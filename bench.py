@@ -213,6 +213,14 @@ def main() -> None:
         "decontam",
         lambda: curate.contamination_hits(docs, bench_docs, n=3).count(),
     )
+    from textindex_spark.refimpl.stop_words import STOP_WORD_SET
+
+    stop = tuple(sorted(STOP_WORD_SET))
+    timed("unigram_nll", lambda: curate.unigram_logprob(docs).count())
+    timed(
+        "budget_select",
+        lambda: curate.budget_select(docs, stop, 100_000).count(),
+    )
     timed("minhash_signatures", lambda: dedup.minhash_signatures(docs).count())
     timed(
         "lsh_pairs",

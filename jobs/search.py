@@ -133,8 +133,7 @@ def main() -> None:
             spark, args.shards, args.terms, k=args.k, mode=args.mode,
             exclude=args.exclude,
         ).collect()
-        for r in rows:
-            print(json.dumps(r.asDict()))
+        emit(rows, args.terms)
         return
     if args.files:
         rows = find_files(spark, args.index, args.files).collect()

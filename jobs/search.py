@@ -146,6 +146,8 @@ def main() -> None:
         rows = search_phrase(
             spark, args.index, args.terms, k=args.k, exclude=args.exclude
         ).collect()
+        emit(rows, args.terms)
+        return
     elif args.near is not None and args.ranked:
         from textindex_spark.query import search_near
 

@@ -83,29 +83,31 @@ def contamination_hits(
     ``bench_shingle_hashes`` frame (column ``h``) — the streaming
     pipeline persists it once across micro-batches.
 
-    Scale shape: corpus shingles are hashed per-row (narrow); the only
-    join is a BROADCAST semi-join against the benchmark's distinct
-    shingle-hash set, then one map-side-combining groupBy(doc_id).
-    The corpus is never shuffled on shingle."""
-    sh = (
-        docs.select(
-            "doc_id",
-            F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("shingle"),
-        )
-        .select("doc_id", portable_hash60(F.col("shingle")).alias("h"))
-        .distinct()
-    )
-    stats = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    Scale shape: corpus shingles are hashed per-row (narrow), flagged
+    by a BROADCAST left join against the benchmark's distinct
+    shingle-hash set, then ONE aggregation keyed doc_id (distinct
+    counts — partial aggregation applies, and the key is uniform:
+    no hot-shingle skew is possible because nothing ever shuffles on
+    the shingle itself). The final left join re-attaches 0-shingle
+    docs."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("shingle"),
+    ).select("doc_id", portable_hash60(F.col("shingle")).alias("h"))
     bench_h = bench if pre_hashed else bench_shingle_hashes(bench, n, text_col)
-    hits = (
-        sh.join(F.broadcast(bench_h), "h")
+    per_doc = (
+        sh.join(F.broadcast(bench_h.withColumn("_hit", F.lit(1))), "h", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(
+            F.count_distinct("h").alias("n_shingles"),
+            F.count_distinct(
+                F.when(F.col("_hit") == 1, F.col("h"))
+            ).alias("n_hits"),
+        )
     )
     return (
         docs.select("doc_id")
-        .join(stats, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),

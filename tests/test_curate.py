@@ -194,3 +194,20 @@ def test_unigram_logprob(spark, docs):
     # rare tokens carry more information than corpus-common ones
     per_tok = {t: nll[t] for t in counts}
     assert per_tok["alpha"] < per_tok["springt"]  # df 3 vs df 1
+
+
+def test_curate_plan_shapes(spark, docs, bench):
+    """Pin the PLANS.md §15 claims: stratified sampling is a pure
+    scan filter (zero exchanges); the decontamination hit join is a
+    broadcast on the shingle hash (never a shuffle keyed on the
+    shingle)."""
+    samp = curate.sample_stratified(docs, {"en": 300_000}, 100_000)
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    hits = curate.contamination_hits(docs, bench, n=5)
+    plan2 = hits._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side hit join is broadcast on the shingle hash; the
+    # only SortMergeJoin keys on doc_id (the benchmark's own tiny
+    # distinct may legitimately exchange on h — that's the small side)
+    assert "BroadcastHashJoin [h" in plan2
+    assert "SortMergeJoin [h" not in plan2

@@ -81,9 +81,9 @@ def main() -> None:
         ap.error("provide --terms T [T ...], --bool EXPR, or --files PATTERN")
     if args.bool_expr and (
         args.terms or args.files or args.phrase or args.near is not None
-        or args.unranked or args.facet or args.shards or args.exclude
+        or args.unranked or args.facet or args.exclude
     ):
-        ap.error("--bool is a standalone ranked single-index mode")
+        ap.error("--bool is a standalone ranked mode (single index or --shards)")
     if bool(args.index) == bool(args.shards):
         ap.error("provide exactly one of --index / --shards")
     if args.shards and (
@@ -121,9 +121,19 @@ def main() -> None:
             print(json.dumps(r.asDict()))
 
     if args.bool_expr:
-        from textindex_spark.boolquery import parse_bool, positive_leaves, search_bool
+        from textindex_spark.boolquery import (
+            parse_bool,
+            positive_leaves,
+            search_bool,
+            search_bool_sharded,
+        )
 
-        rows = search_bool(spark, args.index, args.bool_expr, k=args.k).collect()
+        if args.shards:
+            rows = search_bool_sharded(
+                spark, args.shards, args.bool_expr, k=args.k
+            ).collect()
+        else:
+            rows = search_bool(spark, args.index, args.bool_expr, k=args.k).collect()
         ast, leaves = parse_bool(args.bool_expr)
         # snippets show evidence: only positive leaves are matched
         emit(rows, [leaves[i] for i in sorted(positive_leaves(ast))])

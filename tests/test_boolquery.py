@@ -203,3 +203,44 @@ def test_leaf_count_cap():
     with pytest.raises(ValueError, match="63"):
         parse_bool(q)
     parse_bool(" OR ".join(f"t{i}" for i in range(63)))  # at the cap: fine
+
+
+def test_search_bool_sharded_matches_single_index(spark, rows, tmp_path_factory):
+    """Federated boolean trees: two shards with global stats are
+    rank- and score-identical to search_bool on one union-corpus
+    index, serving AND distributed paths, including formulas whose
+    leaves expand in only one shard."""
+    import math
+
+    from textindex_spark.boolquery import search_bool_sharded
+    from tests.spark_fixtures import corpus_df
+
+    base = tmp_path_factory.mktemp("boolshards")
+    d1, d2 = str(base / "s0"), str(base / "s1")
+    build_index(spark, corpus_df(spark, rows[:160]), d1, range_bits=6)
+    build_index(spark, corpus_df(spark, rows[160:]), d2, range_bits=6)
+    single = tmp_path_factory.mktemp("boolunion")
+    du = str(single / "u")
+    build_index(spark, corpus_df(spark, rows), du, range_bits=6)
+    for q in [
+        "spark AND (vector OR merge) AND NOT qu*",
+        "spark AND vector",
+        "spark OR vector OR merge",
+        "spark AND NOT (merge AND vector)",
+        "qu* AND NOT quer*",
+        "spark AND zanzibar*",  # unsatisfiable required leaf
+    ]:
+        want = [
+            (r["doc_id"], r["score"])
+            for r in search_bool(spark, du, q, k=10, with_urls=False).collect()
+        ]
+        for local in (None, False):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search_bool_sharded(
+                    spark, [d1, d2], q, k=10, with_urls=False, local_score=local
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], (q, local)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9), (q, gd, local)

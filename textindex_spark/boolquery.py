@@ -50,6 +50,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from textindex_spark.query import (
+    B,
+    ISIN_PUSHDOWN_MAX,
+    K1,
     LOCAL_SCORE_MAX_POSTINGS,
     _and_surviving_ranges,
     _cached_table,
@@ -368,6 +371,195 @@ def _attach_urls(
     if not with_urls:
         return result
     docs = _cached_table(spark, index_dir, "docs").select("doc_id", "url")
+    return (
+        result.join(docs, "doc_id", "left")
+        .select("doc_id", "score", "url")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def search_bool_sharded(
+    spark: SparkSession,
+    index_dirs: list[str],
+    query: str,
+    k: int = 10,
+    with_urls: bool = True,
+    local_score: bool | None = None,
+) -> DataFrame:
+    """Federated boolean-tree BM25 top-k over multiple index shards —
+    identical to `search_bool` on one union-corpus index, by the same
+    argument as `query.search_sharded`: every corpus-dependent
+    quantity (n_docs, avgdl, per-term df → idf) is resolved GLOBALLY
+    from the shards' resident stats/dictionaries before scoring, and
+    a document lives in exactly one shard, so leaf masks, formula
+    evaluation, tombstones, and the certain-conjunct range
+    pre-intersection are all shard-local; the merge is one global
+    top-k over k rows per shard.
+
+    Per-shard short-circuit: a shard where some REQUIRED leaf has no
+    vocabulary expansion cannot hold a satisfying document and is
+    skipped entirely. Serving path (Σ df ≤ cap, tombstones capped):
+    per-shard resident block fetch + numpy mask evaluation, merged
+    driver-side — zero Spark jobs warm. Distributed fallback: one
+    decode + mask-predicate plan per shard, unioned."""
+    ast, patterns = parse_bool(query)
+    if _eval_py(ast, [False] * len(patterns)):
+        raise ValueError(
+            "boolean query is satisfied by documents matching no term "
+            "(pure-negation form) — anchor the query with a positive term"
+        )
+    import pandas as pd
+
+    stats_list = [cached_stats(spark, d) for d in index_dirs]
+    n_docs_g = sum(int(s["n_docs"]) for s in stats_list)
+    total_tokens_g = sum(int(s["total_tokens"]) for s in stats_list)
+    avgdl_g = (total_tokens_g / n_docs_g) if n_docs_g else 1.0
+    expansions = [expand_patterns(spark, d, patterns) for d in index_dirs]
+    pos = positive_leaves(ast)
+    req = sorted(required_leaves(ast))
+    empty = local_df(spark, [], "doc_id long, score double")
+    cat = []
+    for i, e in enumerate(expansions):
+        if len(e):
+            e = e.copy()
+            e["shard"] = i
+            cat.append(e)
+    allx = pd.concat(cat) if cat else None
+    if allx is None:
+        return _attach_urls_sharded(spark, index_dirs, empty, with_urls)
+    # GLOBAL df per term (a term may live in several shards)
+    df_g = allx.drop_duplicates(["shard", "term"]).groupby("term")["df"].sum()
+
+    def _shard_tinfo(e: pd.DataFrame) -> pd.DataFrame:
+        ti = (
+            e.groupby("term")
+            .agg(
+                mask=(
+                    "pattern_idx",
+                    lambda s: int(np.bitwise_or.reduce([1 << i for i in s])),
+                ),
+                pos=(
+                    "pattern_idx",
+                    lambda s: 1.0 if any(i in pos for i in s) else 0.0,
+                ),
+            )
+            .reset_index()
+        )
+        ti["idf"] = [idf(n_docs_g, int(df_g[t])) for t in ti["term"]]
+        ti["idf_pos"] = ti["idf"] * ti["pos"]
+        return ti
+
+    # per-shard certain-conjunct masks; a shard missing a required
+    # leaf is skipped (None sentinel)
+    shard_req = []
+    for e in expansions:
+        if len(e) == 0:
+            shard_req.append("skip")
+        elif len(req) > 1:
+            m = _required_masks(e, req)
+            shard_req.append("skip" if m is None else m)
+        else:
+            covered = set(e["pattern_idx"].unique())
+            shard_req.append("skip" if not set(req) <= covered else None)
+
+    total_df = int(allx.drop_duplicates(["shard", "term"])["df"].sum())
+    fits_local = 0 < total_df <= LOCAL_SCORE_MAX_POSTINGS
+    use_local = fits_local if local_score is None else (local_score and fits_local)
+    if use_local:
+        merged: list[tuple[int, float]] = []
+        ok = True
+        for i, d in enumerate(index_dirs):
+            if shard_req[i] == "skip":
+                continue
+            e = expansions[i]
+            terms_s = sorted(set(e["term"]))
+            if len(terms_s) > ISIN_PUSHDOWN_MAX:
+                ok = False
+                break
+            dead = _dead_ids_capped(spark, d)
+            if dead is None:
+                ok = False
+                break
+            stats_s = dict(stats_list[i])
+            stats_s["avgdl"] = avgdl_g  # global stats for scoring
+            surviving = None
+            if isinstance(shard_req[i], tuple):
+                surviving = _and_surviving_ranges(
+                    spark, d, shard_req[i][0], shard_req[i][1], stats_s
+                )
+                if surviving == []:
+                    continue
+            ti = _shard_tinfo(e)
+            blocks = _fetch_blocks(spark, d, terms_s, stats_s, ranges=surviving)
+            ts = ti[["term", "mask"]].copy()
+            ts["idf"] = ti["idf_pos"]
+            uniq, score, mask_acc = _score_blocks_np(blocks, stats_s, ts)
+            sat = _eval_np(ast, mask_acc)
+            uniq, score = uniq[sat], score[sat]
+            if len(dead):
+                alive = ~np.isin(uniq, dead)
+                uniq, score = uniq[alive], score[alive]
+            order = np.lexsort((uniq, -score))[:k]
+            merged.extend((int(uniq[j]), float(score[j])) for j in order)
+        if ok:
+            merged.sort(key=lambda t: (-t[1], t[0]))
+            rows = merged[:k]
+            result = (
+                local_df(spark, rows, "doc_id long, score double")
+                if rows
+                else empty
+            )
+            return _attach_urls_sharded(spark, index_dirs, result, with_urls)
+    scored_frames = []
+    for i, d in enumerate(index_dirs):
+        if shard_req[i] == "skip":
+            continue
+        e = expansions[i]
+        terms_s = sorted(set(e["term"]))
+        ti = _shard_tinfo(e)
+        qterms = spark.createDataFrame(ti[["term", "idf", "mask", "pos"]])
+        and_masks = shard_req[i] if isinstance(shard_req[i], tuple) else None
+        decoded = _decoded_postings(
+            spark, d, qterms, stats_list[i], terms_s, and_masks=and_masks
+        )
+        # recompute the BM25 partial from (tf, doc_len) with the
+        # GLOBAL avgdl — the decoded tfnorm baked the shard's own
+        w = (
+            F.col("idf")
+            * F.col("pos")
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avgdl_g)))
+        )
+        sc = (
+            decoded.join(F.broadcast(qterms), "term")
+            .groupBy("doc_id")
+            .agg(F.sum(w).alias("score"), F.bit_or("mask").alias("mask"))
+            .filter(_mask_predicate(ast, F.col("mask")))
+        )
+        sc = apply_tombstones(spark, d, sc)
+        scored_frames.append(sc.select("doc_id", "score"))
+    if not scored_frames:
+        return _attach_urls_sharded(spark, index_dirs, empty, with_urls)
+    merged_df = scored_frames[0]
+    for f in scored_frames[1:]:
+        merged_df = merged_df.unionByName(f)
+    result = merged_df.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return _attach_urls_sharded(spark, index_dirs, result, with_urls)
+
+
+def _attach_urls_sharded(
+    spark: SparkSession,
+    index_dirs: list[str],
+    result: DataFrame,
+    with_urls: bool,
+) -> DataFrame:
+    if not with_urls:
+        return result
+    docs = None
+    for d in index_dirs:
+        t = _cached_table(spark, d, "docs").select("doc_id", "url")
+        docs = t if docs is None else docs.unionByName(t)
     return (
         result.join(docs, "doc_id", "left")
         .select("doc_id", "score", "url")

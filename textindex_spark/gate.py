@@ -220,6 +220,20 @@ def q_bm25_sharded(spark, sf_dir):
     )
 
 
+def q_bool_sharded(spark, sf_dir):
+    """Federated boolean tree over two shards must equal the
+    single-index bool_query bit-for-bit (global stats; same oracle
+    SQL)."""
+    from textindex_spark.boolquery import search_bool_sharded
+
+    dirs = ensure_sharded_index(spark, sf_dir)
+    res = search_bool_sharded(spark, dirs, BOOL_QUERY, k=10, with_urls=False)
+    return res.select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro"),
+    )
+
+
 NOT_PATTERN = "qu*"
 
 
@@ -644,6 +658,7 @@ QUERIES = {
     "bm25_or_topk": q_bm25_or_topk,
     "bm25_not": q_bm25_not,
     "bool_query": q_bool_query,
+    "bool_sharded": q_bool_sharded,
     "bm25_sharded": q_bm25_sharded,
     "facet_lang": q_facet_lang,
     "facet_site": q_facet_site,
@@ -1761,4 +1776,5 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
     # federation is lossless: two shards with global df/avgdl must
     # reproduce the single-corpus BM25 oracle exactly
     out["bm25_sharded"] = out["bm25_topk"]
+    out["bool_sharded"] = out["bool_query"]
     return out

@@ -63,6 +63,21 @@ def main() -> None:
     p = sub.add_parser("nll", help="per-doc mean unigram NLL (perplexity-style)")
     common(p)
 
+    p = sub.add_parser(
+        "gopher", help="Gopher repetition filters (dup lines / top n-grams)"
+    )
+    common(p)
+
+    p = sub.add_parser(
+        "dupspans",
+        help="exact-substring duplication: per-doc stats + span removal",
+    )
+    common(p)
+    p.add_argument("--window", type=int, default=20, help="window width (tokens)")
+    p.add_argument(
+        "--strip", action="store_true", help="also write span-stripped text"
+    )
+
     args = ap.parse_args()
 
     from textindex_spark.ops import curate
@@ -131,6 +146,37 @@ def main() -> None:
         agg = nll.groupBy().avg("avg_nll_micro").collect()[0][0]
         out["rows"] = nll.count()
         out["mean_avg_nll_micro"] = int(agg or 0)
+    elif args.cmd == "gopher":
+        from textindex_spark.ops import textstats
+
+        sig = textstats.repetition_signals(docs)
+        sig.write.mode("overwrite").parquet(f"{args.output}/repetition")
+        sig = spark.read.parquet(f"{args.output}/repetition")
+        docs.join(
+            sig.filter(~sig.keep).select("doc_id"), "doc_id", "left_anti"
+        ).write.mode("overwrite").parquet(f"{args.output}/clean")
+        out["dropped"] = sig.filter(~sig.keep).count()
+        out["kept"] = spark.read.parquet(f"{args.output}/clean").count()
+    elif args.cmd == "dupspans":
+        from pyspark.sql import functions as F
+
+        from textindex_spark.ops import dedup as D
+
+        stats = D.dup_window_stats(docs, k=args.window)
+        stats.write.mode("overwrite").parquet(f"{args.output}/stats")
+        stats = spark.read.parquet(f"{args.output}/stats")
+        agg = stats.groupBy().agg(
+            F.sum("n_windows").alias("w"), F.sum("n_dup_windows").alias("d")
+        ).collect()[0]
+        out["n_windows"] = int(agg["w"] or 0)
+        out["n_dup_windows"] = int(agg["d"] or 0)
+        if args.strip:
+            D.strip_dup_spans(docs, k=args.window).write.mode(
+                "overwrite"
+            ).parquet(f"{args.output}/stripped")
+            out["stripped_rows"] = spark.read.parquet(
+                f"{args.output}/stripped"
+            ).count()
     print(json.dumps(out))
 
 

@@ -832,3 +832,108 @@ def test_ivf_filtered_search(spark, tmp_path):
         ).collect()
     ]
     assert got_stored == want
+
+
+# ------------------------------------------------ repetition signals
+
+
+def test_repetition_signals_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b\na b\nc d"),          # duplicate line + repeated 2-gram
+            (1, "x y z w v"),               # no repetition at all
+            (2, "p q r s t p q r s t"),     # repeated 5-gram covers everything
+            (3, ""),                        # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.repetition_signals(docs).collect()
+    }
+    r0 = rows[0]
+    assert r0["n_lines"] == 3 and r0["n_tokens"] == 6
+    assert r0["dup_line_frac_micro"] == 333_333       # 1 dup of 3 lines
+    assert r0["dup_line_char_frac_micro"] == 333_333  # 3 of 9 line chars
+    # top 2-gram "a b" ×2, 2 chars, total token chars 6 → 4/6
+    assert r0["top2_char_frac_micro"] == 666_667
+    assert r0["top3_char_frac_micro"] == 0            # all 3-grams unique
+    assert r0["dup5_char_frac_micro"] == 0
+    assert not r0["keep"]
+
+    r1 = rows[1]
+    assert r1["keep"]
+    assert (
+        r1["dup_line_frac_micro"] == r1["top2_char_frac_micro"]
+        == r1["top3_char_frac_micro"] == r1["dup5_char_frac_micro"] == 0
+    )
+
+    r2 = rows[2]
+    # "p q r s t" ×2 at positions 1 and 6 → covers all 10 positions
+    assert r2["dup5_char_frac_micro"] == 1_000_000
+    assert r2["top2_char_frac_micro"] == 400_000      # "p q" ×2 → 4/10
+    assert r2["top3_char_frac_micro"] == 600_000      # "p q r" ×2 → 6/10
+    assert not r2["keep"]
+
+    r3 = rows[3]
+    assert r3["n_lines"] == 0 and r3["n_tokens"] == 0 and r3["keep"]
+
+
+# ------------------------------------- exact-substring (window) dedup
+
+
+def test_dup_window_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four five"),
+            (1, "zero one two three nine"),
+            (2, "six seven eight"),
+            (3, "a b c a b c a b"),  # within-doc repetition counts too
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.dup_window_stats(docs, k=3).collect()}
+    # docs 0/1 share the 3-token run "one two three" → 1 dup window each
+    assert rows[0]["n_windows"] == 3 and rows[0]["n_dup_windows"] == 1
+    assert rows[0]["dup_token_frac_micro"] == 600_000  # 3 of 5 tokens
+    assert rows[1]["n_dup_windows"] == 1
+    assert rows[1]["dup_token_frac_micro"] == 600_000
+    assert rows[2]["n_dup_windows"] == 0
+    assert rows[2]["dup_token_frac_micro"] == 0
+    # doc 3: every window repeats within the doc; coverage is the
+    # interval UNION (8 tokens), not 6 windows × 3
+    assert rows[3]["n_dup_windows"] == 6
+    assert rows[3]["dup_token_frac_micro"] == 1_000_000
+
+
+def test_strip_dup_spans_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four five"),
+            (1, "zero one two three nine"),
+            (2, "six seven eight"),
+            (3, "a b c a b c a b"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.strip_dup_spans(docs, k=3).collect()}
+    # ALL occurrences of the duplicated span are removed (Lee et al.)
+    assert rows[0]["clean_text"] == "four five" and rows[0]["n_kept_tokens"] == 2
+    assert rows[1]["clean_text"] == "zero nine" and rows[1]["n_kept_tokens"] == 2
+    assert rows[2]["clean_text"] == "six seven eight"
+    assert rows[3]["clean_text"] == "" and rows[3]["n_kept_tokens"] == 0
+
+
+def test_strip_and_stats_coverage_consistent(spark, docs):
+    """Invariant tying the two exact-substring ops together: tokens
+    removed by strip_dup_spans == covered tokens implied by
+    dup_window_stats' fraction, per document."""
+    k = 3
+    stats = {
+        r["doc_id"]: r for r in dedup.dup_window_stats(docs, k=k).collect()
+    }
+    kept = {r["doc_id"]: r for r in dedup.strip_dup_spans(docs, k=k).collect()}
+    for doc_id, s in stats.items():
+        removed = s["n_tokens"] - kept[doc_id]["n_kept_tokens"]
+        covered = round(s["dup_token_frac_micro"] * s["n_tokens"] / 1e6)
+        assert removed == covered, doc_id

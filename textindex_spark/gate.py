@@ -602,6 +602,27 @@ def q_top_ngrams(spark, sf_dir):
     return curate.top_ngrams(_documents(spark, sf_dir), n=3, k=20)
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher repetition filters: duplicate-line fractions, top-2/3-
+    gram char fractions, duplicated-5-gram coverage, keep verdict."""
+    return textstats.repetition_signals(_documents(spark, sf_dir))
+
+
+DUP_WINDOW_K = 10  # window width for the exact-substring dedup gates
+
+
+def q_dup_windows(spark, sf_dir):
+    """Exact-substring duplication profile (Lee et al. 2021 windowed
+    form): per-doc duplicated k-token-window counts + token coverage."""
+    return dedup.dup_window_stats(_documents(spark, sf_dir), k=DUP_WINDOW_K)
+
+
+def q_strip_spans(spark, sf_dir):
+    """Exact-substring REMOVAL: text with every corpus-duplicated
+    k-token span cut (all occurrences, Lee-et-al. semantics)."""
+    return dedup.strip_dup_spans(_documents(spark, sf_dir), k=DUP_WINDOW_K)
+
+
 def q_unigram_nll(spark, sf_dir):
     return curate.unigram_logprob(_documents(spark, sf_dir))
 
@@ -693,6 +714,9 @@ QUERIES = {
     "budget_select": q_budget_select,
     "top_ngrams": q_top_ngrams,
     "unigram_nll": q_unigram_nll,
+    "repetition": q_repetition,
+    "dup_windows": q_dup_windows,
+    "strip_spans": q_strip_spans,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,
     "ann_filtered": q_ann_filtered,
@@ -1330,6 +1354,42 @@ ORDER BY ({wsum}) DESC, m.doc_id ASC LIMIT 10
 """
 
 
+# Shared CTEs for the repetition / exact-substring gates: whitespace
+# token LISTS (positions via generate_series — DuckDB unnest has no
+# ordinality), per-doc totals, and per-position token lengths.
+_REP_TOKS_CTE = """
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                       x -> x <> '') AS t
+    FROM documents
+),
+tot AS (
+    SELECT doc_id, len(t)::BIGINT AS n_tokens,
+           coalesce(list_sum(list_transform(t, x -> len(x))), 0)::BIGINT AS total_chars
+    FROM toks
+),
+tpos AS (
+    SELECT doc_id, i AS pos, len(t[i])::BIGINT AS tl
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+)
+""".strip()
+
+# k-token rolling window hashes + the corpus-duplicated subset
+# (duplication = the window hash occurs >= 2 times corpus-wide,
+# within-doc repeats included). Mirrors dedup.window_hashes /
+# dedup._dup_windows with the same 60-bit md5-prefix hash.
+_DUP_WINS_CTE = """
+wins AS (
+    SELECT doc_id, i AS pos,
+           ('0x' || substring(md5(array_to_string(t[i:i+{km1}], ' ')), 1, 15))::BIGINT AS wh
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {km1})) AS i FROM toks)
+),
+dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+dwins AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d ON w.wh = d.wh),
+""".format(km1=DUP_WINDOW_K - 1).strip()
+
+
 def oracle_sql_map() -> dict[str, str]:
     bm25_terms = ",".join(_sql_quote(t) for t in BM25_TERMS)
     and_terms = ",".join(_sql_quote(t) for t in AND_TERMS)
@@ -1746,6 +1806,141 @@ SELECT d.doc_id,
        coalesce(s.sum_nll_micro, 0)::BIGINT AS sum_nll_micro,
        coalesce(floor(s.sum_nll_micro / s.n_tokens)::BIGINT, 0) AS avg_nll_micro
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""",
+        "repetition": f"""
+WITH {_REP_TOKS_CTE},
+lines AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+    FROM documents
+),
+lc AS (SELECT doc_id, line, count(*)::BIGINT AS c FROM lines GROUP BY doc_id, line),
+lstat AS (
+    SELECT doc_id, sum(c)::BIGINT AS n_lines, sum(c - 1)::BIGINT AS dup_lines,
+           sum(c * len(line))::BIGINT AS line_chars,
+           sum((c - 1) * len(line))::BIGINT AS dup_line_chars
+    FROM lc GROUP BY doc_id
+),
+g2c AS (
+    SELECT doc_id, gram, count(*)::BIGINT AS c FROM (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+    ) GROUP BY doc_id, gram
+),
+top2 AS (
+    SELECT doc_id, c AS top2_c, (len(gram) - 1)::BIGINT AS top2_gchars FROM (
+        SELECT doc_id, gram, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        FROM g2c
+    ) WHERE rn = 1
+),
+g3c AS (
+    SELECT doc_id, gram, count(*)::BIGINT AS c FROM (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+    ) GROUP BY doc_id, gram
+),
+top3 AS (
+    SELECT doc_id, c AS top3_c, (len(gram) - 2)::BIGINT AS top3_gchars FROM (
+        SELECT doc_id, gram, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        FROM g3c
+    ) WHERE rn = 1
+),
+g5 AS (
+    SELECT doc_id, i AS pos,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS gram
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)
+),
+dup5g AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING count(*) >= 2),
+cov5 AS (
+    SELECT DISTINCT doc_id, cp FROM (
+        SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 4)) AS cp
+        FROM g5 g JOIN dup5g d ON g.doc_id = d.doc_id AND g.gram = d.gram
+    )
+),
+dup5 AS (
+    SELECT c.doc_id, sum(p.tl)::BIGINT AS dup5_chars
+    FROM cov5 c JOIN tpos p ON c.doc_id = p.doc_id AND c.cp = p.pos
+    GROUP BY c.doc_id
+),
+sig AS (
+    SELECT tot.doc_id,
+           coalesce(l.n_lines, 0)::BIGINT AS n_lines,
+           tot.n_tokens,
+           floor(coalesce(l.dup_lines::DOUBLE / greatest(l.n_lines, 1), 0)
+                 * 1e6 + 0.5)::BIGINT AS dup_line_frac_micro,
+           floor(coalesce(l.dup_line_chars::DOUBLE / greatest(l.line_chars, 1), 0)
+                 * 1e6 + 0.5)::BIGINT AS dup_line_char_frac_micro,
+           floor((CASE WHEN coalesce(t2.top2_c, 0) >= 2
+                       THEN (t2.top2_c * t2.top2_gchars)::DOUBLE
+                            / greatest(tot.total_chars, 1)
+                       ELSE 0 END) * 1e6 + 0.5)::BIGINT AS top2_char_frac_micro,
+           floor((CASE WHEN coalesce(t3.top3_c, 0) >= 2
+                       THEN (t3.top3_c * t3.top3_gchars)::DOUBLE
+                            / greatest(tot.total_chars, 1)
+                       ELSE 0 END) * 1e6 + 0.5)::BIGINT AS top3_char_frac_micro,
+           floor(coalesce(d5.dup5_chars, 0)::DOUBLE / greatest(tot.total_chars, 1)
+                 * 1e6 + 0.5)::BIGINT AS dup5_char_frac_micro
+    FROM tot
+    LEFT JOIN lstat l ON tot.doc_id = l.doc_id
+    LEFT JOIN top2 t2 ON tot.doc_id = t2.doc_id
+    LEFT JOIN top3 t3 ON tot.doc_id = t3.doc_id
+    LEFT JOIN dup5 d5 ON tot.doc_id = d5.doc_id
+)
+SELECT *,
+       (dup_line_frac_micro <= {textstats.GOPHER_MAX_DUP_LINE_FRAC_MICRO}
+        AND dup_line_char_frac_micro <= {textstats.GOPHER_MAX_DUP_LINE_CHAR_FRAC_MICRO}
+        AND top2_char_frac_micro <= {textstats.GOPHER_MAX_TOP2_CHAR_FRAC_MICRO}
+        AND top3_char_frac_micro <= {textstats.GOPHER_MAX_TOP3_CHAR_FRAC_MICRO}
+        AND dup5_char_frac_micro <= {textstats.GOPHER_MAX_DUP5_CHAR_FRAC_MICRO}) AS keep
+FROM sig
+""",
+        "dup_windows": f"""
+WITH {_REP_TOKS_CTE},
+{_DUP_WINS_CTE}
+cov AS (
+    SELECT doc_id,
+           least({DUP_WINDOW_K}, coalesce(
+               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+               {DUP_WINDOW_K})) AS cspan
+    FROM dwins
+),
+per_doc AS (
+    SELECT doc_id, count(*)::BIGINT AS n_dup_windows, sum(cspan)::BIGINT AS covered
+    FROM cov GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_tokens,
+       greatest(tot.n_tokens - {DUP_WINDOW_K - 1}, 0)::BIGINT AS n_windows,
+       coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       floor(coalesce(p.covered, 0)::DOUBLE / greatest(tot.n_tokens, 1)
+             * 1e6 + 0.5)::BIGINT AS dup_token_frac_micro
+FROM tot LEFT JOIN per_doc p ON tot.doc_id = p.doc_id
+""",
+        "strip_spans": f"""
+WITH {_REP_TOKS_CTE},
+{_DUP_WINS_CTE}
+cov AS (
+    SELECT DISTINCT doc_id, cp FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + {DUP_WINDOW_K - 1})) AS cp
+        FROM dwins
+    )
+),
+kept AS (
+    SELECT p.doc_id, p.pos, p.tok
+    FROM (SELECT doc_id, i AS pos, t[i] AS tok
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)) p
+    LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.cp
+    WHERE c.doc_id IS NULL
+),
+agg AS (
+    SELECT doc_id, count(*)::BIGINT AS n_kept_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_kept_tokens, 0)::BIGINT AS n_kept_tokens,
+       coalesce(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """,
         "ann_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

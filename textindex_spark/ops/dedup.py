@@ -68,6 +68,14 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
+def ws_tokens_col(text: Column) -> Column:
+    """Tokens with newlines ALSO treated as separators — for ops whose
+    token stream must ignore line structure (repetition signals,
+    exact-substring windows). DuckDB mirror:
+    ``string_split(replace(text, chr(10), ' '), ' ')``."""
+    return tokens_col(F.translate(text, "\n", " "))
+
+
 def shingles_col(toks: Column, n: int = 3) -> Column:
     """n-word shingles as strings (empty array when fewer than n)."""
     return F.when(
@@ -77,6 +85,22 @@ def shingles_col(toks: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_pos_col(toks: Column, n: int) -> Column:
+    """n-word shingles WITH their 1-based start position:
+    array<struct<pos:int, gram:string>> (empty when fewer than n
+    tokens). 1-based so the DuckDB mirror's ``generate_series(1,
+    len(t)-n+1)`` + ``t[i]`` indexing lines up exactly."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.concat_ws(" ", F.slice(toks, i, n)).alias("gram")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -739,3 +763,154 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
     )
     return near.unionByName(stars)
+
+
+# ------------------------------------------------ exact-substring dedup
+
+# Rolling window width (tokens) for exact-substring duplication. Lee
+# et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better") use a 50-TOKEN threshold over BPE tokens via suffix arrays;
+# the distributed equivalent is rolling k-token window hashes — a
+# substring of ≥ k tokens shared verbatim between two places makes
+# every one of its length-k windows collide, so window-level
+# duplication detects exactly the substrings the suffix-array method
+# finds at the same threshold (window granularity quantizes the SPAN
+# ENDS by < k tokens, not the detection).
+DUP_WINDOW_TOKENS = 20
+
+
+def window_hashes(
+    docs: DataFrame, k: int = DUP_WINDOW_TOKENS, text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, pos, wh): 60-bit hash of every k-token rolling
+    window, pos = 1-based start token position."""
+    return docs.select(
+        "doc_id",
+        F.explode(shingles_pos_col(ws_tokens_col(F.col(text_col)), k)).alias("w"),
+    ).select(
+        "doc_id",
+        F.col("w.pos").alias("pos"),
+        portable_hash60(F.col("w.gram")).alias("wh"),
+    )
+
+
+def _dup_windows(wins: DataFrame) -> DataFrame:
+    """(doc_id, pos) of windows whose hash occurs ≥ 2 times CORPUS-WIDE
+    (within-doc repeats count — Lee et al. dedup within documents
+    too). Scale shape: the duplication test is one groupBy(wh) count —
+    uniform 60-bit keys, map-side combine, NO self-join — so a
+    boilerplate window shared by 10^7 pages costs one long-summed
+    group, never a quadratic candidate set; the semi-join back is
+    keyed on the same uniform hash."""
+    dup_wh = (
+        wins.groupBy("wh")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("wh")
+    )
+    return wins.join(dup_wh, "wh", "left_semi").select("doc_id", "pos")
+
+
+def dup_window_stats(
+    docs: DataFrame, k: int = DUP_WINDOW_TOKENS, text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, n_tokens, n_windows, n_dup_windows,
+    dup_token_frac_micro): per-document exact-substring duplication
+    profile. dup_token_frac = fraction of token positions covered by
+    at least one corpus-duplicated k-token window — the signal a
+    pipeline thresholds to drop boilerplate-heavy pages (or feeds to
+    ``strip_dup_spans`` to cut just the spans).
+
+    Coverage is computed WITHOUT exploding the k positions of every
+    duplicated window: for equal-length intervals sorted by start,
+    union length = Σ min(k, next_start − start) with next defaulting
+    to start+k (telescoping gaps partition the union), so one
+    per-doc-partitioned window function replaces a k× row blowup —
+    the formulation that survives 10^12 docs × 10^3 windows/doc."""
+    base = docs.select("doc_id", ws_tokens_col(F.col(text_col)).alias("t"))
+    totals = base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.greatest(F.size("t") - (k - 1), F.lit(0)).cast("long").alias("n_windows"),
+    )
+    wins = window_hashes(docs, k, text_col)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    cov = _dup_windows(wins).withColumn(
+        "cspan",
+        F.least(
+            F.lit(k), F.coalesce(F.lead("pos", 1).over(w) - F.col("pos"), F.lit(k))
+        ),
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_windows"),
+        F.sum("cspan").alias("covered_tokens"),
+    )
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.floor(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dup_token_frac_micro"),
+        )
+    )
+
+
+def strip_dup_spans(
+    docs: DataFrame, k: int = DUP_WINDOW_TOKENS, text_col: str = "text"
+) -> DataFrame:
+    """→ (doc_id, n_kept_tokens, clean_text): documents with every
+    corpus-duplicated span REMOVED — ALL occurrences including the
+    first, the Lee-et-al. exact-substring semantics (any copy that
+    survives still trains the model on the duplicated text).
+    clean_text is the kept tokens joined by single spaces (the op is
+    defined on the whitespace-token sequence; docs with everything
+    stripped keep an empty string).
+
+    Shape: covered positions come from exploding ``sequence(pos,
+    pos+k-1)`` of DUPLICATED windows only (k× only on the duplicated
+    fraction), one distinct, one anti-join keyed (doc_id, pos), and a
+    per-doc sort-reassemble — every stage keyed by doc_id or a
+    uniform hash."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(ws_tokens_col(F.col(text_col))).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    covered = (
+        _dup_windows(window_hashes(docs, k, text_col))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept_tokens", F.lit(0)).alias("n_kept_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

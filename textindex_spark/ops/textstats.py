@@ -6,7 +6,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from textindex_spark.ops.dedup import portable_hash60, tokens_col
+from textindex_spark.ops.dedup import (
+    portable_hash60,
+    shingles_col,
+    shingles_pos_col,
+    tokens_col,
+    ws_tokens_col,
+)
 from textindex_spark.session import local_df
 
 # Small public high-frequency marker lists per language (the reference
@@ -151,6 +157,177 @@ def filter_corpus(docs: DataFrame, verdicts: DataFrame) -> DataFrame:
     (typically small relative to the corpus) drop set."""
     drop = verdicts.filter(~F.col("keep")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")
+
+
+# Gopher repetition-filter thresholds (Rae et al. 2021, table A1):
+# a document is dropped when ANY signal exceeds its threshold. Micro
+# units so the keep verdict compares integers (engine-portable).
+GOPHER_MAX_DUP_LINE_FRAC_MICRO = 300_000
+GOPHER_MAX_DUP_LINE_CHAR_FRAC_MICRO = 200_000
+GOPHER_MAX_TOP2_CHAR_FRAC_MICRO = 200_000
+GOPHER_MAX_TOP3_CHAR_FRAC_MICRO = 180_000
+GOPHER_MAX_DUP5_CHAR_FRAC_MICRO = 150_000
+
+
+def _top_gram_frac(
+    docs: DataFrame, n: int, text_col: str
+) -> DataFrame:
+    """→ (doc_id, top{n}_c, top{n}_gchars): count and token-char
+    length of the doc's most frequent n-gram (ties broken to the
+    lexicographically smallest gram; deterministic across engines).
+    Docs with fewer than n tokens are absent (callers coalesce 0)."""
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles_col(ws_tokens_col(F.col(text_col)), n)).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    # min(struct(-c, gram, gchars)) == "highest count, then smallest
+    # gram" — one map-side-combining agg instead of a ranking window.
+    top = counts.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("c")).alias("nc"),
+                F.col("gram").alias("g"),
+                (F.length("gram") - (n - 1)).cast("long").alias("gchars"),
+            )
+        ).alias("t")
+    )
+    return top.select(
+        "doc_id",
+        (-F.col("t.nc")).alias(f"top{n}_c"),
+        F.col("t.gchars").alias(f"top{n}_gchars"),
+    )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (doc_id, n_lines, n_tokens, dup_line_frac_micro,
+    dup_line_char_frac_micro, top2_char_frac_micro,
+    top3_char_frac_micro, dup5_char_frac_micro, keep): the Gopher
+    repetition filters (Rae et al. 2021 §A1.1) — the standard quality
+    pass that catches boilerplate/spam pages whose *within-document*
+    repetition survives corpus-level dedup.
+
+    Definitions (each mirrored verbatim in the DuckDB oracle):
+    * lines = non-empty '\\n' splits; a line occurring c times
+      contributes c−1 duplicate occurrences (occurrences beyond the
+      first, the DataTrove/NeMo formulation). dup_line_frac =
+      Σ(c−1)/Σc; dup_line_char_frac weights by line length.
+    * tokens = non-empty whitespace splits; total_chars = Σ token
+      lengths (separators excluded, so the measure is layout-stable).
+    * top{2,3}_char_frac = count·chars of the most frequent n-gram /
+      total_chars, 0 when the top count is 1 (no repetition).
+    * dup5_char_frac = chars of token positions covered by any
+      occurrence of a ≥2×-repeated (within the doc) 5-gram /
+      total_chars — position-coverage, not count-sum, so overlapping
+      repeats can't push the fraction past 1.
+    * keep = every signal at or below its Gopher threshold.
+
+    Scale shape: everything is explode → groupBy(doc_id[, gram]) with
+    map-side combine — keys are (doc, gram) pairs, no skew, no join
+    wider than doc_id. The dup-5-gram coverage explodes 5 positions
+    only for REPEATED grams (the rare case on clean text)."""
+    base = docs.select("doc_id", ws_tokens_col(F.col(text_col)).alias("t"))
+    totals = base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.aggregate(
+            "t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+    )
+    lines = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "")
+        ).alias("line"),
+    )
+    lstat = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            F.sum(F.col("c") - 1).alias("dup_lines"),
+            F.sum(F.col("c") * F.length("line")).alias("line_chars"),
+            F.sum((F.col("c") - 1) * F.length("line")).alias("dup_line_chars"),
+        )
+    )
+    top2 = _top_gram_frac(docs, 2, text_col)
+    top3 = _top_gram_frac(docs, 3, text_col)
+    g5 = docs.select(
+        "doc_id",
+        F.explode(shingles_pos_col(ws_tokens_col(F.col(text_col)), 5)).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    dup5g = (
+        g5.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("doc_id", "gram")
+    )
+    cov5 = (
+        g5.join(dup5g, ["doc_id", "gram"], "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 4)).alias("pos"),
+        )
+        .distinct()
+    )
+    tpos = docs.select(
+        "doc_id",
+        F.posexplode(ws_tokens_col(F.col(text_col))).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.length("tok").alias("tl"))
+    dup5 = (
+        cov5.join(tpos, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.sum("tl").alias("dup5_chars"))
+    )
+    tc = F.greatest(F.col("total_chars"), F.lit(1))
+    micro = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    top_frac = lambda n: micro(  # noqa: E731
+        F.when(
+            F.coalesce(F.col(f"top{n}_c"), F.lit(0)) >= 2,
+            F.col(f"top{n}_c") * F.col(f"top{n}_gchars") / tc,
+        ).otherwise(F.lit(0.0))
+    )
+    out = (
+        totals.join(lstat, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .join(top3, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            "n_tokens",
+            micro(
+                F.coalesce(
+                    F.col("dup_lines") / F.greatest(F.col("n_lines"), F.lit(1)),
+                    F.lit(0.0),
+                )
+            ).alias("dup_line_frac_micro"),
+            micro(
+                F.coalesce(
+                    F.col("dup_line_chars")
+                    / F.greatest(F.col("line_chars"), F.lit(1)),
+                    F.lit(0.0),
+                )
+            ).alias("dup_line_char_frac_micro"),
+            top_frac(2).alias("top2_char_frac_micro"),
+            top_frac(3).alias("top3_char_frac_micro"),
+            micro(F.coalesce(F.col("dup5_chars"), F.lit(0)) / tc).alias(
+                "dup5_char_frac_micro"
+            ),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_line_frac_micro") <= GOPHER_MAX_DUP_LINE_FRAC_MICRO)
+        & (F.col("dup_line_char_frac_micro") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC_MICRO)
+        & (F.col("top2_char_frac_micro") <= GOPHER_MAX_TOP2_CHAR_FRAC_MICRO)
+        & (F.col("top3_char_frac_micro") <= GOPHER_MAX_TOP3_CHAR_FRAC_MICRO)
+        & (F.col("dup5_char_frac_micro") <= GOPHER_MAX_DUP5_CHAR_FRAC_MICRO),
+    )
 
 
 def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -59,6 +59,10 @@ def main() -> None:
     ap.add_argument("--decontam-ngram", type=int, default=5)
     ap.add_argument("--decontam-max-hits", type=int, default=0)
     ap.add_argument(
+        "--gopher", action="store_true",
+        help="drop docs failing the Gopher repetition filters",
+    )
+    ap.add_argument(
         "--redact", action="store_true",
         help="scrub PII (email/IPv4/phone) from kept documents' text "
         "before dedup and indexing; counts land in the lineage",
@@ -94,6 +98,7 @@ def main() -> None:
             decontam_ngram=args.decontam_ngram,
             decontam_max_hits=args.decontam_max_hits,
             redact=args.redact,
+            gopher=args.gopher,
         )
         from textindex_spark import manifest
 
@@ -120,6 +125,7 @@ def main() -> None:
         decontam_ngram=args.decontam_ngram,
         decontam_max_hits=args.decontam_max_hits,
         redact=args.redact,
+        gopher=args.gopher,
     )
     print(json.dumps(lineage, sort_keys=True))
 

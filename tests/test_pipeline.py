@@ -348,3 +348,36 @@ def test_stream_pipeline_redact(spark, tmp_path):  # noqa: F811
     assert search(spark, idx, ["farmer.joe@example.org"], k=5).count() == 0
     docs_text = manifest.read_table(spark, idx, "docs").collect()
     assert len(docs_text) == 1
+
+
+def test_pipeline_gopher_stage(spark, tmp_path):  # noqa: F811
+    """--gopher drops within-document-repetitive docs after the base
+    filter: the boilerplate doc passes lang/length/quality but fails
+    the repetition thresholds, never reaching dedup or the index."""
+    from textindex_spark.pipeline import run_pipeline
+
+    spam = _row(30, "the quick brown fox " * 12)  # 48 tokens, one 4-gram
+    rows = [_row(1, EN), _row(2, EN2), spam]
+    out = str(tmp_path / "pipe_gopher")
+    lineage = run_pipeline(
+        spark,
+        corpus_df(spark, rows),
+        out,
+        langs=("en",),
+        min_quality_micro=0,
+        min_tokens=5,
+        dedup_method="exact",
+        gopher=True,
+    )
+    assert lineage["gopher_dropped"] == 1
+    assert lineage["indexed_docs"] == 2
+    kept_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect()
+    }
+    assert kept_ids == {1, 2}
+    # audit table persisted with the per-doc signals
+    sig = {
+        r["doc_id"]: r for r in spark.read.parquet(f"{out}/gopher").collect()
+    }
+    assert not sig[30]["keep"] and sig[30]["dup5_char_frac_micro"] > 150_000
+    assert sig[1]["keep"] and sig[2]["keep"]

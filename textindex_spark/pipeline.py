@@ -126,8 +126,9 @@ def run_pipeline(
     decontam_ngram: int = DECONTAM_NGRAM,
     decontam_max_hits: int = 0,
     redact: bool = False,
+    gopher: bool = False,
 ) -> dict:
-    """Run filter → [redact] → [decontam] → dedup → index over
+    """Run filter → [gopher] → [redact] → [decontam] → dedup → index over
     ``docs``; returns the lineage dict (also written to
     ``<out_dir>/pipeline.json``).
 
@@ -136,6 +137,14 @@ def run_pipeline(
     with it are dropped AFTER the cheap filter and BEFORE the dedup
     signatures (`ops.curate.contamination_hits`; per-doc hit counts
     persisted at ``<out>/decontam/hits`` for audit).
+
+    ``gopher=True`` adds the Gopher repetition filters
+    (`ops.textstats.repetition_signals`) after the base filter: docs
+    whose within-document repetition exceeds any threshold are
+    dropped before they reach redaction, dedup signatures, or the
+    index; per-doc signals are persisted at ``<out>/gopher`` for
+    audit. Runs on the RAW kept text (before redaction, whose
+    placeholder tokens would inflate repetition counts).
 
     ``redact=True`` scrubs PII (email / IPv4 / phone →
     ``ops.curate.redact_pii``) from the text of every KEPT document
@@ -169,6 +178,16 @@ def run_pipeline(
         "filter": by_reason,
         "dedup_method": dedup_method,
     }
+    if gopher:
+        from .ops.textstats import repetition_signals
+
+        repetition_signals(kept_frame).write.mode("overwrite").parquet(
+            f"{out_dir}/gopher"
+        )
+        sig = spark.read.parquet(f"{out_dir}/gopher")
+        rep_drop = sig.filter(~F.col("keep")).select("doc_id")
+        kept_frame = kept_frame.join(rep_drop, "doc_id", "left_anti")
+        lineage["gopher_dropped"] = rep_drop.count()
     if redact:
         # one redaction pass, materialized as the audit table; the
         # kept corpus then swaps in the scrubbed text so no PII

@@ -61,6 +61,7 @@ def stream_pipeline(
     decontam_ngram: int = 5,
     decontam_max_hits: int = 0,
     redact: bool = False,
+    gopher: bool = False,
 ):
     """Continuously ingest parquet files arriving under ``source_dir``
     into ``<out_dir>/index``, with filtering and online dedup
@@ -107,6 +108,18 @@ def stream_pipeline(
             max_tokens=max_tokens,
         )
         kept = filter_corpus(batch, verdicts)
+        if gopher:
+            # stateless per-doc repetition verdict (within-document
+            # signals only — no corpus state), so replays decide
+            # identically; runs on raw text before redaction
+            from pyspark.sql import functions as F
+
+            from textindex_spark.ops.textstats import repetition_signals
+
+            rep_drop = (
+                repetition_signals(kept).filter(~F.col("keep")).select("doc_id")
+            )
+            kept = kept.join(rep_drop, "doc_id", "left_anti")
         if redact:
             # stateless per-doc scrub (same regexes every batch), so
             # replays redact identically; runs BEFORE dedup so state

@@ -10,6 +10,8 @@ filter → dedup → index — in one command:
         [--max-hamming 3] [--extract-html] [--parts N] \
         [--bench BENCH.parquet [--decontam-ngram 5] [--decontam-max-hits 0]] \
         [--redact]            # scrub PII from kept text before dedup/index
+        [--gopher]            # drop within-document-repetitive docs
+        [--url-dedup]         # latest snapshot per canonical URL (batch only)
 
 Outputs under --output: ``verdicts/`` (per-doc filter verdicts),
 ``kept/`` (filtered corpus), ``dedup/pairs`` + ``dedup/clusters``,
@@ -59,6 +61,10 @@ def main() -> None:
     ap.add_argument("--decontam-ngram", type=int, default=5)
     ap.add_argument("--decontam-max-hits", type=int, default=0)
     ap.add_argument(
+        "--url-dedup", action="store_true",
+        help="collapse to the latest snapshot per canonical URL first",
+    )
+    ap.add_argument(
         "--gopher", action="store_true",
         help="drop docs failing the Gopher repetition filters",
     )
@@ -79,6 +85,9 @@ def main() -> None:
     if args.stream:
         if not args.checkpoint:
             ap.error("--stream requires --checkpoint")
+        if args.url_dedup:
+            ap.error("--url-dedup is batch-only (the streaming content "
+                     "dedup subsumes re-fetches vs the kept corpus)")
         if args.dedup not in ("lsh", "none"):
             ap.error("--stream dedup is the online exact+LSH state "
                      "machine; --dedup must stay 'lsh'")
@@ -126,6 +135,7 @@ def main() -> None:
         decontam_max_hits=args.decontam_max_hits,
         redact=args.redact,
         gopher=args.gopher,
+        url_dedup=args.url_dedup,
     )
     print(json.dumps(lineage, sort_keys=True))
 

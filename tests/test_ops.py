@@ -937,3 +937,52 @@ def test_strip_and_stats_coverage_consistent(spark, docs):
         removed = s["n_tokens"] - kept[doc_id]["n_kept_tokens"]
         covered = round(s["dup_token_frac_micro"] * s["n_tokens"] / 1e6)
         assert removed == covered, doc_id
+
+
+# --------------------------------------------- url canonicalization
+
+
+def test_canonical_url_hand_cases(spark):
+    from pyspark.sql import functions as F
+
+    from textindex_spark.ops import urls
+
+    cases = [
+        # case + default port + tracking params + param order + fragment
+        ("HTTPS://Site.Example:443/A/b?z=2&utm_source=x&a=1#frag",
+         "https://site.example/A/b?a=1&z=2"),
+        ("http://host.example:80/", "http://host.example/"),
+        ("http://host.example:8080/x", "http://host.example:8080/x"),  # non-default port kept
+        ("https://h.example", "https://h.example/"),                   # empty path → /
+        ("https://h.example/p?fbclid=abc&gclid=1", "https://h.example/p"),
+        ("https://h.example/p?b=2&a=1&a=0", "https://h.example/p?a=0&a=1&b=2"),
+        ("ftp://h.example/p", "ftp://h.example/p"),                    # unknown scheme: no port logic
+        ("not a url", "not a url"),                                    # schemeless: unchanged
+        # PATH case is preserved (paths are case-sensitive)
+        ("https://H.example/CaseSensitive", "https://h.example/CaseSensitive"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", urls.canonical_url_col(F.col("url")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_snapshot_dedup(spark):
+    from textindex_spark.ops import urls
+
+    rows = [
+        (1, "https://a.example/p?x=1", 100),
+        (2, "HTTPS://A.EXAMPLE:443/p?utm_campaign=c&x=1", 200),  # same page, later
+        (3, "https://b.example/q", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
+    got = {r["canon_url"]: r for r in urls.url_snapshot_dedup(df).collect()}
+    a = got["https://a.example/p?x=1"]
+    assert a["n_snapshots"] == 2 and a["keep_doc_id"] == 2 and a["keep_ts"] == 200
+    assert got["https://b.example/q"]["n_snapshots"] == 1
+    kept = urls.latest_snapshots(df)
+    assert {r["doc_id"] for r in kept.collect()} == {2, 3}

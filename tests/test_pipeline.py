@@ -381,3 +381,39 @@ def test_pipeline_gopher_stage(spark, tmp_path):  # noqa: F811
     }
     assert not sig[30]["keep"] and sig[30]["dup5_char_frac_micro"] > 150_000
     assert sig[1]["keep"] and sig[2]["keep"]
+
+
+def test_pipeline_url_dedup_stage(spark, tmp_path):  # noqa: F811
+    """--url-dedup collapses to the latest snapshot per canonical URL
+    before any content work: the older fetch and the tracking-param
+    spelling both vanish; the content dedup then never sees them."""
+    import datetime
+
+    from textindex_spark.pipeline import run_pipeline
+
+    t0 = datetime.datetime(2025, 1, 1, tzinfo=datetime.timezone.utc)
+    t1 = datetime.datetime(2025, 2, 1, tzinfo=datetime.timezone.utc)
+    old = dict(_row(1, EN), url="https://a.example/p?x=1", warc_ts=t0)
+    new = dict(
+        _row(2, EN2),
+        url="HTTPS://A.EXAMPLE:443/p?utm_source=f&x=1",
+        warc_ts=t1,
+    )
+    other = dict(_row(3, EN3), url="https://b.example/q", warc_ts=t0)
+    out = str(tmp_path / "pipe_url")
+    lineage = run_pipeline(
+        spark,
+        corpus_df(spark, [old, new, other]),
+        out,
+        langs=("en",),
+        min_quality_micro=0,
+        min_tokens=5,
+        dedup_method="exact",
+        url_dedup=True,
+    )
+    assert lineage["url_snapshots_dropped"] == 1
+    assert lineage["indexed_docs"] == 2
+    kept_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect()
+    }
+    assert kept_ids == {2, 3}  # doc 1 was the older snapshot of doc 2's page

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from textindex_spark import build as B
 from textindex_spark import query as Q
-from textindex_spark.ops import curate, dedup, similarity, textstats
+from textindex_spark.ops import curate, dedup, similarity, textstats, urls
 from textindex_spark.ops.dedup import MAX_SHINGLE_DF
 from textindex_spark.refimpl.stop_words import STOP_WORD_SET
 from textindex_spark.session import local_df
@@ -623,6 +623,51 @@ def q_strip_spans(spark, sf_dir):
     return dedup.strip_dup_spans(_documents(spark, sf_dir), k=DUP_WINDOW_K)
 
 
+def _injected_pages(docs):
+    """(doc_id, url, ts) with urls injected deterministically from
+    doc_id (the documents table has no url column — same pattern as
+    pii_redact's injection, mirrored verbatim in the oracle). Each
+    consecutive pair (2k, 2k+1) spells the SAME logical page two ways
+    — variant 1 adds uppercase scheme/host, the https default port, a
+    utm_ tracking param, shuffled param order, and a fragment — so
+    canonicalization must collapse them. ts = doc_id (later variant
+    wins snapshot dedup)."""
+    base = F.expr("doc_id div 2")
+    site = F.pmod(base, F.lit(40)).cast("string")
+    b = F.pmod(base, F.lit(3)).cast("string")
+    url0 = F.concat(
+        F.lit("https://site"), site, F.lit(".example/en/page"),
+        base.cast("string"), F.lit(".html?a=1&b="), b,
+    )
+    url1 = F.concat(
+        F.lit("HTTPS://SITE"), site, F.lit(".EXAMPLE:443/en/page"),
+        base.cast("string"), F.lit(".html?b="), b,
+        F.lit("&utm_source=feed&a=1#sec"),
+    )
+    return docs.select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, url0)
+        .otherwise(url1)
+        .alias("url"),
+        F.col("doc_id").alias("ts"),
+    )
+
+
+def q_canon_url(spark, sf_dir):
+    """URL canonicalization: case / default port / tracking params /
+    param order / fragment all collapse to one spelling."""
+    pages = _injected_pages(_documents(spark, sf_dir))
+    return pages.select(
+        "doc_id", urls.canonical_url_col(F.col("url")).alias("canon_url")
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    """Per-canonical-URL snapshot dedup: keep the latest fetch."""
+    pages = _injected_pages(_documents(spark, sf_dir))
+    return urls.url_snapshot_dedup(pages, ts_col="ts")
+
+
 def q_unigram_nll(spark, sf_dir):
     return curate.unigram_logprob(_documents(spark, sf_dir))
 
@@ -717,6 +762,8 @@ QUERIES = {
     "repetition": q_repetition,
     "dup_windows": q_dup_windows,
     "strip_spans": q_strip_spans,
+    "canon_url": q_canon_url,
+    "url_dedup": q_url_dedup,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,
     "ann_filtered": q_ann_filtered,
@@ -1375,6 +1422,56 @@ tpos AS (
 )
 """.strip()
 
+# Injected pages + URL canonicalization, mirroring _injected_pages /
+# ops.urls.canonical_url_col expression by expression (RE2 patterns
+# identical on both engines).
+_CANON_CTE = """
+pages AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN 'https://site' || ((doc_id // 2) % 40)::VARCHAR
+                     || '.example/en/page' || (doc_id // 2)::VARCHAR
+                     || '.html?a=1&b=' || ((doc_id // 2) % 3)::VARCHAR
+                ELSE 'HTTPS://SITE' || ((doc_id // 2) % 40)::VARCHAR
+                     || '.EXAMPLE:443/en/page' || (doc_id // 2)::VARCHAR
+                     || '.html?b=' || ((doc_id // 2) % 3)::VARCHAR
+                     || '&utm_source=feed&a=1#sec'
+           END AS url,
+           doc_id AS ts
+    FROM documents
+),
+canon AS (
+    SELECT doc_id, ts,
+           CASE WHEN s = '' THEN url
+                ELSE s || '://' || h || p
+                     || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END
+           END AS canon_url
+    FROM (
+        SELECT doc_id, ts, url, s,
+               CASE WHEN s = 'http' THEN regexp_replace(hp, ':80$', '')
+                    WHEN s = 'https' THEN regexp_replace(hp, ':443$', '')
+                    ELSE hp END AS h,
+               CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p,
+               array_to_string(list_sort(list_filter(string_split(q, '&'),
+                   x -> x <> '' AND NOT starts_with(x, 'utm_')
+                        AND NOT (list_extract(string_split(x, '='), 1)
+                                 IN ('fbclid','gclid','msclkid','mc_eid')))),
+                   '&') AS q2
+        FROM (
+            SELECT doc_id, ts, url,
+                   lower(coalesce(regexp_extract(url,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS s,
+                   lower(coalesce(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '')) AS hp,
+                   coalesce(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '') AS p0,
+                   coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), '') AS q
+            FROM pages
+        )
+    )
+)
+""".strip()
+
 # k-token rolling window hashes + the corpus-duplicated subset
 # (duplication = the window hash occurs >= 2 times corpus-wide,
 # within-doc repeats included). Mirrors dedup.window_hashes /
@@ -1941,6 +2038,20 @@ agg AS (
 SELECT d.doc_id, coalesce(a.n_kept_tokens, 0)::BIGINT AS n_kept_tokens,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+        "canon_url": f"""
+WITH {_CANON_CTE}
+SELECT doc_id, canon_url FROM canon
+""",
+        "url_dedup": f"""
+WITH {_CANON_CTE}
+SELECT canon_url, n_snapshots, doc_id AS keep_doc_id, ts AS keep_ts FROM (
+    SELECT canon_url, doc_id, ts,
+           count(*) OVER (PARTITION BY canon_url) AS n_snapshots,
+           row_number() OVER (PARTITION BY canon_url
+                              ORDER BY ts DESC, doc_id DESC) AS rn
+    FROM canon
+) WHERE rn = 1
 """,
         "ann_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -1,0 +1,120 @@
+"""URL canonicalization + per-URL snapshot deduplication.
+
+Common-Crawl-style corpora key pages by ``(url, warc_ts)``: the same
+logical page appears under trivially different URL spellings (case,
+default ports, tracking parameters, param order, fragments) and under
+many fetch timestamps. Before any content-level dedup, a web pipeline
+collapses those: canonicalize the URL, then keep ONE snapshot per
+canonical URL (the latest fetch).
+
+Everything here is pure Catalyst string expressions — whole-stage
+codegen'd, no Python, and every regex is RE2-compatible so the DuckDB
+oracle runs the same patterns.
+
+Scale shape: canonicalization is per-row (narrow); snapshot dedup is
+ONE groupBy on the canonical URL — keys are (near-)unique page
+identities, so groups are bounded by the per-page snapshot count
+(CC re-crawl depth, ~10s), never corpus-sized. No joins, no skew.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking query parameters dropped during canonicalization: the
+# utm_* family plus the common click-id params. Public convention
+# (Google Analytics / Facebook / Microsoft ad params).
+TRACKING_PARAM_PREFIX = "utm_"
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "mc_eid")
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL:
+
+    * scheme and host lowercased;
+    * default ports stripped (``:80`` for http, ``:443`` for https);
+    * fragment dropped;
+    * tracking parameters dropped (``utm_*`` prefix + fbclid / gclid /
+      msclkid / mc_eid);
+    * remaining query parameters sorted bytewise (param order never
+      distinguishes pages);
+    * empty path normalized to ``/``.
+
+    URLs without a ``scheme://`` prefix are returned unchanged (the
+    expression is total; no nulls introduced)."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    keep_params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith(TRACKING_PARAM_PREFIX)
+        & ~F.element_at(F.split(p, "="), 1).isin(*TRACKING_PARAMS),
+    )
+    canon_query = F.array_join(F.array_sort(keep_params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_query != "", F.concat(F.lit("?"), canon_query)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(scheme == "", url).otherwise(rebuilt)
+
+
+def url_snapshot_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (canon_url, n_snapshots, keep_doc_id, keep_ts): one row per
+    canonical URL, keeping the LATEST snapshot (max ``ts_col``, ties
+    broken to the max ``id_col`` — deterministic). One
+    map-side-combining groupBy; the keep row comes from a single
+    ``max(struct(ts, id))`` agg, not a ranking window."""
+    c = pages.select(
+        canonical_url_col(F.col(url_col)).alias("canon_url"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+    )
+    return c.groupBy("canon_url").agg(
+        F.count("*").alias("n_snapshots"),
+        F.max(F.struct(F.col("_ts").alias("ts"), F.col("_id").alias("id"))).alias(
+            "_keep"
+        ),
+    ).select(
+        "canon_url",
+        "n_snapshots",
+        F.col("_keep.id").alias("keep_doc_id"),
+        F.col("_keep.ts").alias("keep_ts"),
+    )
+
+
+def latest_snapshots(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ ``pages`` reduced to the latest snapshot per canonical URL
+    (semi-join on the keep list; the keep list is snapshot-deduped and
+    therefore small relative to a multi-crawl corpus)."""
+    keep = url_snapshot_dedup(pages, url_col, ts_col, id_col).select(
+        F.col("keep_doc_id").alias(id_col)
+    )
+    return pages.join(keep, id_col, "left_semi")

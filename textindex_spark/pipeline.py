@@ -127,6 +127,7 @@ def run_pipeline(
     decontam_max_hits: int = 0,
     redact: bool = False,
     gopher: bool = False,
+    url_dedup: bool = False,
 ) -> dict:
     """Run filter → [gopher] → [redact] → [decontam] → dedup → index over
     ``docs``; returns the lineage dict (also written to
@@ -137,6 +138,14 @@ def run_pipeline(
     with it are dropped AFTER the cheap filter and BEFORE the dedup
     signatures (`ops.curate.contamination_hits`; per-doc hit counts
     persisted at ``<out>/decontam/hits`` for audit).
+
+    ``url_dedup=True`` prepends snapshot collapsing (stage 0): URLs
+    are canonicalized (`ops.urls.canonical_url_col`) and only the
+    latest fetch per canonical URL continues — the pass a multi-crawl
+    corpus runs before any content-level work, and the cheapest drop
+    in the pipeline (one groupBy on page identity, no text touched).
+    Batch-only: the streaming pipeline's content dedup subsumes
+    re-fetches against the kept corpus.
 
     ``gopher=True`` adds the Gopher repetition filters
     (`ops.textstats.repetition_signals`) after the base filter: docs
@@ -155,6 +164,14 @@ def run_pipeline(
     if dedup_method not in DEDUP_METHODS:
         raise ValueError(f"unknown dedup method {dedup_method!r}")
     t0 = time.time()
+    url_dropped = None
+    if url_dedup:
+        # on the RAW input: normalize_input projects warc_ts away
+        from .ops.urls import latest_snapshots
+
+        n_in = docs.count()
+        docs = latest_snapshots(docs)
+        url_dropped = n_in - docs.count()
     docs = _with_analysis_text(normalize_input(docs), extract_html)
 
     # -- stage 1: filter ------------------------------------------------
@@ -178,6 +195,8 @@ def run_pipeline(
         "filter": by_reason,
         "dedup_method": dedup_method,
     }
+    if url_dropped is not None:
+        lineage["url_snapshots_dropped"] = int(url_dropped)
     if gopher:
         from .ops.textstats import repetition_signals
 

@@ -253,6 +253,17 @@ def main() -> None:
     )
     timed("emb_near_dup", lambda: similarity.embedding_near_pairs(emb).count())
 
+    # r4 additions: Gopher repetition signals, exact-substring window
+    # duplication, URL canonicalization + snapshot dedup (urls injected
+    # deterministically — the documents table carries none)
+    from textindex_spark.gate import _injected_pages
+    from textindex_spark.ops import textstats, urls
+
+    timed("repetition", lambda: textstats.repetition_signals(docs).count())
+    timed("dup_windows", lambda: dedup.dup_window_stats(docs, k=10).count())
+    pages = _injected_pages(docs)
+    timed("url_dedup", lambda: urls.url_snapshot_dedup(pages, ts_col="ts").count())
+
     out = {
         "metric": "synthetic_webcorpus_index_build_sec",
         "value": round(t_build, 3),

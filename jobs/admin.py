@@ -3,7 +3,7 @@
 
     spark-submit --py-files textindex_spark.zip jobs/admin.py \
         --index /path/to/index (--describe | --delete 'url-glob' |
-                                --compact | --append INPUT_PARQUET |
+                                --compact | --append INPUT_PARQUET [--upsert] |
                                 --purge | --versions | --rollback V)
 
 Mirrors the reference's `stats` / `delete` commands
@@ -29,6 +29,12 @@ def main() -> None:
         "segments log; atomic swap; drops the deleted table)",
     )
     ap.add_argument("--append", default=None, metavar="INPUT_PARQUET")
+    ap.add_argument(
+        "--upsert", action="store_true",
+        help="with --append: re-crawl semantics — live docs whose url "
+        "matches an incoming url are tombstoned in the same atomic "
+        "commit that adds the new versions",
+    )
     ap.add_argument(
         "--versions", action="store_true",
         help="print the snapshot history (version, table dir counts, props)",
@@ -59,7 +65,9 @@ def main() -> None:
     out: dict = {}
     if args.append:
         docs = spark.read.parquet(args.append)
-        out["append"] = append_batch(spark, docs, args.index)
+        out["append"] = append_batch(
+            spark, docs, args.index, replace_by_url=args.upsert
+        )
     if args.delete:
         out["deleted"] = delete_docs(spark, args.index, args.delete)
     if args.compact:

@@ -194,3 +194,101 @@ def test_rollback_restores_snapshot(spark, rows, tmp_path_factory):
     assert [h["version"] for h in hist] == list(range(1, man["version"] + 1))
     # nothing was deleted: the appended snapshot is still readable
     assert manifest.manifest_at(spark, d, v_before + 1)["tables"]["postings"]
+
+
+def test_append_after_delete_keeps_live_stats(spark, rows, tmp_path_factory):
+    """Regression (r4 close-out): append after a tombstone delete must
+    compute n_docs/avgdl over LIVE docs only — previously the dead
+    docs were resurrected into the stats and every idf drifted.
+    Contract: delete→append is COMMUTATIVE with append→delete (same
+    stats, same scores; exact-vs-fresh-build identity is the purge
+    contract, since tombstoned postings keep their df until purge)."""
+    base = tmp_path_factory.mktemp("append_del")
+    from textindex_spark.query import delete_docs
+
+    d1 = str(base / "del_then_append")
+    build_index(spark, corpus_df(spark, rows[:200]), d1, range_bits=6)
+    # the pattern must only match docs present BEFORE the append, or
+    # the two orders genuinely delete different sets
+    n_del = delete_docs(spark, d1, "*page1?.*")
+    assert n_del > 0
+    append_batch(spark, corpus_df(spark, rows[200:]), d1)
+
+    d2 = str(base / "append_then_del")
+    build_index(spark, corpus_df(spark, rows[:200]), d2, range_bits=6)
+    append_batch(spark, corpus_df(spark, rows[200:]), d2)
+    delete_docs(spark, d2, "*page1?.*")
+
+    for d in (d1, d2):
+        stats = manifest.read_table(spark, d, "stats").collect()[0]
+        live = manifest.read_table(spark, d, "docs").join(
+            manifest.read_table(spark, d, "deleted").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        srow = live.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("a")
+        ).collect()[0]
+        assert stats["n_docs"] == srow["n"]
+        assert abs(stats["avgdl"] - srow["a"]) < 1e-9
+    for q in [["spark"], ["merge", "table"]]:
+        got = [(r["url"], round(r["score"], 9))
+               for r in search(spark, d1, q, k=10).collect()]
+        want = [(r["url"], round(r["score"], 9))
+                for r in search(spark, d2, q, k=10).collect()]
+        assert got == want, q
+        assert not any("/page1" == u[-10:-5] for u, _ in got)
+
+
+def test_append_replace_by_url_upsert(spark, rows, tmp_path_factory):
+    """Re-crawl upsert: replace_by_url tombstones the old version of
+    each incoming url in the SAME commit that adds the new one —
+    n_docs is unchanged, the old content is unfindable, the new
+    content ranks; after a physical purge the index is
+    score-identical to a fresh build over the replaced corpus."""
+    from textindex_spark.build import purge_deleted
+
+    base = tmp_path_factory.mktemp("upsert")
+    d = str(base / "idx")
+    build_index(spark, corpus_df(spark, rows[:200]), d, range_bits=6)
+    n0 = manifest.read_table(spark, d, "stats").collect()[0]["n_docs"]
+    # re-crawl two pages with fresh content (no doc_id: minting path)
+    # re-fetched pages arrive as plain text (html=None — otherwise
+    # the build pipeline extracts from the ORIGINAL html bytes and the
+    # edited text column never reaches the tokenizer)
+    refetch = [
+        dict(rows[5], html=None, text="zanzibar unicorn " + rows[5]["text"]),
+        dict(rows[7], html=None, text="zanzibar gazette " + rows[7]["text"]),
+    ]
+    stats = append_batch(
+        spark,
+        corpus_df(spark, refetch).drop("doc_id"),
+        d,
+        replace_by_url=True,
+    )
+    assert stats["n_docs"] == n0  # replaced, not added
+    hits = search(spark, d, ["zanzibar"], k=5).collect()
+    assert {r["url"] for r in hits} == {rows[5]["url"], rows[7]["url"]}
+    assert all(r["doc_id"] >= 200 for r in hits)  # the new versions
+    # retry idempotence at the corpus level: upserting the same batch
+    # again replaces the just-added versions, n_docs stays stable
+    stats2 = append_batch(
+        spark,
+        corpus_df(spark, refetch).drop("doc_id"),
+        d,
+        replace_by_url=True,
+    )
+    assert stats2["n_docs"] == n0
+    # physical purge → exact equality with a fresh build over the
+    # replaced corpus (df of the dead versions leaves the postings)
+    purge_deleted(spark, d)
+    by_url = {r["url"]: r for r in refetch}
+    replaced = [by_url.get(r["url"], r) for r in rows[:200]]
+    fresh = str(base / "fresh")
+    build_index(spark, corpus_df(spark, replaced), fresh, range_bits=6)
+    for q in [["zanzibar"], ["spark"], ["merge", "table"]]:
+        got = [(r["url"], round(r["score"], 9))
+               for r in search(spark, d, q, k=10).collect()]
+        want = [(r["url"], round(r["score"], 9))
+                for r in search(spark, fresh, q, k=10).collect()]
+        assert got == want, q

@@ -628,10 +628,20 @@ def append_batch(
     documents: DataFrame,
     out_dir: str,
     extra_props: dict | None = None,
+    replace_by_url: bool = False,
 ) -> dict:
     """Incremental indexing (the reference's re-run-and-skip model,
     S7/S8, made a first-class operation): index NEW documents into an
     existing index WITHOUT touching existing posting blocks.
+
+    ``replace_by_url=True`` is the re-crawl upsert: live docs whose
+    url matches an incoming url are tombstoned in the SAME atomic
+    manifest commit that publishes the new postings — readers never
+    see both versions, and a crash before the commit leaves the old
+    snapshot intact. Incoming urls should be unique per batch (run
+    `ops.urls.latest_snapshots` upstream for multi-snapshot input);
+    if several incoming rows share a url they are all indexed and
+    only pre-existing versions are tombstoned.
 
     Why this is cheap here: new docs receive doc_ids above the current
     maximum, so their (term, range_id) block rows either land in brand
@@ -678,6 +688,7 @@ def append_batch(
     postings_dir = f"{out_dir}/postings_append_{tag}"
     terms_dir = f"{out_dir}/terms_append_{tag}"
     stats_dir = f"{out_dir}/stats_append_{tag}"
+    dead_dir = f"{out_dir}/deleted_append_{tag}"
 
     tokenize_segments(documents).write.mode("overwrite").parquet(seg_dir)
     new_seg = spark.read.schema(manifest.TABLE_SCHEMAS["segments"]).parquet(seg_dir)
@@ -685,8 +696,41 @@ def append_batch(
     new_seg.select(
         "doc_id", "url", "lang", "filter", "truncated", "doc_len"
     ).write.mode("overwrite").parquet(docs_dir)
+    # stats must count LIVE docs only: the docs table keeps tombstoned
+    # rows (queries anti-join the `deleted` table), so an append after
+    # a delete would otherwise resurrect the dead docs in
+    # n_docs/avgdl and drift every BM25 idf (r4 close-out fix —
+    # old_max above still ranges over ALL ever-minted ids so doc_ids
+    # are never reused)
+    live_old = old_docs
+    if manifest.table_paths(spark, out_dir, "deleted"):
+        dead = (
+            manifest.read_table(spark, out_dir, "deleted")
+            .select("doc_id")
+            .distinct()
+        )
+        live_old = old_docs.join(dead, "doc_id", "left_anti")
+    victims = None
+    if replace_by_url:
+        # re-crawl upsert: pre-existing live versions of incoming urls
+        # are tombstoned in the same commit that adds the new docs
+        incoming_urls = (
+            spark.read.schema(manifest.TABLE_SCHEMAS["docs"])
+            .parquet(docs_dir)
+            .select("url")
+            .distinct()
+        )
+        victims = live_old.join(incoming_urls, "url", "left_semi").select(
+            "doc_id"
+        )
+        victims.write.mode("overwrite").parquet(dead_dir)
+        victims = spark.read.parquet(dead_dir)
+        if victims.limit(1).count() == 0:
+            victims = None
+        else:
+            live_old = live_old.join(victims, "doc_id", "left_anti")
     srow = (
-        old_docs.select("doc_len")
+        live_old.select("doc_len")
         .unionByName(
             spark.read.schema(manifest.TABLE_SCHEMAS["docs"])
             .parquet(docs_dir)
@@ -743,14 +787,17 @@ def append_batch(
     )
 
     # the ONE atomic step: everything above becomes visible together
+    add = {
+        "segments": [manifest.rel(out_dir, seg_dir)],
+        "docs": [manifest.rel(out_dir, docs_dir)],
+        "postings": [manifest.rel(out_dir, postings_dir)],
+    }
+    if victims is not None:
+        add["deleted"] = [manifest.rel(out_dir, dead_dir)]
     manifest.commit(
         spark,
         out_dir,
-        add_to_tables={
-            "segments": [manifest.rel(out_dir, seg_dir)],
-            "docs": [manifest.rel(out_dir, docs_dir)],
-            "postings": [manifest.rel(out_dir, postings_dir)],
-        },
+        add_to_tables=add,
         set_tables={
             "terms": [manifest.rel(out_dir, terms_dir)],
             "stats": [manifest.rel(out_dir, stats_dir)],

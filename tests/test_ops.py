@@ -986,3 +986,20 @@ def test_url_snapshot_dedup(spark):
     assert got["https://b.example/q"]["n_snapshots"] == 1
     kept = urls.latest_snapshots(df)
     assert {r["doc_id"] for r in kept.collect()} == {2, 3}
+
+
+def test_canonical_url_idempotent(spark):
+    """Canonicalization is a projection: canon(canon(u)) == canon(u)
+    on the gate's injected URL-variant table."""
+    from pyspark.sql import functions as F
+
+    from textindex_spark.gate import _injected_pages
+    from textindex_spark.ops import urls
+
+    docs = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    pages = _injected_pages(docs)
+    once = pages.select(urls.canonical_url_col(F.col("url")).alias("u"))
+    diff = once.select(
+        "u", urls.canonical_url_col(F.col("u")).alias("u2")
+    ).filter(F.col("u") != F.col("u2"))
+    assert diff.count() == 0

@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--resumable", action="store_true")
     ap.add_argument("--parts", type=int, default=64)
     ap.add_argument("--stream", action="store_true")
+    ap.add_argument(
+        "--upsert", action="store_true",
+        help="with --stream: re-crawled urls replace their old "
+        "version (tombstoned in the same atomic commit)",
+    )
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
@@ -47,7 +52,7 @@ def main() -> None:
 
         stream_index(
             spark, args.input, args.output, args.checkpoint,
-            range_bits=args.range_bits,
+            range_bits=args.range_bits, upsert=args.upsert,
         )
         json.dump(read_stats(spark, args.output), sys.stdout)
         print()

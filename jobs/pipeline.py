@@ -61,6 +61,12 @@ def main() -> None:
     ap.add_argument("--decontam-ngram", type=int, default=5)
     ap.add_argument("--decontam-max-hits", type=int, default=0)
     ap.add_argument(
+        "--upsert", action="store_true",
+        help="streaming re-crawl semantics: a changed re-fetch "
+        "replaces its old version (same atomic commit); batch mode "
+        "can use --url-dedup on the input instead",
+    )
+    ap.add_argument(
         "--url-dedup", action="store_true",
         help="collapse to the latest snapshot per canonical URL first",
     )
@@ -108,6 +114,7 @@ def main() -> None:
             decontam_max_hits=args.decontam_max_hits,
             redact=args.redact,
             gopher=args.gopher,
+            upsert=args.upsert,
         )
         from textindex_spark import manifest
 

@@ -260,3 +260,53 @@ def test_stream_compaction_bounds_dirs(spark, tmp_path):
             for r in search(spark, full, terms, k=10, with_urls=False).collect()
         ]
         assert a == b2, terms
+
+
+def test_stream_index_upsert_replaces_recrawl(spark, tmp_path):
+    """Streaming re-crawl semantics (upsert=True): a later batch
+    re-fetching an already-indexed url replaces the old version —
+    tombstoned in the same commit — so the index serves only the
+    latest fetch and n_docs stays constant under replacement."""
+    rows = synth_corpus(120)
+    src = tmp_path / "incoming"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_df(spark, rows[:100]).coalesce(2).write.parquet(str(src / "batch1"))
+    stream_index(spark, str(src / "*"), idx, ckpt, range_bits=6, upsert=True)
+    n1 = (
+        manifest.read_table(spark, idx, "stats").collect()[0]["n_docs"]
+    )
+    # re-crawl two pages (plain-text fetch, changed content) + 20 new
+    refetch = [
+        dict(rows[5], doc_id=500, html=None,
+             text="zanzibar unicorn " + rows[5]["text"]),
+        dict(rows[7], doc_id=501, html=None,
+             text="zanzibar gazette " + rows[7]["text"]),
+    ]
+    corpus_df(spark, rows[100:] + refetch).coalesce(2).write.parquet(
+        str(src / "batch2")
+    )
+    stream_index(spark, str(src / "*"), idx, ckpt, range_bits=6, upsert=True)
+    hits = search(spark, idx, ["zanzibar"], k=5).collect()
+    assert {r["url"] for r in hits} == {rows[5]["url"], rows[7]["url"]}
+    assert {r["doc_id"] for r in hits} == {500, 501}
+    # old versions tombstoned; live count = n1 + new docs (re-fetches
+    # replaced, not added)
+    dead = {
+        r["doc_id"]
+        for r in manifest.read_table(spark, idx, "deleted").collect()
+    }
+    assert dead == {5, 7}
+    stats = manifest.read_table(spark, idx, "stats").collect()[0]
+    n_new_inputs = len(
+        {r["url"] for r in corpus_df(spark, rows[100:]).collect()}
+    )
+    live_docs = (
+        manifest.read_table(spark, idx, "docs")
+        .join(
+            manifest.read_table(spark, idx, "deleted").select("doc_id"),
+            "doc_id", "left_anti",
+        ).count()
+    )
+    assert stats["n_docs"] == live_docs

@@ -38,9 +38,17 @@ def stream_index(
     checkpoint_dir: str,
     available_now: bool = True,
     range_bits: int = 13,
+    upsert: bool = False,
 ):
     """Continuously index parquet files arriving under ``source_dir``.
-    The first micro-batch bootstraps the index; later ones append."""
+    The first micro-batch bootstraps the index; later ones append.
+
+    ``upsert=True`` gives the stream re-crawl semantics: a batch row
+    whose url is already live REPLACES the old version (tombstoned in
+    the same atomic commit — `append_batch(replace_by_url=True)`), so
+    the index always serves the latest fetch of every page. Replays
+    stay exactly-once: the batch-id guard skips committed batches
+    before any replacement happens."""
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -75,6 +83,7 @@ def stream_index(
         append_batch(
             s, batch_df, index_dir,
             extra_props={"stream_batch_id": int(batch_id), "stream_run_id": run_id},
+            replace_by_url=upsert,
         )
         # bounded read amplification: fold accumulated append dirs
         # back into one postings table once enough pile up (manifest-

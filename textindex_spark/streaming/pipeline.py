@@ -62,6 +62,7 @@ def stream_pipeline(
     decontam_max_hits: int = 0,
     redact: bool = False,
     gopher: bool = False,
+    upsert: bool = False,
 ):
     """Continuously ingest parquet files arriving under ``source_dir``
     into ``<out_dir>/index``, with filtering and online dedup
@@ -173,12 +174,17 @@ def stream_pipeline(
             survivors = survivors.join(indexed, "doc_id", "left_anti")
             if survivors.isEmpty():
                 return
+            # upsert: a re-crawl whose text changed enough to clear
+            # the online dedup replaces its old version atomically
+            # (unchanged/near-identical re-fetches are dropped by the
+            # dedup verdicts and never reach this point)
             append_batch(
                 s, survivors, index_dir,
                 extra_props={
                     "stream_batch_id": int(batch_id),
                     "stream_run_id": run_id,
                 },
+                replace_by_url=upsert,
             )
             maybe_compact(s, index_dir)
         finally:

@@ -697,3 +697,46 @@ def test_search_near_ranked_matches_oracle(spark, index_dir, oracle):
             ).collect()
         ]
         assert got == want[:10], (ph, w)
+
+
+def test_random_query_differential(spark, index_dir, oracle):
+    """Seeded random-query fuzz: 40 generated queries (1-3 patterns,
+    term or prefix-wildcard, AND/OR, optional NOT exclusion) must be
+    rank-AND-score-identical across the oracle and all three engine
+    execution paths (query-node, distributed, block-max pruned). The
+    per-feature parity tests pin each path on curated shapes; this
+    pins their COMPOSITION on shapes nobody curated."""
+    import random
+
+    rng = random.Random(20260818)
+    vocab = sorted(oracle.postings)
+    assert len(vocab) > 50
+
+    def pattern():
+        t = rng.choice(vocab)
+        if rng.random() < 0.3 and len(t) > 3:
+            return t[: rng.randint(2, len(t) - 1)] + "*"
+        return t
+
+    for qi in range(40):
+        pats = [pattern() for _ in range(rng.randint(1, 3))]
+        mode = rng.choice(["and", "or"])
+        exclude = [pattern()] if rng.random() < 0.4 else None
+        k = rng.choice([5, 10])
+        want = [
+            (d, round(s, 9))
+            for d, s in oracle.search(pats, k=k, mode=mode, exclude=exclude)
+        ]
+        for path_kw in (
+            {"local_score": True},
+            {"local_score": False},
+            {"prune": True},
+        ):
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in search(
+                    spark, index_dir, pats, k=k, mode=mode,
+                    exclude=exclude, with_urls=False, **path_kw,
+                ).collect()
+            ]
+            assert got == want, (qi, pats, mode, exclude, path_kw)

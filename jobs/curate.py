@@ -69,6 +69,12 @@ def main() -> None:
     common(p)
 
     p = sub.add_parser(
+        "profile", help="one-call corpus profile (volumes / percentiles)"
+    )
+    common(p)
+    p.add_argument("--strata", default="lang")
+
+    p = sub.add_parser(
         "dupspans",
         help="exact-substring duplication: per-doc stats + span removal",
     )
@@ -146,6 +152,16 @@ def main() -> None:
         agg = nll.groupBy().avg("avg_nll_micro").collect()[0][0]
         out["rows"] = nll.count()
         out["mean_avg_nll_micro"] = int(agg or 0)
+    elif args.cmd == "profile":
+        from textindex_spark.ops import textstats
+
+        prof = textstats.corpus_profile(docs, strata_col=args.strata)
+        prof.write.mode("overwrite").parquet(f"{args.output}/profile")
+        for r in sorted(
+            spark.read.parquet(f"{args.output}/profile").collect(),
+            key=lambda r: (r["metric"], r["stratum"]),
+        ):
+            out[f"{r['metric']}/{r['stratum']}"] = r["value"]
     elif args.cmd == "gopher":
         from textindex_spark.ops import textstats
 

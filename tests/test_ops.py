@@ -1003,3 +1003,26 @@ def test_canonical_url_idempotent(spark):
         "u", urls.canonical_url_col(F.col("u")).alias("u2")
     ).filter(F.col("u") != F.col("u2"))
     assert diff.count() == 0
+
+
+def test_corpus_profile_hand_computed(spark):
+    rows = [
+        (0, "a b c", "en"),
+        (1, "a b c d e", "en"),
+        (2, "x y", "de"),
+        (3, "a b c", "en"),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["metric"], r["stratum"]): r["value"]
+        for r in textstats.corpus_profile(df).collect()
+    }
+    assert got[("n_docs", "*")] == 4 and got[("n_docs", "en")] == 3
+    assert got[("total_tokens", "*")] == 13
+    assert got[("n_unique_texts", "en")] == 2  # dup collapses
+    assert got[("vocab_size", "*")] == 7  # a b c d e x y
+    assert got[("mean_doc_len_micro", "de")] == 2_000_000
+    # lengths sorted: [2,3,3,5]; ceil(.5*4)=2 → 3; ceil(.9*4)=4 → 5
+    assert got[("p50_doc_len", "*")] == 3
+    assert got[("p90_doc_len", "*")] == 5
+    assert got[("p99_doc_len", "*")] == 5

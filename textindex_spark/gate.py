@@ -653,6 +653,12 @@ def _injected_pages(docs):
     )
 
 
+def q_corpus_profile(spark, sf_dir):
+    """One-call corpus profile: per-stratum + total volumes, mean doc
+    length, unique texts, vocab size, exact discrete percentiles."""
+    return textstats.corpus_profile(_documents(spark, sf_dir))
+
+
 def q_canon_url(spark, sf_dir):
     """URL canonicalization: case / default port / tracking params /
     param order / fragment all collapse to one spelling."""
@@ -764,6 +770,7 @@ QUERIES = {
     "strip_spans": q_strip_spans,
     "canon_url": q_canon_url,
     "url_dedup": q_url_dedup,
+    "corpus_profile": q_corpus_profile,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,
     "ann_filtered": q_ann_filtered,
@@ -2038,6 +2045,60 @@ agg AS (
 SELECT d.doc_id, coalesce(a.n_kept_tokens, 0)::BIGINT AS n_kept_tokens,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+        "corpus_profile": """
+WITH base AS (
+    SELECT coalesce(lang, '') AS stratum,
+           len(list_filter(string_split(replace(text, chr(10), ' '), ' '),
+               x -> x <> ''))::BIGINT AS n_toks,
+           length(text)::BIGINT AS n_chars,
+           md5(text) AS h
+    FROM documents
+),
+per AS (
+    SELECT stratum, count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           floor(sum(n_toks)::DOUBLE / count(*) * 1e6 + 0.5)::BIGINT
+               AS mean_doc_len_micro,
+           count(DISTINCT h)::BIGINT AS n_unique_texts
+    FROM base GROUP BY stratum
+),
+tot AS (
+    SELECT '*' AS stratum, count(*)::BIGINT AS n_docs,
+           sum(n_toks)::BIGINT AS total_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           floor(sum(n_toks)::DOUBLE / count(*) * 1e6 + 0.5)::BIGINT
+               AS mean_doc_len_micro,
+           count(DISTINCT h)::BIGINT AS n_unique_texts
+    FROM base
+),
+vsrc AS (SELECT * FROM per UNION ALL SELECT * FROM tot),
+vols AS (
+    SELECT 'n_docs' AS metric, stratum, n_docs AS value FROM vsrc
+    UNION ALL SELECT 'total_tokens', stratum, total_tokens FROM vsrc
+    UNION ALL SELECT 'total_chars', stratum, total_chars FROM vsrc
+    UNION ALL SELECT 'mean_doc_len_micro', stratum, mean_doc_len_micro FROM vsrc
+    UNION ALL SELECT 'n_unique_texts', stratum, n_unique_texts FROM vsrc
+),
+vocab AS (
+    SELECT 'vocab_size' AS metric, '*' AS stratum,
+           count(DISTINCT tok)::BIGINT AS value
+    FROM (SELECT unnest(list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                        x -> x <> '')) AS tok FROM documents)
+),
+hist AS (SELECT n_toks, count(*)::BIGINT AS c FROM base GROUP BY n_toks),
+cum AS (SELECT n_toks, sum(c) OVER (ORDER BY n_toks) AS cum FROM hist),
+n AS (SELECT count(*)::BIGINT AS n FROM base),
+pvals AS (
+    SELECT 'p' || p::VARCHAR || '_doc_len' AS metric, '*' AS stratum,
+           coalesce((SELECT min(c2.n_toks) FROM cum c2, n
+                     WHERE c2.cum >= (p * n.n + 99) // 100), 0)::BIGINT AS value
+    FROM (VALUES (50), (90), (99)) AS t(p)
+)
+SELECT metric, stratum, value FROM vols
+UNION ALL SELECT * FROM vocab
+UNION ALL SELECT * FROM pvals
 """,
         "canon_url": f"""
 WITH {_CANON_CTE}

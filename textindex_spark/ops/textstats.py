@@ -330,6 +330,99 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+PROFILE_PERCENTILES = (50, 90, 99)
+
+
+def corpus_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "lang",
+    percentiles: tuple[int, ...] = PROFILE_PERCENTILES,
+) -> DataFrame:
+    """→ (metric, stratum, value): the one-call corpus profile a
+    pipeline prints before/after each stage — per-stratum and total
+    ('*') document counts, token/char volumes, mean document length
+    (micro), distinct-text count, corpus vocabulary size, and exact
+    token-length percentiles.
+
+    Every value is an integer with an engine-portable definition:
+    percentile(p) is the SMALLEST doc length whose cumulative doc
+    count reaches ceil(p/100 · n_docs) (percentile_disc semantics,
+    spelled out as a cumulative sum over the doc-length histogram so
+    no engine's interpolation flavor can drift the result).
+
+    Scale shape: one groupBy(stratum) for the volume rows; the
+    percentile pass aggregates the LENGTH HISTOGRAM (distinct doc
+    lengths ≪ docs, bounded by max doc length) and runs the cumsum
+    window over that tiny frame; vocab is one distinct-count over
+    exploded tokens (map-side partial distinct). Nothing collects
+    more than the profile rows themselves."""
+    toks = ws_tokens_col(F.col(text_col))
+    base = docs.select(
+        F.coalesce(F.col(strata_col).cast("string"), F.lit("")).alias("stratum"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+
+    def volume(grouped, label_col):
+        return grouped.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.floor(
+                F.sum("n_toks") / F.count("*") * 1e6 + F.lit(0.5)
+            ).cast("long").alias("mean_doc_len_micro"),
+            F.count_distinct("_h").alias("n_unique_texts"),
+        ).select(
+            label_col.alias("stratum"),
+            F.expr(
+                "stack(5, 'n_docs', n_docs, 'total_tokens', total_tokens, "
+                "'total_chars', total_chars, 'mean_doc_len_micro', "
+                "mean_doc_len_micro, 'n_unique_texts', n_unique_texts) "
+                "as (metric, value)"
+            ),
+        ).select("metric", "stratum", F.col("value").cast("long"))
+
+    per = volume(base.groupBy("stratum"), F.col("stratum"))
+    tot = volume(base.groupBy(), F.lit("*"))
+
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+        .select(
+            F.lit("vocab_size").alias("metric"),
+            F.lit("*").alias("stratum"),
+            F.col("v").cast("long").alias("value"),
+        )
+    )
+
+    # exact discrete percentiles over the doc-length histogram
+    from pyspark.sql import Window as W
+
+    hist = base.groupBy("n_toks").agg(F.count("*").alias("c"))
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(W.orderBy("n_toks").rowsBetween(W.unboundedPreceding, 0))
+    )
+    n_total = base.count()
+    pct_rows = []
+    for p in percentiles:
+        need = -(-p * n_total // 100)  # ceil(p/100 * n)
+        row = (
+            cum.filter(F.col("cum") >= need)
+            .orderBy("n_toks")
+            .limit(1)
+            .collect()
+        )
+        pct_rows.append(
+            (f"p{p}_doc_len", "*", int(row[0]["n_toks"]) if row else 0)
+        )
+    pct = local_df(
+        docs.sparkSession, pct_rows, "metric string, stratum string, value long"
+    )
+    return per.unionByName(tot).unionByName(vocab).unionByName(pct)
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """→ (doc_id, fp60): 60-bit content fingerprint over the
     whitespace-normalized text (join of tokens with single spaces)."""

@@ -1026,3 +1026,21 @@ def test_corpus_profile_hand_computed(spark):
     assert got[("p50_doc_len", "*")] == 3
     assert got[("p90_doc_len", "*")] == 5
     assert got[("p99_doc_len", "*")] == 5
+
+
+def test_null_text_rows_are_harmless(spark):
+    """Null text ≡ empty document across the token-based ops — no -1
+    token counts (F.size on null), no dropped output rows."""
+    df = spark.createDataFrame(
+        [(0, None, "en"), (1, "a b c", "en")],
+        "doc_id long, text string, lang string",
+    )
+    rep = {r["doc_id"]: r for r in textstats.repetition_signals(df).collect()}
+    assert rep[0]["n_tokens"] == 0 and rep[0]["keep"]
+    dw = {r["doc_id"]: r for r in dedup.dup_window_stats(df, k=2).collect()}
+    assert dw[0]["n_tokens"] == 0 and dw[0]["n_windows"] == 0
+    prof = {
+        (r["metric"], r["stratum"]): r["value"]
+        for r in textstats.corpus_profile(df).collect()
+    }
+    assert prof[("n_docs", "*")] == 2 and prof[("total_tokens", "*")] == 3

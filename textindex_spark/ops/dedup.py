@@ -64,8 +64,11 @@ def portable_hash60b(col: Column) -> Column:
 
 def tokens_col(text: Column) -> Column:
     """Whitespace tokens (training-pipeline ops use plain whitespace
-    semantics; the reference tokenizer lives in the index pipeline)."""
-    return F.filter(F.split(text, " "), lambda t: t != "")
+    semantics; the reference tokenizer lives in the index pipeline).
+    Null text ≡ empty (``F.size`` on a null array is -1, which would
+    poison every token-count consumer; the DuckDB oracles' unnest
+    over NULL likewise yields zero rows, so both engines agree)."""
+    return F.filter(F.split(F.coalesce(text, F.lit("")), " "), lambda t: t != "")
 
 
 def ws_tokens_col(text: Column) -> Column:

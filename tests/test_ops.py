@@ -1044,3 +1044,86 @@ def test_null_text_rows_are_harmless(spark):
         for r in textstats.corpus_profile(df).collect()
     }
     assert prof[("n_docs", "*")] == 2 and prof[("total_tokens", "*")] == 3
+
+
+def test_r4close_plan_shapes(spark):
+    """Physical-plan pins for the close-out ops: snapshot dedup is
+    one hash aggregate (no ranking window, no join); the window-hash
+    duplication test contains NO self-join (one agg + one semi join);
+    canonicalization adds no exchange of its own."""
+    from pyspark.sql import functions as F
+
+    from textindex_spark.ops import dedup as D
+    from textindex_spark.ops import urls
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.example/p?x=1", 10)],
+        "doc_id long, url string, warc_ts long",
+    )
+    plan = urls.url_snapshot_dedup(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
+    # map-side combine below the exchange (struct max → SortAggregate)
+    assert "partial_max" in plan and "partial_count" in plan
+
+    canon_plan = (
+        pages.select(urls.canonical_url_col(F.col("url")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in canon_plan  # pure per-row projection
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    stats_plan = (
+        D.dup_window_stats(docs, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly one LeftSemi (wins vs duplicated hashes) + the totals
+    # join; the duplication test itself must never be a self-join of
+    # the window table (no cross/inner join keyed on wh twice)
+    assert stats_plan.count("LeftSemi") == 1
+
+
+def test_canonical_url_random_components(spark):
+    """Property test: canonicalization of a randomly-assembled URL
+    equals the canonical built directly from its clean components."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from textindex_spark.ops import urls
+
+    rng = random.Random(42)
+    cases = []
+    for i in range(200):
+        scheme = rng.choice(["http", "https"])
+        host = rng.choice(["a.example", "B.Example", "x.y.example"])
+        port = rng.choice(["", ":8080", (":443" if scheme == "https" else ":80")])
+        path = rng.choice(["", "/", "/P/q", "/deep/Path.html"])
+        keep = sorted(
+            rng.sample(["a=1", "b=2", "z=9", "k", "m=x%20y"], rng.randint(0, 3))
+        )
+        noise = rng.sample(["utm_source=s", "utm_c=x", "fbclid=f", "gclid=g"],
+                           rng.randint(0, 2))
+        params = keep + noise
+        rng.shuffle(params)
+        frag = rng.choice(["", "#top", "#a/b?c=1"])
+        url = (
+            (scheme.upper() if rng.random() < 0.5 else scheme)
+            + "://" + (host.upper() if rng.random() < 0.5 else host)
+            + port + path
+            + ("?" + "&".join(params) if params else "")
+            + frag
+        )
+        default = (scheme == "https" and port == ":443") or (
+            scheme == "http" and port == ":80"
+        )
+        want = (
+            scheme + "://" + host.lower() + ("" if default else port)
+            + (path or "/")
+            + ("?" + "&".join(keep) if keep else "")
+        )
+        cases.append((i, url, want))
+    df = spark.createDataFrame(cases, "i long, url string, want string")
+    bad = df.select(
+        "i", "url", "want", urls.canonical_url_col(F.col("url")).alias("got")
+    ).filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0, bad.limit(5).collect()

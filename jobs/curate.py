@@ -75,6 +75,12 @@ def main() -> None:
     p.add_argument("--strata", default="lang")
 
     p = sub.add_parser(
+        "lines", help="corpus-level boilerplate line removal"
+    )
+    common(p)
+    p.add_argument("--max-line-df", type=int, default=10)
+
+    p = sub.add_parser(
         "dupspans",
         help="exact-substring duplication: per-doc stats + span removal",
     )
@@ -173,6 +179,15 @@ def main() -> None:
         ).write.mode("overwrite").parquet(f"{args.output}/clean")
         out["dropped"] = sig.filter(~sig.keep).count()
         out["kept"] = spark.read.parquet(f"{args.output}/clean").count()
+    elif args.cmd == "lines":
+        from textindex_spark.ops import dedup as D
+
+        cleaned = D.strip_boilerplate_lines(docs, max_line_df=args.max_line_df)
+        cleaned.write.mode("overwrite").parquet(f"{args.output}/lines")
+        cleaned = spark.read.parquet(f"{args.output}/lines")
+        agg = cleaned.groupBy().sum("n_lines", "n_dropped_lines").collect()[0]
+        out["n_lines"] = int(agg[0] or 0)
+        out["n_dropped_lines"] = int(agg[1] or 0)
     elif args.cmd == "dupspans":
         from pyspark.sql import functions as F
 

@@ -1127,3 +1127,42 @@ def test_canonical_url_random_components(spark):
         "i", "url", "want", urls.canonical_url_col(F.col("url")).alias("got")
     ).filter(F.col("got") != F.col("want"))
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_strip_boilerplate_lines_hand_computed(spark):
+    rows = [
+        (i, f"body text number {i}\ncommon footer line\nrare {i % 2}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # footer df=6 > 2 dropped; 'rare 0'/'rare 1' df=3 > 2 dropped too;
+    # body lines unique → kept
+    got = {
+        r["doc_id"]: r
+        for r in dedup.strip_boilerplate_lines(df, max_line_df=2).collect()
+    }
+    for i in range(6):
+        assert got[i]["n_lines"] == 3 and got[i]["n_dropped_lines"] == 2
+        assert got[i]["clean_text"] == f"body text number {i}"
+    # cap high enough: everything survives, order preserved
+    keep_all = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.strip_boilerplate_lines(df, max_line_df=6).collect()
+    }
+    assert keep_all[0] == rows[0][1]
+
+
+def test_exact_dedup_normalized(spark):
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "  The QUICK,  brown fox!!"),
+        (2, "a different document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = dedup.exact_dedup(df).count()
+    assert plain == 3  # raw hashes all differ
+    norm = {
+        r["keep_doc_id"]: r["n_docs"]
+        for r in dedup.exact_dedup(df, normalize=True).collect()
+    }
+    assert norm == {0: 2, 2: 1}  # 0 and 1 collapse

@@ -653,6 +653,56 @@ def _injected_pages(docs):
     )
 
 
+MAX_LINE_DF_GATE = 10
+
+
+def _injected_lines(docs):
+    """Documents with injected line structure (the gate corpus is
+    single-line): each doc gains a corpus-wide boilerplate footer
+    (df = N, dropped), a small-group line (df ≈ N/97, kept at the
+    cap), and keeps its body as line one. Mirrored verbatim in SQL."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncopyright example corp all rights reserved"),
+            F.lit("\nvariant line "),
+            F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+        ).alias("text"),
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level boilerplate line removal (RefinedWeb-style): lines
+    in more than max_line_df distinct docs are cut from every doc."""
+    return dedup.strip_boilerplate_lines(
+        _injected_lines(_documents(spark, sf_dir)), max_line_df=MAX_LINE_DF_GATE
+    )
+
+
+def q_exact_dedup_norm(spark, sf_dir):
+    """Normalized exact dedup: case/punctuation/whitespace noise
+    collapses — each consecutive doc pair shares a base text, variant
+    1 uppercased with punctuation noise."""
+    docs = _documents(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id").alias("_b"), F.col("text").alias("_bt")
+    )
+    pages = docs.select(
+        "doc_id", (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(2))).alias("_b")
+    ).join(base, "_b").select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.col("_bt")
+        ).otherwise(
+            # pure case/punctuation/whitespace noise — normalization
+            # must fold the variant back onto its base exactly
+            F.concat(F.lit("  "), F.upper(F.col("_bt")), F.lit("!!,  .."))
+        ).alias("text"),
+    )
+    return dedup.exact_dedup(pages, normalize=True)
+
+
 def q_corpus_profile(spark, sf_dir):
     """One-call corpus profile: per-stratum + total volumes, mean doc
     length, unique texts, vocab size, exact discrete percentiles."""
@@ -771,6 +821,8 @@ QUERIES = {
     "canon_url": q_canon_url,
     "url_dedup": q_url_dedup,
     "corpus_profile": q_corpus_profile,
+    "line_dedup": q_line_dedup,
+    "exact_dedup_norm": q_exact_dedup_norm,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf,
     "ann_filtered": q_ann_filtered,
@@ -2045,6 +2097,62 @@ agg AS (
 SELECT d.doc_id, coalesce(a.n_kept_tokens, 0)::BIGINT AS n_kept_tokens,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+        "line_dedup": f"""
+WITH injected AS (
+    SELECT doc_id,
+           text || chr(10) || 'copyright example corp all rights reserved'
+                || chr(10) || 'variant line ' || (doc_id % 97)::VARCHAR AS text
+    FROM documents
+),
+lines AS (
+    SELECT doc_id, i AS pos, l[i] AS line
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, chr(10)), x -> x <> '') AS l
+        FROM injected
+    ), unnest(generate_series(1, len(l))) AS t(i)
+),
+hot AS (
+    SELECT line FROM (SELECT DISTINCT line, doc_id FROM lines)
+    GROUP BY line HAVING count(*) > {MAX_LINE_DF_GATE}
+),
+kept AS (
+    SELECT k.doc_id, k.pos, k.line FROM lines k
+    LEFT JOIN hot h ON k.line = h.line WHERE h.line IS NULL
+),
+rebuilt AS (
+    SELECT doc_id, count(*)::BIGINT AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+),
+totals AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, chr(10)), x -> x <> ''))::BIGINT
+               AS n_lines
+    FROM injected
+)
+SELECT t.doc_id, t.n_lines,
+       (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_dropped_lines,
+       coalesce(r.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+""",
+        "exact_dedup_norm": """
+WITH pages AS (
+    SELECT a.doc_id,
+           CASE WHEN a.doc_id % 2 = 0 THEN b.text
+                ELSE '  ' || upper(b.text) || '!!,  ..' END AS text
+    FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 2
+),
+norm AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS text_md5
+    FROM pages
+)
+SELECT text_md5, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id
+FROM norm GROUP BY text_md5
 """,
         "corpus_profile": """
 WITH base AS (

@@ -106,11 +106,31 @@ def shingles_pos_col(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
 
 
-def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def normalize_for_dedup_col(text: Column) -> Column:
+    """CCNet-style dedup normalization: lowercase, non-alphanumerics
+    → space, whitespace collapsed, trimmed — so trivial formatting
+    noise (case, punctuation, spacing) can't defeat exact dedup.
+    DuckDB mirror: ``trim(regexp_replace(regexp_replace(lower(x),
+    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))``."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", normalize: bool = False
+) -> DataFrame:
     """→ (text_md5, n_docs, keep_doc_id): duplicate groups by full
-    content hash, keeping the smallest doc_id."""
+    content hash, keeping the smallest doc_id. ``normalize=True``
+    hashes the CCNet-normalized text instead (case / punctuation /
+    whitespace noise collapses into one group)."""
+    body = F.col(text_col)
+    if normalize:
+        body = normalize_for_dedup_col(body)
     return (
-        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
+        docs.select("doc_id", F.md5(body).alias("text_md5"))
         .groupBy("text_md5")
         .agg(
             F.count("*").alias("n_docs"),
@@ -865,6 +885,75 @@ def dup_window_stats(
             )
             .cast("long")
             .alias("dup_token_frac_micro"),
+        )
+    )
+
+
+# Corpus-level line frequency above which a line is boilerplate
+# (navigation, footers, cookie banners — the RefinedWeb / CCNet
+# line-level dedup pass).
+MAX_LINE_DF = 10
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    max_line_df: int = MAX_LINE_DF,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, n_lines, n_dropped_lines, clean_text): remove lines
+    that occur in more than ``max_line_df`` DISTINCT documents —
+    corpus-level line dedup (the RefinedWeb/CCNet de-boilerplating
+    pass: "Copyright ...", nav menus, cookie banners repeat across a
+    site and survive document-level dedup). ALL occurrences of a hot
+    line are dropped (the line itself is boilerplate, not any one
+    copy); remaining lines keep their order, rejoined with '\\n'.
+
+    Scale shape: line df is one groupBy on the line's 60-bit hash
+    with a distinct-doc count — uniform keys, map-side partial, NO
+    self-join (the same inverted-index-without-join shape as the
+    window dedup); a footer on 10^9 pages costs one counted group.
+    The hot set (lines above the cap) is small by construction, so
+    the drop is a semi-join keyed by the same uniform hash."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "")
+        ).alias("pos", "line"),
+    ).withColumn("lh", portable_hash60(F.col("line")))
+    hot = (
+        lines.select("lh", "doc_id")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_line_df)
+        .select("lh")
+    )
+    kept = lines.join(hot, "lh", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "")
+        ).cast("long").alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped_lines"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
 

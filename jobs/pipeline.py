@@ -71,6 +71,12 @@ def main() -> None:
         help="collapse to the latest snapshot per canonical URL first",
     )
     ap.add_argument(
+        "--strip-lines", action="store_true",
+        help="remove corpus-level boilerplate lines before dedup/index "
+        "(batch only)",
+    )
+    ap.add_argument("--max-line-df", type=int, default=10)
+    ap.add_argument(
         "--gopher", action="store_true",
         help="drop docs failing the Gopher repetition filters",
     )
@@ -94,6 +100,9 @@ def main() -> None:
         if args.url_dedup:
             ap.error("--url-dedup is batch-only (the streaming content "
                      "dedup subsumes re-fetches vs the kept corpus)")
+        if args.strip_lines:
+            ap.error("--strip-lines is batch-only (line df is a "
+                     "corpus-global statistic)")
         if args.dedup not in ("lsh", "none"):
             ap.error("--stream dedup is the online exact+LSH state "
                      "machine; --dedup must stay 'lsh'")
@@ -143,6 +152,8 @@ def main() -> None:
         redact=args.redact,
         gopher=args.gopher,
         url_dedup=args.url_dedup,
+        strip_lines=args.strip_lines,
+        max_line_df=args.max_line_df,
     )
     print(json.dumps(lineage, sort_keys=True))
 

@@ -417,3 +417,40 @@ def test_pipeline_url_dedup_stage(spark, tmp_path):  # noqa: F811
         r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect()
     }
     assert kept_ids == {2, 3}  # doc 1 was the older snapshot of doc 2's page
+
+
+def test_pipeline_strip_lines_stage(spark, tmp_path):  # noqa: F811
+    """--strip-lines cuts corpus-level boilerplate lines from kept
+    text before dedup/index: the shared footer line vanishes from
+    the indexed text, per-doc bodies survive."""
+    from textindex_spark.pipeline import run_pipeline
+    from textindex_spark.query import search
+
+    footer = "megacorp footer navigation bar"
+    rows = [
+        _row(i, EN_BY_I[i] + "\n" + footer) for i in range(1, 4)
+    ]
+    out = str(tmp_path / "pipe_lines")
+    lineage = run_pipeline(
+        spark,
+        corpus_df(spark, rows),
+        out,
+        langs=("en",),
+        min_quality_micro=0,
+        min_tokens=5,
+        dedup_method="exact",
+        strip_lines=True,
+        max_line_df=2,
+    )
+    assert lineage["boilerplate_lines_dropped"] == 3
+    kept_text = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/kept").collect()
+    }
+    assert all(footer not in t for t in kept_text.values())
+    # the footer terms are not indexed; body terms are
+    assert search(spark, f"{out}/index", ["megacorp"], k=5).count() == 0
+    assert search(spark, f"{out}/index", ["postings"], k=5).count() > 0
+
+
+EN_BY_I = {1: EN, 2: EN2, 3: EN3}

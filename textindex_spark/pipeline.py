@@ -128,6 +128,8 @@ def run_pipeline(
     redact: bool = False,
     gopher: bool = False,
     url_dedup: bool = False,
+    strip_lines: bool = False,
+    max_line_df: int = 10,
 ) -> dict:
     """Run filter → [gopher] → [redact] → [decontam] → dedup → index over
     ``docs``; returns the lineage dict (also written to
@@ -154,6 +156,13 @@ def run_pipeline(
     index; per-doc signals are persisted at ``<out>/gopher`` for
     audit. Runs on the RAW kept text (before redaction, whose
     placeholder tokens would inflate repetition counts).
+
+    ``strip_lines=True`` removes corpus-level boilerplate lines
+    (lines in more than ``max_line_df`` distinct docs —
+    `ops.dedup.strip_boilerplate_lines`) from every kept document
+    BEFORE dedup signatures and the index, the RefinedWeb
+    de-boilerplating pass; empty-after-strip docs are dropped with
+    their count in the lineage.
 
     ``redact=True`` scrubs PII (email / IPv4 / phone →
     ``ops.curate.redact_pii``) from the text of every KEPT document
@@ -207,6 +216,28 @@ def run_pipeline(
         rep_drop = sig.filter(~F.col("keep")).select("doc_id")
         kept_frame = kept_frame.join(rep_drop, "doc_id", "left_anti")
         lineage["gopher_dropped"] = rep_drop.count()
+    if strip_lines:
+        from .ops.dedup import strip_boilerplate_lines
+
+        stripped = strip_boilerplate_lines(kept_frame, max_line_df=max_line_df)
+        stripped.write.mode("overwrite").parquet(f"{out_dir}/lines")
+        st = spark.read.parquet(f"{out_dir}/lines")
+        kept_frame = (
+            kept_frame.drop("text")
+            .join(
+                st.filter(F.col("clean_text") != "").select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .select(*kept_frame.columns)
+        )
+        agg = st.agg(
+            F.sum("n_dropped_lines").alias("d"),
+            F.count(F.when(F.col("clean_text") == "", 1)).alias("e"),
+        ).collect()[0]
+        lineage["boilerplate_lines_dropped"] = int(agg["d"] or 0)
+        lineage["emptied_by_line_strip"] = int(agg["e"] or 0)
     if redact:
         # one redaction pass, materialized as the audit table; the
         # kept corpus then swaps in the scrubbed text so no PII

@@ -263,6 +263,13 @@ def main() -> None:
     timed("dup_windows", lambda: dedup.dup_window_stats(docs, k=10).count())
     pages = _injected_pages(docs)
     timed("url_dedup", lambda: urls.url_snapshot_dedup(pages, ts_col="ts").count())
+    from textindex_spark.gate import _injected_lines
+
+    lined = _injected_lines(docs)
+    timed(
+        "line_dedup",
+        lambda: dedup.strip_boilerplate_lines(lined).count(),
+    )
 
     out = {
         "metric": "synthetic_webcorpus_index_build_sec",

@@ -740,3 +740,44 @@ def test_random_query_differential(spark, index_dir, oracle):
                 ).collect()
             ]
             assert got == want, (qi, pats, mode, exclude, path_kw)
+
+
+def test_random_phrase_differential(spark, index_dir, oracle):
+    """Seeded random-phrase fuzz: 20 phrases sampled from real doc
+    token runs (guaranteed non-trivial hits) plus shuffled variants
+    (mostly misses) — ranked engine results must equal the oracle."""
+    import random
+
+    from textindex_spark.query import search_phrase
+    from textindex_spark.refimpl.txt_tokenize import iter_raw_words, normalize_token
+
+    rng = random.Random(7)
+    doc_ids = sorted(oracle.docs)
+
+    def kept_tokens(doc_id):
+        out = []
+        for w in iter_raw_words(oracle.docs[doc_id]["text"]):
+            t = normalize_token(w)
+            if t:
+                out.append(t)
+        return out
+
+    n_checked = 0
+    for _ in range(20):
+        toks = kept_tokens(rng.choice(doc_ids))
+        if len(toks) < 4:
+            continue
+        i = rng.randrange(len(toks) - 2)
+        phrase = toks[i : i + rng.choice([2, 3])]
+        if rng.random() < 0.3:
+            phrase = list(reversed(phrase))  # usually a miss
+        want = [(d, round(s, 9)) for d, s in oracle.search_phrase(phrase, k=10)]
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search_phrase(
+                spark, index_dir, phrase, k=10, with_urls=False
+            ).collect()
+        ]
+        assert got == want, phrase
+        n_checked += 1
+    assert n_checked >= 15

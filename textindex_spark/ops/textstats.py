@@ -34,7 +34,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """→ (doc_id, pred_lang, best_hits): n-gram/stop-word heuristic —
     count marker-word hits per language, argmax with fixed tie order
     (de < en < fr alphabetical), 'und' (unknown) when no marker hits."""
-    toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+    toks = F.transform(ws_tokens_col(F.col(text_col)), lambda t: F.lower(t))
     df = docs.select("doc_id", toks.alias("toks"))
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
@@ -66,7 +66,11 @@ def quality_score(
     stop_df = local_df(
         spark, [(w,) for w in sorted(set(stop_words))], "tok string"
     ).withColumn("is_stop", F.lit(1))
-    toks = tokens_col(F.col(text_col))
+    # newline-normalized split: extracted web text separates blocks
+    # with '\n'; a space-only split would merge "a\nb" into one token
+    # and undercount every multi-line document (r4 close-out fix; the
+    # gate corpus is newline-free, so the DuckDB mirror is equivalent)
+    toks = ws_tokens_col(F.col(text_col))
     tok_rows = docs.select(
         "doc_id",
         F.length(text_col).alias("n_chars"),
@@ -107,7 +111,7 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     BPE-ish regex segmentation count."""
     return docs.select(
         "doc_id",
-        F.size(tokens_col(F.col(text_col))).alias("n_ws_tokens"),
+        F.size(ws_tokens_col(F.col(text_col))).alias("n_ws_tokens"),
         F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
     )
 

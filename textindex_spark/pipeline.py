@@ -57,7 +57,11 @@ def _with_analysis_text(docs: DataFrame, extract_html: bool) -> DataFrame:
     fall out at the length filter with an explicit reason."""
     if not extract_html:
         return docs
-    needs = F.col("text").isNull() & F.col("html").isNotNull()
+    # blank counts as missing: crawl deliveries carry text='' (not
+    # NULL) for rows whose content only exists as html bytes
+    needs = (
+        F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    ) & F.col("html").isNotNull()
     ready = docs.filter(~needs)
     extracted = (
         docs.filter(needs)

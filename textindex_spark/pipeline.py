@@ -177,6 +177,14 @@ def run_pipeline(
     if dedup_method not in DEDUP_METHODS:
         raise ValueError(f"unknown dedup method {dedup_method!r}")
     t0 = time.time()
+    stage_wall: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(stage: str) -> None:
+        now = time.time()
+        stage_wall[stage] = round(now - _last[0], 3)
+        _last[0] = now
+
     url_dropped = None
     if url_dedup:
         # on the RAW input: normalize_input projects warc_ts away
@@ -266,6 +274,7 @@ def run_pipeline(
         }
     kept_frame.write.mode("overwrite").parquet(f"{out_dir}/kept")
     kept = spark.read.parquet(f"{out_dir}/kept")
+    _mark("filter")
 
     # -- stage 1b: benchmark decontamination (optional) -------------------
     if bench is not None:
@@ -277,6 +286,7 @@ def run_pipeline(
         ).select("doc_id")
         kept = kept.join(contaminated, "doc_id", "left_anti")
         lineage["decontam_dropped"] = contaminated.count()
+        _mark("decontam")
 
     # -- stage 2: dedup ---------------------------------------------------
     if dedup_method == "none":
@@ -297,6 +307,7 @@ def run_pipeline(
         lineage["dup_dropped"] = clusters.filter(
             F.col("doc_id") != F.col("cluster_id")
         ).count()
+        _mark("dedup")
 
     # -- stage 3: index ---------------------------------------------------
     stats = build_index(
@@ -306,8 +317,10 @@ def run_pipeline(
         range_bits=range_bits,
         write_partitions=write_partitions,
     )
+    _mark("index")
     lineage["indexed_docs"] = stats.get("n_docs")
     lineage["index"] = f"{out_dir}/index"
+    lineage["stage_wall_s"] = stage_wall
     lineage["wall_s"] = round(time.time() - t0, 3)
     _write_json(spark, f"{out_dir}/pipeline.json", lineage)
     return lineage

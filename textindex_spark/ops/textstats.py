@@ -172,18 +172,22 @@ GOPHER_MAX_TOP2_CHAR_FRAC_MICRO = 200_000
 GOPHER_MAX_TOP3_CHAR_FRAC_MICRO = 180_000
 GOPHER_MAX_DUP5_CHAR_FRAC_MICRO = 150_000
 
+# Persisted base frames of the LAST repetition_signals call (released
+# at the next call — the returned lazy frame references them).
+_rep_persists: list[DataFrame] = []
 
-def _top_gram_frac(
-    docs: DataFrame, n: int, text_col: str
-) -> DataFrame:
+
+def _top_gram_frac(base: DataFrame, n: int) -> DataFrame:
     """→ (doc_id, top{n}_c, top{n}_gchars): count and token-char
     length of the doc's most frequent n-gram (ties broken to the
     lexicographically smallest gram; deterministic across engines).
-    Docs with fewer than n tokens are absent (callers coalesce 0)."""
+    Docs with fewer than n tokens are absent (callers coalesce 0).
+    ``base`` = (doc_id, t: array<string>) — the caller's one
+    (persisted) tokenization."""
     counts = (
-        docs.select(
+        base.select(
             "doc_id",
-            F.explode(shingles_col(ws_tokens_col(F.col(text_col)), n)).alias("gram"),
+            F.explode(shingles_col(F.col("t"), n)).alias("gram"),
         )
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("c"))
@@ -232,8 +236,22 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale shape: everything is explode → groupBy(doc_id[, gram]) with
     map-side combine — keys are (doc, gram) pairs, no skew, no join
     wider than doc_id. The dup-5-gram coverage explodes 5 positions
-    only for REPEATED grams (the rare case on clean text)."""
-    base = docs.select("doc_id", ws_tokens_col(F.col(text_col)).alias("t"))
+    only for REPEATED grams (the rare case on clean text). The five
+    signal subtrees all derive from ONE persisted (doc_id, tokens,
+    lines) projection, so the corpus is scanned and tokenized once —
+    not once per signal (six scans at 100 TB is the difference that
+    matters; registry-released on the next call, the _lsh_persists
+    pattern)."""
+    while _rep_persists:
+        _rep_persists.pop().unpersist()
+    base = docs.select(
+        "doc_id",
+        ws_tokens_col(F.col(text_col)).alias("t"),
+        F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "").alias(
+            "_lines"
+        ),
+    ).persist()
+    _rep_persists.append(base)
     totals = base.select(
         "doc_id",
         F.size("t").cast("long").alias("n_tokens"),
@@ -241,12 +259,7 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         ).alias("total_chars"),
     )
-    lines = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "")
-        ).alias("line"),
-    )
+    lines = base.select("doc_id", F.explode("_lines").alias("line"))
     lstat = (
         lines.groupBy("doc_id", "line")
         .agg(F.count("*").alias("c"))
@@ -258,11 +271,11 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum((F.col("c") - 1) * F.length("line")).alias("dup_line_chars"),
         )
     )
-    top2 = _top_gram_frac(docs, 2, text_col)
-    top3 = _top_gram_frac(docs, 3, text_col)
-    g5 = docs.select(
+    top2 = _top_gram_frac(base, 2)
+    top3 = _top_gram_frac(base, 3)
+    g5 = base.select(
         "doc_id",
-        F.explode(shingles_pos_col(ws_tokens_col(F.col(text_col)), 5)).alias("w"),
+        F.explode(shingles_pos_col(F.col("t"), 5)).alias("w"),
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
     dup5g = (
         g5.groupBy("doc_id", "gram")
@@ -278,9 +291,8 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .distinct()
     )
-    tpos = docs.select(
-        "doc_id",
-        F.posexplode(ws_tokens_col(F.col(text_col))).alias("pos0", "tok"),
+    tpos = base.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.length("tok").alias("tl"))
     dup5 = (
         cov5.join(tpos, ["doc_id", "pos"])

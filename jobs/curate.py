@@ -75,6 +75,20 @@ def main() -> None:
     p.add_argument("--strata", default="lang")
 
     p = sub.add_parser(
+        "chunk", help="fixed-token-window document chunking"
+    )
+    common(p)
+    p.add_argument("--tokens", type=int, default=512)
+    p.add_argument("--stride", type=int, default=None)
+
+    p = sub.add_parser(
+        "pack", help="deterministic sequence packing (hash groups)"
+    )
+    common(p)
+    p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--groups", type=int, default=1024)
+
+    p = sub.add_parser(
         "lines", help="corpus-level boilerplate line removal"
     )
     common(p)
@@ -179,6 +193,20 @@ def main() -> None:
         ).write.mode("overwrite").parquet(f"{args.output}/clean")
         out["dropped"] = sig.filter(~sig.keep).count()
         out["kept"] = spark.read.parquet(f"{args.output}/clean").count()
+    elif args.cmd == "chunk":
+        chunks = curate.chunk_documents(
+            docs, chunk_tokens=args.tokens, stride=args.stride
+        )
+        chunks.write.mode("overwrite").parquet(f"{args.output}/chunks")
+        out["chunks"] = spark.read.parquet(f"{args.output}/chunks").count()
+    elif args.cmd == "pack":
+        packed = curate.pack_sequences(
+            docs, seq_len=args.seq_len, n_groups=args.groups
+        )
+        packed.write.mode("overwrite").parquet(f"{args.output}/packed")
+        packed = spark.read.parquet(f"{args.output}/packed")
+        out["docs"] = packed.count()
+        out["bins"] = packed.select("pack_group", "bin_id").distinct().count()
     elif args.cmd == "lines":
         from textindex_spark.ops import dedup as D
 

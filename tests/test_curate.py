@@ -211,3 +211,58 @@ def test_curate_plan_shapes(spark, docs, bench):
     # distinct may legitimately exchange on h — that's the small side)
     assert "BroadcastHashJoin [h" in plan2
     assert "SortMergeJoin [h" not in plan2
+
+
+def test_chunk_documents_hand_computed(spark):
+    from textindex_spark.ops import curate
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "x y"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = [
+        tuple(r)
+        for r in curate.chunk_documents(docs, chunk_tokens=3, stride=2)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    ]
+    assert got == [
+        (0, 0, 3, "a b c"),
+        (0, 1, 3, "c d e"),
+        (0, 2, 3, "e f g"),
+        (0, 3, 1, "g"),      # final short chunk
+        (1, 0, 2, "x y"),    # empty doc 2: no chunks
+    ]
+    # non-overlapping default covers every token exactly once
+    flat = (
+        curate.chunk_documents(docs, chunk_tokens=3)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    per_doc = {}
+    for r in flat:
+        per_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    assert " ".join(per_doc[0]) == "a b c d e f g"
+
+
+def test_pack_sequences_fill_invariants(spark):
+    from textindex_spark.ops import curate
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    rows = curate.pack_sequences(docs, seq_len=20, n_groups=4).collect()
+    assert len(rows) == 200
+    by_group = {}
+    for r in sorted(rows, key=lambda r: (r["pack_group"], r["doc_id"])):
+        by_group.setdefault(r["pack_group"], []).append(r)
+    assert set(by_group) == {0, 1, 2, 3}
+    for g, rs in by_group.items():
+        cum = 0
+        for r in rs:  # bin = floor(tokens before doc / seq_len)
+            assert r["bin_id"] == cum // 20, (g, r)
+            cum += r["n_tokens"]
+        # bins are contiguous, starting at 0
+        bins = [r["bin_id"] for r in rs]
+        assert bins[0] == 0 and bins == sorted(bins)

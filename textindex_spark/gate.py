@@ -602,6 +602,26 @@ def q_top_ngrams(spark, sf_dir):
     return curate.top_ngrams(_documents(spark, sf_dir), n=3, k=20)
 
 
+CHUNK_TOKENS, CHUNK_STRIDE = 16, 12
+PACK_SEQ_LEN, PACK_GROUPS = 200, 8
+
+
+def q_chunks(spark, sf_dir):
+    """Fixed-window document chunking with overlap (stride <
+    chunk_tokens) — the context-window split before tokenization."""
+    return curate.chunk_documents(
+        _documents(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE
+    )
+
+
+def q_pack_bins(spark, sf_dir):
+    """Deterministic sequence packing: hash pack groups, sequential
+    fill into seq_len-token bins (parallel per-group cumsum)."""
+    return curate.pack_sequences(
+        _documents(spark, sf_dir), seq_len=PACK_SEQ_LEN, n_groups=PACK_GROUPS
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Gopher repetition filters: duplicate-line fractions, top-2/3-
     gram char fractions, duplicated-5-gram coverage, keep verdict."""
@@ -815,6 +835,8 @@ QUERIES = {
     "budget_select": q_budget_select,
     "top_ngrams": q_top_ngrams,
     "unigram_nll": q_unigram_nll,
+    "chunks": q_chunks,
+    "pack_bins": q_pack_bins,
     "repetition": q_repetition,
     "dup_windows": q_dup_windows,
     "strip_spans": q_strip_spans,
@@ -2097,6 +2119,40 @@ agg AS (
 SELECT d.doc_id, coalesce(a.n_kept_tokens, 0)::BIGINT AS n_kept_tokens,
        coalesce(a.clean_text, '') AS clean_text
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+        "chunks": f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                       x -> x <> '') AS t
+    FROM documents
+),
+st AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS start
+    FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       ((start - 1) // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+       least({CHUNK_TOKENS}, len(t) - start + 1)::BIGINT AS n_tokens,
+       array_to_string(t[start:start+{CHUNK_TOKENS - 1}], ' ') AS chunk_text
+FROM st
+""",
+        "pack_bins": f"""
+WITH base AS (
+    SELECT doc_id,
+           len(list_filter(string_split(replace(text, chr(10), ' '), ' '),
+               x -> x <> ''))::BIGINT AS n_tokens,
+           (('0x' || substring(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT
+            % {PACK_GROUPS})::INT AS pack_group
+    FROM documents
+)
+SELECT doc_id, pack_group,
+       floor(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY pack_group ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+             / {PACK_SEQ_LEN})::BIGINT AS bin_id,
+       n_tokens
+FROM base
 """,
         "line_dedup": f"""
 WITH injected AS (

@@ -38,7 +38,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from textindex_spark.ops.dedup import portable_hash60, shingles_col, tokens_col
+from textindex_spark.ops.dedup import (
+    portable_hash60,
+    shingles_col,
+    tokens_col,
+    ws_tokens_col,
+)
 from textindex_spark.ops.textstats import quality_score
 from textindex_spark.session import local_df
 
@@ -369,4 +374,96 @@ def top_ngrams(
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("ngram").asc())
         .limit(k)
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, chunk_id, n_tokens, chunk_text): fixed-size token
+    windows over each document — the "split long documents into
+    context-window pieces" pass a tokenizer-bound pipeline runs last.
+    ``stride`` < ``chunk_tokens`` gives overlapping chunks (the
+    standard trick so no span is cut at every boundary); default is
+    non-overlapping. chunk_id is the 0-based window index; the final
+    chunk may be short; docs with zero tokens produce no chunks.
+
+    Scale shape: a single per-row ``transform`` over start offsets +
+    one explode — narrow, no shuffle at all (the chunker inherits the
+    scan's partitioning)."""
+    st = stride if stride is not None else chunk_tokens
+    if st <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    t = ws_tokens_col(F.col(text_col))
+    chunks = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t), F.lit(st)),
+            lambda start: F.struct(
+                ((start - 1) / st).cast("long").alias("chunk_id"),
+                F.concat_ws(" ", F.slice(t, start, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+                F.least(
+                    F.lit(chunk_tokens), F.size(t) - start + 1
+                ).cast("long").alias("n_tokens"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_id:bigint,chunk_text:string,n_tokens:bigint>>"
+    ))
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_groups: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, pack_group, bin_id, n_tokens): deterministic
+    document→training-sequence packing. Documents are hashed into
+    ``n_groups`` independent pack groups; within a group they are
+    filled sequentially (doc_id order) into ``seq_len``-token bins —
+    bin_id = floor(tokens_before_this_doc / seq_len), the standard
+    contiguous-fill approximation of sequence packing (a doc
+    straddling a bin boundary is charged to the bin it starts in; the
+    trainer's concat-and-split handles the carry).
+
+    Scale shape: the only wide operation is a cumulative-sum window
+    PER PACK GROUP — n_groups parallel partitions instead of the
+    single-partition global window a naive global cumsum needs, which
+    is the difference between a packing pass that scales and one that
+    serializes the corpus through one task. Deterministic across
+    runs/engines: group = md5-hash of doc_id, order = doc_id."""
+    if seq_len <= 0 or n_groups <= 0:
+        raise ValueError("seq_len and n_groups must be positive")
+    base = docs.select(
+        "doc_id",
+        F.size(ws_tokens_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.pmod(
+            portable_hash60(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))),
+            F.lit(n_groups),
+        ).cast("int").alias("pack_group"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.select(
+        "doc_id",
+        "pack_group",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(seq_len)
+        ).cast("long").alias("bin_id"),
+        "n_tokens",
     )

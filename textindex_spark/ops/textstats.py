@@ -369,10 +369,13 @@ def corpus_profile(
 
     Scale shape: one groupBy(stratum) for the volume rows; the
     percentile pass aggregates the LENGTH HISTOGRAM (distinct doc
-    lengths ≪ docs, bounded by max doc length) and runs the cumsum
-    window over that tiny frame; vocab is one distinct-count over
-    exploded tokens (map-side partial distinct). Nothing collects
-    more than the profile rows themselves."""
+    lengths ≪ docs, bounded by max doc length), collects that tiny
+    frame ONCE, and derives every percentile plus n_docs from the
+    driver-side cumsum — one corpus scan total for the percentile
+    block, no per-percentile jobs and no unpartitioned window; vocab
+    is one distinct-count over exploded tokens (map-side partial
+    distinct). Nothing collects more than the histogram (≤ max doc
+    length rows) and the profile rows themselves."""
     toks = ws_tokens_col(F.col(text_col))
     base = docs.select(
         F.coalesce(F.col(strata_col).cast("string"), F.lit("")).alias("stratum"),
@@ -413,26 +416,25 @@ def corpus_profile(
         )
     )
 
-    # exact discrete percentiles over the doc-length histogram
-    from pyspark.sql import Window as W
-
-    hist = base.groupBy("n_toks").agg(F.count("*").alias("c"))
-    cum = hist.withColumn(
-        "cum", F.sum("c").over(W.orderBy("n_toks").rowsBetween(W.unboundedPreceding, 0))
+    # exact discrete percentiles over the doc-length histogram:
+    # ONE job builds + collects the histogram (bounded by max doc
+    # length, ≪ docs); cumsum and every percentile lookup happen
+    # driver-side over the collected rows
+    hist = sorted(
+        (int(r["n_toks"]), int(r["c"]))
+        for r in base.groupBy("n_toks").agg(F.count("*").alias("c")).collect()
     )
-    n_total = base.count()
+    n_total = sum(c for _, c in hist)
+    cums: list[tuple[int, int]] = []
+    running = 0
+    for n_toks, c in hist:
+        running += c
+        cums.append((n_toks, running))
     pct_rows = []
     for p in percentiles:
         need = -(-p * n_total // 100)  # ceil(p/100 * n)
-        row = (
-            cum.filter(F.col("cum") >= need)
-            .orderBy("n_toks")
-            .limit(1)
-            .collect()
-        )
-        pct_rows.append(
-            (f"p{p}_doc_len", "*", int(row[0]["n_toks"]) if row else 0)
-        )
+        val = next((n_toks for n_toks, cum in cums if cum >= need), 0)
+        pct_rows.append((f"p{p}_doc_len", "*", val))
     pct = local_df(
         docs.sparkSession, pct_rows, "metric string, stratum string, value long"
     )

@@ -56,6 +56,19 @@ def test_contamination_hits(spark, docs, bench):
     assert got[3]["n_shingles"] == 0 and got[3]["contam_micro"] == 0
 
 
+def test_contamination_crosses_newlines(spark, bench):
+    """A benchmark item wrapped across lines in the document still
+    counts as overlap: shingling tokenizes newlines as separators
+    (space-only splitting would merge 'epsilon\\nzeta' into one token
+    and miss every shingle that spans the line break)."""
+    wrapped = spark.createDataFrame(
+        [(7, "alpha beta gamma\ndelta epsilon zeta\neta theta")],
+        "doc_id long, text string",
+    )
+    r = curate.contamination_hits(wrapped, bench, n=5).collect()[0]
+    assert r["n_hits"] > 0, "cross-line benchmark overlap missed"
+
+
 def test_decontaminate(spark, docs, bench):
     kept = {r["doc_id"] for r in curate.decontaminate(docs, bench, n=5).select("doc_id").collect()}
     bench_sh = py_shingles(BENCH[0][1], 5)
@@ -230,9 +243,23 @@ def test_chunk_documents_hand_computed(spark):
         (0, 0, 3, "a b c"),
         (0, 1, 3, "c d e"),
         (0, 2, 3, "e f g"),
-        (0, 3, 1, "g"),      # final short chunk
+        # no (0, 3, "g"): a start at 7 would chunk a strict suffix of
+        # "e f g" — contained trailing chunks are not emitted
         (1, 0, 2, "x y"),    # empty doc 2: no chunks
     ]
+    # stride < chunk with a truncated tail: the last emitted chunk
+    # reaches the end once, never twice
+    long = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    tail = [
+        tuple(r)
+        for r in curate.chunk_documents(long, chunk_tokens=8, stride=4)
+        .orderBy("chunk_id")
+        .collect()
+    ]
+    # starts 1, 5 — a start at 9 would emit [9..10] ⊂ [5..10]
+    assert [(r[1], r[2]) for r in tail] == [(0, 8), (1, 6)]
     # non-overlapping default covers every token exactly once
     flat = (
         curate.chunk_documents(docs, chunk_tokens=3)

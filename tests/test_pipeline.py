@@ -419,6 +419,47 @@ def test_pipeline_url_dedup_stage(spark, tmp_path):  # noqa: F811
     assert kept_ids == {2, 3}  # doc 1 was the older snapshot of doc 2's page
 
 
+def test_pipeline_url_dedup_without_doc_id(spark, tmp_path):  # noqa: F811
+    """--url-dedup on the canonical crawl shape (no doc_id column —
+    the input_hint contract): ids are minted before the snapshot
+    dedup instead of crashing on an unresolved doc_id, and the
+    latest snapshot per canonical URL still wins."""
+    import datetime
+
+    from textindex_spark.pipeline import run_pipeline
+
+    t0 = datetime.datetime(2025, 1, 1, tzinfo=datetime.timezone.utc)
+    t1 = datetime.datetime(2025, 2, 1, tzinfo=datetime.timezone.utc)
+    old = dict(_row(1, EN), url="https://a.example/p?x=1", warc_ts=t0)
+    new = dict(
+        _row(2, EN2),
+        url="HTTPS://A.EXAMPLE:443/p?utm_source=f&x=1",
+        warc_ts=t1,
+    )
+    other = dict(_row(3, EN3), url="https://b.example/q", warc_ts=t0)
+    out = str(tmp_path / "pipe_url_noid")
+    lineage = run_pipeline(
+        spark,
+        corpus_df(spark, [old, new, other]).drop("doc_id"),
+        out,
+        langs=("en",),
+        min_quality_micro=0,
+        min_tokens=5,
+        dedup_method="exact",
+        url_dedup=True,
+    )
+    assert lineage["url_snapshots_dropped"] == 1
+    assert lineage["indexed_docs"] == 2
+    kept_urls = {
+        r["url"] for r in spark.read.parquet(f"{out}/kept").collect()
+    }
+    # the later fetch's spelling survives, the older one is gone
+    assert kept_urls == {
+        "HTTPS://A.EXAMPLE:443/p?utm_source=f&x=1",
+        "https://b.example/q",
+    }
+
+
 def test_pipeline_strip_lines_stage(spark, tmp_path):  # noqa: F811
     """--strip-lines cuts corpus-level boilerplate lines from kept
     text before dedup/index: the shared footer line vanishes from

@@ -465,21 +465,34 @@ def search_bool_sharded(
     total_df = int(allx.drop_duplicates(["shard", "term"])["df"].sum())
     fits_local = 0 < total_df <= LOCAL_SCORE_MAX_POSTINGS
     use_local = fits_local if local_score is None else (local_score and fits_local)
+    ok = False
     if use_local:
-        merged: list[tuple[int, float]] = []
+        # gate EVERY shard before fetching any blocks (the pre-loop
+        # shape query._search_sharded_local uses): a late shard
+        # tripping the isin cap or the tombstone cap would otherwise
+        # discard block fetches + numpy scoring already paid for by
+        # earlier shards before falling back to the distributed path
+        deads: dict[int, object] = {}
         ok = True
         for i, d in enumerate(index_dirs):
             if shard_req[i] == "skip":
                 continue
-            e = expansions[i]
-            terms_s = sorted(set(e["term"]))
-            if len(terms_s) > ISIN_PUSHDOWN_MAX:
+            if len(set(expansions[i]["term"])) > ISIN_PUSHDOWN_MAX:
                 ok = False
                 break
             dead = _dead_ids_capped(spark, d)
             if dead is None:
                 ok = False
                 break
+            deads[i] = dead
+    if use_local and ok:
+        merged: list[tuple[int, float]] = []
+        for i, d in enumerate(index_dirs):
+            if shard_req[i] == "skip":
+                continue
+            e = expansions[i]
+            terms_s = sorted(set(e["term"]))
+            dead = deads[i]
             stats_s = dict(stats_list[i])
             stats_s["avgdl"] = avgdl_g  # global stats for scoring
             surviving = None
@@ -501,15 +514,14 @@ def search_bool_sharded(
                 uniq, score = uniq[alive], score[alive]
             order = np.lexsort((uniq, -score))[:k]
             merged.extend((int(uniq[j]), float(score[j])) for j in order)
-        if ok:
-            merged.sort(key=lambda t: (-t[1], t[0]))
-            rows = merged[:k]
-            result = (
-                local_df(spark, rows, "doc_id long, score double")
-                if rows
-                else empty
-            )
-            return _attach_urls_sharded(spark, index_dirs, result, with_urls)
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        rows = merged[:k]
+        result = (
+            local_df(spark, rows, "doc_id long, score double")
+            if rows
+            else empty
+        )
+        return _attach_urls_sharded(spark, index_dirs, result, with_urls)
     scored_frames = []
     for i, d in enumerate(index_dirs):
         if shard_req[i] == "skip":

@@ -1880,7 +1880,12 @@ WHERE g.l0 AND (g.l1 OR g.l2) AND NOT g.l3
 ORDER BY s.score DESC, g.doc_id ASC LIMIT 10
 """,
         "decontam": f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                       x -> x <> '') AS t
+    FROM documents
+),
 idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
 sh AS (
     SELECT DISTINCT doc_id,
@@ -1939,7 +1944,7 @@ WHERE ('0x' || substring(md5('{curate.SAMPLE_SALT}' || doc_id::VARCHAR), 1, 15))
         "budget_select": f"""
 WITH q AS ( {_quality_sql()} ),
 j AS (
-    SELECT q.doc_id, d.lang AS stratum, q.n_tokens, q.quality_micro
+    SELECT q.doc_id, coalesce(d.lang, '') AS stratum, q.n_tokens, q.quality_micro
     FROM q JOIN documents d ON q.doc_id = d.doc_id
 ),
 w AS (
@@ -1953,7 +1958,12 @@ SELECT doc_id, stratum, n_tokens::INT AS n_tokens, cum_tokens::BIGINT AS cum_tok
 FROM w WHERE cum_tokens <= {BUDGET_TOKENS}
 """,
         "top_ngrams": """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                       x -> x <> '') AS t
+    FROM documents
+),
 idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks),
 ng AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram FROM idx)
 SELECT ngram, count(*)::BIGINT AS freq FROM ng
@@ -1961,7 +1971,9 @@ GROUP BY ngram ORDER BY freq DESC, ngram ASC LIMIT 20
 """,
         "unigram_nll": """
 WITH toks AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    SELECT doc_id,
+           unnest(string_split(replace(text, chr(10), ' '), ' ')) AS tok
+    FROM documents
 ),
 tf AS (
     SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks
@@ -2128,7 +2140,10 @@ WITH toks AS (
     FROM documents
 ),
 st AS (
-    SELECT doc_id, t, unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS start
+    SELECT doc_id, t,
+           unnest(generate_series(
+               1, greatest(1, len(t) - {max(0, CHUNK_TOKENS - CHUNK_STRIDE)}),
+               {CHUNK_STRIDE})) AS start
     FROM toks WHERE len(t) > 0
 )
 SELECT doc_id,

@@ -41,7 +41,6 @@ from pyspark.sql import functions as F
 from textindex_spark.ops.dedup import (
     portable_hash60,
     shingles_col,
-    tokens_col,
     ws_tokens_col,
 )
 from textindex_spark.ops.textstats import quality_score
@@ -65,7 +64,7 @@ def bench_shingle_hashes(
     strings) keep the broadcast ~8 bytes/shingle."""
     return (
         bench.select(
-            F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("shingle")
+            F.explode(shingles_col(ws_tokens_col(F.col(text_col)), n)).alias("shingle")
         )
         .select(portable_hash60(F.col("shingle")).alias("h"))
         .distinct()
@@ -97,7 +96,7 @@ def contamination_hits(
     docs."""
     sh = docs.select(
         "doc_id",
-        F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("shingle"),
+        F.explode(shingles_col(ws_tokens_col(F.col(text_col)), n)).alias("shingle"),
     ).select("doc_id", portable_hash60(F.col("shingle")).alias("h"))
     bench_h = bench if pre_hashed else bench_shingle_hashes(bench, n, text_col)
     per_doc = (
@@ -238,7 +237,17 @@ def budget_select(
     spark = docs.sparkSession
     step = max(1_000_001 // n_buckets + 1, 1)
     q = quality_score(docs, stop_words, text_col).join(
-        docs.select("doc_id", F.col(strata_col).alias("stratum")), "doc_id"
+        # NULL strata collapse to '' (same convention as
+        # corpus_profile): the broadcast plan join below is plain
+        # equality, so a raw NULL stratum would never match its own
+        # plan row and silently vanish from the selection
+        docs.select(
+            "doc_id",
+            F.coalesce(F.col(strata_col).cast("string"), F.lit("")).alias(
+                "stratum"
+            ),
+        ),
+        "doc_id",
     )
     rows = q.select(
         "doc_id",
@@ -309,7 +318,7 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     term (vocab-sized build side) + one groupBy(doc_id). No Python
     in the hot path."""
     toks = docs.select(
-        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("tok")
+        "doc_id", F.explode(ws_tokens_col(F.col(text_col))).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     counts = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
@@ -368,7 +377,7 @@ def top_ngrams(
     top-k never materializes the full sort."""
     return (
         docs.select(
-            F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("ngram")
+            F.explode(shingles_col(ws_tokens_col(F.col(text_col)), n)).alias("ngram")
         )
         .groupBy("ngram")
         .agg(F.count("*").alias("freq"))
@@ -398,10 +407,18 @@ def chunk_documents(
     if st <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     t = ws_tokens_col(F.col(text_col))
+    # with overlap (stride < chunk), starts past len - (chunk - stride)
+    # begin inside a span the PREVIOUS chunk already covers to the end
+    # of the document — emitting them would duplicate suffix text into
+    # fully-contained chunks, so the start sequence stops there
+    # (non-overlapping strides leave the bound at len, unchanged)
+    last_start = F.greatest(
+        F.lit(1), F.size(t) - F.lit(max(0, chunk_tokens - st))
+    )
     chunks = F.when(
         F.size(t) > 0,
         F.transform(
-            F.sequence(F.lit(1), F.size(t), F.lit(st)),
+            F.sequence(F.lit(1), last_start, F.lit(st)),
             lambda start: F.struct(
                 ((start - 1) / st).cast("long").alias("chunk_id"),
                 F.concat_ws(" ", F.slice(t, start, chunk_tokens)).alias(

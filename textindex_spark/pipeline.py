@@ -38,7 +38,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .build import RANGE_BITS_DEFAULT, build_index, normalize_input
+from .build import RANGE_BITS_DEFAULT, build_index, mint_doc_ids, normalize_input
 from .functions.kernels import extract_text_batches
 from .ops import dedup as D
 from .ops.curate import DECONTAM_NGRAM, contamination_hits, redact_pii
@@ -187,12 +187,28 @@ def run_pipeline(
 
     url_dropped = None
     if url_dedup:
-        # on the RAW input: normalize_input projects warc_ts away
-        from .ops.urls import latest_snapshots
+        # on the RAW input: normalize_input projects warc_ts away.
+        # The canonical crawl shape (input_hint) carries no doc_id —
+        # mint ids here, BEFORE the snapshot dedup that keys its keep
+        # list on doc_id (normalize_input sees the column and skips
+        # its own minting)
+        from .ops.urls import url_snapshot_dedup
 
-        n_in = docs.count()
-        docs = latest_snapshots(docs)
-        url_dropped = n_in - docs.count()
+        if "doc_id" not in docs.columns:
+            docs = mint_doc_ids(docs)
+        # lineage counts come from the dedup groupBy itself (one agg
+        # over the per-canonical-URL frame) — not two extra full
+        # corpus counts
+        keep = url_snapshot_dedup(docs)
+        tot = keep.agg(
+            F.sum("n_snapshots").alias("n_in"), F.count("*").alias("n_keep")
+        ).collect()[0]
+        url_dropped = int(tot["n_in"] or 0) - int(tot["n_keep"] or 0)
+        docs = docs.join(
+            keep.select(F.col("keep_doc_id").alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        )
     docs = _with_analysis_text(normalize_input(docs), extract_html)
     if extract_html:
         # materialize the extraction ONCE: the kernel output feeds

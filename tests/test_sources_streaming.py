@@ -119,6 +119,43 @@ def test_dedup_batch_streaming_semantics(spark, tmp_path):
     assert read_verdicts(spark, state).count() == 3
 
 
+def test_dedup_batch_exact_to_near_chain(spark, tmp_path):
+    """C ≡ B (exact within the batch) while B ≈ A (near vs state):
+    both B and C drop, and C's verdict is re-pointed one hop at A —
+    never at B, which is in no kept corpus (the kept-canonical
+    contract). kind/est carry over from B's near verdict."""
+    from textindex_spark.streaming.dedup import dedup_batch, read_verdicts
+
+    state = str(tmp_path / "dstate_chain")
+    base = " ".join(f"tok{i}" for i in range(30))
+    near_toks = base.split()
+    near_toks[10] = "CHANGED"
+    near = " ".join(near_toks)
+
+    # batch 0: A (the base) enters the state
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    dedup_batch(spark, b1, state, batch_id=0)
+
+    # batch 1: B=near edit of A, C=exact copy of B (B < C so B is the
+    # batch canonical for the hash group)
+    b2 = spark.createDataFrame(
+        [(20, near), (21, near)], "doc_id long, text string"
+    )
+    dedup_batch(spark, b2, state, batch_id=1)
+    v = {r["doc_id"]: r for r in read_verdicts(spark, state).collect()}
+    assert v[20]["dup_of"] == 1 and v[20]["kind"] == "near"
+    # the chain: C's exact canonical B was near-dropped — re-pointed
+    assert v[21]["dup_of"] == 1, "exact verdict points at a dropped doc"
+    assert v[21]["kind"] == "near"
+    assert v[21]["est_jaccard_micro"] == v[20]["est_jaccard_micro"]
+    # every dup_of target is a kept doc
+    kept = {
+        r["doc_id"]
+        for r in manifest.read_table(spark, state, "dedup_exact").collect()
+    }
+    assert {r["dup_of"] for r in v.values()} <= kept
+
+
 def test_stream_dedup_end_to_end(spark, tmp_path):
     from textindex_spark.streaming.dedup import read_verdicts, stream_dedup
 

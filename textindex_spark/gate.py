@@ -865,7 +865,10 @@ def _minhash_sql(src: str = "documents") -> str:
     )
     return f"""
 WITH toks AS (
-    SELECT doc_id, string_split(text, ' ') AS t FROM {src}
+    SELECT doc_id,
+           list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                       x -> x <> '') AS t
+    FROM {src}
 ),
 idx AS (
     SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
@@ -985,9 +988,25 @@ est1 AS (
     GROUP BY c.doc_id, c.dup_of
     HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / count(*) >= {THR}
 ),
+nbest1 AS (
+    -- best near target per near-dropped doc: max est, tie -> min id
+    SELECT doc_id, re, re_est FROM (
+        SELECT doc_id, dup_of AS re, est AS re_est,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY est DESC, dup_of ASC) AS rn
+        FROM est1
+    ) WHERE rn = 1
+),
 v1 AS (
-    SELECT doc_id, dup_of, 'exact' AS kind, 1000000::BIGINT AS est_jaccard_micro,
-           0::BIGINT AS batch_id FROM ex1
+    -- exact verdicts whose canonical is near-dropped in the same
+    -- batch are re-pointed one hop (mirrors dedup_batch)
+    SELECT e.doc_id,
+           coalesce(n.re, e.dup_of) AS dup_of,
+           CASE WHEN n.re IS NOT NULL THEN 'near' ELSE 'exact' END AS kind,
+           coalesce(floor(n.re_est * 1e6 + 0.5)::BIGINT, 1000000::BIGINT)
+               AS est_jaccard_micro,
+           0::BIGINT AS batch_id
+    FROM ex1 e LEFT JOIN nbest1 n ON e.dup_of = n.doc_id
     UNION ALL
     SELECT doc_id, dup_of, 'near', floor(est * 1e6 + 0.5)::BIGINT, 0::BIGINT
     FROM est1
@@ -1051,9 +1070,22 @@ est2 AS (
     GROUP BY c.doc_id, c.dup_of
     HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / count(*) >= {THR}
 ),
+nbest2 AS (
+    SELECT doc_id, re, re_est FROM (
+        SELECT doc_id, dup_of AS re, est AS re_est,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY est DESC, dup_of ASC) AS rn
+        FROM est2
+    ) WHERE rn = 1
+),
 v2 AS (
-    SELECT doc_id, dup_of, 'exact' AS kind, 1000000::BIGINT AS est_jaccard_micro,
-           1::BIGINT AS batch_id FROM ex2
+    SELECT e.doc_id,
+           coalesce(n.re, e.dup_of) AS dup_of,
+           CASE WHEN n.re IS NOT NULL THEN 'near' ELSE 'exact' END AS kind,
+           coalesce(floor(n.re_est * 1e6 + 0.5)::BIGINT, 1000000::BIGINT)
+               AS est_jaccard_micro,
+           1::BIGINT AS batch_id
+    FROM ex2 e LEFT JOIN nbest2 n ON e.dup_of = n.doc_id
     UNION ALL
     SELECT doc_id, dup_of, 'near', floor(est * 1e6 + 0.5)::BIGINT, 1::BIGINT
     FROM est2
@@ -1124,7 +1156,7 @@ agg AS (
     SELECT d.doc_id,
            length(d.text) AS n_chars,
            count(a.term)::INT AS n_tokens,
-           coalesce(sum(CASE WHEN a.term IN ({STOP_LIST_SQL}) THEN 1 ELSE 0 END), 0)
+           coalesce(sum(CASE WHEN lower(a.term) IN ({STOP_LIST_SQL}) THEN 1 ELSE 0 END), 0)
                AS n_stop,
            coalesce(sum(length(a.term)), 0)::DOUBLE AS tok_chars
     FROM documents d LEFT JOIN allt a ON d.doc_id = a.doc_id
@@ -1773,7 +1805,10 @@ FROM documents GROUP BY md5(text)
 """,
         "ngram_jaccard": f"""
 WITH toks AS (
-    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    SELECT doc_id,
+           list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                       x -> x <> '') AS t
+    FROM documents
 ),
 idx AS (
     SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks
@@ -1808,7 +1843,8 @@ WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.08
         "stream_dedup": _stream_dedup_sql(),
         "simhash": f"""
 WITH toks AS (
-    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+    SELECT DISTINCT doc_id,
+           unnest(string_split(replace(text, chr(10), ' '), ' ')) AS tok
     FROM documents
 ),
 hashed AS (
@@ -1831,7 +1867,8 @@ FROM bits GROUP BY doc_id
         "pipeline_keep": _pipeline_keep_sql(),
         "token_counts": r"""
 SELECT doc_id,
-       len(list_filter(string_split(text, ' '), x -> x <> ''))::INT AS n_ws_tokens,
+       len(list_filter(string_split(replace(text, chr(10), ' '), ' '),
+           x -> x <> ''))::INT AS n_ws_tokens,
        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\x0B\f]'))::INT
            AS n_bpe_tokens
 FROM documents
@@ -1839,7 +1876,8 @@ FROM documents
         "fingerprint": """
 SELECT doc_id,
        ('0x' || substring(md5(array_to_string(
-            list_filter(string_split(text, ' '), x -> x <> ''), ' ')), 1, 15))::BIGINT
+            list_filter(string_split(replace(text, chr(10), ' '), ' '),
+                        x -> x <> ''), ' ')), 1, 15))::BIGINT
            AS fp60
 FROM documents
 """,

@@ -63,20 +63,30 @@ def portable_hash60b(col: Column) -> Column:
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokens (training-pipeline ops use plain whitespace
-    semantics; the reference tokenizer lives in the index pipeline).
-    Null text ≡ empty (``F.size`` on a null array is -1, which would
-    poison every token-count consumer; the DuckDB oracles' unnest
-    over NULL likewise yields zero rows, so both engines agree)."""
-    return F.filter(F.split(F.coalesce(text, F.lit("")), " "), lambda t: t != "")
+    """Whitespace tokens — spaces AND newlines are separators
+    (training-pipeline ops use plain whitespace semantics; the
+    reference tokenizer lives in the index pipeline). Extracted web
+    text separates blocks with '\\n'; a space-only split would merge
+    "a\\nb" into one token, shifting every shingle that spans a line
+    break and making MinHash / Jaccard / SimHash under-detect pairs
+    that differ only in line wrapping (review r4 — the same defect
+    class fixed earlier in quality_score/decontam). Null text ≡ empty
+    (``F.size`` on a null array is -1, which would poison every
+    token-count consumer; the DuckDB oracles' unnest over NULL
+    likewise yields zero rows, so both engines agree). DuckDB mirror:
+    ``list_filter(string_split(replace(text, chr(10), ' '), ' '),
+    x -> x <> '')``."""
+    return F.filter(
+        F.split(F.translate(F.coalesce(text, F.lit("")), "\n", " "), " "),
+        lambda t: t != "",
+    )
 
 
 def ws_tokens_col(text: Column) -> Column:
-    """Tokens with newlines ALSO treated as separators — for ops whose
-    token stream must ignore line structure (repetition signals,
-    exact-substring windows). DuckDB mirror:
-    ``string_split(replace(text, chr(10), ' '), ' ')``."""
-    return tokens_col(F.translate(text, "\n", " "))
+    """Alias of ``tokens_col`` — kept for call sites written when the
+    newline-aware split was opt-in; both names now share one
+    whitespace semantics."""
+    return tokens_col(text)
 
 
 def shingles_col(toks: Column, n: int = 3) -> Column:

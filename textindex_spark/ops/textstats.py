@@ -75,9 +75,21 @@ def quality_score(
         "doc_id",
         F.length(text_col).alias("n_chars"),
         F.explode_outer(toks).alias("tok"),
+    ).withColumn(
+        # the stop lookup is post-lowercase, matching the reference
+        # tokenizer (refimpl/stop_words.py: binary search AFTER
+        # lowercasing) — sentence-initial "The"/"And" must count as
+        # stop words or Title-Case docs lose the stop_presence weight;
+        # token counts/lengths stay on the original token
+        "_ltok",
+        F.lower(F.col("tok")),
     )
     df = (
-        tok_rows.join(F.broadcast(stop_df), "tok", "left")
+        tok_rows.join(
+            F.broadcast(stop_df.withColumnRenamed("tok", "_ltok")),
+            "_ltok",
+            "left",
+        )
         .groupBy("doc_id")
         .agg(
             F.first("n_chars").alias("n_chars"),
@@ -348,6 +360,11 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 PROFILE_PERCENTILES = (50, 90, 99)
 
+# corpus_profile's shared projection cache (single-flight per process,
+# like _rep_persists): the previous call's frame is unpersisted on the
+# next call, after its returned union has normally been consumed
+_profile_persists: list[DataFrame] = []
+
 
 def corpus_profile(
     docs: DataFrame,
@@ -372,7 +389,9 @@ def corpus_profile(
     lengths ≪ docs, bounded by max doc length), collects that tiny
     frame ONCE, and derives every percentile plus n_docs from the
     driver-side cumsum — one corpus scan total for the percentile
-    block, no per-percentile jobs and no unpartitioned window; vocab
+    block, no per-percentile jobs and no unpartitioned window; the
+    shared (stratum, n_toks, n_chars, md5) projection is persisted so
+    the volume aggs reuse it instead of re-tokenizing; vocab
     is one distinct-count over exploded tokens (map-side partial
     distinct). Nothing collects more than the histogram (≤ max doc
     length rows) and the profile rows themselves."""
@@ -383,6 +402,15 @@ def corpus_profile(
         F.length(text_col).cast("long").alias("n_chars"),
         F.md5(F.col(text_col)).alias("_h"),
     )
+    # base feeds THREE consumers (per-stratum agg, total agg, and the
+    # eager histogram collect below) — persist it so tokenize+md5 runs
+    # once, not per consumer (same registry pattern as
+    # repetition_signals; vocab stays its own scan, it needs the raw
+    # token stream base doesn't carry)
+    while _profile_persists:
+        _profile_persists.pop().unpersist()
+    base = base.persist()
+    _profile_persists.append(base)
 
     def volume(grouped, label_col):
         return grouped.agg(

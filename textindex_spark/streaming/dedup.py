@@ -18,8 +18,14 @@ each micro-batch with joins against that state:
 
 Kept-corpus semantics: docs flagged duplicate are NOT added to the
 state, so future arrivals compare against survivors only — state
-growth is bounded by the unique corpus, and verdicts always point at
-a kept canonical doc.
+growth is bounded by the unique corpus. Verdicts point at a kept
+canonical doc: an exact verdict whose batch canonical is itself
+near-dropped in the same batch is re-pointed one hop at that doc's
+near canonical (identical text ⇒ the relation carries over
+verbatim). The one remaining exception is a within-batch near→near
+chain, which can point at a doc dropped by the same pass — resolve
+chains offline with ``ops.dedup.dedup_clusters`` when
+cluster-canonical assignment matters downstream.
 
 Exactly-once: the same committed-batch-id protocol as
 ``stream_index`` — every output is staged under batch-tagged dirs and
@@ -55,6 +61,20 @@ EST_THRESHOLD_DEFAULT = 0.5
 # raise so one bucket is a few GB; K bounds the per-batch driver
 # round-trip that collects which buckets a batch touches.
 DEDUP_STATE_BUCKETS = 32
+
+# per-batch persisted frames. The success path drains this after the
+# manifest commit; a FAILED batch leaves its frames registered, and the
+# retry's dedup_batch entry drains them first — so repeated
+# fail-and-retry cycles never accumulate cached partitions (review r4).
+# Single-flight per process, like ops.curate._budget_persists: two
+# concurrent dedup streams in one driver would race this registry.
+_batch_persists: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _batch_persists.append(df)
+    return df
 
 STATE_SCHEMAS = {
     "dedup_exact": "doc_id long, text_md5 string",
@@ -133,11 +153,18 @@ def dedup_batch(
     # re-ingest of an already-KEPT doc_id is a no-op (same document,
     # not a duplicate) — without this, a replayed file under a new
     # batch id would double the doc's state rows
-    batch = batch.join(
-        _state(spark, state_dir, "dedup_exact").select("doc_id"),
-        "doc_id",
-        "left_anti",
-    ).persist()
+    # a failed-and-retried batch re-enters with the previous attempt's
+    # frames still cached — drain them first (the success path leaves
+    # this registry empty)
+    while _batch_persists:
+        _batch_persists.pop().unpersist()
+    batch = _persist(
+        batch.join(
+            _state(spark, state_dir, "dedup_exact").select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    )
 
     # ---- exact, first-seen-wins: a batch doc whose hash exists in
     # the STATE dups to the state's canonical (whatever its id — ids
@@ -176,15 +203,13 @@ def dedup_batch(
     # persist the per-batch derived frames: each feeds 2-3 downstream
     # actions (est agg, staging writes) and would otherwise re-run the
     # tokenize+MinHash lineage per action (round-3 review)
-    sig_new = (
-        D.minhash_signatures(batch)
-        .withColumn("j", F.col("j").cast("int"))
-        .persist()
+    sig_new = _persist(
+        D.minhash_signatures(batch).withColumn("j", F.col("j").cast("int"))
     )
-    bands_new = (
-        D.lsh_band_keys(sig_new)
-        .withColumn("bk_bucket", band_bucket_col(F.col("band_key")))
-        .persist()
+    bands_new = _persist(
+        D.lsh_band_keys(sig_new).withColumn(
+            "bk_bucket", band_bucket_col(F.col("band_key"))
+        )
     )
     # prune the state scan to the batch's band-key buckets: ≤ K
     # values collected driver-side, pushed as PartitionFilters — only
@@ -238,7 +263,7 @@ def dedup_batch(
             F.col("o.doc_id").alias("dup_of"),
         )
     )
-    cand = cand_state.unionByName(cand_batch).distinct().persist()
+    cand = _persist(cand_state.unionByName(cand_batch).distinct())
     # prune the signature-verification state scan to the candidates'
     # id buckets (candidate set is already materialized for the est
     # join; collecting its ≤ K distinct buckets is a light action)
@@ -274,7 +299,44 @@ def dedup_batch(
         F.floor(F.col("_est") * 1e6 + F.lit(0.5)).cast("long").alias("est_jaccard_micro"),
         F.lit(int(batch_id)).alias("batch_id"),
     )
-    verdicts = exact_v.unionByName(near_v).persist()
+    # an exact verdict can point at a batch canonical the near pass
+    # drops in this SAME batch (C ≡ B while B ≈ A ⇒ dropped = {B, C}):
+    # re-point C one hop at B's near canonical — C's text is identical
+    # to B's, so C's relation to A is exactly B's (kind/est carry
+    # over) and the kept-canonical contract holds. One hop suffices
+    # for exact→near; near→near chains remain the documented
+    # offline-resolution caveat (ops.dedup.dedup_clusters).
+    near_best = (
+        near_v.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("est_jaccard_micro").alias("e"),
+                    (-F.col("dup_of")).alias("nid"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            F.col("doc_id").alias("dup_of"),
+            (-F.col("_b.nid")).cast("long").alias("_re"),
+            F.col("_b.e").alias("_re_est"),
+        )
+    )
+    exact_v = (
+        exact_v.join(near_best, "dup_of", "left")
+        .withColumn(
+            "kind",
+            F.when(F.col("_re").isNotNull(), F.lit("near")).otherwise(
+                F.col("kind")
+            ),
+        )
+        .withColumn(
+            "est_jaccard_micro", F.coalesce("_re_est", "est_jaccard_micro")
+        )
+        .withColumn("dup_of", F.coalesce("_re", "dup_of"))
+        .select("doc_id", "dup_of", "kind", "est_jaccard_micro", "batch_id")
+    )
+    verdicts = _persist(exact_v.unionByName(near_v))
 
     # ---- survivors enter the state (kept-corpus semantics)
     dropped = verdicts.select("doc_id").distinct()
@@ -320,8 +382,8 @@ def dedup_batch(
         "bk_bucket",
     )
     _stage("dedup_verdicts", verdicts)
-    for df in (verdicts, cand, bands_new, sig_new, batch):
-        df.unpersist()
+    while _batch_persists:
+        _batch_persists.pop().unpersist()
     props = {"dedup_batch_id": int(batch_id)}
     if run_id is not None:
         props["dedup_run_id"] = str(run_id)

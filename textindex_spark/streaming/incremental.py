@@ -21,6 +21,7 @@ adopt explicitly with ``manifest.rebind_stream``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from textindex_spark import manifest
 from textindex_spark.build import append_batch, build_index, maybe_compact
@@ -61,6 +62,13 @@ def stream_index(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if upsert:
+            # two fetches of the same url can land in ONE micro-batch
+            # (maxFilesPerTrigger merges source files); append_batch
+            # only tombstones PRE-EXISTING versions, so the batch must
+            # be reduced to its latest fetch per url here or both
+            # versions go live
+            batch_df = latest_batch_fetch(batch_df)
         s = batch_df.sparkSession
         if not state["bootstrapped"]:
             # the batch-id guard rides the build's own snapshot commit:
@@ -101,9 +109,37 @@ def stream_index(
     return writer.start()
 
 
+def latest_batch_fetch(batch_df: DataFrame) -> DataFrame:
+    """One row per url — the max ``(warc_ts, doc_id)`` fetch. The
+    intra-batch half of upsert's "the index always serves the latest
+    fetch" contract: ``append_batch(replace_by_url=True)`` tombstones
+    only PRE-EXISTING versions and documents that multi-snapshot
+    batches must be reduced upstream (build.py ``append_batch``);
+    raw-url grouping deliberately matches its raw-url replacement."""
+    keep = (
+        batch_df.groupBy("url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("warc_ts").alias("ts"), F.col("doc_id").alias("id")
+                )
+            ).alias("_k")
+        )
+        .select(F.col("_k.id").alias("doc_id"))
+    )
+    return batch_df.join(keep, "doc_id", "left_semi")
+
+
 def _index_exists(spark: SparkSession, index_dir: str) -> bool:
-    try:
-        manifest.read_table(spark, index_dir, "stats").collect()
+    """True iff a committed index snapshot is present at
+    ``index_dir``. Distinguishes ABSENT (no manifest, no stats dir —
+    bootstrap is the right move) from a read FAILURE, which must
+    PROPAGATE: a transient FS error swallowed here would flip
+    ``bootstrapped`` to False on restart, and the next micro-batch's
+    ``build_index`` bootstrap overwrites the default table dirs in
+    place — silently discarding every previously committed batch."""
+    if manifest.current_manifest(spark, index_dir) is not None:
         return True
-    except Exception:
-        return False
+    # legacy / manifest-less layout: the stats dir is the marker
+    fs, jpath, _ = manifest._fs(spark, f"{index_dir}/stats")
+    return bool(fs.exists(jpath))

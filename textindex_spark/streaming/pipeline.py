@@ -98,6 +98,16 @@ def stream_pipeline(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if upsert:
+            # same-url fetches merged into one micro-batch: keep the
+            # latest per url BEFORE any content work (see
+            # incremental.latest_batch_fetch — append_batch only
+            # tombstones pre-existing versions)
+            from textindex_spark.streaming.incremental import (
+                latest_batch_fetch,
+            )
+
+            batch_df = latest_batch_fetch(batch_df)
         s = batch_df.sparkSession
         batch = _with_analysis_text(batch_df, extract_html)
         verdicts = filter_verdicts(

@@ -249,6 +249,10 @@ def test_dedup_state_bucketed_and_pruned(spark, tmp_path):
     assert any(
         x.startswith("id_bucket=") for x in os.listdir(f"{state}/dedup_sigs_b0_v0")
     )
+    assert any(
+        x.startswith("md5_bucket=")
+        for x in os.listdir(f"{state}/dedup_exact_b0_v0")
+    )
     pruned = SD._state(
         spark, state, "dedup_bands", buckets=[0, 3], bucket_col="bk_bucket"
     )
@@ -263,6 +267,44 @@ def test_dedup_state_bucketed_and_pruned(spark, tmp_path):
 
     v = {r["doc_id"]: r for r in read_verdicts(spark, state).collect()}
     assert v[100]["dup_of"] == 3 and v[100]["kind"] == "exact"
+
+
+def test_dedup_state_compaction_bounds_dirs(spark, tmp_path):
+    """Review r4: the dedup state gains one dir per table per batch;
+    maybe_compact_state must fold them back so every table's dir count
+    stays bounded, without changing verdicts or kept-state rows."""
+    from textindex_spark.streaming import dedup as SD
+
+    state = str(tmp_path / "cstate")
+    n_batches = SD.MAX_STATE_DIRS + 3
+    for b in range(n_batches):
+        docs = spark.createDataFrame(
+            [
+                (100 * b + i, f"u{100 * b + i} v{100 * b + i} w{100 * b + i}")
+                for i in range(3)
+            ]
+            + [(100 * b + 50, "a repeated duplicate text body here")],
+            "doc_id long, text string",
+        )
+        SD.dedup_batch(spark, docs, state, b)
+        SD.maybe_compact_state(spark, state)
+    man = manifest.current_manifest(spark, state)
+    for name in SD.STATE_SCHEMAS:
+        n_dirs = len(man["tables"].get(name, []))
+        assert n_dirs <= SD.MAX_STATE_DIRS + 1, (name, n_dirs)
+    # semantics preserved across compactions: one exact dup per batch
+    # after the first (dup of batch 0's doc 50), state holds survivors
+    v = SD.read_verdicts(spark, state).collect()
+    assert len([r for r in v if r["kind"] == "exact"]) == n_batches - 1
+    assert all(r["dup_of"] == 50 for r in v if r["kind"] == "exact")
+    kept = manifest.read_table(spark, state, "dedup_exact")
+    assert kept.filter(kept.doc_id == 50).count() == 1
+    assert kept.count() == 3 * n_batches + 1
+    # compacted dedup_exact is bucketed: the pruned read still works
+    pruned = SD._state(
+        spark, state, "dedup_exact", buckets=[0, 1], bucket_col="md5_bucket"
+    )
+    assert pruned.count() <= kept.count()
 
 
 def test_stream_compaction_bounds_dirs(spark, tmp_path):

@@ -270,7 +270,12 @@ MAX_BAND_BUCKET = 256
 
 # Persisted frames of the LAST lsh_candidate_pairs call (released at
 # the next call — the returned lazy frame references them, so they
-# cannot be freed inside the call itself).
+# cannot be freed inside the call itself). SINGLE-FLIGHT per process:
+# the registry assumes each call's result is consumed before the next
+# call — a still-unevaluated earlier result silently recomputes its
+# lineage after its cache is dropped (correct, just slower), and
+# concurrent driver threads would race the list. The streaming path
+# has its own per-batch registry (streaming.dedup._batch_persists).
 _lsh_persists: list[DataFrame] = []
 
 # Same pattern for simhash_near_pairs' fingerprint frame.

@@ -34,16 +34,21 @@ published with ONE atomic manifest commit carrying
 before the commit re-stage the same dirs.
 
 At 10^12 docs the state tables are the only join-side that grows.
-The two state tables the per-batch joins touch are PHYSICALLY
-BUCKETED (VERDICT r3 task 3, the same partitionBy layout as the
-bucketed postings): ``dedup_bands`` by ``bk_bucket =
-hash60(band_key) % K`` and ``dedup_sigs`` by ``id_bucket =
-doc_id % K``. Each micro-batch collects its own (≤ K) bucket values —
-a driver round-trip bounded by K, not by data — and prunes the state
-scans to exactly those directories (PartitionFilters), so a batch
-touching few buckets never rescans the whole kept corpus. The layout
-maps 1:1 onto Iceberg ``bucket(K, band_key)`` / ``bucket(K, doc_id)``
-partition transforms.
+All three state tables the per-batch joins touch are PHYSICALLY
+BUCKETED (VERDICT r3 task 3 + review r4, the same partitionBy layout
+as the bucketed postings): ``dedup_bands`` by ``bk_bucket =
+hash60(band_key) % K``, ``dedup_sigs`` by ``id_bucket = doc_id % K``,
+and ``dedup_exact`` by ``md5_bucket = hash60(text_md5) % K``. Each
+micro-batch collects its own (≤ K) bucket values — a driver
+round-trip bounded by K, not by data — and prunes the state scans to
+exactly those directories (PartitionFilters), so a batch touching few
+buckets never rescans the whole kept corpus. The layout maps 1:1 onto
+Iceberg ``bucket(K, ...)`` partition transforms. Directory growth is
+bounded too: ``maybe_compact_state`` (called by the stream sinks
+after each batch, manifest-only check when idle) folds a table's
+accumulated per-batch dirs back into one bucketed dir once they
+exceed ``MAX_STATE_DIRS`` — without it every ``_state`` read builds
+an N-way union plan after N batches.
 """
 from __future__ import annotations
 
@@ -77,7 +82,7 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 STATE_SCHEMAS = {
-    "dedup_exact": "doc_id long, text_md5 string",
+    "dedup_exact": "doc_id long, text_md5 string, md5_bucket int",
     "dedup_sigs": "doc_id long, j int, mh long, id_bucket int",
     "dedup_bands": "doc_id long, band int, band_key string, bk_bucket int",
     "dedup_verdicts": (
@@ -98,6 +103,12 @@ def id_bucket_col(doc_id: Column) -> Column:
     return F.pmod(doc_id, F.lit(DEDUP_STATE_BUCKETS)).cast("int")
 
 
+def md5_bucket_col(text_md5: Column) -> Column:
+    return F.pmod(
+        D.portable_hash60(text_md5), F.lit(DEDUP_STATE_BUCKETS)
+    ).cast("int")
+
+
 def _state(
     spark: SparkSession,
     state_dir: str,
@@ -115,7 +126,13 @@ def _state(
 
         df = local_df(spark, [], STATE_SCHEMAS[name])
     if bucket_col is not None and buckets is not None:
-        df = df.filter(F.col(bucket_col).isin([int(b) for b in buckets]))
+        # null bucket = legacy rows written before the table gained its
+        # bucket column — always scanned (graceful degradation until a
+        # compaction pass rewrites them bucketed)
+        df = df.filter(
+            F.col(bucket_col).isin([int(b) for b in buckets])
+            | F.col(bucket_col).isNull()
+        )
     return df
 
 
@@ -149,32 +166,48 @@ def dedup_batch(
     if int(batch_id) <= int(committed):
         return  # replay of an already-committed batch
 
-    batch = batch_df.select("doc_id", F.col(text_col).alias("text"))
-    # re-ingest of an already-KEPT doc_id is a no-op (same document,
-    # not a duplicate) — without this, a replayed file under a new
-    # batch id would double the doc's state rows
     # a failed-and-retried batch re-enters with the previous attempt's
     # frames still cached — drain them first (the success path leaves
     # this registry empty)
     while _batch_persists:
         _batch_persists.pop().unpersist()
+    # hash FIRST: the md5 (and its state bucket) drives both the
+    # re-ingest guard and the exact-canonical join, so the dedup_exact
+    # scan prunes to the batch's md5 buckets (≤ K partition dirs)
+    # instead of reading the whole kept corpus every micro-batch — the
+    # same PartitionFilters shape as the sigs/bands state reads. A
+    # re-ingested kept doc carries identical text, so its state row
+    # lives in one of the batch's buckets and the pruned guard still
+    # sees it. (Sharpened precondition: a doc_id REUSED with changed
+    # text no longer hits the guard and dedups as a new doc; ids are
+    # minted deterministically from the corpus upstream, so id reuse
+    # implies same content.)
+    hashed = _persist(
+        batch_df.select("doc_id", F.col(text_col).alias("text"))
+        .withColumn("text_md5", F.md5("text"))
+        .withColumn("md5_bucket", md5_bucket_col(F.col("text_md5")))
+    )
+    batch_mb = [
+        r["md5_bucket"]
+        for r in hashed.select("md5_bucket").distinct().collect()
+    ]
+    state_exact = _state(
+        spark, state_dir, "dedup_exact", buckets=batch_mb, bucket_col="md5_bucket"
+    )
+    # re-ingest of an already-KEPT doc_id is a no-op (same document,
+    # not a duplicate) — without this, a replayed file under a new
+    # batch id would double the doc's state rows
     batch = _persist(
-        batch.join(
-            _state(spark, state_dir, "dedup_exact").select("doc_id"),
-            "doc_id",
-            "left_anti",
-        )
+        hashed.join(state_exact.select("doc_id"), "doc_id", "left_anti")
     )
 
     # ---- exact, first-seen-wins: a batch doc whose hash exists in
     # the STATE dups to the state's canonical (whatever its id — ids
     # need not be monotonic across batches); otherwise the batch's
     # min doc_id per hash is the canonical for the rest of the batch
-    ex_new = batch.select("doc_id", F.md5("text").alias("text_md5"))
-    state_canon = (
-        _state(spark, state_dir, "dedup_exact")
-        .groupBy("text_md5")
-        .agg(F.min("doc_id").alias("_state_of"))
+    ex_new = batch.select("doc_id", "text_md5", "md5_bucket")
+    state_canon = state_exact.groupBy("text_md5").agg(
+        F.min("doc_id").alias("_state_of")
     )
     batch_canon = ex_new.groupBy("text_md5").agg(F.min("doc_id").alias("_batch_of"))
     exact_v = (
@@ -368,7 +401,11 @@ def dedup_batch(
         w.parquet(path)
         staged[name] = [manifest.rel(state_dir, path)]
 
-    _stage("dedup_exact", ex_new.join(dropped, "doc_id", "left_anti"))
+    _stage(
+        "dedup_exact",
+        ex_new.join(dropped, "doc_id", "left_anti"),
+        "md5_bucket",
+    )
     _stage(
         "dedup_sigs",
         sig_new.join(dropped, "doc_id", "left_anti").withColumn(
@@ -394,6 +431,72 @@ def read_verdicts(spark: SparkSession, state_dir: str) -> DataFrame:
     """All duplicate verdicts so far → (doc_id, dup_of, kind,
     est_jaccard_micro, batch_id)."""
     return _state(spark, state_dir, "dedup_verdicts")
+
+
+# directory-count compaction threshold per state table: every batch
+# commit adds one dir per table, and manifest.read_table builds an
+# N-way union plan over them — bounded here the same way
+# build.maybe_compact bounds the postings dirs
+MAX_STATE_DIRS = 16
+
+_STATE_PARTITION_COLS = {
+    "dedup_exact": "md5_bucket",
+    "dedup_sigs": "id_bucket",
+    "dedup_bands": "bk_bucket",
+    "dedup_verdicts": None,
+}
+
+
+def maybe_compact_state(
+    spark: SparkSession, state_dir: str, max_dirs: int = MAX_STATE_DIRS
+) -> int:
+    """Fold any state table whose per-batch dir count exceeds
+    ``max_dirs`` back into ONE (bucketed) dir, publishing every
+    rewritten table in a single atomic commit. The trigger reads only
+    the manifest — zero Spark jobs when below threshold — so the
+    stream sinks call it after every batch (the ``maybe_compact``
+    pattern from the index side). Also migrates legacy null-bucket
+    rows into real buckets as a side effect of the rewrite. Returns
+    the number of tables compacted."""
+    man = manifest.current_manifest(spark, state_dir)
+    if not man:
+        return 0
+    tables = man.get("tables", {})
+    version = int(man["version"])
+    set_tables: dict[str, list[str]] = {}
+    for name, pcol in _STATE_PARTITION_COLS.items():
+        dirs = tables.get(name, [])
+        if len(dirs) <= max_dirs:
+            continue
+        df = manifest.read_table(spark, state_dir, name)
+        if pcol is not None:
+            # recompute the bucket so legacy null-bucket rows land in
+            # their true partition instead of a null dir
+            bucket_of = {
+                "md5_bucket": md5_bucket_col(F.col("text_md5")),
+                "id_bucket": id_bucket_col(F.col("doc_id")),
+                "bk_bucket": band_bucket_col(F.col("band_key")),
+            }[pcol]
+            df = df.withColumn(pcol, bucket_of)
+        out = f"{state_dir}/{name}_compact_v{version}"
+        w = df
+        if pcol is not None:
+            w = w.repartition(
+                min(
+                    DEDUP_STATE_BUCKETS,
+                    spark.sparkContext.defaultParallelism,
+                ),
+                pcol,
+            )
+        writer = w.write.mode("overwrite")
+        if pcol is not None:
+            writer = writer.partitionBy(pcol)
+        writer.parquet(out)
+        set_tables[name] = [manifest.rel(state_dir, out)]
+    if not set_tables:
+        return 0
+    manifest.commit(spark, state_dir, set_tables=set_tables)
+    return len(set_tables)
 
 
 def stream_dedup(
@@ -425,6 +528,7 @@ def stream_dedup(
             max_band_bucket=max_band_bucket,
             run_id=manifest.canon_path(checkpoint_dir),
         )
+        maybe_compact_state(batch_df.sparkSession, state_dir)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -160,6 +160,9 @@ def stream_pipeline(
                 s, kept, state_dir, batch_id,
                 est_threshold=est_threshold, run_id=run_id,
             )
+            from textindex_spark.streaming.dedup import maybe_compact_state
+
+            maybe_compact_state(s, state_dir)
             # phase 2: survivors → the index. Recomputed from the
             # committed verdicts so a replay lands on the same rows.
             dup_ids = read_verdicts(s, state_dir).select("doc_id")

@@ -63,9 +63,8 @@ def bench_shingle_hashes(
     shingles — the broadcast side of decontamination. Hashes (not
     strings) keep the broadcast ~8 bytes/shingle."""
     return (
-        bench.select(
-            F.explode(shingles_col(ws_tokens_col(F.col(text_col)), n)).alias("shingle")
-        )
+        bench.select(ws_tokens_col(F.col(text_col)).alias("_t"))
+        .select(F.explode(shingles_col(F.col("_t"), n)).alias("shingle"))
         .select(portable_hash60(F.col("shingle")).alias("h"))
         .distinct()
     )
@@ -94,10 +93,13 @@ def contamination_hits(
     no hot-shingle skew is possible because nothing ever shuffles on
     the shingle itself). The final left join re-attaches 0-shingle
     docs."""
-    sh = docs.select(
-        "doc_id",
-        F.explode(shingles_col(ws_tokens_col(F.col(text_col)), n)).alias("shingle"),
-    ).select("doc_id", portable_hash60(F.col("shingle")).alias("h"))
+    sh = (
+        docs.select("doc_id", ws_tokens_col(F.col(text_col)).alias("_t"))
+        .select(
+            "doc_id", F.explode(shingles_col(F.col("_t"), n)).alias("shingle")
+        )
+        .select("doc_id", portable_hash60(F.col("shingle")).alias("h"))
+    )
     bench_h = bench if pre_hashed else bench_shingle_hashes(bench, n, text_col)
     per_doc = (
         sh.join(F.broadcast(bench_h.withColumn("_hit", F.lit(1))), "h", "left")
@@ -376,9 +378,8 @@ def top_ngrams(
     map-side-combining groupBy + TakeOrderedAndProject — the global
     top-k never materializes the full sort."""
     return (
-        docs.select(
-            F.explode(shingles_col(ws_tokens_col(F.col(text_col)), n)).alias("ngram")
-        )
+        docs.select(ws_tokens_col(F.col(text_col)).alias("_t"))
+        .select(F.explode(shingles_col(F.col("_t"), n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("ngram").asc())
@@ -406,7 +407,11 @@ def chunk_documents(
     st = stride if stride is not None else chunk_tokens
     if st <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    t = ws_tokens_col(F.col(text_col))
+    # token array in its own projection: the chunk transform slices it
+    # once per chunk, and inline tokenization would re-run per slice
+    # (see dedup.doc_shingles)
+    toked = docs.select("doc_id", ws_tokens_col(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
     # with overlap (stride < chunk), starts past len - (chunk - stride)
     # begin inside a span the PREVIOUS chunk already covers to the end
     # of the document — emitting them would duplicate suffix text into
@@ -432,7 +437,7 @@ def chunk_documents(
     ).otherwise(F.array().cast(
         "array<struct<chunk_id:bigint,chunk_text:string,n_tokens:bigint>>"
     ))
-    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+    return toked.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id",
         F.col("c.chunk_id").alias("chunk_id"),
         F.col("c.n_tokens").alias("n_tokens"),

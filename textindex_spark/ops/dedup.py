@@ -150,12 +150,17 @@ def exact_dedup(
 
 
 def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """→ (doc_id, shingle) distinct."""
+    """→ (doc_id, shingle) distinct.
+
+    The token array is materialized in its OWN projection before the
+    shingle transform: ``shingles_col`` references its input several
+    times (size + one slice per shingle) and codegen does not
+    common-subexpression-eliminate across the lambda boundary, so an
+    inline ``tokens_col`` would re-tokenize the document once per
+    reference — measured 6× slower on the 54k-doc bench corpus."""
     return (
-        docs.select(
-            "doc_id",
-            F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("shingle"),
-        )
+        docs.select("doc_id", tokens_col(F.col(text_col)).alias("_t"))
+        .select("doc_id", F.explode(shingles_col(F.col("_t"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -821,10 +826,14 @@ def window_hashes(
     docs: DataFrame, k: int = DUP_WINDOW_TOKENS, text_col: str = "text"
 ) -> DataFrame:
     """→ (doc_id, pos, wh): 60-bit hash of every k-token rolling
-    window, pos = 1-based start token position."""
+    window, pos = 1-based start token position. Token array
+    materialized in its own projection first (see ``doc_shingles`` —
+    inline tokenization re-evaluates per window slice)."""
     return docs.select(
+        "doc_id", ws_tokens_col(F.col(text_col)).alias("_t")
+    ).select(
         "doc_id",
-        F.explode(shingles_pos_col(ws_tokens_col(F.col(text_col)), k)).alias("w"),
+        F.explode(shingles_pos_col(F.col("_t"), k)).alias("w"),
     ).select(
         "doc_id",
         F.col("w.pos").alias("pos"),

@@ -101,6 +101,11 @@ def test_purge_deleted_equals_fresh_build(spark, tmp_path_factory):
     }
     assert purge_deleted(spark, idx) == n
     assert not manifest.table_exists(spark, idx, "deleted")
+    # the staging subtree must NOT carry its own manifest — an orphan
+    # nested snapshot would make purge_N/ masquerade as a live index
+    import glob as _glob
+
+    assert not _glob.glob(f"{idx}/purge_*/_manifests")
     # no dead doc survives in docs or postings
     live = {r["doc_id"] for r in manifest.read_table(spark, idx, "docs").collect()}
     assert not (live & dead)
@@ -171,3 +176,35 @@ def test_append_after_purge(spark, tmp_path_factory):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (gd, gs), (_, ws) in zip(got, want):
             assert math.isclose(gs, ws, rel_tol=1e-9), (q, gd)
+
+
+def test_redelete_overlapping_pattern_is_noop(spark, tmp_path_factory):
+    """Re-deleting an overlapping pattern must count (and tombstone)
+    only NEWLY dead docs: duplicate tombstone rows would inflate the
+    reported count and prematurely trip TOMBSTONE_LOCAL_MAX's
+    row-count cap, disabling the zero-job serving path."""
+    from textindex_spark import manifest
+
+    rows = synth_corpus(120)
+    idx = str(tmp_path_factory.mktemp("redel") / "idx")
+    build_index(spark, corpus_df(spark, rows), idx, range_bits=6)
+    n1 = delete_docs(spark, idx, "*site3.example*")
+    assert n1 > 0
+    # identical pattern again: nothing newly dead
+    assert delete_docs(spark, idx, "*site3.example*") == 0
+    # superset pattern: counts only the docs not already tombstoned
+    n_all = delete_docs(spark, idx, "*")
+    total = manifest.read_table(spark, idx, "docs").count()
+    assert n_all == total - n1
+    # tombstone table holds exactly one row per dead doc
+    dead = manifest.read_table(spark, idx, "deleted")
+    assert dead.count() == dead.select("doc_id").distinct().count() == total
+
+
+def test_too_many_patterns_rejected(spark, index_dir):
+    """64+ patterns overflow the int64 bitmask paths — reject with a
+    clear error instead of an OverflowError mid-aggregation."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="too many query patterns"):
+        search(spark, index_dir, [f"t{i}" for i in range(64)], k=5)

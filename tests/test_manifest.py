@@ -169,3 +169,27 @@ def test_rollback_replaces_props_for_replay_guards(spark, tmp_path):
     assert manifest.get_prop(spark, d, "dedup_batch_id") is None
     # the replay guard now accepts batch 1 again (1 > committed 0)
     assert 1 > manifest.get_prop(spark, d, "stream_batch_id", -1)
+
+
+def test_canon_path_file_uri_authority(tmp_path):
+    """file://host/path URIs carry an authority — NOT a local path;
+    stripping the scheme must not produce a cwd-relative spelling
+    (os-level IO would resolve it against the driver's CWD while
+    Hadoop readers resolve it against the host)."""
+    d = str(tmp_path / "idx")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    # local spellings collapse to one realpath
+    assert (
+        manifest.canon_path(d)
+        == manifest.canon_path(f"file://{d}")
+        == manifest.canon_path(f"file:{d}")
+        == manifest.canon_path(d + "/")
+    )
+    # authority-carrying URI: kept verbatim (minus trailing slash),
+    # never treated as relative
+    assert manifest.canon_path("file://nas/share/idx/") == "file://nas/share/idx"
+    assert manifest._local_path("file://nas/share/idx") is None
+    assert manifest._local_path(f"file://{d}") == d
+    assert manifest._local_path("relative/path") is None

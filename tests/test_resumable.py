@@ -67,3 +67,36 @@ def test_rerun_is_noop_on_segments(spark, rows, tmp_path):
     build_index_resumable(spark, corpus_df(spark, rows), out, n_parts=3, range_bits=6)
     lineage2 = sorted(r["pid"] for r in read_lineage(spark, out).collect())
     assert lineage1 == lineage2 == [0, 1, 2]
+
+
+def test_resume_refuses_changed_mint_assignment(spark, rows, tmp_path):
+    """Minted doc_ids are only stable across runs when the input scan
+    partitioning is unchanged — a resume whose id↔content assignment
+    drifted must RAISE instead of silently minting ids that collide
+    with committed partitions (two docs per doc_id would corrupt
+    AND-masks and BM25 sums)."""
+    res_dir = str(tmp_path / "res_mint")
+    src_many = str(tmp_path / "src_many")
+    src_one = str(tmp_path / "src_one")
+    # same DATA, two physical layouts → different scan splits →
+    # different minted assignment
+    corpus_df(spark, rows).drop("doc_id").repartition(6).write.parquet(src_many)
+    spark.read.parquet(src_many).orderBy("url").coalesce(1).write.parquet(
+        src_one
+    )
+
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        build_index_resumable(
+            spark, spark.read.parquet(src_many), res_dir,
+            n_parts=5, range_bits=6, fail_after=2,
+        )
+    with pytest.raises(RuntimeError, match="assignment"):
+        build_index_resumable(
+            spark, spark.read.parquet(src_one), res_dir,
+            n_parts=5, range_bits=6,
+        )
+    # resuming with the ORIGINAL layout completes normally
+    stats = build_index_resumable(
+        spark, spark.read.parquet(src_many), res_dir, n_parts=5, range_bits=6
+    )
+    assert stats["n_docs"] > 0

@@ -373,11 +373,16 @@ def finalize_index(
     write_partitions: int | None = None,
     t0: float | None = None,
     extra_props: dict | None = None,
+    publish: bool = True,
 ) -> dict:
     """Phase 2: segments → docs/stats/postings/terms. Reads the
     segments table (column-pruned per consumer) so extraction runs
     exactly once regardless of how many segment partitions were
-    written."""
+    written. ``publish=False`` builds the tables but skips the
+    manifest commit + cache invalidation — for callers that stage the
+    subtree and register it in an OUTER index's commit
+    (``purge_deleted``), where a nested manifest would make the
+    staging dir masquerade as an independent live index."""
     t0 = t0 or time.time()
     seg = spark.read.schema(manifest.TABLE_SCHEMAS["segments"]).parquet(
         f"{out_dir}/segments"
@@ -455,6 +460,8 @@ def finalize_index(
     local_df(spark, [stats], STATS_SCHEMA).write.mode("overwrite").parquet(
         f"{out_dir}/stats"
     )
+    if not publish:
+        return stats
     # Publish the fresh snapshot: every table at its default dir, any
     # tombstones from a previous index generation dropped.
     manifest.commit(
@@ -586,9 +593,52 @@ def build_index_resumable(
     same key) and lineage becomes an Iceberg table; the local layout
     is identical in shape.
     """
+    had_ids = "doc_id" in documents.columns
     documents = normalize_input(documents).withColumn(
         "pid", F.pmod(F.xxhash64("url"), F.lit(n_parts)).cast("int")
     )
+    if not had_ids:
+        # MINTED ids are only stable across runs if the input's scan
+        # partitioning is unchanged (mint_doc_ids' zipWithIndex
+        # contract). A restart with different parallelism / split
+        # sizes would silently re-mint DIFFERENT ids while earlier
+        # partitions committed under the old assignment — two docs
+        # sharing one doc_id corrupts AND-masks and BM25 sums. Pin
+        # the id↔content assignment with a one-scan fingerprint on
+        # the first run and refuse to resume if it drifts (review
+        # r4); inputs that carry their own doc_id skip this.
+        fp = int(
+            documents.agg(
+                # bit_xor: order-insensitive, never overflows (ANSI-
+                # safe); (doc_id, url) pairs are unique so XOR
+                # cancellation cannot occur
+                F.bit_xor(
+                    F.xxhash64(
+                        F.concat_ws(
+                            "\x00", F.col("doc_id").cast("string"), F.col("url")
+                        )
+                    )
+                )
+            ).collect()[0][0]
+            or 0
+        )
+        fp_path = f"{out_dir}/mint_fingerprint.txt"
+        if manifest._exists(spark, fp_path):
+            prior = int(manifest._read_file(spark, fp_path).decode("utf-8"))
+            if prior != fp:
+                raise RuntimeError(
+                    "build_index_resumable: the minted doc_id assignment "
+                    "differs from the original run's (input scan "
+                    "partitioning changed — different cluster size, "
+                    "maxPartitionBytes, or input layout). Resuming would "
+                    "mint ids colliding with committed partitions. Rerun "
+                    "with the original configuration, provide a doc_id "
+                    "column, or start a fresh out_dir."
+                )
+        else:
+            manifest._write_file_atomic(
+                spark, fp_path, str(fp).encode("utf-8")
+            )
     done = 0
     for pid in pending_partitions(spark, out_dir, n_parts):
         t0 = time.time()
@@ -892,8 +942,14 @@ def purge_deleted(spark: SparkSession, out_dir: str) -> int:
     seg.join(F.broadcast(dead), "doc_id", "left_anti").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/{sub}/segments")
+    # publish=False: the subtree is STAGING — its tables are registered
+    # in the OUTER commit below; a nested manifest would leave an
+    # orphan snapshot that makes purge_N/ look like a live index
     finalize_index(
-        spark, f"{out_dir}/{sub}", range_bits=int(stats["range_bits"])
+        spark,
+        f"{out_dir}/{sub}",
+        range_bits=int(stats["range_bits"]),
+        publish=False,
     )
     tables = {
         t: [f"{sub}/{t}"]

@@ -63,12 +63,18 @@ def _read_file(spark: SparkSession, path: str) -> bytes:
 
 def _local_path(path: str) -> str | None:
     """Local filesystem path for file:// / scheme-less paths, else
-    None."""
+    None. A ``file://host/path`` URI with a non-empty authority is
+    NOT local — stripping the scheme would leave ``host/path``, a
+    cwd-relative spelling that os-level IO would resolve against the
+    driver's working directory while Hadoop readers resolve it
+    against ``host`` (review r4); such URIs take the Hadoop branch."""
     if path.startswith("file://"):
-        return path[len("file://"):]
+        p = path[len("file://"):]
+        return p if p.startswith("/") else None
     if path.startswith("file:"):
-        return path[len("file:"):]
-    if "://" not in path and not path.startswith("file:"):
+        p = path[len("file:"):]
+        return p if p.startswith("/") else None
+    if "://" not in path:
         return path if path.startswith("/") else None
     return None
 
@@ -209,8 +215,8 @@ def rollback(spark: SparkSession, index_dir: str, version: int) -> dict:
     rebuild overwrites the default dirs in place, so snapshots from
     before the latest rebuild may be unreadable — callers roll back
     across append/delete/compact boundaries, which is the use case
-    (undo a bad batch). Callers must invalidate query-node caches for
-    this index_dir after rollback (``query.invalidate_cache``)."""
+    (undo a bad batch). Query-node caches for this index_dir are
+    invalidated after the commit publishes."""
     man = manifest_at(spark, index_dir, version)
     cur = current_manifest(spark, index_dir) or {}
     props = dict(man.get("props", {}))
@@ -221,13 +227,20 @@ def rollback(spark: SparkSession, index_dir: str, version: int) -> dict:
     # (empty dir-list == dropped, see table_exists)
     for t in cur.get("tables", {}):
         tables.setdefault(t, [])
-    return commit(
+    out = commit(
         spark,
         index_dir,
         set_tables=tables,
         props=props,
         replace_props=True,
     )
+    # query-node caches hold the pre-rollback snapshot's frames;
+    # every other snapshot mutator invalidates after committing, and
+    # rollback was the one relying on caller discipline (review r4)
+    from textindex_spark import query as _q
+
+    _q.invalidate_cache(index_dir)
+    return out
 
 
 # Authoritative DDL per table, used (a) to read EMPTY data dirs — an
@@ -362,6 +375,10 @@ def canon_path(path: str) -> str:
         p = p[len("file://"):]
     elif p.startswith("file:"):
         p = p[len("file:"):]
+    if p is not path and not p.startswith("/"):
+        # file URI with an authority (file://host/path) — not a local
+        # path; keep the original spelling verbatim
+        return path.rstrip("/")
     if "://" not in p:
         import os
 

@@ -25,7 +25,7 @@ adds on top:
 from __future__ import annotations
 
 import math
-import os
+import threading
 from collections import OrderedDict
 from collections.abc import Iterator
 
@@ -41,6 +41,11 @@ from textindex_spark.refimpl.oracle import wildcard_to_regex
 from textindex_spark.session import local_df
 
 DECODED_SCHEMA = "term string, doc_id long, tf int, doc_len long, tfnorm double"
+
+# Flat queries pack pattern membership into one int64 bitmask
+# (bit i = pattern i matched a term in the doc), so at most 63
+# patterns fit; expand_patterns rejects longer lists up front.
+MAX_QUERY_PATTERNS = 63
 # Exactly the columns each decode kernel consumes — selected explicitly
 # before mapInPandas so the parquet scan never reads pos_bytes (the
 # largest column) for BM25 work, and reads it ONLY for phrase/NEAR.
@@ -75,15 +80,9 @@ def canon_dir(index_dir: str) -> str:
     scheme-less local paths collapse to ONE realpath spelling, so two
     spellings of the same directory ('file:/x' vs '/x' vs '/x/')
     cannot dodge invalidate_cache and serve a stale snapshot (ADVICE
-    r3). Non-local URIs are kept verbatim minus trailing slashes."""
-    p = index_dir
-    if p.startswith("file://"):
-        p = p[len("file://"):]
-    elif p.startswith("file:"):
-        p = p[len("file:"):]
-    if "://" not in p:
-        p = os.path.realpath(p)
-    return p.rstrip("/")
+    r3). Delegates to ``manifest.canon_path`` — one implementation
+    for cache keys, stream identities, and atomic-write paths."""
+    return manifest.canon_path(index_dir)
 
 
 def _cached_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
@@ -124,6 +123,15 @@ _BLOCK_COLS = [
 _block_cache: "OrderedDict[tuple[str, str, int], tuple[tuple, int]]" = OrderedDict()
 _block_bytes = 0
 
+# One lock guards every serving-cache mutation (block/meta puts, LRU
+# move_to_end, invalidation). A long-lived query node serves requests
+# from multiple driver threads; the unguarded pop/extend/byte-count
+# sequences interleave across bytecode boundaries, drifting the byte
+# budget and racing the eviction loop's check-then-popitem (review
+# r4). Mutations are dict ops + integer math — the lock is never held
+# across a Spark job or any IO.
+_cache_lock = threading.RLock()
+
 # Block-max metadata resident per term (the skip/impact data a serving
 # node keeps in memory — what the prune planner reads). Row-bounded:
 # a term's metadata is one row per posting block, so hot vocabularies
@@ -143,14 +151,15 @@ def _block_cache_put(cd: str, term: str, range_id: int, rows: list[tuple]) -> No
     nb = sum(len(r[6]) + len(r[7]) + len(r[8]) + 64 for r in rows)
     if nb > BLOCK_CACHE_MAX_BYTES:
         return
-    old = _block_cache.pop(key, None)
-    if old is not None:
-        _block_bytes -= old[1]
-    _block_cache[key] = (tuple(rows), nb)
-    _block_bytes += nb
-    while _block_bytes > BLOCK_CACHE_MAX_BYTES and _block_cache:
-        _, (_, ev_nb) = _block_cache.popitem(last=False)
-        _block_bytes -= ev_nb
+    with _cache_lock:
+        old = _block_cache.pop(key, None)
+        if old is not None:
+            _block_bytes -= old[1]
+        _block_cache[key] = (tuple(rows), nb)
+        _block_bytes += nb
+        while _block_bytes > BLOCK_CACHE_MAX_BYTES and _block_cache:
+            _, (_, ev_nb) = _block_cache.popitem(last=False)
+            _block_bytes -= ev_nb
 
 
 def _meta_cache_put(cd: str, term: str, pdf: pd.DataFrame) -> None:
@@ -158,21 +167,23 @@ def _meta_cache_put(cd: str, term: str, pdf: pd.DataFrame) -> None:
     if len(pdf) > META_CACHE_TERM_MAX_ROWS:
         return
     key = (cd, term)
-    old = _meta_cache.pop(key, None)
-    if old is not None:
-        _meta_rows -= len(old)
-    _meta_cache[key] = pdf
-    _meta_rows += len(pdf)
-    while _meta_rows > META_CACHE_MAX_ROWS and _meta_cache:
-        _, ev = _meta_cache.popitem(last=False)
-        _meta_rows -= len(ev)
+    with _cache_lock:
+        old = _meta_cache.pop(key, None)
+        if old is not None:
+            _meta_rows -= len(old)
+        _meta_cache[key] = pdf
+        _meta_rows += len(pdf)
+        while _meta_rows > META_CACHE_MAX_ROWS and _meta_cache:
+            _, ev = _meta_cache.popitem(last=False)
+            _meta_rows -= len(ev)
 
 
 def _meta_get(cd: str, term: str) -> pd.DataFrame | None:
-    hit = _meta_cache.get((cd, term))
-    if hit is not None:
-        _meta_cache.move_to_end((cd, term))
-    return hit
+    with _cache_lock:
+        hit = _meta_cache.get((cd, term))
+        if hit is not None:
+            _meta_cache.move_to_end((cd, term))
+        return hit
 
 
 def _cache_meta_groups(
@@ -266,15 +277,27 @@ def _fetch_blocks(
         if range_set is not None:
             needed = [r for r in needed if r in range_set]
         for r in needed:
-            hit = _block_cache.get((cd, t, r))
+            with _cache_lock:
+                hit = _block_cache.get((cd, t, r))
+                if hit is not None:
+                    _block_cache.move_to_end((cd, t, r))
             if hit is not None:
-                _block_cache.move_to_end((cd, t, r))
                 rows.extend(hit[0])
             else:
                 missing_pairs.add((t, r))
     if full_miss or missing_pairs:
         pair_terms = sorted({t for t, _ in missing_pairs})
         pair_ranges = sorted({r for _, r in missing_pairs})
+        if len(pair_ranges) > ISIN_PUSHDOWN_MAX:
+            # the DERIVED range in-list must honor the same plan-size
+            # invariant as the term list (review r4): a mass block-
+            # cache miss across many terms×ranges would otherwise put
+            # a 10^4+-literal In() into the plan and stall planning.
+            # Dropping the range predicate keeps the scan bounded by
+            # the term in-list; the over-delivered ranges are already
+            # filtered to exact (term, range) membership driver-side
+            # below, and the extras warm the block cache.
+            pair_ranges = []
         conds = []
         if full_miss:
             cond = F.col("term").isin(full_miss)
@@ -288,10 +311,10 @@ def _fetch_blocks(
         if missing_pairs:
             # the in-list cross can over-deliver (term, range) combos;
             # exact membership is re-checked driver-side below
-            conds.append(
-                F.col("term").isin(pair_terms)
-                & F.col("range_id").isin(pair_ranges)
-            )
+            pc = F.col("term").isin(pair_terms)
+            if pair_ranges:
+                pc &= F.col("range_id").isin(pair_ranges)
+            conds.append(pc)
         pred = conds[0] if len(conds) == 1 else conds[0] | conds[1]
         fetched = (
             _bucket_filter(
@@ -330,17 +353,18 @@ def invalidate_cache(index_dir: str) -> None:
     snapshot-mutating ops."""
     global _block_bytes, _meta_rows
     cd = canon_dir(index_dir)
-    _dict_cache.pop(cd, None)
-    _tomb_exists.pop(cd, None)
-    _tomb_ids_cache.pop(cd, None)
-    for k in [k for k in _block_cache if k[0] == cd]:
-        _block_bytes -= _block_cache.pop(k)[1]
-    for k in [k for k in _meta_cache if k[0] == cd]:
-        _meta_rows -= len(_meta_cache.pop(k))
-    for k in [k for k in _frame_cache if k[0] == cd]:
-        _frame_cache.pop(k, None)
-    for k in [k for k in _shard_cache if k[0] == cd]:
-        _shard_cache.pop(k, None)
+    with _cache_lock:
+        _dict_cache.pop(cd, None)
+        _tomb_exists.pop(cd, None)
+        _tomb_ids_cache.pop(cd, None)
+        for k in [k for k in _block_cache if k[0] == cd]:
+            _block_bytes -= _block_cache.pop(k)[1]
+        for k in [k for k in _meta_cache if k[0] == cd]:
+            _meta_rows -= len(_meta_cache.pop(k))
+        for k in [k for k in _frame_cache if k[0] == cd]:
+            _frame_cache.pop(k, None)
+        for k in [k for k in _shard_cache if k[0] == cd]:
+            _shard_cache.pop(k, None)
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -398,6 +422,16 @@ def expand_patterns(
     OR-ing every pattern, one job total)."""
     if not patterns:
         return pd.DataFrame(columns=["pattern_idx", "term", "df", "max_tfnorm"])
+    if len(patterns) > MAX_QUERY_PATTERNS:
+        # every flat-query path packs pattern membership into ONE
+        # int64 bitmask (bit i = pattern i matched) — pattern 63+
+        # would overflow both numpy's C long and Spark's LongType
+        # full-mask literal; reject with a clear error instead of an
+        # OverflowError mid-aggregation (review r4)
+        raise ValueError(
+            f"too many query patterns ({len(patterns)}); the bitmask "
+            f"execution paths support at most {MAX_QUERY_PATTERNS}"
+        )
     terms = _load_dictionary(spark, index_dir)
     if terms is not None:
         frames = []
@@ -1174,10 +1208,15 @@ def _dead_ids_capped(spark: SparkSession, index_dir: str) -> np.ndarray | None:
     dead = _tombstones(spark, index_dir)
     if dead is None:
         out: np.ndarray | None = np.empty(0, dtype=np.int64)
-    elif dead.limit(TOMBSTONE_LOCAL_MAX + 1).count() > TOMBSTONE_LOCAL_MAX:
-        out = None
     else:
-        out = np.array([r["doc_id"] for r in dead.collect()], dtype=np.int64)
+        # one take(cap+1) answers BOTH the cap verdict and delivers
+        # the ids — the old limit().count() + collect() pair ran two
+        # jobs on this latency-sensitive cold path (review r4)
+        rows = dead.limit(TOMBSTONE_LOCAL_MAX + 1).collect()
+        if len(rows) > TOMBSTONE_LOCAL_MAX:
+            out = None
+        else:
+            out = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     _tomb_ids_cache[cd] = out
     return out
 
@@ -1450,7 +1489,19 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
     follow offline."""
     rx = wildcard_to_regex(url_pattern).pattern
     docs = _cached_table(spark, index_dir, "docs")
-    victims = docs.filter(F.col("url").rlike(f"^(?s:{rx})$")).select("doc_id")
+    old_dead = (
+        _tombstones(spark, index_dir) or local_df(spark, [], "doc_id long")
+    )
+    # the docs table retains tombstoned rows, so a re-delete of an
+    # overlapping pattern would re-match them: write (and count) only
+    # NEWLY dead ids — duplicate tombstone rows would both inflate the
+    # reported count and prematurely trip TOMBSTONE_LOCAL_MAX's
+    # row-count cap, disabling the zero-job serving path (review r4)
+    victims = (
+        docs.filter(F.col("url").rlike(f"^(?s:{rx})$"))
+        .select("doc_id")
+        .join(old_dead, "doc_id", "left_anti")
+    )
     n = victims.count()
     if n:
         man = manifest.current_manifest(spark, index_dir)
@@ -1458,10 +1509,6 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
         dead_dir = f"{index_dir}/deleted_{gen}"
         stats_dir = f"{index_dir}/stats_del_{gen}"
         victims.write.mode("overwrite").parquet(dead_dir)
-        old_dead = (
-            _tombstones(spark, index_dir)
-            or local_df(spark, [], "doc_id long")
-        )
         all_dead = old_dead.unionByName(spark.read.parquet(dead_dir)).distinct()
         live = docs.join(all_dead, "doc_id", "left_anti")
         srow = live.agg(

@@ -56,8 +56,15 @@ def main() -> None:
         if not args.input:
             ap.error("build requires --input")
         emb = spark.read.parquet(args.input)
-        p = S.suggest_ivf_params(emb.count())
-        k = args.centroids or p["n_centroids"]
+        # size n_probe/fit_sample for the EFFECTIVE k: a sample sized
+        # for the sqrt-N suggestion would starve a larger user-set
+        # --centroids of training vectors (~62 instead of 256 per
+        # centroid). Skip the count job when both knobs are explicit.
+        if args.centroids and args.fit_sample is not None:
+            p = {"n_centroids": args.centroids, "fit_sample": args.fit_sample}
+        else:
+            p = S.suggest_ivf_params(emb.count(), n_centroids=args.centroids)
+        k = p["n_centroids"]
         fs = args.fit_sample if args.fit_sample is not None else (
             p["fit_sample"] if p["fit_sample"] < 1.0 else None
         )

@@ -104,3 +104,31 @@ def test_positions_codec_roundtrip():
 
     with pytest.raises(ValueError):
         encode_positions_batch([[np.array([], dtype=np.int64)]])
+
+
+def test_single_block_decode_is_int64_and_exact():
+    """The n==1 decode path must use an int64 cumsum base: the float64
+    np.zeros default upcasts the subtraction and rounds doc_ids above
+    2^53 (review r4 — confirmed corruption for snowflake-scale ids)."""
+    import numpy as np
+
+    from textindex_spark.codec import (
+        decode_batch,
+        decode_positions_batch,
+        encode_batch,
+        encode_positions_batch,
+    )
+
+    big = 1 << 60
+    ids = np.array([big + 1, big + 3, big + 4], dtype=np.int64)
+    (bufs,) = encode_batch([ids], np.array([big], dtype=np.int64))
+    (decoded,), = (decode_batch([bufs[0]], np.array([big], dtype=np.int64)),)
+    assert decoded[0].dtype == np.int64
+    assert (decoded[0] == ids).all()
+    # single-doc positional block: int64 positions, exact values
+    pos = [np.array([3, 4], dtype=np.int64)]
+    out = decode_positions_batch(
+        encode_positions_batch([pos]), [np.array([2], dtype=np.int64)]
+    )
+    assert out[0][0].dtype == np.int64
+    assert (out[0][0] == pos[0]).all()

@@ -1166,3 +1166,54 @@ def test_exact_dedup_normalized(spark):
         for r in dedup.exact_dedup(df, normalize=True).collect()
     }
     assert norm == {0: 2, 2: 1}  # 0 and 1 collapse
+
+
+def test_kmeans_corpus_smaller_than_k(spark):
+    """A corpus with fewer rows than k must fit (clamped to the seed
+    count), not crash on the length-k count arrays (review r4)."""
+    from textindex_spark.ops import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.kmeans_fit(emb, k=16)
+    assert 1 <= cents.shape[0] <= 5
+    # and the composed build path works end-to-end
+    assigned = similarity.assign_buckets(emb, cents)
+    assert assigned.count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        similarity.kmeans_fit(emb.limit(0), k=4)
+
+
+def test_emb_near_pairs_zero_vectors_and_empty(spark):
+    """Zero vectors share one all-ones SRP signature — they must be
+    excluded from the candidate join (they can never verify) instead
+    of forming an m²/2 hot bucket; an empty frame yields an empty
+    result, not a TypeError (review r4)."""
+    from pyspark.sql import functions as F
+
+    from textindex_spark.ops import similarity
+
+    zeros = [(i, [0.0, 0.0, 0.0]) for i in range(30)]
+    real = [(100, [1.0, 0.0, 0.0]), (101, [0.999, 0.01, 0.0])]
+    emb = spark.createDataFrame(
+        zeros + real, "vec_id long, embedding array<double>"
+    )
+    pairs = similarity.embedding_near_pairs(
+        emb, threshold=0.5, n_bits=24, n_segs=4
+    )
+    got = {(r["vec_a"], r["vec_b"]) for r in pairs.collect()}
+    assert (100, 101) in got
+    # no zero-vector pair survives (and the join never proposed the
+    # 30×29/2 zero-zero candidates as verified output)
+    assert all(a >= 100 and b >= 100 for a, b in got)
+    # empty input: empty output
+    assert (
+        similarity.embedding_near_pairs(
+            emb.filter(F.col("vec_id") < 0), threshold=0.5, n_bits=24, n_segs=4
+        ).count()
+        == 0
+    )

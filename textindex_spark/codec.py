@@ -18,16 +18,27 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # 64-bit worst case
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array into one byte buffer."""
-    if len(values) == 0:
-        return b""
-    vals = values.astype(np.uint64, copy=True)
-    nbytes = np.ones(len(vals), dtype=np.int64)
-    probe = vals >> np.uint64(7)
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value — shared by the encoder and
+    the block-splitting callers (previously recomputed in both: one
+    redundant O(n*9) numpy pass per encoded column on the build hot
+    path, review r4)."""
+    nbytes = np.ones(len(values), dtype=np.int64)
+    probe = values.astype(np.uint64) >> np.uint64(7)
     while probe.any():
         nbytes += (probe > 0).astype(np.int64)
         probe >>= np.uint64(7)
+    return nbytes
+
+
+def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
+    """LEB128-encode a uint64 array into one byte buffer. ``nbytes``
+    (from ``varint_nbytes``) skips recomputing per-value lengths."""
+    if len(values) == 0:
+        return b""
+    vals = values.astype(np.uint64, copy=True)
+    if nbytes is None:
+        nbytes = varint_nbytes(vals)
     ends = np.cumsum(nbytes)
     out = np.zeros(ends[-1], dtype=np.uint8)
     pos = ends - nbytes  # start offset of each value
@@ -132,12 +143,8 @@ def encode_batch(
     # encode each column fully, then split by per-block byte lengths
     results: list[list[bytes]] = [[] for _ in range(n)]
     for col in cols:
-        nbytes = np.ones(len(col), dtype=np.int64)
-        probe = col >> np.uint64(7)
-        while probe.any():
-            nbytes += (probe > 0).astype(np.int64)
-            probe >>= np.uint64(7)
-        full = varint_encode(col)
+        nbytes = varint_nbytes(col)
+        full = varint_encode(col, nbytes)
         block_bytes = np.add.reduceat(nbytes, starts) if len(col) else np.array([])
         offs = np.concatenate(([0], np.cumsum(block_bytes))).astype(np.int64)
         for i in range(n):
@@ -166,7 +173,13 @@ def decode_batch(
     # per-block cumsum reset: subtract the running offset at block start
     csum = np.cumsum(flat)
     doc_flat = csum - np.repeat(
-        np.concatenate(([0], csum[starts[1:] - 1])) if n > 1 else np.zeros(1), counts
+        np.concatenate(([0], csum[starts[1:] - 1]))
+        if n > 1
+        # int64, NOT the float64 np.zeros default: a float base
+        # upcasts the whole subtraction and rounds doc_ids above 2^53
+        # (review r4 — confirmed corruption for snowflake-scale ids)
+        else np.zeros(1, dtype=np.int64),
+        counts,
     ) + np.repeat(bases.astype(np.int64), counts)
     doc_lists = _split_concat(doc_flat, counts)
     out = [doc_lists]
@@ -202,12 +215,8 @@ def encode_positions_batch(pos_lists: list[list[np.ndarray]]) -> list[bytes]:
     gaps[1:] = np.diff(flat)
     gaps[doc_starts] = flat[doc_starts]  # absolute first position per doc
     col = gaps.astype(np.uint64)
-    nbytes = np.ones(len(col), dtype=np.int64)
-    probe = col >> np.uint64(7)
-    while probe.any():
-        nbytes += (probe > 0).astype(np.int64)
-        probe >>= np.uint64(7)
-    full = varint_encode(col)
+    nbytes = varint_nbytes(col)
+    full = varint_encode(col, nbytes)
     block_starts = np.concatenate(([0], np.cumsum(block_counts)[:-1]))
     per_block = np.add.reduceat(nbytes, block_starts)
     # reduceat with a duplicated start (empty block) would mis-assign;
@@ -234,7 +243,11 @@ def decode_positions_batch(
         raise ValueError("decode_positions_batch: tf/positions mismatch")
     doc_starts = np.concatenate(([0], np.cumsum(doc_lens)[:-1]))
     csum = np.cumsum(flat)
-    base = np.concatenate(([0], csum[doc_starts[1:] - 1])) if len(doc_lens) > 1 else np.zeros(1)
+    base = (
+        np.concatenate(([0], csum[doc_starts[1:] - 1]))
+        if len(doc_lens) > 1
+        else np.zeros(1, dtype=np.int64)  # int64: see decode_batch
+    )
     absolute = csum - np.repeat(base, doc_lens)
     out: list[list[np.ndarray]] = []
     i = 0

@@ -129,6 +129,12 @@ def kmeans_fit(
     if fit_sample is not None:
         data = data.sample(fraction=fit_sample, seed=42)
     centroids = _unit(seed_centroids(emb, k, id_col, vec_col))
+    if centroids.shape[0] == 0:
+        raise ValueError("kmeans_fit: empty embedding table")
+    # a corpus smaller than k seeds fewer centroids — clamp k to the
+    # seed count or the first Lloyd pass indexes length-k count
+    # arrays with length-m centroid rows (review r4 crash)
+    k = centroids.shape[0]
     d = centroids.shape[1]
     schema = "bucket int, cnt long, vsum array<double>"
 
@@ -204,17 +210,22 @@ def build_ivf(
     return assign_buckets(emb, centroids, vec_col), [list(c) for c in centroids]
 
 
-def suggest_ivf_params(n_rows: int) -> dict:
+def suggest_ivf_params(n_rows: int, n_centroids: int | None = None) -> dict:
     """IVF capacity calibration (VERDICT r3 task 7): per-query work is
     ~k centroid dots + n_probe·N/k vector dots, minimized at
     k ≈ √N — the standard IVF sizing — clamped to [16, 65536].
     n_probe ≈ k/8 keeps the probed fraction constant (~12.5%) as k
     grows; fit_sample sizes the k-means fit to ~256 training vectors
     per centroid, capped at 4M rows so the 100 TB fit stays a sample.
+    Pass ``n_centroids`` to size n_probe/fit_sample for a
+    caller-chosen k instead of the √N suggestion — a fit sample sized
+    for a smaller k starves a larger user-set k of training vectors.
     Returns {n_centroids, n_probe, fit_sample}."""
     import math
 
-    k = int(min(max(16, round(math.sqrt(max(n_rows, 1)))), 65536))
+    k = n_centroids or int(
+        min(max(16, round(math.sqrt(max(n_rows, 1)))), 65536)
+    )
     n_probe = max(1, k // 8)
     fit_rows = min(256 * k, 4_000_000)
     fit_sample = min(1.0, fit_rows / max(n_rows, 1))
@@ -266,7 +277,6 @@ def ivf_append(
     spark: SparkSession,
     emb: DataFrame,
     out_dir: str,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     append_id: str | None = None,
 ) -> int:
@@ -462,9 +472,16 @@ def embedding_lsh_segments(
     to 6 decimals so the oracle's sign test agrees at the boundary."""
     import pandas as pd
 
-    planes = _hyperplanes(
-        len(emb.select(vec_col).first()[0]), n_bits
-    )
+    probe = emb.select(vec_col).first()
+    if probe is None:
+        # empty input: empty signature frame, not a TypeError — and no
+        # point running the upstream plan again
+        from textindex_spark.session import local_df
+
+        return local_df(
+            emb.sparkSession, [], f"{id_col} long, seg int, seg_val long"
+        )
+    planes = _hyperplanes(len(probe[0]), n_bits)
     width = n_bits // n_segs
 
     def kernel(batches):
@@ -480,12 +497,12 @@ def embedding_lsh_segments(
                 for j in range(width):
                     seg_val |= bits[:, s * width + j] << j
                 frames.append(
-                    pd.DataFrame({"vec_id": ids, "seg": s, "seg_val": seg_val})
+                    pd.DataFrame({id_col: ids, "seg": s, "seg_val": seg_val})
                 )
             yield pd.concat(frames, ignore_index=True)
 
     return emb.select(id_col, vec_col).mapInPandas(
-        kernel, "vec_id long, seg int, seg_val long"
+        kernel, f"{id_col} long, seg int, seg_val long"
     )
 
 
@@ -540,10 +557,21 @@ def embedding_near_pairs(
             F.col("vec_id").alias("vec_b"),
             F.lit(1_000_000).cast("long").alias("cos_micro"),
         )
-        .filter(F.lit(1_000_000 >= thr_micro_i))
     )
-    reps = tagged.filter(F.col("vec_id") == F.col("_canon")).select(
-        F.col("vec_id").alias(id_col), F.col("_v").alias(vec_col)
+    if thr_micro_i > 1_000_000:
+        # a threshold above cosine's maximum: exact-dup stars cannot
+        # pass either (plain Python guard — the old lit(bool) read as
+        # a column comparison but was a Python-side constant)
+        stars = stars.limit(0)
+    reps = (
+        tagged.filter(F.col("vec_id") == F.col("_canon"))
+        # zero vectors: every SRP bit is sign(0)=+1, so ALL of them
+        # share one signature in EVERY segment — m zero embeddings
+        # (empty docs embed to zero) would rebuild the m²/2 hot
+        # bucket the collapse exists to prevent, and none can ever
+        # verify (cos = 0 < threshold). Drop them from the join side.
+        .filter(_dot(F.col("_v"), F.col("_v")) > 0)
+        .select(F.col("vec_id").alias(id_col), F.col("_v").alias(vec_col))
     )
     segs = embedding_lsh_segments(reps, n_bits, n_segs, id_col, vec_col)
     # the self-join consumes the signature kernel on BOTH sides; a
@@ -555,9 +583,10 @@ def embedding_near_pairs(
     cand = (
         segs.alias("a")
         .join(segs.alias("b"), ["seg", "seg_val"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
         )
         .distinct()
     )
@@ -571,14 +600,13 @@ def embedding_near_pairs(
         F.greatest(_norm(F.col("_ea")), F.lit(1e-12))
         * F.greatest(_norm(F.col("_eb")), F.lit(1e-12))
     )
-    thr_micro = int(np.floor(threshold * 1e6 + 0.5))
     verified = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .withColumn(
             "cos_micro", F.floor(cos * 1e6 + F.lit(0.5)).cast("long")
         )
-        .filter(F.col("cos_micro") >= thr_micro)
+        .filter(F.col("cos_micro") >= thr_micro_i)
         .select("vec_a", "vec_b", "cos_micro")
     )
     return verified.unionByName(stars)

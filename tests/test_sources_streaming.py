@@ -38,6 +38,45 @@ def test_iter_warc_records(rows):
     assert got[0][0]["warc-target-uri"] == rows[0]["url"]
 
 
+def test_warc_robustness(rows):
+    """Review r4 hardening: a record with a malformed Content-Length
+    resyncs to the next WARC boundary (one bad record can no longer
+    drop the rest of the file); chunked transfer framing is removed;
+    gzip content-encoding is decompressed; naive WARC-Date is UTC."""
+    from textindex_spark.sources.warc import _parse_warc_ts, _record_row
+
+    body0 = b"<html>first</html>"
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://a/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: abc\r\n\r\n"
+        + b"HTTP/1.1 200 OK\r\n\r\n" + body0 + b"\r\n\r\n"
+    )
+    good = make_warc(rows[:2])
+    got = list(iter_warc_records(bad + good))
+    assert len(got) == 3, "records after the malformed one were dropped"
+    assert got[1][0]["warc-target-uri"] == rows[0]["url"]
+    # chunked body: framing removed
+    chunked = b"7\r\n<html>x\r\n7\r\n</html>\r\n0\r\n\r\n"
+    row = _record_row(
+        {"warc-type": "response", "warc-target-uri": "http://c/"},
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + chunked,
+    )
+    assert bytes(row["html"]) == b"<html>x</html>"
+    # gzip content-encoding: decompressed
+    row = _record_row(
+        {"warc-type": "response", "warc-target-uri": "http://g/"},
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        + gzip.compress(b"<html>z</html>"),
+    )
+    assert bytes(row["html"]) == b"<html>z</html>"
+    # naive WARC-Date is UTC, not executor-local time
+    assert _parse_warc_ts("2024-01-01T12:00:00") == _parse_warc_ts(
+        "2024-01-01T12:00:00Z"
+    )
+
+
 def test_read_warc_roundtrip(spark, rows, tmp_path):
     p1 = tmp_path / "a.warc"
     p2 = tmp_path / "b.warc.gz"

@@ -1975,7 +1975,7 @@ FROM r2
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substring(md5('{curate.SAMPLE_SALT}' || doc_id::VARCHAR), 1, 15))::BIGINT
       % 1000000
-      < (CASE lang WHEN 'de' THEN {SAMPLE_RATES["de"]}
+      < (CASE coalesce(lang, '') WHEN 'de' THEN {SAMPLE_RATES["de"]}
                    WHEN 'en' THEN {SAMPLE_RATES["en"]}
                    ELSE {SAMPLE_DEFAULT} END)
 """,

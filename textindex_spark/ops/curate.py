@@ -172,6 +172,9 @@ SAMPLE_SALT = "strat:"
 # the next call — the returned lazy frame references it; same bounded
 # registry pattern as ops.dedup._lsh_persists).
 _budget_persists: list[DataFrame] = []
+# unigram_logprob's shared token-frequency frame (same single-flight
+# registry semantics)
+_nll_persists: list[DataFrame] = []
 
 
 def sample_stratified(
@@ -193,9 +196,13 @@ def sample_stratified(
         portable_hash60(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))),
         F.lit(1_000_000),
     )
+    # NULL strata collapse to '' — the same convention budget_select
+    # and corpus_profile use; a raw NULL would fail every equality and
+    # silently fall to default_micro
+    strat = F.coalesce(F.col(strata_col).cast("string"), F.lit(""))
     rate = F.lit(int(default_micro))
     for stratum, micro in sorted(rates_micro.items()):
-        rate = F.when(F.col(strata_col) == stratum, F.lit(int(micro))).otherwise(rate)
+        rate = F.when(strat == stratum, F.lit(int(micro))).otherwise(rate)
     return docs.filter(coin < rate)
 
 
@@ -323,6 +330,14 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", F.explode(ws_tokens_col(F.col(text_col))).alias("tok")
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # tf feeds THREE plan branches (scored's join side, counts, and
+    # tot via counts) and Spark does no cross-branch CSE — without a
+    # persist the explode+groupBy scan runs three times per action
+    # (same registry pattern as budget_select's shared frame)
+    while _nll_persists:
+        _nll_persists.pop().unpersist()
+    tf = tf.persist()
+    _nll_persists.append(tf)
     counts = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
     tot = counts.agg(
         F.sum("c").alias("T"), F.count("*").alias("V")

@@ -96,7 +96,53 @@ def get_spark(
         builder = builder.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Under spark-submit (or any pre-existing session) the driver JVM
+    # is already running, so spark.driver.memory / extraJavaOptions
+    # set through the builder are silently IGNORED — the 1g default
+    # heap then runs large builds GC-bound, the exact pathology the
+    # settings above exist to prevent (review r4). Detect and warn
+    # with the actionable flag; jobs/*.py docs recommend
+    # --driver-memory on their spark-submit lines.
+    try:
+        # the session conf ECHOES the builder value even when the JVM
+        # ignored it — ask the JVM for its actual max heap instead
+        jvm_max_mb = int(
+            spark.sparkContext._jvm.Runtime.getRuntime().maxMemory()
+            // (1024 * 1024)
+        )
+        want_mb = _parse_mem_mb(heap_gb)
+        # maxMemory() reports slightly under -Xmx (survivor space);
+        # 0.7 slack avoids false alarms while still catching the
+        # 1g-default case against an 8g+ ask
+        if want_mb and jvm_max_mb < int(want_mb * 0.7):
+            import warnings
+
+            warnings.warn(
+                f"driver JVM heap is ~{jvm_max_mb} MB but the build "
+                f"profile wants {heap_gb} (the JVM was already running "
+                "when get_spark configured it — pass "
+                f"`--driver-memory {heap_gb}` to spark-submit, or set "
+                "TEXTINDEX_DRIVER_MEM to match the actual heap)"
+            )
+    except Exception:
+        pass
+    return spark
+
+
+def _parse_mem_mb(v: str) -> int:
+    v = v.strip().lower()
+    mult = 1
+    if v.endswith("g"):
+        mult, v = 1024, v[:-1]
+    elif v.endswith("m"):
+        v = v[:-1]
+    elif v.endswith("k"):
+        mult, v = 0, v[:-1]  # sub-MB: treat as 0 MB
+    try:
+        return int(float(v)) * mult
+    except ValueError:
+        return 0
 
 
 def local_df(spark: SparkSession, rows, schema: str):

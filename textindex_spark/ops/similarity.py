@@ -81,6 +81,11 @@ def cosine_topk(
     )
 
 
+# Persisted frames of the LAST embedding_near_pairs call (released at
+# the next call — the returned lazy frame references them; single-
+# flight per process like ops.dedup._lsh_persists).
+_emb_persists: list[DataFrame] = []
+
 # ------------------------------------------------------------------ IVF
 
 def _unit(x: np.ndarray) -> np.ndarray:
@@ -549,6 +554,14 @@ def embedding_near_pairs(
     tagged = base.join(canon, "_v", "left").withColumn(
         "_canon", F.coalesce("_canon", F.col("vec_id"))
     )
+    # tagged feeds TWO branches (stars and reps→signatures) — persist
+    # so the vector groupBy + join runs once, not per branch; the
+    # registry releases the previous call's frames (single-flight,
+    # same semantics as ops.dedup._lsh_persists)
+    while _emb_persists:
+        _emb_persists.pop().unpersist()
+    tagged = tagged.persist()
+    _emb_persists.append(tagged)
     thr_micro_i = int(np.floor(threshold * 1e6 + 0.5))
     stars = (
         tagged.filter(F.col("vec_id") != F.col("_canon"))
@@ -580,6 +593,7 @@ def embedding_near_pairs(
     # scale this is the materialized signatures table every LSH
     # pipeline keeps anyway.
     segs = segs.persist()
+    _emb_persists.append(segs)
     cand = (
         segs.alias("a")
         .join(segs.alias("b"), ["seg", "seg_val"])

@@ -428,3 +428,48 @@ def test_stream_index_upsert_replaces_recrawl(spark, tmp_path):
         ).count()
     )
     assert stats["n_docs"] == live_docs
+
+
+def test_warc_adversarial_bodies_roundtrip():
+    """Bodies containing CRLF runs, WARC/ markers, and gzip magic must
+    round-trip byte-exactly — the parser trusts Content-Length, never
+    content sniffing (hypothesis-style cases, deterministic seeds)."""
+    import random
+
+    rng = random.Random(42)
+    tricky = [
+        b"\r\n\r\nWARC/1.0\r\n",        # fake record header inside a body
+        b"\x1f\x8b\x08" + bytes(range(32)),  # gzip magic
+        b"HTTP/1.1 200 OK\r\n\r\n",     # nested http header block
+        b"",                             # handled: empty body
+    ]
+    rows = []
+    for i in range(20):
+        body = (
+            tricky[i % len(tricky)]
+            + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        )
+        rows.append(
+            {
+                "url": f"http://t{i}.example/p",
+                "warc_ts": __import__("datetime").datetime(2024, 1, 1, i % 24),
+                "html": body,
+            }
+        )
+    raw = make_warc(rows)
+    got = [
+        r
+        for r in (
+            __import__(
+                "textindex_spark.sources.warc", fromlist=["_record_row"]
+            )._record_row(h, p)
+            for h, p in iter_warc_records(raw)
+        )
+        if r is not None
+    ]
+    assert len(got) == len(rows)
+    for want, r in zip(rows, got):
+        assert r["url"] == want["url"]
+        # make_warc wraps bodies in an HTTP response; _record_row
+        # strips exactly that envelope back off
+        assert bytes(r["html"]) == want["html"], want["url"]

@@ -435,6 +435,44 @@ def test_multimodal_real_ppm_wav(spark):
     assert not out[3]["ok"]  # non-PPM passes through unchanged
 
 
+def test_multimodal_real_png(spark):
+    """PNG decodes for REAL (stdlib zlib + numpy unfiltering): all
+    five filter types and color types round-trip byte-exactly, the
+    feature kernel and resize op consume PNG without the stub, and a
+    corrupt stream still routes to the stub/pass-through path."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    # every filter type and channel count round-trips
+    for ft in range(5):
+        for nch in (1, 2, 3, 4):
+            im = rng.randint(0, 256, size=(7, 5, nch), dtype=np.uint8)
+            assert (
+                multimodal.decode_png(multimodal.encode_png(im, filter_type=ft))
+                == im
+            ).all()
+    png = multimodal.encode_png(img, filter_type=4)
+    rows = [
+        (1, "image", png, "image/png", 6, 8, None),
+        (2, "image", b"\x89PNGcorrupt", "image/png", 4, 4, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, deterministic_fake=False).collect()
+    }
+    assert feats[1]["ok"] and not feats[2]["ok"]
+    want_rgb = img.reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(feats[1]["feature"][:3], want_rgb, atol=1e-6)
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 3, 4).collect()}
+    assert out[1]["ok"] and out[1]["mime"] == "image/png"
+    resized = multimodal.decode_png(bytes(out[1]["content"]))
+    assert (resized == multimodal.resize_nearest(img, 3, 4)).all()
+    assert not out[2]["ok"]  # corrupt PNG passes through unchanged
+    # alpha drops, gray broadcasts through the feature path
+    ga = multimodal.png_to_rgb(rng.randint(0, 256, (3, 3, 2), dtype=np.uint8))
+    assert ga.shape == (3, 3, 3) and (ga[:, :, 0] == ga[:, :, 1]).all()
+
+
 def _collision_pairs(segs_df):
     """Σ C(n,2) over (seg, seg_val) buckets = candidate-join row count
     before dedup — the quantity that must stay far from all-pairs."""
@@ -735,6 +773,94 @@ def test_ivf_append_incremental(spark, tmp_path):
     # a replayed append_id is a no-op, not a duplication
     assert similarity.ivf_append(spark, emb2, out, append_id="batch7") == 0
     assert manifest.read_table(spark, out, "vectors").count() == 80
+
+
+def test_ivf_maybe_refit_restores_recall(spark, tmp_path):
+    """Drift policy (VERDICT r4 task 3): append 4x the initial vector
+    count from clusters the frozen codebook has never seen — recall
+    collapses on the stale centroids, the k-row drift ledger trips
+    maybe_refit, the refit (one atomic commit) restores recall, and a
+    replayed call no-ops because the ledger was reset."""
+    rng = np.random.default_rng(5)
+    dim = 16
+
+    def cluster(center_axis, n, id0, split_noise=False):
+        base = np.zeros(dim)
+        base[center_axis] = 1.0
+        out = []
+        for i in range(n):
+            if split_noise:
+                # drifted clusters: the noise that drives cosine
+                # RANKING lives in dims 8-15, while the (tiny,
+                # independent) noise in dims 0-3 alone decides the
+                # argmax against the stale e0-e3 codebook — so a
+                # query's true neighbors scatter uniformly over stale
+                # buckets instead of following it (the actual way
+                # recall decays under codebook drift)
+                v = base.copy()
+                v[8:] += rng.normal(scale=0.1, size=dim - 8)
+                v[:4] += rng.normal(scale=0.01, size=4)
+            else:
+                v = base + rng.normal(scale=0.05, size=dim)
+            out.append((id0 + i, [float(x) for x in v]))
+        return out
+
+    old = [r for a in range(4) for r in cluster(a, 50, a * 50)]
+    new = [
+        r
+        for a in range(4)
+        for r in cluster(8 + a, 200, 1000 + a * 200, split_noise=True)
+    ]
+    emb1 = spark.createDataFrame(old, "vec_id long, embedding array<float>")
+    out = str(tmp_path / "ivf")
+    similarity.write_ivf(spark, emb1, out, n_centroids=4, max_iter=6)
+
+    for b in range(2):
+        half = new[b * 400 : (b + 1) * 400]
+        similarity.ivf_append(
+            spark,
+            spark.createDataFrame(half, "vec_id long, embedding array<float>"),
+            out,
+            append_id=f"b{b}",
+        )
+
+    q = new[0][1]  # a query from an unseen cluster
+    everything = spark.createDataFrame(old + new, "vec_id long, embedding array<float>")
+    want = {r["vec_id"] for r in similarity.cosine_topk(everything, q, k=10).collect()}
+
+    def recall(n_probe):
+        got = {
+            r["vec_id"]
+            for r in similarity.ivf_search_stored(
+                spark, out, q, k=10, n_probe=n_probe
+            ).collect()
+        }
+        return len(got & want) / len(want)
+
+    before = recall(1)  # 1 of 4 stale centroids (¼ probed fraction)
+    drift = similarity.ivf_drift_report(spark, out)
+    assert drift["appended_frac"] == pytest.approx(4.0)
+    assert drift["resid_drift"] > 1.5  # unseen clusters sit FAR from codebook
+
+    rep = similarity.maybe_refit(spark, out, max_appended_frac=1.0,
+                                 n_centroids=8, refit_id="r1")
+    assert rep["refit"] and "appended_frac" in rep["reasons"]
+    after = recall(3)  # 3 of 8 refit centroids — SMALLER probed fraction
+    assert before < 0.9 <= after, (before, after)
+
+    # ledger reset ⇒ replay is a no-op; stored rows survive intact
+    rep2 = similarity.maybe_refit(spark, out, max_appended_frac=1.0, refit_id="r1")
+    assert not rep2["refit"] and rep2["appended_frac"] == 0.0
+    from textindex_spark import manifest
+
+    assert manifest.read_table(spark, out, "vectors").count() == 1000
+    # appends keep feeding the NEW ledger
+    extra = spark.createDataFrame(
+        cluster(3, 10, 5000), "vec_id long, embedding array<float>"
+    )
+    similarity.ivf_append(spark, extra, out, append_id="post")
+    d2 = similarity.ivf_drift_report(spark, out)
+    assert d2["appended_rows"] == 10 and d2["base_rows"] == 1000
 
 
 def test_simhash_boilerplate_cluster_stays_linear(spark):

@@ -61,6 +61,42 @@ STATS_SCHEMA = (
     "n_term_buckets long"
 )
 
+
+def write_stats_row(spark: SparkSession, stats_dir: str, stats: dict) -> None:
+    """Write the ONE-row stats table. On a local filesystem this is a
+    driver-side pyarrow write — it removes an entire Spark job launch
+    from the finalize/append tail (fixed ~0.2-0.4 s of driver/barrier
+    latency that does not shrink with cores — part of the Amdahl term
+    in the N→4N scaling measurement; the table is one row at 10^12
+    docs too). Non-local URIs (HDFS/S3) fall back to the Spark
+    writer. Readers (`read_stats`) use the explicit STATS_SCHEMA
+    either way."""
+    local = manifest._local_path(stats_dir)
+    if local is None:
+        local_df(spark, [stats], STATS_SCHEMA).write.mode("overwrite").parquet(
+            stats_dir
+        )
+        return
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _pa_types = {"long": pa.int64(), "double": pa.float64()}
+    cols = {}
+    for part in STATS_SCHEMA.split(", "):
+        name, typ = part.split()
+        val = stats.get(name)
+        if val is not None:
+            val = int(val) if typ == "long" else float(val)
+        cols[name] = pa.array([val], type=_pa_types[typ])
+    import os
+
+    shutil.rmtree(local, ignore_errors=True)
+    os.makedirs(local, exist_ok=True)
+    pq.write_table(pa.table(cols), f"{local}/part-00000.parquet")
+    open(f"{local}/_SUCCESS", "w").close()
+
 # Postings live in hash-bucketed directories (term_bucket=K/): the
 # bucket of a term is a pure function of the term string, computable
 # on the driver (term_bucket_py) and in Catalyst (term_bucket_col)
@@ -457,9 +493,7 @@ def finalize_index(
         "build_sec": time.time() - t0,
         "n_term_buckets": N_TERM_BUCKETS_DEFAULT,
     }
-    local_df(spark, [stats], STATS_SCHEMA).write.mode("overwrite").parquet(
-        f"{out_dir}/stats"
-    )
+    write_stats_row(spark, f"{out_dir}/stats", stats)
     if not publish:
         return stats
     # Publish the fresh snapshot: every table at its default dir, any
@@ -832,9 +866,7 @@ def append_batch(
         total_tokens=int(srow["total_tokens"] or 0),
         vocab_size=int(obs.get["n"] or 0),
     )
-    local_df(spark, [new_stats], STATS_SCHEMA).write.mode("overwrite").parquet(
-        stats_dir
-    )
+    write_stats_row(spark, stats_dir, new_stats)
 
     # the ONE atomic step: everything above becomes visible together
     add = {

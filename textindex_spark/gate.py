@@ -789,40 +789,191 @@ def q_ann_filtered(spark, sf_dir):
     )
 
 
+# -------------------------------------------------- r5 gate folds
+# The driver verifies the FIRST 50 entries of QUERIES only; r4 had 59
+# entries, so nine gates (all four ANN/embedding gates among them)
+# never earned a fresh CORRECTNESS row (VERDICT r4 task 1). The folds
+# below union BOTH variants' rows into ONE tag-column result — every
+# folded semantic stays driver-checked, the registry drops to 49
+# entries, and historically-unverified gates lead the dict. The
+# original single-variant q_* functions stay callable for pytest use.
+
+
+def q_facets_all(spark, sf_dir):
+    """facet_lang + facet_site folded → (facet, value, n_docs)."""
+    a = q_facet_lang(spark, sf_dir).select(
+        F.lit("lang").alias("facet"), "value", "n_docs"
+    )
+    b = q_facet_site(spark, sf_dir).select(
+        F.lit("site").alias("facet"), "value", "n_docs"
+    )
+    return a.unionByName(b)
+
+
+def q_phrase_ops(spark, sf_dir):
+    """phrase_match + phrase_rank folded → (variant, doc_id, val)."""
+    m = q_phrase_match(spark, sf_dir).select(
+        F.lit("match").alias("variant"), "doc_id",
+        F.col("n_occ").cast("long").alias("val"),
+    )
+    r = q_phrase_rank(spark, sf_dir).select(
+        F.lit("rank").alias("variant"), "doc_id",
+        F.col("score_micro").alias("val"),
+    )
+    return m.unionByName(r)
+
+
+def q_near_ops(spark, sf_dir):
+    """near_match + near_match_wildcard + near_rank folded."""
+    a = q_near_match(spark, sf_dir).select(
+        F.lit("match").alias("variant"), "doc_id",
+        F.col("n_near").cast("long").alias("val"),
+    )
+    b = q_near_match_wildcard(spark, sf_dir).select(
+        F.lit("match_wild").alias("variant"), "doc_id",
+        F.col("n_near").cast("long").alias("val"),
+    )
+    c = q_near_rank(spark, sf_dir).select(
+        F.lit("rank").alias("variant"), "doc_id",
+        F.col("score_micro").alias("val"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def q_term_stats_all(spark, sf_dir):
+    """term_stats + tf_histogram folded → (variant, k, a, b)."""
+    t = q_term_stats(spark, sf_dir).select(
+        F.lit("term").alias("variant"), F.col("term").alias("k"),
+        F.col("df").cast("long").alias("a"),
+        F.col("cf").cast("long").alias("b"),
+    )
+    h = q_tf_histogram(spark, sf_dir).select(
+        F.lit("tfh").alias("variant"),
+        F.col("tf").cast("string").alias("k"),
+        F.col("n_cells").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    return t.unionByName(h)
+
+
+def q_exact_dedup_all(spark, sf_dir):
+    """exact_dedup (raw) + exact_dedup_norm (CCNet-normalized)."""
+    a = q_exact_dedup(spark, sf_dir).select(
+        F.lit("raw").alias("variant"), "text_md5", "n_docs", "keep_doc_id"
+    )
+    b = q_exact_dedup_norm(spark, sf_dir).select(
+        F.lit("norm").alias("variant"), "text_md5", "n_docs", "keep_doc_id"
+    )
+    return a.unionByName(b)
+
+
+def q_url_ops(spark, sf_dir):
+    """canon_url + url_dedup folded (ts already rides as a long)."""
+    a = q_canon_url(spark, sf_dir).select(
+        F.lit("canon").alias("variant"), "canon_url",
+        F.lit(0).cast("long").alias("n_snapshots"),
+        F.col("doc_id").cast("long").alias("keep_doc_id"),
+        F.lit(-1).cast("long").alias("keep_ts"),
+    )
+    b = q_url_dedup(spark, sf_dir).select(
+        F.lit("dedup").alias("variant"), "canon_url",
+        F.col("n_snapshots").cast("long").alias("n_snapshots"),
+        F.col("keep_doc_id").cast("long").alias("keep_doc_id"),
+        F.col("keep_ts").cast("long").alias("keep_ts"),
+    )
+    return a.unionByName(b)
+
+
+def q_substring_ops(spark, sf_dir):
+    """dup_windows (profile) + strip_spans (removal) folded."""
+    w = q_dup_windows(spark, sf_dir).select(
+        F.lit("win").alias("variant"), "doc_id",
+        F.col("n_tokens").cast("long").alias("a"),
+        F.col("n_windows").cast("long").alias("b"),
+        F.col("n_dup_windows").cast("long").alias("c"),
+        F.col("dup_token_frac_micro").cast("long").alias("d"),
+        F.lit("").alias("txt"),
+    )
+    s = q_strip_spans(spark, sf_dir).select(
+        F.lit("strip").alias("variant"), "doc_id",
+        F.col("n_kept_tokens").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("c"),
+        F.lit(0).cast("long").alias("d"),
+        F.col("clean_text").alias("txt"),
+    )
+    return w.unionByName(s)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """minhash_signatures + lsh_pairs folded → (variant, a, b, c)."""
+    s = q_minhash_signatures(spark, sf_dir).select(
+        F.lit("sig").alias("variant"),
+        F.col("doc_id").cast("long").alias("a"),
+        F.col("j").cast("long").alias("b"),
+        F.col("mh").cast("long").alias("c"),
+    )
+    p = q_lsh_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("variant"),
+        F.col("doc_a").cast("long").alias("a"),
+        F.col("doc_b").cast("long").alias("b"),
+        F.lit(0).cast("long").alias("c"),
+    )
+    return s.unionByName(p)
+
+
+def q_sharded_ops(spark, sf_dir):
+    """bm25_sharded + bool_sharded folded (both federated paths must
+    equal their single-index oracles bit-for-bit)."""
+    a = q_bm25_sharded(spark, sf_dir).select(
+        F.lit("bm25").alias("variant"), "doc_id", "score_micro"
+    )
+    b = q_bool_sharded(spark, sf_dir).select(
+        F.lit("bool").alias("variant"), "doc_id", "score_micro"
+    )
+    return a.unionByName(b)
+
+
 QUERIES = {
+    # gates with no (or stale-r3) driver CORRECTNESS rows come first
+    "ann_cosine": q_ann_cosine,
+    "ann_ivf": q_ann_ivf,
+    "ann_filtered": q_ann_filtered,
+    "emb_near_dup": q_emb_near_dup,
+    "url_dedup": q_url_ops,
+    "corpus_profile": q_corpus_profile,
+    "line_dedup": q_line_dedup,
+    "exact_dedup": q_exact_dedup_all,
+    "strip_spans": q_substring_ops,
+    "lsh_pairs": q_minhash_lsh,
+    # build / index foundations
     "doc_stats": q_doc_stats,
     "tokenize_tf": q_tokenize_tf,
-    "term_stats": q_term_stats,
+    "term_stats": q_term_stats_all,
     "corpus_stats": q_corpus_stats,
     "wildcard_expand": q_wildcard_expand,
     "search_and": q_search_and,
+    # ranked retrieval
     "bm25_topk": q_bm25_topk,
     "bm25_or_topk": q_bm25_or_topk,
     "bm25_not": q_bm25_not,
     "bool_query": q_bool_query,
-    "bool_sharded": q_bool_sharded,
-    "bm25_sharded": q_bm25_sharded,
-    "facet_lang": q_facet_lang,
-    "facet_site": q_facet_site,
-    "phrase_match": q_phrase_match,
-    "phrase_rank": q_phrase_rank,
+    "bm25_sharded": q_sharded_ops,
+    "facet_site": q_facets_all,
+    "phrase_rank": q_phrase_ops,
     "phrase_rank_wildcard": q_phrase_rank_wildcard,
-    "near_match": q_near_match,
-    "near_match_wildcard": q_near_match_wildcard,
-    "near_rank": q_near_rank,
-    "tf_histogram": q_tf_histogram,
+    "near_rank": q_near_ops,
+    "rare_terms": q_rare_terms,
     "find_files": q_find_files,
     "matched_lines": q_matched_lines,
     "bm25_after_append": q_bm25_after_append,
     "bm25_after_delete": q_bm25_after_delete,
-    "rare_terms": q_rare_terms,
-    "exact_dedup": q_exact_dedup,
+    # dedup family
     "ngram_jaccard": q_ngram_jaccard,
-    "minhash_signatures": q_minhash_signatures,
-    "lsh_pairs": q_lsh_pairs,
     "dedup_clusters": q_dedup_clusters,
     "stream_dedup": q_stream_dedup,
     "simhash": q_simhash,
+    # text analysis / curation
     "lang_id": q_lang_id,
     "quality": q_quality,
     "corpus_filter": q_corpus_filter,
@@ -838,17 +989,6 @@ QUERIES = {
     "chunks": q_chunks,
     "pack_bins": q_pack_bins,
     "repetition": q_repetition,
-    "dup_windows": q_dup_windows,
-    "strip_spans": q_strip_spans,
-    "canon_url": q_canon_url,
-    "url_dedup": q_url_dedup,
-    "corpus_profile": q_corpus_profile,
-    "line_dedup": q_line_dedup,
-    "exact_dedup_norm": q_exact_dedup_norm,
-    "ann_cosine": q_ann_cosine,
-    "ann_ivf": q_ann_ivf,
-    "ann_filtered": q_ann_filtered,
-    "emb_near_dup": q_emb_near_dup,
 }
 
 
@@ -2361,4 +2501,77 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
     # reproduce the single-corpus BM25 oracle exactly
     out["bm25_sharded"] = out["bm25_topk"]
     out["bool_sharded"] = out["bool_query"]
+
+    # ---- r5 registry folds (mirror of the q_*_all/_ops gates): each
+    # fold unions the variants' rows under a tag column so both
+    # semantics stay driver-checked in one ≤50-entry registry.
+    def _fold(parts: list[tuple[str, str]]) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT {proj} FROM (\n{sql}\n)" for proj, sql in parts
+        )
+
+    out["facet_site"] = _fold([
+        ("'lang' AS facet, value, n_docs", out["facet_lang"]),
+        ("'site' AS facet, value, n_docs", out["facet_site"]),
+    ])
+    out["phrase_rank"] = _fold([
+        ("'match' AS variant, doc_id, n_occ::BIGINT AS val",
+         out["phrase_match"]),
+        ("'rank' AS variant, doc_id, score_micro AS val",
+         out["phrase_rank"]),
+    ])
+    out["near_rank"] = _fold([
+        ("'match' AS variant, doc_id, n_near::BIGINT AS val",
+         out["near_match"]),
+        ("'match_wild' AS variant, doc_id, n_near::BIGINT AS val",
+         out["near_match_wildcard"]),
+        ("'rank' AS variant, doc_id, score_micro AS val",
+         out["near_rank"]),
+    ])
+    out["term_stats"] = _fold([
+        ("'term' AS variant, term AS k, df AS a, cf AS b",
+         out["term_stats"]),
+        ("'tfh' AS variant, tf::VARCHAR AS k, n_cells AS a, 0::BIGINT AS b",
+         out["tf_histogram"]),
+    ])
+    out["exact_dedup"] = _fold([
+        ("'raw' AS variant, text_md5, n_docs, keep_doc_id",
+         out["exact_dedup"]),
+        ("'norm' AS variant, text_md5, n_docs, keep_doc_id",
+         out["exact_dedup_norm"]),
+    ])
+    out["url_dedup"] = _fold([
+        ("'canon' AS variant, canon_url, 0::BIGINT AS n_snapshots,"
+         " doc_id::BIGINT AS keep_doc_id, (-1)::BIGINT AS keep_ts",
+         out["canon_url"]),
+        ("'dedup' AS variant, canon_url, n_snapshots::BIGINT AS n_snapshots,"
+         " keep_doc_id::BIGINT AS keep_doc_id, keep_ts::BIGINT AS keep_ts",
+         out["url_dedup"]),
+    ])
+    out["strip_spans"] = _fold([
+        ("'win' AS variant, doc_id, n_tokens AS a, n_windows AS b,"
+         " n_dup_windows AS c, dup_token_frac_micro AS d, '' AS txt",
+         out["dup_windows"]),
+        ("'strip' AS variant, doc_id, n_kept_tokens AS a, 0::BIGINT AS b,"
+         " 0::BIGINT AS c, 0::BIGINT AS d, clean_text AS txt",
+         out["strip_spans"]),
+    ])
+    out["lsh_pairs"] = _fold([
+        ("'sig' AS variant, doc_id::BIGINT AS a, j::BIGINT AS b,"
+         " mh::BIGINT AS c",
+         out["minhash_signatures"]),
+        ("'pair' AS variant, doc_a::BIGINT AS a, doc_b::BIGINT AS b,"
+         " 0::BIGINT AS c",
+         out["lsh_pairs"]),
+    ])
+    out["bm25_sharded"] = _fold([
+        ("'bm25' AS variant, doc_id, score_micro", out["bm25_sharded"]),
+        ("'bool' AS variant, doc_id, score_micro", out["bool_sharded"]),
+    ])
+    for dead in (
+        "facet_lang", "phrase_match", "near_match", "near_match_wildcard",
+        "tf_histogram", "exact_dedup_norm", "canon_url", "dup_windows",
+        "minhash_signatures", "bool_sharded",
+    ):
+        del out[dead]
     return out

@@ -3,9 +3,12 @@ columns with typed metadata, processed by Arrow-batched kernels.
 
 Decode is REAL for the formats the standard library can parse —
 binary PPM images (``decode_ppm`` / ``encode_ppm`` /
-``resize_nearest``) and 16-bit PCM WAV audio (``decode_wav``) — and
-STUBBED for formats that need PIL/opencv/ffmpeg (absent in this
-container): ``_decode_image_stub`` raises ``NotImplementedError``
+``resize_nearest``), 8-bit non-interlaced PNG in all five filter
+types and five color types (``decode_png`` / ``encode_png``, stdlib
+zlib + numpy unfiltering — no imaging library), and 16-bit PCM WAV
+audio (``decode_wav``) — and STUBBED for formats that need
+PIL/opencv/ffmpeg (absent in this container, e.g. JPEG and video
+frames): ``_decode_image_stub`` raises ``NotImplementedError``
 unless ``deterministic_fake=True``, which produces a seeded,
 content-derived fake decode so the Spark-side plumbing — schema,
 batching, partition sizing, UDF signatures — stays testable for
@@ -75,6 +78,172 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """REAL image decode for 8-bit non-interlaced PNG — stdlib zlib
+    inflate + the five scanline filter types in numpy, no imaging
+    library (VERDICT r4 task 4). Supports color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at bit depth 8.
+    → (H, W, C) uint8 with C = 1/3/2/4 (palette resolves to 3)."""
+    import zlib
+
+    if not blob or not blob.startswith(PNG_SIG):
+        raise ValueError("not a PNG stream")
+    pos, n = 8, len(blob)
+    w = h = depth = ctype = None
+    interlace = 0
+    idat: list[bytes] = []
+    plte: np.ndarray | None = None
+    while pos + 8 <= n:
+        length = int.from_bytes(blob[pos : pos + 4], "big")
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # chunk + CRC
+        if tag == b"IHDR":
+            if length < 13:
+                raise ValueError("truncated IHDR")
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, _comp, _filt, interlace = data[8:13]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG depth={depth} color_type={ctype}")
+    if interlace:
+        raise ValueError("Adam7 interlace not supported")
+    nch = _PNG_CHANNELS[ctype]
+    stride = w * nch
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # corrupt deflate stream → uniform error
+        raise ValueError(f"bad PNG IDAT: {e}") from None
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    out = np.empty((h, stride), np.uint16)
+    prev = np.zeros(stride, np.uint16)
+    bpp = nch  # bytes per pixel at depth 8
+    for y in range(h):
+        f = int(ftypes[y])
+        line = rows[y, 1:].astype(np.uint16)
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub — per-lane cumulative sum mod 256
+            cur = line.astype(np.int64)
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp])
+            cur = (cur & 0xFF).astype(np.uint16)
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average — left-sequential, per-byte
+            cur = np.empty(stride, np.uint16)
+            for c in range(stride):
+                left = cur[c - bpp] if c >= bpp else 0
+                cur[c] = (line[c] + ((int(left) + int(prev[c])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth — left-sequential, per-byte
+            cur = np.empty(stride, np.uint16)
+            for c in range(stride):
+                a = int(cur[c - bpp]) if c >= bpp else 0
+                b = int(prev[c])
+                cc = int(prev[c - bpp]) if c >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                cur[c] = (line[c] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    img = out.astype(np.uint8).reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        img = plte[img[:, :, 0]]
+    return img.copy()
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Inverse of decode_png (deterministic synthetic writer for
+    tests and resize_images). Applies ``filter_type`` (0-4) to every
+    scanline so round-trips exercise the matching unfilter path."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    bpp = nch
+    px = img.astype(np.int64).reshape(h, w * nch)
+    lines = []
+    prev = np.zeros(w * nch, np.int64)
+    for y in range(h):
+        cur = px[y]
+        left = np.zeros_like(cur)
+        left[bpp:] = cur[:-bpp]
+        upleft = np.zeros_like(prev)
+        upleft[bpp:] = prev[:-bpp]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        import binascii
+
+        return (
+            len(data).to_bytes(4, "big") + tag + data
+            + (binascii.crc32(tag + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    idat = zlib.compress(b"".join(lines), 6)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def png_to_rgb(img: np.ndarray) -> np.ndarray:
+    """(H, W, C) any PNG channel count → (H, W, 3) uint8: gray
+    broadcasts, alpha drops (callers needing compositing do it
+    upstream of the feature kernel)."""
+    c = img.shape[2]
+    if c == 1:
+        return np.repeat(img, 3, axis=2)
+    if c == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if c == 4:
+        return img[:, :, :3]
+    return img
+
+
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     """REAL audio decode for PCM WAV via the stdlib ``wave`` module.
     → (samples[int16, frames × channels], sample_rate)."""
@@ -123,9 +292,20 @@ def extract_features(
             feats, ok, nbytes = [], [], []
             for blob, mime in zip(pdf["content"].values, pdf["mime"].values):
                 try:
-                    if mime == "image/x-portable-pixmap":
-                        # REAL decode path (stdlib-only format)
-                        img = decode_ppm(blob).astype(np.float32)
+                    img = None
+                    if mime in ("image/x-portable-pixmap", "image/png"):
+                        # REAL decode paths (stdlib-only formats); a
+                        # corrupt stream falls through to the stub so
+                        # deterministic_fake semantics are uniform
+                        try:
+                            img = (
+                                decode_ppm(blob)
+                                if mime == "image/x-portable-pixmap"
+                                else png_to_rgb(decode_png(blob))
+                            ).astype(np.float32)
+                        except ValueError:
+                            img = None
+                    if img is not None:
                         hist = np.histogram(
                             img.mean(axis=2), bins=feat_dim - 3, range=(0, 255)
                         )[0]
@@ -194,19 +374,24 @@ def sample_frames(
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """mapInPandas: PPM image rows → resized PPM blobs (REAL resize,
-    nearest-neighbor numpy). Non-PPM rows pass through unchanged with
-    ok=False so callers can route them to an imaging-library cluster.
-    Output schema == MEDIA_SCHEMA + ok boolean."""
+    """mapInPandas: PPM and PNG image rows → resized blobs in the
+    same format (REAL decode + nearest-neighbor numpy resize +
+    re-encode). Other mimes pass through unchanged with ok=False so
+    callers can route them to an imaging-library cluster. Output
+    schema == MEDIA_SCHEMA + ok boolean."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_blobs, oks, ws, hs = [], [], [], []
             for blob, mime in zip(pdf["content"].values, pdf["mime"].values):
-                if mime == "image/x-portable-pixmap":
+                if mime in ("image/x-portable-pixmap", "image/png"):
                     try:
-                        img = resize_nearest(decode_ppm(blob), out_w, out_h)
-                        out_blobs.append(encode_ppm(img))
+                        if mime == "image/x-portable-pixmap":
+                            img = resize_nearest(decode_ppm(blob), out_w, out_h)
+                            out_blobs.append(encode_ppm(img))
+                        else:
+                            img = resize_nearest(decode_png(blob), out_w, out_h)
+                            out_blobs.append(encode_png(img))
                         ws.append(out_w)
                         hs.append(out_h)
                         oks.append(True)

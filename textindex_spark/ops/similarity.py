@@ -180,23 +180,30 @@ def assign_buckets(
     emb: DataFrame,
     centroids: np.ndarray | list[list[float]],
     vec_col: str = "embedding",
+    with_resid: bool = False,
 ) -> DataFrame:
     """Add a ``bucket`` column: nearest centroid by cosine, computed
-    as one Arrow-batched matmul per batch."""
+    as one Arrow-batched matmul per batch. ``with_resid=True`` also
+    emits ``_resid`` (1 − cosine to the assigned centroid, the
+    drift-tracking signal) — free, the kernel has the dots in hand."""
     import pandas as pd
 
     cu = _unit(np.asarray(centroids, dtype=np.float64))
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields
-    ) + ", bucket int"
+    ) + ", bucket int" + (", _resid double" if with_resid else "")
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            dots = np.round(_unit(X) @ cu.T, 6)
+            a = np.argmax(dots, axis=1)
             pdf = pdf.copy()
-            pdf["bucket"] = _assign_np(X, cu).astype(np.int32)
+            pdf["bucket"] = a.astype(np.int32)
+            if with_resid:
+                pdf["_resid"] = 1.0 - dots[np.arange(len(a)), a]
             yield pdf
 
     return emb.mapInPandas(kernel, out_schema)
@@ -253,23 +260,53 @@ def write_ivf(
     against it (plain-dir layout stays readable without one)."""
     from textindex_spark import manifest
 
-    assigned, centroids = build_ivf(
-        emb, n_centroids, max_iter, id_col, vec_col, fit_sample
+    centroids_np = kmeans_fit(
+        emb, n_centroids, max_iter, vec_col, id_col, fit_sample
     )
+    assigned = assign_buckets(emb, centroids_np, vec_col, with_resid=True)
     assigned.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{out_dir}/vectors")
     local_df(
         spark,
-        [(i, list(map(float, c))) for i, c in enumerate(centroids)],
+        [(i, list(map(float, c))) for i, c in enumerate(centroids_np)],
         "bucket int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    # per-bucket drift baseline: counts + assignment-residual sums,
+    # aggregated from the just-written columnar layout (reads ONLY
+    # the bucket/_resid columns, never the vectors)
+    _write_bucket_stats(
+        spark, f"{out_dir}/vectors", f"{out_dir}/ivf_stats", gen="base"
+    )
     manifest.commit(
         spark,
         out_dir,
-        set_tables={"vectors": ["vectors"], "centroids": ["centroids"]},
+        set_tables={
+            "vectors": ["vectors"],
+            "centroids": ["centroids"],
+            "ivf_stats": ["ivf_stats"],
+        },
     )
-    return centroids
+    return [list(map(float, c)) for c in centroids_np]
+
+
+def _write_bucket_stats(
+    spark: SparkSession, vectors_dir: str, stats_dir: str, gen: str
+) -> None:
+    """(gen, bucket, cnt, resid_sum) rows for one vectors directory —
+    the manifest-tracked drift ledger. k rows per generation."""
+    cols = spark.read.parquet(vectors_dir)
+    resid = (
+        F.sum("_resid") if "_resid" in cols.columns else F.lit(0.0)
+    )
+    (
+        cols.groupBy("bucket")
+        .agg(F.count("*").alias("cnt"), resid.alias("resid_sum"))
+        .select(F.lit(gen).alias("gen"), "bucket", "cnt", "resid_sum")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(stats_dir)
+    )
 
 
 def _read_ivf_table(spark: SparkSession, out_dir: str, name: str) -> DataFrame:
@@ -315,14 +352,147 @@ def ivf_append(
         return 0  # replayed append_id: already committed
     cent = _read_ivf_table(spark, out_dir, "centroids").orderBy("bucket").collect()
     centroids = np.array([list(r["centroid"]) for r in cent], dtype=np.float64)
-    assigned = assign_buckets(emb, centroids, vec_col).persist()
+    assigned = assign_buckets(emb, centroids, vec_col, with_resid=True).persist()
     n = assigned.count()  # materializes ONE matmul pass; write reuses it
     assigned.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(stage)
     assigned.unpersist()
-    manifest.commit(spark, out_dir, add_to_tables={"vectors": [rel]})
+    # drift ledger entry for this batch (same staged-dir + single-
+    # commit discipline: readers see vectors and stats together)
+    stats_stage = f"{out_dir}/ivf_stats_append_{tag}"
+    _write_bucket_stats(spark, stage, stats_stage, gen=f"append_{tag}")
+    manifest.commit(
+        spark,
+        out_dir,
+        add_to_tables={
+            "vectors": [rel],
+            "ivf_stats": [manifest.rel(out_dir, stats_stage)],
+        },
+    )
     return int(n)
+
+
+def ivf_drift_report(spark: SparkSession, out_dir: str) -> dict:
+    """Drift signals for a stored IVF index, from the k-row ledger
+    only — NO pass over the vectors:
+
+    * ``appended_frac`` — appended rows / base rows (centroids were
+      fit on the base; an index that has doubled since the fit is
+      running on a stale codebook)
+    * ``skew`` — max bucket size / mean bucket size over live rows
+      (probe cost is bucket-proportional: one runaway bucket turns
+      n_probe pruning back into a near-full scan)
+    * ``resid_drift`` — mean assignment residual of appended rows /
+      base rows (appends that land ever farther from their centroid
+      = the distribution moved; recall decays even if sizes stay
+      balanced)
+    """
+    from textindex_spark import manifest
+
+    if not manifest.table_exists(spark, out_dir, "ivf_stats"):
+        return {
+            "base_rows": 0, "appended_rows": 0, "appended_frac": 0.0,
+            "skew": 1.0, "resid_drift": 1.0,
+        }
+    rows = _read_ivf_table(spark, out_dir, "ivf_stats").collect()
+    base_n = sum(int(r["cnt"]) for r in rows if r["gen"] == "base")
+    base_r = sum(float(r["resid_sum"]) for r in rows if r["gen"] == "base")
+    app_n = sum(int(r["cnt"]) for r in rows if r["gen"] != "base")
+    app_r = sum(float(r["resid_sum"]) for r in rows if r["gen"] != "base")
+    per_bucket: dict[int, int] = {}
+    for r in rows:
+        per_bucket[int(r["bucket"])] = per_bucket.get(int(r["bucket"]), 0) + int(r["cnt"])
+    n_cent = _read_ivf_table(spark, out_dir, "centroids").count()
+    total = base_n + app_n
+    mean_sz = total / max(int(n_cent), 1)
+    skew = (max(per_bucket.values()) / mean_sz) if per_bucket and mean_sz else 1.0
+    base_mean = base_r / base_n if base_n else 0.0
+    app_mean = app_r / app_n if app_n else 0.0
+    return {
+        "base_rows": base_n,
+        "appended_rows": app_n,
+        "appended_frac": (app_n / base_n) if base_n else (1.0 if app_n else 0.0),
+        "skew": float(skew),
+        "resid_drift": (app_mean / base_mean) if base_mean > 0 else 1.0,
+    }
+
+
+def maybe_refit(
+    spark: SparkSession,
+    out_dir: str,
+    max_appended_frac: float = 1.0,
+    max_skew: float = 4.0,
+    max_resid_drift: float = 1.5,
+    n_centroids: int | None = None,
+    max_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refit_id: str | None = None,
+) -> dict:
+    """Refit policy — the ``build.maybe_compact`` analog for IVF
+    (VERDICT r4 task 3). The trigger reads ONLY the k-row drift
+    ledger (zero vector scans when nothing to do, safe to call after
+    every append). When any bound is crossed, the codebook is re-fit
+    on the CURRENT corpus (k recalibrated to √N via
+    ``suggest_ivf_params`` unless pinned), every vector re-assigned,
+    and vectors + centroids + a fresh base ledger published in ONE
+    manifest commit — readers never see a half-refit index, a crash
+    leaves the old snapshot live, and the pre-refit snapshot stays
+    time-travelable. Naturally replay-idempotent: a successful refit
+    resets the ledger, so a retried call sees zero drift and no-ops
+    (``refit_id`` additionally pins the staging dirs so a crash-retry
+    overwrites its own staging instead of orphaning a second copy).
+
+    Returns the drift report plus ``{"refit": bool, "reasons": [...],
+    "n_centroids": k}`` (k only when a refit ran)."""
+    import uuid
+
+    from textindex_spark import manifest
+
+    drift = ivf_drift_report(spark, out_dir)
+    reasons = []
+    if drift["appended_frac"] > max_appended_frac:
+        reasons.append("appended_frac")
+    if drift["skew"] > max_skew:
+        reasons.append("skew")
+    if drift["resid_drift"] > max_resid_drift:
+        reasons.append("resid_drift")
+    if not reasons:
+        return {"refit": False, "reasons": [], **drift}
+
+    live = _read_ivf_table(spark, out_dir, "vectors").select(id_col, vec_col)
+    n_rows = drift["base_rows"] + drift["appended_rows"]
+    params = suggest_ivf_params(n_rows, n_centroids)
+    k = n_centroids or params["n_centroids"]
+    centroids_np = kmeans_fit(
+        live, k, max_iter, vec_col, id_col,
+        fit_sample=params["fit_sample"] if params["fit_sample"] < 1.0 else None,
+    )
+    tag = f"id_{refit_id}" if refit_id is not None else uuid.uuid4().hex[:12]
+    vec_dir = f"{out_dir}/vectors_refit_{tag}"
+    cent_dir = f"{out_dir}/centroids_refit_{tag}"
+    stats_dir = f"{out_dir}/ivf_stats_refit_{tag}"
+    assigned = assign_buckets(live, centroids_np, vec_col, with_resid=True)
+    assigned.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(vec_dir)
+    local_df(
+        spark,
+        [(i, list(map(float, c))) for i, c in enumerate(centroids_np)],
+        "bucket int, centroid array<double>",
+    ).write.mode("overwrite").parquet(cent_dir)
+    _write_bucket_stats(spark, vec_dir, stats_dir, gen="base")
+    manifest.commit(
+        spark,
+        out_dir,
+        set_tables={
+            "vectors": [manifest.rel(out_dir, vec_dir)],
+            "centroids": [manifest.rel(out_dir, cent_dir)],
+            "ivf_stats": [manifest.rel(out_dir, stats_dir)],
+        },
+    )
+    return {"refit": True, "reasons": reasons, "n_centroids": int(k), **drift}
 
 
 def probe_buckets(
@@ -545,14 +715,36 @@ def embedding_near_pairs(
     # can never verify), only canonicals are signed and joined.
     # Member↔other pairs are represented through the canonical —
     # component-equivalent output, same contract as the other two.
-    base = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    # The collapse groups on xxhash64(vector) — an 8-byte shuffle key —
+    # never on the raw array<float> (r5: the r4 vector-keyed groupBy +
+    # vector-keyed re-join shipped d-dim float arrays through two wide
+    # shuffles and regressed the bench 1.9x). Collisions are guarded by
+    # elementwise equality against the canon's vector inside each hash
+    # group: a colliding member simply stays its own canonical and
+    # flows through the signature path, where an identical-valued pair
+    # is still guaranteed to collide on every segment — under-collapse
+    # is a perf detail, never a correctness loss.
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_vh", F.xxhash64("_v"))
     canon = (
         base.filter(_dot(F.col("_v"), F.col("_v")) > 0)
-        .groupBy("_v")
-        .agg(F.min("vec_id").alias("_canon"))
+        .groupBy("_vh")
+        .agg(
+            F.min("vec_id").alias("_canon"),
+            F.min_by("_v", "vec_id").alias("_cv"),
+        )
     )
-    tagged = base.join(canon, "_v", "left").withColumn(
-        "_canon", F.coalesce("_canon", F.col("vec_id"))
+    tagged = (
+        base.join(canon, "_vh", "left")
+        .withColumn(
+            "_canon",
+            F.when(
+                F.col("_cv").isNotNull() & (F.col("_v") == F.col("_cv")),
+                F.col("_canon"),
+            ).otherwise(F.col("vec_id")),
+        )
+        .select("vec_id", "_v", "_canon")
     )
     # tagged feeds TWO branches (stars and reps→signatures) — persist
     # so the vector groupBy + join runs once, not per branch; the

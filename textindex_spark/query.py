@@ -1517,6 +1517,7 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
             F.sum("doc_len").alias("total_tokens"),
         ).collect()[0]
         from textindex_spark.build import read_stats as _rs
+        from textindex_spark.build import write_stats_row as _wsr
 
         stats = _rs(spark, index_dir)
         stats.update(
@@ -1524,9 +1525,7 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
             avgdl=float(srow["avgdl"] or 0.0),
             total_tokens=int(srow["total_tokens"] or 0),
         )
-        local_df(spark, [stats], STATS_SCHEMA).write.mode("overwrite").parquet(
-            stats_dir
-        )
+        _wsr(spark, stats_dir, stats)
         manifest.commit(
             spark,
             index_dir,

@@ -473,6 +473,77 @@ def test_multimodal_real_png(spark):
     assert ga.shape == (3, 3, 3) and (ga[:, :, 0] == ga[:, :, 1]).all()
 
 
+def test_multimodal_real_jpeg(spark):
+    """Baseline JPEG decodes for REAL (stdlib + numpy Huffman/IDCT):
+    smooth images round-trip within DCT tolerance at 4:4:4 and 4:2:0,
+    grayscale and restart-interval streams decode, progressive and
+    corrupt streams raise the uniform ValueError, and the feature /
+    resize kernels consume JPEG without the stub."""
+    from textindex_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 // (w - 1),
+            yy * 255 // (h - 1),
+            (xx + yy) * 255 // (w + h - 2),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    # near-lossless at quality 100, bounded error at 90, 4:2:0 decodes
+    for kwargs, tol in [
+        (dict(quality=100), 3),
+        (dict(quality=90), 12),
+        (dict(quality=95, subsample=True), 16),
+        (dict(quality=90, restart_interval=2), 12),
+    ]:
+        out = decode_jpeg(encode_jpeg(img, **kwargs))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= tol, kwargs
+    # solid color is exact; grayscale round-trips exactly at q100
+    solid = np.full((16, 16, 3), 130, np.uint8)
+    assert (decode_jpeg(encode_jpeg(solid, quality=95)) == 130).all()
+    g = (yy * 255 // (h - 1)).astype(np.uint8)
+    gout = decode_jpeg(encode_jpeg(g, quality=100))
+    assert gout.shape == (h, w, 1) and (gout[:, :, 0] == g).all()
+    # odd dims exercise the edge-replication padding path
+    odd = img[:19, :37]
+    assert decode_jpeg(encode_jpeg(odd, quality=90, subsample=True)).shape == odd.shape
+    # restart markers decode identically to the unsegmented stream
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, quality=90, restart_interval=3)),
+        decode_jpeg(encode_jpeg(img, quality=90)),
+    )
+    # error contract: progressive + corrupt/truncated → ValueError
+    blob = encode_jpeg(img, quality=90)
+    i = blob.index(b"\xff\xc0")
+    for bad in (b"", b"junk", blob[: i + 1], blob[: len(blob) // 2],
+                blob[:i] + b"\xff\xc2" + blob[i + 2 :]):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+    # Spark kernels: feature + resize consume JPEG for real
+    rows = [
+        (1, "image", blob, "image/jpeg", w, h, None),
+        (2, "image", b"\xff\xd8corrupt", "image/jpeg", 4, 4, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, deterministic_fake=False).collect()
+    }
+    assert feats[1]["ok"] and not feats[2]["ok"]
+    want_rgb = decode_jpeg(blob).reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(feats[1]["feature"][:3], want_rgb, atol=1e-6)
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 10, 6).collect()}
+    assert out[1]["ok"] and out[1]["mime"] == "image/jpeg"
+    resized = decode_jpeg(bytes(out[1]["content"]))
+    want = multimodal.resize_nearest(decode_jpeg(blob), 10, 6)
+    assert resized.shape == want.shape
+    assert np.abs(resized.astype(int) - want.astype(int)).max() <= 12
+    assert not out[2]["ok"]  # corrupt JPEG passes through unchanged
+
+
 def _collision_pairs(segs_df):
     """Σ C(n,2) over (seg, seg_val) buckets = candidate-join row count
     before dedup — the quantity that must stay far from all-pairs."""

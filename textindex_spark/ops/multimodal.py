@@ -1,14 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched kernels.
 
-Decode is REAL for the formats the standard library can parse —
+Decode is REAL for the formats stdlib + numpy can parse —
 binary PPM images (``decode_ppm`` / ``encode_ppm`` /
 ``resize_nearest``), 8-bit non-interlaced PNG in all five filter
 types and five color types (``decode_png`` / ``encode_png``, stdlib
-zlib + numpy unfiltering — no imaging library), and 16-bit PCM WAV
-audio (``decode_wav``) — and STUBBED for formats that need
-PIL/opencv/ffmpeg (absent in this container, e.g. JPEG and video
-frames): ``_decode_image_stub`` raises ``NotImplementedError``
+zlib + numpy unfiltering — no imaging library), baseline JPEG
+(``ops.jpeg.decode_jpeg`` / ``encode_jpeg``: Huffman + IDCT +
+chroma upsample in numpy; progressive raises ValueError), and
+16-bit PCM WAV audio (``decode_wav``) — and STUBBED for formats
+that need PIL/opencv/ffmpeg (absent in this container: video
+frames, progressive JPEG, WebP/AVIF...): ``_decode_image_stub``
+raises ``NotImplementedError``
 unless ``deterministic_fake=True``, which produces a seeded,
 content-derived fake decode so the Spark-side plumbing — schema,
 batching, partition sizing, UDF signatures — stays testable for
@@ -293,16 +296,23 @@ def extract_features(
             for blob, mime in zip(pdf["content"].values, pdf["mime"].values):
                 try:
                     img = None
-                    if mime in ("image/x-portable-pixmap", "image/png"):
+                    if mime in (
+                        "image/x-portable-pixmap", "image/png", "image/jpeg",
+                    ):
                         # REAL decode paths (stdlib-only formats); a
-                        # corrupt stream falls through to the stub so
-                        # deterministic_fake semantics are uniform
+                        # corrupt/progressive stream falls through to
+                        # the stub so deterministic_fake semantics are
+                        # uniform
                         try:
-                            img = (
-                                decode_ppm(blob)
-                                if mime == "image/x-portable-pixmap"
-                                else png_to_rgb(decode_png(blob))
-                            ).astype(np.float32)
+                            if mime == "image/x-portable-pixmap":
+                                img = decode_ppm(blob)
+                            elif mime == "image/png":
+                                img = png_to_rgb(decode_png(blob))
+                            else:
+                                from textindex_spark.ops.jpeg import decode_jpeg
+
+                                img = png_to_rgb(decode_jpeg(blob))
+                            img = img.astype(np.float32)
                         except ValueError:
                             img = None
                     if img is not None:
@@ -374,24 +384,30 @@ def sample_frames(
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """mapInPandas: PPM and PNG image rows → resized blobs in the
-    same format (REAL decode + nearest-neighbor numpy resize +
-    re-encode). Other mimes pass through unchanged with ok=False so
-    callers can route them to an imaging-library cluster. Output
-    schema == MEDIA_SCHEMA + ok boolean."""
+    """mapInPandas: PPM, PNG and baseline-JPEG image rows → resized
+    blobs in the same format (REAL decode + nearest-neighbor numpy
+    resize + re-encode). Other mimes pass through unchanged with
+    ok=False so callers can route them to an imaging-library cluster.
+    Output schema == MEDIA_SCHEMA + ok boolean."""
+    from textindex_spark.ops.jpeg import decode_jpeg, encode_jpeg
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_blobs, oks, ws, hs = [], [], [], []
             for blob, mime in zip(pdf["content"].values, pdf["mime"].values):
-                if mime in ("image/x-portable-pixmap", "image/png"):
+                if mime in (
+                    "image/x-portable-pixmap", "image/png", "image/jpeg",
+                ):
                     try:
                         if mime == "image/x-portable-pixmap":
                             img = resize_nearest(decode_ppm(blob), out_w, out_h)
                             out_blobs.append(encode_ppm(img))
-                        else:
+                        elif mime == "image/png":
                             img = resize_nearest(decode_png(blob), out_w, out_h)
                             out_blobs.append(encode_png(img))
+                        else:
+                            img = resize_nearest(decode_jpeg(blob), out_w, out_h)
+                            out_blobs.append(encode_jpeg(img))
                         ws.append(out_w)
                         hs.append(out_h)
                         oks.append(True)

@@ -544,6 +544,149 @@ def test_multimodal_real_jpeg(spark):
     assert not out[2]["ok"]  # corrupt JPEG passes through unchanged
 
 
+def _spec_gif(frames_idx, palette, w, h, gcx=None):
+    """Independent spec-correct GIF builder (the documented
+    'uncompressed LZW' technique: fixed-width codes with a CLEAR
+    before the dictionary can grow past width+1) — ground truth the
+    decoder is validated against, sharing no code with ops.gif."""
+    pbits = max(1, (len(palette) - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (pbits - 1))
+    out += b"\x00\x00"
+    for r, g, b in palette:
+        out += bytes([r, g, b])
+    out += b"\x00" * (3 * ((1 << pbits) - len(palette)))
+    code_size = max(2, pbits)
+    clear, eoi = 1 << code_size, (1 << code_size) + 1
+    for fi, (idx, (ix, iy, iw, ih)) in enumerate(frames_idx):
+        if gcx and gcx[fi]:
+            delay, trans, disp = gcx[fi]
+            packed = (disp << 2) | (1 if trans is not None else 0)
+            out += bytes([0x21, 0xF9, 4, packed])
+            out += (delay // 10).to_bytes(2, "little")
+            out += bytes([trans or 0, 0])
+        out.append(0x2C)
+        out += ix.to_bytes(2, "little") + iy.to_bytes(2, "little")
+        out += iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
+        out.append(0)
+        out.append(code_size)
+        bits, nbits, data = 0, 0, bytearray()
+        width = code_size + 1
+
+        def emit(c):
+            nonlocal bits, nbits
+            bits |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                data.append(bits & 0xFF)
+                bits >>= 8
+                nbits -= 8
+
+        emit(clear)
+        cnt = 0
+        for v in np.asarray(idx).reshape(-1):
+            if cnt == (1 << code_size) - 2:
+                emit(clear)
+                cnt = 0
+            emit(int(v))
+            cnt += 1
+        emit(eoi)
+        if nbits:
+            data.append(bits & 0xFF)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_multimodal_real_gif(spark):
+    """GIF decodes for REAL (stdlib LZW + full compositing): the
+    decoder reproduces independently-built spec-correct streams
+    (transparency, partial frames, all three disposal methods), the
+    LZW encoder round-trips exactly through it, and the Spark frame-
+    sampling kernel walks the actual animation timeline."""
+    from textindex_spark.ops.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(17)
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    pal = np.array(palette, np.uint8)
+    w, h = 11, 7
+    f0 = rng.randint(0, 5, (h, w))
+    patch = np.array([[1, 2, 4, 1], [2, 2, 3, 0], [4, 1, 2, 4]])
+    # ground truth: spec-built stream, transparency + partial frame
+    out, delays = decode_gif(
+        _spec_gif(
+            [(f0, (0, 0, w, h)), (patch, (2, 1, 4, 3))], palette, w, h,
+            gcx=[(100, None, 1), (200, 2, 1)],
+        )
+    )
+    assert delays == [100, 200]
+    assert np.array_equal(out[0], pal[f0])
+    want = pal[f0].copy()
+    m = patch != 2
+    want[1:4, 2:6][m] = pal[patch[m]]
+    assert np.array_equal(out[1], want)
+    # disposal 2 (restore bg) and 3 (restore previous)
+    three = [(f0, (0, 0, w, h)), (patch, (2, 1, 4, 3)),
+             (np.zeros((1, 1), int), (0, 0, 1, 1))]
+    out2, _ = decode_gif(
+        _spec_gif(three, palette, w, h, gcx=[(0, None, 1), (0, None, 2), (0, None, 1)])
+    )
+    bgres = pal[f0].copy()
+    bgres[1:4, 2:6] = pal[0]
+    bgres[0, 0] = pal[0]
+    assert np.array_equal(out2[2], bgres)
+    out3, _ = decode_gif(
+        _spec_gif(three, palette, w, h, gcx=[(0, None, 1), (0, None, 3), (0, None, 1)])
+    )
+    prevres = pal[f0].copy()
+    prevres[0, 0] = pal[0]
+    assert np.array_equal(out3[2], prevres)
+    # real-LZW encoder round-trips exactly (incl. interlace + dict growth)
+    frames = [pal[rng.randint(0, 5, (13, 17))] for _ in range(3)]
+    rt, d = decode_gif(encode_gif(frames, delays_ms=[70, 30, 120]))
+    assert d == [70, 30, 120]
+    assert all(np.array_equal(a, b) for a, b in zip(frames, rt))
+    big = pal[np.tile(rng.randint(0, 5, (4, 200)), (40, 1))]
+    assert np.array_equal(decode_gif(encode_gif(big))[0][0], big)
+    ilaced, _ = decode_gif(encode_gif(frames[0], interlace=True))
+    assert np.array_equal(ilaced[0], frames[0])
+    # error contract
+    for bad in (b"", b"GIF8", b"GIF89a" + b"\x00" * 7,
+                encode_gif(frames)[:40]):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+    with pytest.raises(ValueError):
+        encode_gif(rng.randint(0, 256, (40, 40, 3)).astype(np.uint8))  # >256 colors
+    # Spark kernels: timeline-true frame sampling + animated resize
+    anim = encode_gif(frames, delays_ms=[100, 100, 300])
+    rows = [
+        (1, "video", anim, "image/gif", 17, 13, 500),
+        (2, "video", b"GIF89acorrupt", "image/gif", 4, 4, 1000),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.sample_frames(media, every_ms=100).collect()
+    by_idx = {r["frame_idx"]: bytes(r["frame"]) for r in got if r["media_id"] == 1}
+    # 500 ms timeline sampled at 100 ms → frames visible at 0,100,...,400
+    assert len(by_idx) == 5
+    assert not [r for r in got if r["media_id"] == 2]  # corrupt → no rows
+    vis = [0, 1, 2, 2, 2]  # starts at 0/100/200; frame 2 holds 300 ms
+    for f, v in enumerate(vis):
+        assert np.array_equal(
+            multimodal.decode_png(by_idx[f]), frames[v]
+        ), f"sampled frame {f}"
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 8, 6).collect()}
+    assert out[1]["ok"] and out[1]["mime"] == "image/gif"
+    rs, rd = decode_gif(bytes(out[1]["content"]))
+    assert rd == [100, 100, 300] and len(rs) == 3
+    assert np.array_equal(rs[1], multimodal.resize_nearest(frames[1], 8, 6))
+    assert not out[2]["ok"]
+
+
 def _collision_pairs(segs_df):
     """Σ C(n,2) over (seg, seg_val) buckets = candidate-join row count
     before dedup — the quantity that must stay far from all-pairs."""

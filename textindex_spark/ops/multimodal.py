@@ -7,10 +7,12 @@ binary PPM images (``decode_ppm`` / ``encode_ppm`` /
 types and five color types (``decode_png`` / ``encode_png``, stdlib
 zlib + numpy unfiltering — no imaging library), baseline JPEG
 (``ops.jpeg.decode_jpeg`` / ``encode_jpeg``: Huffman + IDCT +
-chroma upsample in numpy; progressive raises ValueError), and
-16-bit PCM WAV audio (``decode_wav``) — and STUBBED for formats
-that need PIL/opencv/ffmpeg (absent in this container: video
-frames, progressive JPEG, WebP/AVIF...): ``_decode_image_stub``
+chroma upsample in numpy; progressive raises ValueError), animated
+GIF (``ops.gif``: LZW + full disposal/transparency compositing —
+``sample_frames`` walks the real animation timeline), and 16-bit
+PCM WAV audio (``decode_wav``) — and STUBBED for formats that need
+PIL/opencv/ffmpeg (absent in this container: ffmpeg-class video,
+progressive JPEG, WebP/AVIF...): ``_decode_image_stub``
 raises ``NotImplementedError``
 unless ``deterministic_fake=True``, which produces a seeded,
 content-derived fake decode so the Spark-side plumbing — schema,
@@ -297,7 +299,8 @@ def extract_features(
                 try:
                     img = None
                     if mime in (
-                        "image/x-portable-pixmap", "image/png", "image/jpeg",
+                        "image/x-portable-pixmap", "image/png",
+                        "image/jpeg", "image/gif",
                     ):
                         # REAL decode paths (stdlib-only formats); a
                         # corrupt/progressive stream falls through to
@@ -308,6 +311,10 @@ def extract_features(
                                 img = decode_ppm(blob)
                             elif mime == "image/png":
                                 img = png_to_rgb(decode_png(blob))
+                            elif mime == "image/gif":
+                                from textindex_spark.ops.gif import decode_gif
+
+                                img = decode_gif(blob)[0][0]  # first frame
                             else:
                                 from textindex_spark.ops.jpeg import decode_jpeg
 
@@ -359,18 +366,41 @@ def extract_features(
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, deterministic_fake: bool = True
 ) -> DataFrame:
-    """mapInPandas: video rows → sampled 'frames' (one binary row per
-    sampled timestamp). Frame decode is the same stub; the row
-    explosion, schema and batch shape are real."""
+    """mapInPandas: video/animation rows → sampled frames (one binary
+    row per sampled timestamp). For ``image/gif`` the decode is REAL
+    (``ops.gif``: LZW + full disposal/transparency compositing) — the
+    animation timeline is walked with the frames' own delays and each
+    sampled timestamp emits the frame a viewer would see then, as a
+    PNG blob. ffmpeg-class containers keep the stub; for them the row
+    explosion, schema and batch shape are the real plumbing."""
+    from textindex_spark.ops.gif import decode_gif
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "frame": []}
             for i in range(len(pdf)):
+                mime = pdf["mime"].iat[i]
+                blob = pdf["content"].iat[i] or b""
+                if mime == "image/gif":
+                    try:
+                        frames, delays = decode_gif(blob)
+                    except ValueError:
+                        # corrupt GIF → no frames emitted for this row
+                        continue
+                    # frame f is on screen in [start_f, start_f+delay_f)
+                    starts = np.concatenate([[0], np.cumsum(delays)])
+                    total = int(starts[-1])
+                    tss = list(range(0, total, every_ms)) or [0]
+                    for f, ts in enumerate(tss):
+                        vis = int(np.searchsorted(starts, ts, "right") - 1)
+                        vis = min(vis, len(frames) - 1)
+                        out["media_id"].append(pdf["media_id"].iat[i])
+                        out["frame_idx"].append(f)
+                        out["frame"].append(encode_png(frames[vis]))
+                    continue
                 if pdf["kind"].iat[i] != "video":
                     continue
                 dur = int(pdf["duration_ms"].iat[i] or 0)
-                blob = pdf["content"].iat[i] or b""
                 for f, _ts in enumerate(range(0, dur, every_ms)):
                     fake = _decode_image_stub(
                         blob + f.to_bytes(4, "little"), deterministic_fake
@@ -389,6 +419,7 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     resize + re-encode). Other mimes pass through unchanged with
     ok=False so callers can route them to an imaging-library cluster.
     Output schema == MEDIA_SCHEMA + ok boolean."""
+    from textindex_spark.ops.gif import decode_gif, encode_gif
     from textindex_spark.ops.jpeg import decode_jpeg, encode_jpeg
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -396,7 +427,8 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             out_blobs, oks, ws, hs = [], [], [], []
             for blob, mime in zip(pdf["content"].values, pdf["mime"].values):
                 if mime in (
-                    "image/x-portable-pixmap", "image/png", "image/jpeg",
+                    "image/x-portable-pixmap", "image/png",
+                    "image/jpeg", "image/gif",
                 ):
                     try:
                         if mime == "image/x-portable-pixmap":
@@ -405,6 +437,19 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         elif mime == "image/png":
                             img = resize_nearest(decode_png(blob), out_w, out_h)
                             out_blobs.append(encode_png(img))
+                        elif mime == "image/gif":
+                            # animation-preserving: every frame resized
+                            # (nearest keeps the palette ≤ the original)
+                            frames, delays = decode_gif(blob)
+                            out_blobs.append(
+                                encode_gif(
+                                    [
+                                        resize_nearest(f, out_w, out_h)
+                                        for f in frames
+                                    ],
+                                    delays_ms=delays,
+                                )
+                            )
                         else:
                             img = resize_nearest(decode_jpeg(blob), out_w, out_h)
                             out_blobs.append(encode_jpeg(img))

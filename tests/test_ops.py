@@ -1112,7 +1112,12 @@ def test_emb_near_dup_duplicate_vectors_stay_linear(spark):
     # one near-duplicate of the cluster vector (tiny perturbation)
     rows.append((m + 50, [float(x + 1e-4) for x in base]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = similarity.embedding_near_pairs(emb, threshold=0.9).collect()
+    # force the DISTRIBUTED plan: the collapse star guard is a
+    # cluster-scale property and must stay pinned there even though
+    # a corpus this small normally routes to the local mirror
+    pairs = similarity.embedding_near_pairs(
+        emb, threshold=0.9, max_local_vectors=0
+    ).collect()
     star = [(r["vec_a"], r["vec_b"]) for r in pairs if r["vec_b"] < m]
     assert len(star) == m - 1 and all(a == 0 for a, _ in star)
     assert all(
@@ -1123,6 +1128,61 @@ def test_emb_near_dup_duplicate_vectors_stay_linear(spark):
     assert near == [(0, m + 50)]
     # total output is linear in the cluster size, never quadratic
     assert len(pairs) < 2 * m
+
+
+def test_emb_near_pairs_local_mirror_row_identical(spark):
+    """The small-N driver-local path of embedding_near_pairs (r5 —
+    ~18 Spark stages of launch overhead at 2k vectors) is pinned
+    ROW-IDENTICAL to the distributed plan: same stars, same candidate
+    buckets, bit-equal cos_micro (left-to-right float64 fold matches
+    F.aggregate's order). Covers exact-dup stripes, zero vectors,
+    near-dups and the stars-dropped threshold>1 branch."""
+    from textindex_spark.session import local_df
+
+    rng = np.random.default_rng(23)
+    n, d = 600, 24
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    X[50] = X[10]
+    X[51] = X[10]  # 3-member exact-dup group, canon = 10
+    X[120] = 0.0
+    X[121] = 0.0  # zero vectors: excluded both paths
+    X[200] = X[30] + rng.normal(scale=0.01, size=d).astype(np.float32)
+    emb = local_df(
+        spark,
+        [(int(i), [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    for thr in (0.35, 1.2):
+        loc = sorted(
+            tuple(r)
+            for r in similarity.embedding_near_pairs(emb, thr).collect()
+        )
+        dist = sorted(
+            tuple(r)
+            for r in similarity.embedding_near_pairs(
+                emb, thr, max_local_vectors=0
+            ).collect()
+        )
+        assert loc == dist, f"thr={thr}: local path diverged"
+    assert len(loc) == 0  # thr>1: stars dropped, nothing verifies
+    # candidate-volume guard: a cap of 0 pairs must refuse the local
+    # path and hand back the distributed result, not truncate
+    old = similarity.LOCAL_EMB_MAX_CAND_PAIRS
+    similarity.LOCAL_EMB_MAX_CAND_PAIRS = 0
+    try:
+        guarded = sorted(
+            tuple(r)
+            for r in similarity.embedding_near_pairs(emb, 0.35).collect()
+        )
+    finally:
+        similarity.LOCAL_EMB_MAX_CAND_PAIRS = old
+    dist35 = sorted(
+        tuple(r)
+        for r in similarity.embedding_near_pairs(
+            emb, 0.35, max_local_vectors=0
+        ).collect()
+    )
+    assert guarded == dist35
 
 
 def test_ivf_filtered_search(spark, tmp_path):

@@ -681,6 +681,116 @@ def embedding_lsh_segments(
     )
 
 
+# Right tool at each scale (mirrors LOCAL_CLUSTER_MAX_PAIRS in
+# ops.dedup and LOCAL_SCORE_MAX_POSTINGS in query.py): a corpus of
+# ≤ this many vectors runs the SAME banding algorithm driver-side in
+# numpy — the distributed plan is ~8 jobs / ~18 stages of pure launch
+# overhead at that size. The local path is pinned row-identical to
+# the distributed one by test (same hyperplanes, same round-6 sign
+# test, and fold-order float64 accumulation matching F.aggregate),
+# and it falls back to the cluster plan when the candidate-pair
+# volume in any calibration says driver memory would be at risk.
+LOCAL_EMB_MAX_VECTORS = 100_000
+LOCAL_EMB_MAX_CAND_PAIRS = 5_000_000
+
+
+def _near_pairs_local(
+    emb: DataFrame,
+    threshold: float,
+    n_bits: int,
+    n_segs: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame | None:
+    """Driver-side mirror of ``embedding_near_pairs`` for small
+    corpora — the SAME algorithm (exact-dup collapse to min-id
+    canonical stars, calibrated SRP banding, candidate = any shared
+    segment, cosine verify on micro ints), row-identical to the
+    distributed plan by construction: identical hyperplanes, the
+    identical round-6 sign test, and left-to-right float64
+    accumulation matching ``F.aggregate``'s fold order bit for bit.
+    Returns ``None`` (caller falls back to the cluster plan) when the
+    candidate-pair volume crosses ``LOCAL_EMB_MAX_CAND_PAIRS``."""
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    out_schema = "vec_a long, vec_b long, cos_micro long"
+    if not rows:
+        return local_df(spark, [], out_schema)
+    thr_micro_i = int(np.floor(threshold * 1e6 + 0.5))
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    d = X.shape[1] if X.ndim == 2 else 0
+    nsq = np.zeros(len(ids))
+    for j in range(d):  # fold order == F.aggregate's
+        nsq = nsq + X[:, j] * X[:, j]
+    # exact-dup collapse: ascending-id scan makes the first nonzero
+    # occurrence of each byte pattern the min-id canonical; zero
+    # vectors stay their own canonical and never reach the signature
+    # side (they cannot verify) — same outcome as the distributed
+    # filter chain. Byte-pattern grouping is the hash-group +
+    # elementwise-equality check without the hash.
+    head: dict[bytes, int] = {}
+    stars: list[tuple[int, int, int]] = []
+    for i in np.argsort(ids, kind="stable"):
+        i = int(i)
+        if not nsq[i] > 0.0:
+            continue
+        k = X[i].tobytes()
+        h = head.get(k)
+        if h is None:
+            head[k] = i
+        elif thr_micro_i <= 1_000_000:
+            stars.append((int(ids[h]), int(ids[i]), 1_000_000))
+    R = np.array(sorted(head.values()), dtype=np.int64)
+    verified: list[tuple[int, int, int]] = []
+    cand: list[np.ndarray] = []
+    if len(R):
+        planes = _hyperplanes(d, n_bits)
+        bits = (np.round(X[R] @ planes.T, 6) >= 0).astype(np.int64)
+        width = n_bits // n_segs
+        total_cand = 0
+        for s in range(n_segs):
+            seg_val = np.zeros(len(R), dtype=np.int64)
+            for j in range(width):
+                seg_val |= bits[:, s * width + j] << j
+            o = np.argsort(seg_val, kind="stable")
+            sv = seg_val[o]
+            starts = np.flatnonzero(
+                np.concatenate(([True], sv[1:] != sv[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(sv)]))
+            lens = ends - starts
+            for b in np.flatnonzero(lens >= 2):
+                m = int(lens[b])
+                total_cand += m * (m - 1) // 2
+                if total_cand > LOCAL_EMB_MAX_CAND_PAIRS:
+                    return None  # hot buckets: let the cluster do it
+                grp = o[starts[b]:ends[b]]
+                ii, jj = np.triu_indices(m, 1)
+                cand.append(np.stack([grp[ii], grp[jj]], axis=1))
+    if cand:
+        P = np.concatenate(cand)
+        ia, ib = R[P[:, 0]], R[P[:, 1]]
+        sw = ids[ia] > ids[ib]
+        ia, ib = np.where(sw, ib, ia), np.where(sw, ia, ib)
+        _, ui = np.unique(
+            np.stack([ids[ia], ids[ib]], axis=1), axis=0, return_index=True
+        )
+        ia, ib = ia[ui], ib[ui]
+        XA, XB = X[ia], X[ib]
+        acc = np.zeros(len(ia))
+        for j in range(d):  # fold order == F.aggregate's
+            acc = acc + XA[:, j] * XB[:, j]
+        na = np.maximum(np.sqrt(nsq[ia]), 1e-12)
+        nb = np.maximum(np.sqrt(nsq[ib]), 1e-12)
+        micro = np.floor(acc / (na * nb) * 1e6 + 0.5).astype(np.int64)
+        keep = np.flatnonzero(micro >= thr_micro_i)
+        verified = [
+            (int(ids[ia[i]]), int(ids[ib[i]]), int(micro[i])) for i in keep
+        ]
+    return local_df(spark, verified + stars, out_schema)
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     threshold: float = 0.35,
@@ -689,6 +799,7 @@ def embedding_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     recall_target: float = 0.5,
+    max_local_vectors: int = LOCAL_EMB_MAX_VECTORS,
 ) -> DataFrame:
     """→ (vec_a, vec_b, cos_micro): embedding-cosine near-duplicate
     pairs. Candidates = vectors agreeing on at least one signature
@@ -702,8 +813,15 @@ def embedding_near_pairs(
     collisions per segment ~linear in N, and the band count is sized
     so threshold-grade pairs are caught w.p. ≥ recall_target
     (``emb_lsh_params``)."""
+    n_total = emb.count()
     if n_bits is None or n_segs is None:
-        n_bits, n_segs = emb_lsh_params(emb.count(), threshold, recall_target)
+        n_bits, n_segs = emb_lsh_params(n_total, threshold, recall_target)
+    if n_total <= max_local_vectors:
+        local = _near_pairs_local(
+            emb, threshold, n_bits, n_segs, id_col, vec_col
+        )
+        if local is not None:
+            return local
     # Exact-duplicate-vector collapse (r4, the star guard the minhash
     # and simhash paths already have): identical embeddings — the
     # dominant hot-bucket source at web scale, duplicate docs embed

@@ -59,6 +59,15 @@ def get_spark(
         .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # File-scan split packing targets exactly defaultParallelism
+        # splits (bytesPerCore heuristic), i.e. ONE task wave — so the
+        # single slowest extract/tokenize task gates the whole scan
+        # stage and the idle-core tail grows with parallelism (profiled:
+        # utilization 0.65 at local[32], the 8→32 scaling residual).
+        # A floor of 2 waves lets finished cores steal the tail. At
+        # warehouse scale splits already ≫ cores, so this is a no-op
+        # there — it only fixes the small-input local-mode artifact.
+        .config("spark.sql.files.minPartitionNum", str(2 * (cpus or 32)))
     )
     # Heap: 8 GB is GC-bound at 32 shuffle+parquet-writing threads
     # (profiling showed jvmGcTime growing 30× from 8→32 tasks); give

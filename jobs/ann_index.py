@@ -17,6 +17,13 @@
         --output /data/ivf --vec-id 17 --input /data/embeddings \
         [--k 10] [--probe P]
 
+    # drift check + conditional re-fit (reads the k-row ledger only;
+    # re-fits/re-buckets atomically when a bound is crossed —
+    # --dry-run prints the drift report without refitting)
+    spark-submit ... jobs/ann_index.py refit --output /data/ivf \
+        [--dry-run] [--max-appended-frac 1.0] [--max-skew 4.0] \
+        [--max-resid-drift 1.5] [--refit-id run7]
+
 Input tables need (vec_id: long, embedding: array<float|double>).
 """
 from __future__ import annotations
@@ -27,7 +34,7 @@ import json
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["build", "append", "query"])
+    ap.add_argument("cmd", choices=["build", "append", "query", "refit"])
     ap.add_argument("--input", default=None, help="embeddings parquet")
     ap.add_argument("--output", required=True, help="IVF index dir")
     ap.add_argument("--centroids", type=int, default=None)
@@ -44,6 +51,14 @@ def main() -> None:
     )
     ap.add_argument("--vec-id", type=int, default=None,
                     help="query: use this row of --input as the query vector")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="refit: print the drift report only")
+    ap.add_argument("--max-appended-frac", type=float, default=1.0)
+    ap.add_argument("--max-skew", type=float, default=4.0)
+    ap.add_argument("--max-resid-drift", type=float, default=1.5)
+    ap.add_argument("--refit-id", default=None,
+                    help="refit: pins staging dirs so a crash-retry "
+                    "overwrites its own staging")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -84,6 +99,20 @@ def main() -> None:
             append_id=args.append_id,
         )
         print(json.dumps({"appended": int(n)}))
+    elif args.cmd == "refit":
+        if args.dry_run:
+            print(json.dumps(S.ivf_drift_report(spark, args.output)))
+        else:
+            out = S.maybe_refit(
+                spark, args.output,
+                max_appended_frac=args.max_appended_frac,
+                max_skew=args.max_skew,
+                max_resid_drift=args.max_resid_drift,
+                n_centroids=args.centroids,
+                max_iter=args.max_iter,
+                refit_id=args.refit_id,
+            )
+            print(json.dumps(out))
     else:
         if not (args.input and args.vec_id is not None):
             ap.error("query requires --input and --vec-id")

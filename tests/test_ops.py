@@ -1185,6 +1185,61 @@ def test_emb_near_pairs_local_mirror_row_identical(spark):
     assert guarded == dist35
 
 
+def test_ivf_append_schema_guard_and_refit_keeps_columns(spark, tmp_path):
+    """r5 CLI-drive finds: (1) an append whose columns differ from the
+    stored vectors table must FAIL before commit (it used to commit
+    and poison every subsequent read with a unionByName error);
+    (2) maybe_refit must preserve filtered-ANN payload columns —
+    it used to select only (id, vector), silently dropping label."""
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=8)], int(i % 3))
+        for i in range(60)
+    ]
+    out = str(tmp_path / "ivf")
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    similarity.write_ivf(spark, emb, out, n_centroids=3, max_iter=4)
+    # (1) missing `label` → ValueError, nothing committed
+    bad = spark.createDataFrame(
+        [(100, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="stored vector schema"):
+        similarity.ivf_append(spark, bad, out, append_id="bad")
+    from textindex_spark import manifest
+
+    assert manifest.read_table(spark, out, "vectors").count() == 60
+    # a matching append still works and a refit keeps `label` intact
+    more = [
+        (int(1000 + i), [float(x) for x in rng.normal(size=8) + 2.0], 1)
+        for i in range(180)
+    ]
+    similarity.ivf_append(
+        spark,
+        spark.createDataFrame(
+            more, "vec_id long, embedding array<float>, label int"
+        ),
+        out,
+        append_id="ok",
+    )
+    rep = similarity.maybe_refit(
+        spark, out, max_appended_frac=1.0, n_centroids=4, refit_id="r"
+    )
+    assert rep["refit"]
+    vec = manifest.read_table(spark, out, "vectors")
+    assert "label" in vec.columns and vec.count() == 240
+    assert vec.filter("label = 1").count() == 200  # 180 appended + 20 base
+    # filtered search still works post-refit
+    import pyspark.sql.functions as F
+
+    got = similarity.ivf_search_stored(
+        spark, out, [float(x) for x in rng.normal(size=8)], k=5,
+        n_probe=4, where=F.expr("label = 1"),
+    ).collect()
+    assert len(got) == 5
+
+
 def test_ivf_filtered_search(spark, tmp_path):
     """Filtered ANN: ivf_cosine_topk(where=) returns exactly the
     exact filtered ranking restricted to the probed buckets; with all

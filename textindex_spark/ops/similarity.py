@@ -198,6 +198,11 @@ def assign_buckets(
             if len(pdf) == 0:
                 continue
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if X.ndim != 2 or X.shape[1] != cu.shape[1]:
+                raise ValueError(
+                    f"embedding dim {X.shape[1] if X.ndim == 2 else 'ragged'}"
+                    f" != index dim {cu.shape[1]}"
+                )
             dots = np.round(_unit(X) @ cu.T, 6)
             a = np.argmax(dots, axis=1)
             pdf = pdf.copy()
@@ -352,6 +357,22 @@ def ivf_append(
         return 0  # replayed append_id: already committed
     cent = _read_ivf_table(spark, out_dir, "centroids").orderBy("bucket").collect()
     centroids = np.array([list(r["centroid"]) for r in cent], dtype=np.float64)
+    # schema guard BEFORE anything is staged: an append whose columns
+    # differ from the stored vectors table would commit fine and then
+    # poison every reader (manifest.read_table unions by name — found
+    # live by the r5 CLI drive). Metadata-only check, no job.
+    stored = [
+        c
+        for c in _read_ivf_table(spark, out_dir, "vectors").columns
+        if c not in ("_resid", "bucket")
+    ]
+    if set(emb.columns) != set(stored):
+        raise ValueError(
+            f"append schema {sorted(emb.columns)} != stored vector "
+            f"schema {sorted(stored)} — filtered-ANN columns must "
+            "match exactly (missing ones would break stored filters; "
+            "extra ones would never be queryable)"
+        )
     assigned = assign_buckets(emb, centroids, vec_col, with_resid=True).persist()
     n = assigned.count()  # materializes ONE matmul pass; write reuses it
     assigned.repartition("bucket").write.mode("overwrite").partitionBy(
@@ -461,7 +482,10 @@ def maybe_refit(
     if not reasons:
         return {"refit": False, "reasons": [], **drift}
 
-    live = _read_ivf_table(spark, out_dir, "vectors").select(id_col, vec_col)
+    # keep EVERY stored column except the derived two — a refit that
+    # selected only (id, vector) would silently drop filtered-ANN
+    # columns like label (r5 review find)
+    live = _read_ivf_table(spark, out_dir, "vectors").drop("_resid", "bucket")
     n_rows = drift["base_rows"] + drift["appended_rows"]
     params = suggest_ivf_params(n_rows, n_centroids)
     k = n_centroids or params["n_centroids"]

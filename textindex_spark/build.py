@@ -55,6 +55,15 @@ K1 = 1.2
 B = 0.75
 RANGE_BITS_DEFAULT = 13  # 8192 docs per posting block/range
 
+# finalize overlap gate: below this corpus size the encoded postings
+# frame is persisted (MEMORY_AND_DISK) so the terms derivation runs
+# CONCURRENTLY with the bucketed postings write instead of re-reading
+# the written parquet afterwards — removes the last serial job in the
+# finalize tail. Above the gate the write-once / column-pruned
+# re-read path stays: caching a 100 TB postings set would spill it to
+# local disk in full, i.e. write the data twice.
+POSTINGS_OVERLAP_MAX_DOCS = 2_000_000
+
 STATS_SCHEMA = (
     "n_docs long, avgdl double, total_tokens long, vocab_size long, "
     "range_bits long, k1 double, b double, build_sec double, "
@@ -453,12 +462,38 @@ def finalize_index(
 
     postings = build_postings(seg, avgdl, range_bits)
     nparts = write_partitions or max(1, postings.sparkSession.sparkContext.defaultParallelism)
-    write_postings_bucketed(
-        postings, f"{out_dir}/postings", nparts, N_TERM_BUCKETS_DEFAULT
-    )
-    postings_df = spark.read.schema(manifest.TABLE_SCHEMAS["postings"]).parquet(
-        f"{out_dir}/postings"
-    )
+    # Small/medium corpora: persist the encoded blocks and let the
+    # bucketed write run on a driver thread while the terms agg below
+    # consumes the same cached frame — the two jobs share one
+    # materialization and the finalize tail loses its last serial
+    # stage. Large corpora keep write-once + column-pruned re-read
+    # (see POSTINGS_OVERLAP_MAX_DOCS).
+    overlap = 0 < n_docs <= POSTINGS_OVERLAP_MAX_DOCS
+    postings_err: list[BaseException] = []
+    postings_job: Thread | None = None
+    if overlap:
+        from pyspark import StorageLevel
+
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+
+        def _write_postings() -> None:
+            try:
+                write_postings_bucketed(
+                    postings, f"{out_dir}/postings", nparts, N_TERM_BUCKETS_DEFAULT
+                )
+            except BaseException as e:  # surfaced after join()
+                postings_err.append(e)
+
+        postings_job = Thread(target=_write_postings, daemon=True)
+        postings_job.start()
+        postings_df = postings
+    else:
+        write_postings_bucketed(
+            postings, f"{out_dir}/postings", nparts, N_TERM_BUCKETS_DEFAULT
+        )
+        postings_df = spark.read.schema(manifest.TABLE_SCHEMAS["postings"]).parquet(
+            f"{out_dir}/postings"
+        )
     # vocab_size rides on the terms WRITE as an observed metric — no
     # separate re-read + count() job (VERDICT r3 task 6). The observe
     # sits ABOVE the range exchange: below it, repartitionByRange's
@@ -482,6 +517,11 @@ def finalize_index(
     docs_job.join()
     if docs_err:
         raise docs_err[0]
+    if postings_job is not None:
+        postings_job.join()
+        postings.unpersist()
+        if postings_err:
+            raise postings_err[0]
     stats = {
         "n_docs": int(n_docs),
         "avgdl": avgdl,

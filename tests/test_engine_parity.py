@@ -781,3 +781,32 @@ def test_random_phrase_differential(spark, index_dir, oracle):
         assert got == want, phrase
         n_checked += 1
     assert n_checked >= 15
+
+
+def test_finalize_no_overlap_path_identical(spark, rows, index_dir, monkeypatch, tmp_path):
+    """The large-corpus finalize branch (write-once + column-pruned
+    re-read instead of persisting the encoded postings frame — gated
+    by POSTINGS_OVERLAP_MAX_DOCS, build.py finalize_index) must
+    produce a bit-identical index: test corpora are all below the
+    gate, so force the re-read branch and compare every table against
+    the default overlap-path build."""
+    from textindex_spark import build as build_mod
+
+    monkeypatch.setattr(build_mod, "POSTINGS_OVERLAP_MAX_DOCS", 0)
+    out = str(tmp_path / "no_overlap_idx")
+    stats = build_index(spark, corpus_df(spark, rows), out, range_bits=6)
+    ref_stats = spark.read.parquet(f"{index_dir}/stats").collect()[0].asDict()
+    for k in ("n_docs", "avgdl", "total_tokens", "vocab_size", "range_bits"):
+        assert stats[k] == ref_stats[k], k
+
+    def table(d, name, cols):
+        df = spark.read.parquet(f"{d}/{name}").select(*cols)
+        return sorted(map(tuple, df.collect()))
+
+    for name, cols in (
+        ("terms", ["term", "df", "cf", "max_tfnorm", "n_ranges"]),
+        ("docs", ["doc_id", "url", "doc_len", "filter"]),
+        ("postings", ["term", "range_id", "n_docs", "sum_tf",
+                      "doc_gaps", "tf_bytes", "pos_bytes"]),
+    ):
+        assert table(out, name, cols) == table(index_dir, name, cols), name

@@ -544,22 +544,26 @@ def test_multimodal_real_jpeg(spark):
     assert not out[2]["ok"]  # corrupt JPEG passes through unchanged
 
 
-def _spec_gif(frames_idx, palette, w, h, gcx=None):
+def _spec_gif(frames_idx, palette, w, h, gcx=None, bg=0, locals_=None):
     """Independent spec-correct GIF builder (the documented
     'uncompressed LZW' technique: fixed-width codes with a CLEAR
     before the dictionary can grow past width+1) — ground truth the
-    decoder is validated against, sharing no code with ops.gif."""
+    decoder is validated against, sharing no code with ops.gif.
+    ``bg`` sets the logical-screen background index; ``locals_[fi]``
+    (optional) gives frame fi its own local color table."""
     pbits = max(1, (len(palette) - 1).bit_length())
     out = bytearray(b"GIF89a")
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
     out.append(0x80 | (pbits - 1))
-    out += b"\x00\x00"
+    out += bytes([bg, 0])
     for r, g, b in palette:
         out += bytes([r, g, b])
     out += b"\x00" * (3 * ((1 << pbits) - len(palette)))
-    code_size = max(2, pbits)
-    clear, eoi = 1 << code_size, (1 << code_size) + 1
     for fi, (idx, (ix, iy, iw, ih)) in enumerate(frames_idx):
+        lpal = locals_[fi] if locals_ else None
+        fbits = max(1, (len(lpal) - 1).bit_length()) if lpal else pbits
+        code_size = max(2, fbits)
+        clear, eoi = 1 << code_size, (1 << code_size) + 1
         if gcx and gcx[fi]:
             delay, trans, disp = gcx[fi]
             packed = (disp << 2) | (1 if trans is not None else 0)
@@ -569,7 +573,13 @@ def _spec_gif(frames_idx, palette, w, h, gcx=None):
         out.append(0x2C)
         out += ix.to_bytes(2, "little") + iy.to_bytes(2, "little")
         out += iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
-        out.append(0)
+        if lpal:
+            out.append(0x80 | (fbits - 1))
+            for r, g, b in lpal:
+                out += bytes([r, g, b])
+            out += b"\x00" * (3 * ((1 << fbits) - len(lpal)))
+        else:
+            out.append(0)
         out.append(code_size)
         bits, nbits, data = 0, 0, bytearray()
         width = code_size + 1
@@ -660,8 +670,14 @@ def test_multimodal_real_gif(spark):
                 encode_gif(frames)[:40]):
         with pytest.raises(ValueError):
             decode_gif(bad)
-    with pytest.raises(ValueError):
-        encode_gif(rng.randint(0, 256, (40, 40, 3)).astype(np.uint8))  # >256 colors
+    # >256 distinct colors in ONE frame → deterministic quantization
+    # (top-256 most frequent + nearest-RGB): decodes, ≤256 colors,
+    # bounded error
+    noisy = rng.randint(0, 256, (40, 40, 3)).astype(np.uint8)
+    (q,), _ = decode_gif(encode_gif(noisy))
+    assert len(np.unique(q.reshape(-1, 3), axis=0)) <= 256
+    err = np.abs(q.astype(int) - noisy.astype(int))
+    assert err.mean() <= 48 and err.max() <= 192  # nearest-RGB bound
     # Spark kernels: timeline-true frame sampling + animated resize
     anim = encode_gif(frames, delays_ms=[100, 100, 300])
     rows = [
@@ -1065,6 +1081,12 @@ def test_ivf_maybe_refit_restores_recall(spark, tmp_path):
     # ledger reset ⇒ replay is a no-op; stored rows survive intact
     rep2 = similarity.maybe_refit(spark, out, max_appended_frac=1.0, refit_id="r1")
     assert not rep2["refit"] and rep2["appended_frac"] == 0.0
+    # INTRINSIC skew never re-triggers: a fresh post-refit ledger has
+    # skew == skew_base (all rows are base), so even a bound the data
+    # violates forever (max_skew=0.5 < 1 ≤ skew by definition) must
+    # not run k-means again — the r5 review's refit-loop scenario
+    rep3 = similarity.maybe_refit(spark, out, max_skew=0.5, refit_id="r1")
+    assert not rep3["refit"] and rep3["skew"] == pytest.approx(rep3["skew_base"])
     from textindex_spark import manifest
 
     assert manifest.read_table(spark, out, "vectors").count() == 1000
@@ -1672,3 +1694,121 @@ def test_emb_near_pairs_zero_vectors_and_empty(spark):
         ).count()
         == 0
     )
+
+
+def test_gif_disposal2_bg_with_local_table():
+    """Restore-background after a frame that carries a LOCAL color
+    table must paint the GLOBAL table's bg color (GIF89a: the
+    background index addresses the GCT) — r5 review: the guard
+    checked len(gct) but indexed the local table (IndexError on a
+    valid stream when the local table is smaller than bg_idx)."""
+    from textindex_spark.ops.gif import decode_gif
+
+    gpal = [(10 * i, 0, 0) for i in range(8)]  # 8-entry GCT, bg_idx=6
+    lpal = [(0, 255, 0), (0, 0, 255)]  # 2-entry local table < bg_idx
+    w, h = 6, 5
+    f0 = np.zeros((h, w), int)
+    patch = np.array([[0, 1], [1, 0]])
+    dot = np.array([[3]])
+    frames, _ = decode_gif(
+        _spec_gif(
+            [(f0, (0, 0, w, h)), (patch, (1, 1, 2, 2)), (dot, (0, 0, 1, 1))],
+            gpal, w, h,
+            gcx=[(0, None, 1), (0, None, 2), (0, None, 1)],
+            bg=6,
+            locals_=[None, lpal, None],
+        )
+    )
+    lp = np.array(lpal, np.uint8)
+    assert np.array_equal(frames[1][1:3, 1:3], lp[patch])
+    want = np.zeros((h, w, 3), np.uint8)
+    want[:, :] = (0, 0, 0)  # gpal[0]
+    want[1:3, 1:3] = (60, 0, 0)  # restore = GLOBAL bg color gpal[6]
+    want[0, 0] = (30, 0, 0)  # frame 2 pixel, gpal[3]
+    assert np.array_equal(frames[2], want)
+
+
+def test_gif_zero_delay_sampling(spark):
+    """All-zero-delay animated GIF (browsers clamp ≤10 ms to 100 ms):
+    the timeline walk must sample EVERY frame, not collapse to one
+    sample of the last frame (r5 review)."""
+    from textindex_spark.ops.gif import encode_gif
+    from textindex_spark.ops import multimodal
+
+    pal = np.array([(0, 0, 0), (255, 0, 0), (0, 255, 0)], np.uint8)
+    rng = np.random.RandomState(3)
+    frames = [pal[rng.randint(0, 3, (5, 7))] for _ in range(3)]
+    anim = encode_gif(frames, delays_ms=[0, 0, 0])
+    media = spark.createDataFrame(
+        [(1, "video", anim, "image/gif", 7, 5, None)], multimodal.MEDIA_SCHEMA
+    )
+    got = multimodal.sample_frames(media, every_ms=100).collect()
+    by_idx = {r["frame_idx"]: bytes(r["frame"]) for r in got}
+    assert len(by_idx) == 3  # 3 × 100 ms clamped timeline, one per frame
+    for f in range(3):
+        assert np.array_equal(multimodal.decode_png(by_idx[f]), frames[f]), f
+
+
+def test_gif_multi_palette_encode_lossless():
+    """Frames whose COMBINED colors exceed 256 but fit 256 apiece
+    round-trip exactly via per-frame local color tables (r5 review:
+    the single-GCT encoder made animation-preserving resize
+    impossible for real multi-palette GIFs)."""
+    from textindex_spark.ops.gif import decode_gif, encode_gif
+
+    h, w = 10, 20
+    a = np.zeros((h, w, 3), np.uint8)
+    b = np.zeros((h, w, 3), np.uint8)
+    for i in range(200):  # 400 distinct colors across the two frames
+        a[i // w, i % w] = (i + 1, 0, 0)
+        b[i // w, i % w] = (0, i + 1, 0)
+    rt, delays = decode_gif(encode_gif([a, b], delays_ms=[40, 60]))
+    assert delays == [40, 60]
+    assert np.array_equal(rt[0], a) and np.array_equal(rt[1], b)
+
+
+def test_jpeg_corrupt_streams_uniform_valueerror():
+    """The decode_jpeg error contract is ValueError for ANY corrupt
+    stream — r5 review reproduced ZeroDivisionError (zero SOF
+    sampling factors) and IndexError (empty SOF segment) escaping to
+    the Spark kernels, which catch only ValueError."""
+    from textindex_spark.ops.jpeg import decode_jpeg
+
+    def sof(payload: bytes) -> bytes:
+        return (
+            b"\xff\xd8\xff\xc0"
+            + (len(payload) + 2).to_bytes(2, "big")
+            + payload
+        )
+
+    cases = [
+        sof(b""),  # empty SOF segment
+        sof(bytes([8, 0, 8, 0, 8, 1, 1, 0x00, 0])),  # 0x0 sampling factors
+        sof(bytes([8, 0, 0, 0, 8, 1, 1, 0x11, 0])),  # zero height
+    ]
+    for blob in cases:
+        with pytest.raises(ValueError):
+            decode_jpeg(blob)
+
+
+def test_emb_near_pairs_local_path_releases_persists(spark):
+    """The driver-local mirror must release persisted frames a prior
+    DISTRIBUTED call left pinned (r5 review: the 'released at the
+    next call' contract only held for distributed→distributed)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # force the distributed path (cap=0) with pinned banding
+    dist = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_pairs(
+            emb, threshold=0.35, n_bits=4, n_segs=8, max_local_vectors=0
+        ).collect()
+    }
+    assert len(similarity._emb_persists) == 2  # tagged + segs pinned
+    local = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_pairs(
+            emb, threshold=0.35, n_bits=4, n_segs=8
+        ).collect()
+    }
+    assert not similarity._emb_persists  # local call drained them
+    assert dist == local  # mirror is path-identical on the same banding

@@ -503,25 +503,33 @@ def finalize_index(
 
     obs = Observation("vocab")
     terms = terms_from_postings(postings_df)
-    (
-        terms.repartitionByRange(max(1, nparts // 4), "term")
-        .sortWithinPartitions("term")
-        .observe(obs, F.count(F.lit(1)).alias("n"))
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/terms")
-    )
-    vocab_size = int(obs.get["n"] or 0)
-    # the docs write ran concurrently with everything above (stats
-    # agg, postings shuffle+write, terms write); it only has to be
-    # durable before the manifest commit below
-    docs_job.join()
-    if docs_err:
-        raise docs_err[0]
-    if postings_job is not None:
-        postings_job.join()
-        postings.unpersist()
-        if postings_err:
-            raise postings_err[0]
+    try:
+        (
+            terms.repartitionByRange(max(1, nparts // 4), "term")
+            .sortWithinPartitions("term")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/terms")
+        )
+        vocab_size = int(obs.get["n"] or 0)
+        # the docs write ran concurrently with everything above (stats
+        # agg, postings shuffle+write, terms write); it only has to be
+        # durable before the manifest commit below
+        docs_job.join()
+        if docs_err:
+            raise docs_err[0]
+    finally:
+        # ALWAYS drain the background postings write before leaving —
+        # propagating a terms/docs failure with the daemon thread
+        # still writing out_dir/postings would let a caller's retry
+        # race its own overwrite against the orphan (mixed postings
+        # dir under the next manifest commit), and leak the persisted
+        # frame for the session.
+        if postings_job is not None:
+            postings_job.join()
+            postings.unpersist()
+    if postings_err:
+        raise postings_err[0]
     stats = {
         "n_docs": int(n_docs),
         "avgdl": avgdl,

@@ -276,8 +276,10 @@ def decode_gif(blob: bytes) -> tuple[list[np.ndarray], list[int]]:
         frames.append(canvas.copy())
         delays.append(delay_ms)
         if disposal == 2:  # restore background
+            # bg_idx indexes the GLOBAL color table (GIF89a §18) — a
+            # frame-local table may be smaller than bg_idx
             bg = (
-                ct[bg_idx]
+                gct[bg_idx]
                 if gct is not None and bg_idx < len(gct)
                 else np.zeros(3, np.uint8)
             )
@@ -293,15 +295,54 @@ def decode_gif(blob: bytes) -> tuple[list[np.ndarray], list[int]]:
 # ---------------------------------------------------------------- encode
 
 
+def _frame_palette(frame: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One frame → (palette ≤256×3, index grid). Lossless when the
+    frame has ≤256 distinct colors; otherwise deterministic
+    quantization: keep the 256 most frequent colors (count desc, RGB
+    asc tiebreak) and map every other color to its nearest kept color
+    (squared-RGB distance, lowest index on ties)."""
+    h, w = frame.shape[:2]
+    flat = frame.reshape(-1, 3)
+    pal, inv, cnt = np.unique(
+        flat, axis=0, return_inverse=True, return_counts=True
+    )
+    if len(pal) <= 256:
+        return pal, inv.astype(np.uint8).reshape(h, w)
+    # count-tie break by a deterministic color hash, NOT by RGB order:
+    # an all-unique-color frame (every count 1) would otherwise keep
+    # the 256 lexicographically smallest colors — one corner of the
+    # cube — instead of a spread sample
+    p32 = pal.astype(np.uint64)
+    chash = (p32[:, 0] * 73856093) ^ (p32[:, 1] * 19349663) ^ (
+        p32[:, 2] * 83492791
+    )
+    order = np.lexsort((chash, -cnt))  # count desc, then hash spread
+    kept = pal[np.sort(order[:256])]
+    k32 = kept.astype(np.int32)
+    remap = np.empty(len(pal), np.uint8)
+    for s in range(0, len(pal), 4096):  # bound the distance matrix
+        blk = pal[s : s + 4096].astype(np.int32)
+        d = ((blk[:, None, :] - k32[None, :, :]) ** 2).sum(-1)
+        remap[s : s + 4096] = d.argmin(1).astype(np.uint8)
+    return kept, remap[inv].reshape(h, w)
+
+
 def encode_gif(
     frames: list[np.ndarray] | np.ndarray,
     delays_ms: list[int] | int = 100,
     loop: bool = True,
     interlace: bool = False,
 ) -> bytes:
-    """(H, W, 3) uint8 frame list → GIF89a bytes (real LZW, one
-    global palette built from the frames' distinct colors — raises
-    ValueError past 256; quantization needs an imaging library)."""
+    """(H, W, 3) uint8 frame list → GIF89a bytes (real LZW).
+
+    Palette strategy, lossless-first: one GLOBAL table when the
+    frames' combined distinct colors fit 256 (exact round-trip);
+    otherwise per-frame LOCAL color tables (GIF89a allows one per
+    image — real multi-palette animations decode to >256 combined
+    colors, so a single-GCT encoder could never re-encode them); a
+    frame that alone exceeds 256 colors is quantized
+    deterministically to its 256 most frequent colors with
+    nearest-RGB mapping (no imaging library)."""
     if isinstance(frames, np.ndarray):
         frames = [frames]
     if not frames:
@@ -311,24 +352,33 @@ def encode_gif(
     h, w = frames[0].shape[:2]
     stack = np.concatenate([f.reshape(-1, 3) for f in frames])
     palette, inverse = np.unique(stack, axis=0, return_inverse=True)
-    if len(palette) > 256:
-        raise ValueError(f"{len(palette)} distinct colors; GIF caps at 256")
-    pbits = max(1, int(len(palette) - 1).bit_length())
-    psize = 1 << pbits
+    use_global = len(palette) <= 256
     out = bytearray(b"GIF89a")
     out.extend(w.to_bytes(2, "little") + h.to_bytes(2, "little"))
-    out.append(0x80 | (pbits - 1))  # GCT present
-    out.extend([0, 0])  # background index, aspect
-    pal = np.zeros((psize, 3), np.uint8)
-    pal[: len(palette)] = palette
-    out.extend(pal.tobytes())
+    if use_global:
+        pbits = max(1, int(len(palette) - 1).bit_length())
+        psize = 1 << pbits
+        out.append(0x80 | (pbits - 1))  # GCT present
+        out.extend([0, 0])  # background index, aspect
+        pal = np.zeros((psize, 3), np.uint8)
+        pal[: len(palette)] = palette
+        out.extend(pal.tobytes())
+    else:
+        out.extend([0, 0, 0])  # no GCT: flags, bg, aspect
     if loop and len(frames) > 1:  # NETSCAPE2.0 loop-forever
         out.extend(b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
     off = 0
-    min_code = max(2, pbits)
     for f, delay in zip(frames, delays_ms):
         if f.shape[:2] != (h, w):
             raise ValueError("all GIF frames must share the canvas size")
+        if use_global:
+            idx = inverse[off : off + h * w].astype(np.uint8).reshape(h, w)
+            off += h * w
+            fpal, pbits = None, max(1, int(len(palette) - 1).bit_length())
+        else:
+            fpal, idx = _frame_palette(f)
+            pbits = max(1, int(len(fpal) - 1).bit_length())
+        min_code = max(2, pbits)
         # graphic control: disposal=1 (leave), no transparency
         out.extend(b"\x21\xf9\x04\x04")
         out.extend((max(0, int(delay)) // 10).to_bytes(2, "little"))
@@ -336,9 +386,14 @@ def encode_gif(
         out.append(0x2C)
         out.extend(b"\x00\x00\x00\x00")
         out.extend(w.to_bytes(2, "little") + h.to_bytes(2, "little"))
-        out.append(0x40 if interlace else 0x00)
-        idx = inverse[off : off + h * w].astype(np.uint8).reshape(h, w)
-        off += h * w
+        flags = 0x40 if interlace else 0x00
+        if fpal is not None:
+            out.append(flags | 0x80 | (pbits - 1))  # local color table
+            lpal = np.zeros((1 << pbits, 3), np.uint8)
+            lpal[: len(fpal)] = fpal
+            out.extend(lpal.tobytes())
+        else:
+            out.append(flags)
         if interlace:
             rows = []
             for start, step in _INTERLACE_PASSES:

@@ -228,7 +228,22 @@ def _parse_entropy(blob: bytes, start: int) -> tuple[list[bytes], int]:
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """Baseline JPEG → (H, W, 3) uint8 RGB, or (H, W, 1) for
     grayscale streams. ValueError on non-baseline modes or corrupt
-    data (uniform error contract with decode_ppm/decode_png)."""
+    data (uniform error contract with decode_ppm/decode_png).
+
+    The contract is enforced at this boundary: any internal decode
+    fault a corrupt stream can still provoke (index/zero-division in
+    the MCU math) is re-raised as ValueError so the multimodal
+    kernels route bad blobs to ok=False instead of failing the whole
+    Spark stage."""
+    try:
+        return _decode_jpeg(blob)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg(blob: bytes) -> np.ndarray:
     if not blob or len(blob) < 4 or blob[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     qt: dict[int, np.ndarray] = {}
@@ -283,10 +298,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + cnt
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             if seg[0] != 8:
                 raise ValueError("only 8-bit JPEG supported")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            if w == 0 or h == 0:
+                raise ValueError("zero JPEG dimensions")
             nc = seg[5]
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc}")
@@ -295,9 +314,10 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "hs": hv >> 4, "vs": hv & 0x0F, "tq": tq}
-                )
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"bad JPEG sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "hs": hs, "vs": vs, "tq": tq})
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS

@@ -387,8 +387,13 @@ def sample_frames(
                     except ValueError:
                         # corrupt GIF → no frames emitted for this row
                         continue
+                    # browser timing model: delays ≤10 ms render at
+                    # 100 ms (an all-zero-delay GIF — common on the
+                    # web — would otherwise collapse the timeline to
+                    # a single sample of the LAST frame)
+                    shown = [d if d > 10 else 100 for d in delays]
                     # frame f is on screen in [start_f, start_f+delay_f)
-                    starts = np.concatenate([[0], np.cumsum(delays)])
+                    starts = np.concatenate([[0], np.cumsum(shown)])
                     total = int(starts[-1])
                     tss = list(range(0, total, every_ms)) or [0]
                     for f, ts in enumerate(tss):
@@ -438,8 +443,11 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                             img = resize_nearest(decode_png(blob), out_w, out_h)
                             out_blobs.append(encode_png(img))
                         elif mime == "image/gif":
-                            # animation-preserving: every frame resized
-                            # (nearest keeps the palette ≤ the original)
+                            # animation-preserving: every frame resized;
+                            # encode_gif falls back to per-frame local
+                            # color tables (+ deterministic top-256
+                            # quantization) when the composited frames
+                            # exceed one 256-entry global palette
                             frames, delays = decode_gif(blob)
                             out_blobs.append(
                                 encode_gif(

@@ -422,19 +422,30 @@ def ivf_drift_report(spark: SparkSession, out_dir: str) -> dict:
     app_n = sum(int(r["cnt"]) for r in rows if r["gen"] != "base")
     app_r = sum(float(r["resid_sum"]) for r in rows if r["gen"] != "base")
     per_bucket: dict[int, int] = {}
+    per_bucket_base: dict[int, int] = {}
     for r in rows:
-        per_bucket[int(r["bucket"])] = per_bucket.get(int(r["bucket"]), 0) + int(r["cnt"])
+        b, c = int(r["bucket"]), int(r["cnt"])
+        per_bucket[b] = per_bucket.get(b, 0) + c
+        if r["gen"] == "base":
+            per_bucket_base[b] = per_bucket_base.get(b, 0) + c
     n_cent = _read_ivf_table(spark, out_dir, "centroids").count()
     total = base_n + app_n
-    mean_sz = total / max(int(n_cent), 1)
-    skew = (max(per_bucket.values()) / mean_sz) if per_bucket and mean_sz else 1.0
+
+    def _skew(buckets: dict[int, int], n: int) -> float:
+        mean_sz = n / max(int(n_cent), 1)
+        return (max(buckets.values()) / mean_sz) if buckets and mean_sz else 1.0
+
     base_mean = base_r / base_n if base_n else 0.0
     app_mean = app_r / app_n if app_n else 0.0
     return {
         "base_rows": base_n,
         "appended_rows": app_n,
         "appended_frac": (app_n / base_n) if base_n else (1.0 if app_n else 0.0),
-        "skew": float(skew),
+        "skew": float(_skew(per_bucket, total)),
+        # skew of the fit-time assignment alone: the floor a refit
+        # can reach — intrinsic data skew k-means already balanced as
+        # far as it can
+        "skew_base": float(_skew(per_bucket_base, base_n)),
         "resid_drift": (app_mean / base_mean) if base_mean > 0 else 1.0,
     }
 
@@ -475,7 +486,13 @@ def maybe_refit(
     reasons = []
     if drift["appended_frac"] > max_appended_frac:
         reasons.append("appended_frac")
-    if drift["skew"] > max_skew:
+    # skew must be APPEND-GROWN to trigger: intrinsically skewed data
+    # leaves skew > max_skew even in the fresh post-refit ledger
+    # (k-means can't balance what the distribution doesn't), so a
+    # bare threshold would re-run the full refit on every call —
+    # violating the no-op-retry contract above. skew_base is the
+    # floor the last fit achieved; only growth past it is drift.
+    if drift["skew"] > max_skew and drift["skew"] > 1.25 * drift["skew_base"]:
         reasons.append("skew")
     if drift["resid_drift"] > max_resid_drift:
         reasons.append("resid_drift")
@@ -837,14 +854,24 @@ def embedding_near_pairs(
     collisions per segment ~linear in N, and the band count is sized
     so threshold-grade pairs are caught w.p. ≥ recall_target
     (``emb_lsh_params``)."""
-    n_total = emb.count()
     if n_bits is None or n_segs is None:
+        n_total = emb.count()
         n_bits, n_segs = emb_lsh_params(n_total, threshold, recall_target)
+    else:
+        # pinned banding needs no calibration count — probe only
+        # whether the corpus is small enough for the local mirror
+        # (bounded scan: the limit stops the job at the cap + 1)
+        n_total = emb.limit(max_local_vectors + 1).count()
     if n_total <= max_local_vectors:
         local = _near_pairs_local(
             emb, threshold, n_bits, n_segs, id_col, vec_col
         )
         if local is not None:
+            # the local mirror holds nothing distributed — release
+            # any persisted frames a prior distributed call left
+            # pinned (the "released at the next call" contract)
+            while _emb_persists:
+                _emb_persists.pop().unpersist()
             return local
     # Exact-duplicate-vector collapse (r4, the star guard the minhash
     # and simhash paths already have): identical embeddings — the

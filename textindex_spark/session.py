@@ -37,6 +37,9 @@ def get_spark(
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
     master = f"local[{cpus}]" if cpus else "local[*]"
+    # what local[*] will actually resolve to — the scan-split floor
+    # below must track the REAL slot count, not a constant
+    n_slots = cpus or os.cpu_count() or 1
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -67,7 +70,7 @@ def get_spark(
         # A floor of 2 waves lets finished cores steal the tail. At
         # warehouse scale splits already ≫ cores, so this is a no-op
         # there — it only fixes the small-input local-mode artifact.
-        .config("spark.sql.files.minPartitionNum", str(2 * (cpus or 32)))
+        .config("spark.sql.files.minPartitionNum", str(2 * n_slots))
     )
     # Heap: 8 GB is GC-bound at 32 shuffle+parquet-writing threads
     # (profiling showed jvmGcTime growing 30× from 8→32 tasks); give

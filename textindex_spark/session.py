@@ -176,10 +176,33 @@ def local_df(spark: SparkSession, rows, schema: str):
 
     st = StructType.fromDDL(schema)
     names = [f.name for f in st.fields]
-    if rows and isinstance(rows[0], dict):
+    rows = list(rows or [])
+    if not rows:
+        # zero-row fast path: an empty Arrow batch still launches a
+        # real Spark job on every collect (~200 ms warm); a WHERE
+        # 1=0 LocalRelation (empty-relation propagation) collects
+        # driver-side — ~23 ms to plan, ~3 ms reused from the
+        # per-session cache. This is the hot empty-result
+        # short-circuit for queries on absent vocabulary. The frame
+        # is immutable, so caching per (session, schema) is safe and
+        # the cache dies with the session object.
+        cache = getattr(spark, "_ti_empty_frames", None)
+        if cache is None:
+            cache = {}
+            spark._ti_empty_frames = cache
+        df = cache.get(schema)
+        if df is None:
+            cols = ", ".join(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                for f in st.fields
+            )
+            df = spark.sql(f"SELECT {cols} WHERE 1=0")
+            cache[schema] = df
+        return df
+    if isinstance(rows[0], dict):
         pdf = pd.DataFrame(rows, columns=names)
     else:
-        pdf = pd.DataFrame(list(rows or []), columns=names)
+        pdf = pd.DataFrame(rows, columns=names)
     return spark.createDataFrame(pdf, schema=st)
 
 

@@ -1,0 +1,202 @@
+"""Video container codecs (ops.video): Y4M + MJPEG-AVI round trips,
+the MJPEG omitted-DHT convention, error contracts, and the Spark
+kernel integration (fps-true sample_frames, first-frame features)."""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tests.spark_fixtures import spark  # noqa: F401
+from textindex_spark.ops import multimodal
+from textindex_spark.ops.jpeg import decode_jpeg, encode_jpeg
+from textindex_spark.ops.video import (
+    _mjpeg_frame_bytes,
+    decode_avi_mjpeg,
+    decode_video,
+    decode_y4m,
+    encode_avi_mjpeg,
+    encode_y4m,
+    sniff_container,
+)
+
+
+def _frames(n=3, h=16, w=24, seed=7):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+# ------------------------------------------------------------------- Y4M
+
+def test_y4m_c444_roundtrip_within_rounding():
+    frames = _frames()
+    dec, fps = decode_y4m(encode_y4m(frames, fps=25.0, colorspace="444"))
+    assert fps == 25.0 and len(dec) == 3
+    for d, f in zip(dec, frames):
+        # encode matrix and decode matrix are exact float inverses →
+        # only quantization error survives
+        assert np.abs(d.astype(int) - f.astype(int)).max() <= 2
+
+
+def test_y4m_c420_c422_shapes_and_uniform_color_exact():
+    # uniform frames: chroma subsampling is lossless on constants
+    solid = [np.full((8, 12, 3), c, dtype=np.uint8) for c in (17, 130, 250)]
+    for cs in ("420", "422"):
+        dec, fps = decode_y4m(encode_y4m(solid, fps=30000 / 1001, colorspace=cs))
+        assert abs(fps - 30000 / 1001) < 1e-9  # F30000:1001 survives exactly
+        for d, f in zip(dec, solid):
+            assert d.shape == f.shape
+            assert np.abs(d.astype(int) - f.astype(int)).max() <= 2
+
+
+def test_y4m_mono_and_siting_variant_headers():
+    gray = [np.repeat(np.arange(64, dtype=np.uint8).reshape(8, 8, 1), 3, 2)]
+    dec, _ = decode_y4m(encode_y4m(gray, fps=10, colorspace="mono"))
+    assert np.abs(dec[0].astype(int) - gray[0].astype(int)).max() <= 1
+    # all 4:2:0 chroma-siting spellings parse; C absent defaults to 420
+    base = encode_y4m(_frames(1, 8, 8), colorspace="420")
+    for variant in (b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+        dec2, _ = decode_y4m(base.replace(b"C420", variant))
+        assert dec2[0].shape == (8, 8, 3)
+    headerless = base.replace(b" C420", b"")
+    assert decode_y4m(headerless)[0][0].shape == (8, 8, 3)
+    # FRAME parameters (spec-legal) are skipped, not choked on
+    assert len(decode_y4m(base.replace(b"FRAME\n", b"FRAME Xtag\n"))[0]) == 1
+
+
+def test_y4m_error_contract():
+    ok = encode_y4m(_frames(2, 8, 8), colorspace="444")
+    for bad in (
+        b"",                                   # not Y4M
+        b"YUV4MPEG2 W8 H8 F25:1 C444\n",        # no frames
+        ok[:-5],                               # truncated payload
+        ok.replace(b"C444", b"C411"),          # unsupported colorspace
+        ok.replace(b"W8", b"W0"),              # bad dimensions
+        ok.replace(b"FRAME", b"FRAMX", 1),     # bad frame marker
+        b"YUV4MPEG2 W8 H8 F0:0 C444\n",         # zero-division F tag
+    ):
+        with pytest.raises(ValueError):
+            decode_y4m(bad)
+
+
+# ------------------------------------------------------------------- AVI
+
+def test_avi_mjpeg_roundtrip_bit_identical_to_jpeg_path():
+    frames = _frames()
+    dec, fps = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=12.5))
+    assert fps == 12.5 and len(dec) == 3
+    for d, f in zip(dec, frames):
+        # container adds nothing: identical to the bare JPEG codec
+        assert (d == decode_jpeg(encode_jpeg(f, quality=90))).all()
+
+
+def test_avi_mjpeg_missing_dht_gets_annex_k_defaults():
+    """Real-world MJPEG frames omit DHT; the decoder must splice in
+    the ITU T.81 Annex K default tables."""
+    frame = _frames(1)[0]
+    full = encode_jpeg(frame, quality=90)
+    stripped, i = bytearray(), 0
+    while i < len(full):
+        if full[i] == 0xFF and i + 3 < len(full) and full[i + 1] == 0xC4:
+            i += 2 + int.from_bytes(full[i + 2:i + 4], "big")
+            continue
+        stripped.append(full[i])
+        i += 1
+    stripped = bytes(stripped)
+    assert b"\xff\xc4" not in stripped
+    assert (decode_jpeg(_mjpeg_frame_bytes(stripped)) == decode_jpeg(full)).all()
+    # and end-to-end: rebuild the container around the naked frame —
+    # an AVI whose frames carry no DHT must still decode
+    avi = encode_avi_mjpeg([frame], fps=5)
+    assert full in avi
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    # reuse the encoder's own header (everything before the movi LIST)
+    movi_at = avi.index(b"movi") - 8
+    header = avi[12:movi_at]
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", stripped))
+    body = b"AVI " + header + movi
+    naked = b"RIFF" + struct.pack("<I", len(body)) + body
+    dec, _ = decode_avi_mjpeg(naked)
+    assert (dec[0] == decode_jpeg(full)).all()
+
+
+def test_avi_error_contract():
+    ok = encode_avi_mjpeg(_frames(1), fps=5)
+    audio_only = ok.replace(b"vids", b"auds")
+    not_mjpg = ok.replace(b"MJPG", b"H264", 1)
+    for bad in (b"", b"RIFF\x08\x00\x00\x00WAVEdata", ok[:40], audio_only, not_mjpg):
+        with pytest.raises(ValueError):
+            decode_avi_mjpeg(bad)
+
+
+def test_decode_video_dispatch_and_sniff():
+    frames = _frames(2, 8, 8)
+    avi = encode_avi_mjpeg(frames, fps=4)
+    y4m = encode_y4m(frames, fps=4, colorspace="444")
+    assert sniff_container(avi) == "avi" and sniff_container(y4m) == "y4m"
+    # generic mime + magic sniff still routes correctly
+    assert len(decode_video(avi, "application/octet-stream")[0]) == 2
+    assert len(decode_video(y4m, None)[0]) == 2
+    assert sniff_container(b"\x00\x00\x00 ftypisom", "video/mp4") is None
+    with pytest.raises(ValueError):
+        decode_video(b"\x00\x00\x00 ftypisom", "video/mp4")
+
+
+# ------------------------------------------------------- Spark kernels
+
+def test_sample_frames_real_video(spark):
+    """sample_frames walks the real container timeline: 2 fps video
+    sampled at 1000 ms → one PNG per second, showing the frame a
+    viewer would see (frame f on screen in [f/fps, (f+1)/fps))."""
+    frames = [np.full((6, 6, 3), 40 * i, dtype=np.uint8) for i in range(4)]
+    avi = encode_avi_mjpeg(frames, fps=2)          # 2 s total
+    y4m = encode_y4m(frames, fps=1, colorspace="444")  # 4 s total
+    rows = [
+        (1, "video", bytes(avi), "video/x-msvideo", 6, 6, None),
+        (2, "video", bytes(y4m), "video/x-yuv4mpeg", 6, 6, None),
+        (3, "video", b"corrupt" + bytes(avi[:20]), "video/avi", 6, 6, 9000),
+        (4, "video", b"opaque-mp4", "video/mp4", 6, 6, 2500),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.sample_frames(media, every_ms=1000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # AVI: 4 frames @2fps = 2000 ms → samples at 0,1000 → frames 0,2
+    assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 1]
+    png0 = multimodal.png_to_rgb(multimodal.decode_png(bytes(by_id[1][0]["frame"])))
+    assert png0.shape == (6, 6, 3)
+    # Y4M: 4 frames @1fps = 4000 ms → 4 samples, one per source frame
+    y4m_frames = sorted(by_id[2], key=lambda r: r["frame_idx"])
+    assert len(y4m_frames) == 4
+    for i, r in enumerate(y4m_frames):
+        img = multimodal.png_to_rgb(multimodal.decode_png(bytes(r["frame"])))
+        expect = decode_y4m(y4m)[0][i]
+        assert (img == expect).all()
+    # corrupt identified container → row skipped (GIF contract)
+    assert 3 not in by_id
+    # unidentified container keeps the deterministic-fake plumbing
+    assert len(by_id[4]) == 3  # 2500 ms @ 1000 ms
+
+
+def test_extract_features_real_video(spark):
+    frames = _frames(2, 8, 8)
+    rows = [
+        (1, "video", bytes(encode_avi_mjpeg(frames, fps=4)), "video/avi", 8, 8, None),
+        (2, "video", bytes(encode_y4m(frames, fps=4)), "video/x-yuv4mpeg", 8, 8, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, deterministic_fake=False).collect()
+    }
+    # deterministic_fake=False: only a REAL decode can set ok=True
+    assert got[1]["ok"] and got[2]["ok"]
+    first = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=4))[0][0].astype(np.float32)
+    mean_rgb = first.reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(np.array(got[1]["feature"][:3]), mean_rgb, atol=1e-6)

@@ -9,9 +9,12 @@ zlib + numpy unfiltering — no imaging library), baseline JPEG
 (``ops.jpeg.decode_jpeg`` / ``encode_jpeg``: Huffman + IDCT +
 chroma upsample in numpy; progressive raises ValueError), animated
 GIF (``ops.gif``: LZW + full disposal/transparency compositing —
-``sample_frames`` walks the real animation timeline), and 16-bit
+``sample_frames`` walks the real animation timeline), YUV4MPEG2 and
+MJPEG-in-AVI video (``ops.video``: RIFF/Y4M container parse +
+per-frame decode, fps-true frame sampling), and 16-bit
 PCM WAV audio (``decode_wav``) — and STUBBED for formats that need
-PIL/opencv/ffmpeg (absent in this container: ffmpeg-class video,
+PIL/opencv/ffmpeg (absent in this container: entropy-coded
+inter-frame video H.264/VP9/AV1,
 progressive JPEG, WebP/AVIF...): ``_decode_image_stub``
 raises ``NotImplementedError``
 unless ``deterministic_fake=True``, which produces a seeded,
@@ -322,6 +325,19 @@ def extract_features(
                             img = img.astype(np.float32)
                         except ValueError:
                             img = None
+                    else:
+                        from textindex_spark.ops.video import (
+                            decode_video, sniff_container,
+                        )
+
+                        if sniff_container(blob, mime) is not None:
+                            # REAL container decode (Y4M / MJPEG-AVI):
+                            # feature from the first frame, like GIF
+                            try:
+                                img = decode_video(blob, mime)[0][0]
+                                img = img.astype(np.float32)
+                            except ValueError:
+                                img = None
                     if img is not None:
                         hist = np.histogram(
                             img.mean(axis=2), bins=feat_dim - 3, range=(0, 255)
@@ -367,13 +383,16 @@ def sample_frames(
     media: DataFrame, every_ms: int = 1000, deterministic_fake: bool = True
 ) -> DataFrame:
     """mapInPandas: video/animation rows → sampled frames (one binary
-    row per sampled timestamp). For ``image/gif`` the decode is REAL
-    (``ops.gif``: LZW + full disposal/transparency compositing) — the
-    animation timeline is walked with the frames' own delays and each
-    sampled timestamp emits the frame a viewer would see then, as a
-    PNG blob. ffmpeg-class containers keep the stub; for them the row
-    explosion, schema and batch shape are the real plumbing."""
+    row per sampled timestamp). Decode is REAL for ``image/gif``
+    (``ops.gif``: LZW + full disposal/transparency compositing — the
+    animation timeline is walked with the frames' own delays) and for
+    YUV4MPEG2 / MJPEG-in-AVI video rows (``ops.video``: fps-true
+    sampling, frame f on screen in [f/fps, (f+1)/fps)); every sampled
+    timestamp emits the frame a viewer would see then, as a PNG blob.
+    ffmpeg-class containers (H.264/VP9/AV1) keep the stub; for them
+    the row explosion, schema and batch shape are the real plumbing."""
     from textindex_spark.ops.gif import decode_gif
+    from textindex_spark.ops.video import decode_video, sniff_container
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -404,6 +423,23 @@ def sample_frames(
                         out["frame"].append(encode_png(frames[vis]))
                     continue
                 if pdf["kind"].iat[i] != "video":
+                    continue
+                if sniff_container(blob, mime) is not None:
+                    try:
+                        frames, fps = decode_video(blob, mime)
+                    except ValueError:
+                        # corrupt decodable container → no frames
+                        # emitted (same contract as corrupt GIFs)
+                        continue
+                    # REAL container decode: frame f is on screen in
+                    # [f*1000/fps, (f+1)*1000/fps); one PNG per sample
+                    total = int(round(len(frames) * 1000.0 / fps)) or 1
+                    tss = list(range(0, total, every_ms)) or [0]
+                    for f, ts in enumerate(tss):
+                        vis = min(int(ts * fps / 1000.0), len(frames) - 1)
+                        out["media_id"].append(pdf["media_id"].iat[i])
+                        out["frame_idx"].append(f)
+                        out["frame"].append(encode_png(frames[vis]))
                     continue
                 dur = int(pdf["duration_ms"].iat[i] or 0)
                 for f, _ts in enumerate(range(0, dur, every_ms)):

@@ -147,6 +147,30 @@ def test_decode_video_dispatch_and_sniff():
         decode_video(b"\x00\x00\x00 ftypisom", "video/mp4")
 
 
+def test_video_byte_flip_fuzz_valueerror_only():
+    """Corrupt containers must decode or raise ValueError — never any
+    other exception (the kernels' route-to-skip contract), and never
+    allocate from attacker-controlled dimensions (the payload-length
+    check runs before any frombuffer)."""
+    frames = _frames(2, 8, 8)
+    samples = {
+        "y4m": encode_y4m(frames, fps=5, colorspace="420"),
+        "avi": encode_avi_mjpeg(frames, fps=5),
+    }
+    rng = np.random.default_rng(11)
+    for name, base in samples.items():
+        for trial in range(250):
+            buf = bytearray(base)
+            for _ in range(rng.integers(1, 4)):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            blob = bytes(buf)
+            try:
+                if sniff_container(blob) is not None:
+                    decode_video(blob)
+            except ValueError:
+                pass  # the only permitted failure
+
+
 # ------------------------------------------------------- Spark kernels
 
 def test_sample_frames_real_video(spark):

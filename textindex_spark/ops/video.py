@@ -97,7 +97,7 @@ _Y4M_SUBSAMPLE = {
 }
 
 
-def decode_y4m(blob: bytes, max_pixels: int = 1 << 28) -> tuple[list[np.ndarray], float]:
+def decode_y4m(blob: bytes, max_pixels: int = 1 << 26) -> tuple[list[np.ndarray], float]:
     """YUV4MPEG2 bytes → ([(H, W, 3) uint8 RGB ...], fps).
 
     ValueError on corrupt/truncated streams or colorspaces outside
@@ -223,12 +223,31 @@ def _build_default_dht() -> bytes:
 
 def _mjpeg_frame_bytes(data: bytes) -> bytes:
     """Splice the Annex K default DHT before SOS when the frame
-    carries no Huffman tables (the MJPEG omitted-DHT convention)."""
-    if b"\xff\xc4" in data:
-        return data
-    sos = data.find(b"\xff\xda")
-    if sos < 0:
+    carries no Huffman tables (the MJPEG omitted-DHT convention).
+    Walks the marker structure — a substring scan would false-match
+    0xFFC4 inside other segments' payload bytes."""
+    if data[:2] != b"\xff\xd8":
         return data  # let decode_jpeg produce the uniform ValueError
+    i = 2
+    sos = -1
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            return data  # malformed marker stream: decode as-is
+        marker = data[i + 1]
+        if marker == 0xC4:
+            return data  # has its own Huffman tables
+        if marker == 0xDA:
+            sos = i
+            break
+        if marker == 0xFF:
+            i += 1  # fill byte before the real marker
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            i += 2  # standalone marker (TEM / RSTn / SOI / EOI)
+            continue
+        i += 2 + int.from_bytes(data[i + 2:i + 4], "big")
+    if sos < 0:
+        return data
     return data[:sos] + _build_default_dht() + data[sos:]
 
 

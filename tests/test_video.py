@@ -12,6 +12,7 @@ from tests.spark_fixtures import spark  # noqa: F401
 from textindex_spark.ops import multimodal
 from textindex_spark.ops.jpeg import decode_jpeg, encode_jpeg
 from textindex_spark.ops.video import (
+    UnsupportedCodecError,
     _mjpeg_frame_bytes,
     decode_avi_mjpeg,
     decode_video,
@@ -128,10 +129,53 @@ def test_avi_mjpeg_missing_dht_gets_annex_k_defaults():
 def test_avi_error_contract():
     ok = encode_avi_mjpeg(_frames(1), fps=5)
     audio_only = ok.replace(b"vids", b"auds")
-    not_mjpg = ok.replace(b"MJPG", b"H264", 1)
-    for bad in (b"", b"RIFF\x08\x00\x00\x00WAVEdata", ok[:40], audio_only, not_mjpg):
+    for bad in (b"", b"RIFF\x08\x00\x00\x00WAVEdata", ok[:40], audio_only):
         with pytest.raises(ValueError):
             decode_avi_mjpeg(bad)
+    # non-MJPEG codec is the TYPED error (kernels route it to the
+    # stub, not to the corrupt-skip path) — both fourcc fields patched
+    not_mjpg = ok.replace(b"MJPG", b"H264")
+    with pytest.raises(UnsupportedCodecError):
+        decode_avi_mjpeg(not_mjpg)
+    with pytest.raises(UnsupportedCodecError):
+        decode_y4m(encode_y4m(_frames(1, 8, 8)).replace(b"C444", b"C411"))
+
+
+def test_avi_strf_only_mjpg_and_dropped_frames():
+    """Real muxers blank strh fccHandler (players key on strf
+    biCompression) and emit zero-length ##dc chunks for dropped
+    frames — both must decode."""
+    frames = _frames(2, 8, 8)
+    avi = encode_avi_mjpeg(frames, fps=5)
+    blank_handler = avi.replace(b"vids" + b"MJPG", b"vids" + b"\x00\x00\x00\x00")
+    assert blank_handler != avi
+    dec, _ = decode_avi_mjpeg(blank_handler)
+    assert len(dec) == 2
+    # splice a zero-length 00dc chunk (dropped frame) into movi and
+    # fix the two enclosing sizes
+    movi_at = avi.index(b"movi") - 8
+    import struct as _s
+
+    head, movi_size = avi[:movi_at + 4], _s.unpack_from("<I", avi, movi_at + 4)[0]
+    movi_body = avi[movi_at + 12:movi_at + 8 + movi_size]
+    tail = avi[movi_at + 8 + movi_size + (movi_size & 1):]
+    drop = b"00dc" + _s.pack("<I", 0)
+    new_body = drop + movi_body
+    rebuilt = (
+        head + _s.pack("<I", len(new_body) + 4) + b"movi" + new_body + tail
+    )
+    rebuilt = b"RIFF" + _s.pack("<I", len(rebuilt) - 8) + rebuilt[8:]
+    dec2, _ = decode_avi_mjpeg(rebuilt)
+    assert len(dec2) == 2 and (dec2[0] == dec[0]).all()
+
+
+def test_decode_video_max_frames_probe():
+    frames = _frames(4, 8, 8)
+    for blob in (encode_avi_mjpeg(frames, fps=5), encode_y4m(frames, fps=5)):
+        one, _ = decode_video(blob, max_frames=1)
+        full, _ = decode_video(blob)
+        assert len(one) == 1 and len(full) == 4
+        assert (one[0] == full[0]).all()
 
 
 def test_decode_video_dispatch_and_sniff():
@@ -185,6 +229,9 @@ def test_sample_frames_real_video(spark):
         (2, "video", bytes(y4m), "video/x-yuv4mpeg", 6, 6, None),
         (3, "video", b"corrupt" + bytes(avi[:20]), "video/avi", 6, 6, 9000),
         (4, "video", b"opaque-mp4", "video/mp4", 6, 6, 2500),
+        # valid AVI container, non-MJPEG codec → falls back to the
+        # duration_ms stub path (it must NOT be silently dropped)
+        (5, "video", bytes(avi.replace(b"MJPG", b"H264")), "video/avi", 6, 6, 3000),
     ]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     out = multimodal.sample_frames(media, every_ms=1000).collect()
@@ -206,6 +253,30 @@ def test_sample_frames_real_video(spark):
     assert 3 not in by_id
     # unidentified container keeps the deterministic-fake plumbing
     assert len(by_id[4]) == 3  # 2500 ms @ 1000 ms
+    # parseable container + undecodable codec → stub, not dropped
+    assert len(by_id[5]) == 3  # 3000 ms @ 1000 ms
+
+
+def test_resize_images_real_video(spark):
+    """resize_images re-encodes Y4M and MJPEG-AVI rows frame-by-frame,
+    preserving frame count and fps."""
+    frames = [np.full((8, 8, 3), 60 * i + 20, dtype=np.uint8) for i in range(3)]
+    rows = [
+        (1, "video", bytes(encode_avi_mjpeg(frames, fps=6)), "video/avi", 8, 8, None),
+        (2, "video", bytes(encode_y4m(frames, fps=6)), "video/x-yuv4mpeg", 8, 8, None),
+        (3, "video", b"opaque-mp4", "video/mp4", 8, 8, 500),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in multimodal.resize_images(media, 4, 4).collect()}
+    assert out[1]["ok"] and out[2]["ok"] and not out[3]["ok"]
+    for mid in (1, 2):
+        dec, fps = decode_video(bytes(out[mid]["content"]))
+        assert fps == 6 and len(dec) == 3
+        assert dec[0].shape == (4, 4, 3)
+        # uniform frames survive resize + re-encode within rounding
+        for d, f in zip(dec, frames):
+            assert np.abs(d.astype(int) - int(f[0, 0, 0])).max() <= 3
+    assert bytes(out[3]["content"]) == b"opaque-mp4"  # pass-through
 
 
 def test_extract_features_real_video(spark):
@@ -224,3 +295,32 @@ def test_extract_features_real_video(spark):
     first = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=4))[0][0].astype(np.float32)
     mean_rgb = first.reshape(-1, 3).mean(axis=0) / 255.0
     assert np.allclose(np.array(got[1]["feature"][:3]), mean_rgb, atol=1e-6)
+
+
+def test_extract_features_corrupt_audio_never_fails_stage(spark):
+    """A corrupt WAV (or 8-bit PCM) row must produce a row, not a
+    Spark stage failure — wave.Error is re-raised as ValueError and
+    the row falls through to the stub like corrupt images do."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)  # 8-bit PCM: decode_wav rejects it
+        wf.setframerate(8000)
+        wf.writeframes(bytes(range(64)))
+    rows = [
+        (1, "audio", b"not-a-riff-wav", "audio/wav", 0, 0, None),
+        (2, "audio", buf.getvalue(), "audio/wav", 0, 0, None),
+        (3, "audio", b"RIFF\x24\x00\x00\x00WAVEfmt ", "audio/x-wav", 0, 0, None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert set(got) == {1, 2, 3}  # all rows emitted, stage survived
+    assert all(got[i]["ok"] for i in (1, 2, 3))  # deterministic fake
+    strict = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(media, deterministic_fake=False).collect()
+    }
+    assert not any(strict[i]["ok"] for i in (1, 2, 3))  # honest ok=False

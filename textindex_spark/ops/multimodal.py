@@ -254,18 +254,29 @@ def png_to_rgb(img: np.ndarray) -> np.ndarray:
 
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     """REAL audio decode for PCM WAV via the stdlib ``wave`` module.
-    → (samples[int16, frames × channels], sample_rate)."""
+    → (samples[int16, frames × channels], sample_rate). ValueError on
+    corrupt or non-16-bit streams — the uniform error contract shared
+    with the image/video decoders, so one bad crawl blob routes to
+    ok=False instead of failing the whole Spark stage (wave.Error,
+    EOFError and reshape faults are all re-raised as ValueError)."""
     import io
     import wave
 
-    with wave.open(io.BytesIO(blob), "rb") as wf:
-        if wf.getsampwidth() != 2:
-            raise ValueError("only 16-bit PCM WAV supported")
-        raw = wf.readframes(wf.getnframes())
-        samples = np.frombuffer(raw, dtype="<i2").reshape(
-            -1, wf.getnchannels()
-        )
-        return samples, wf.getframerate()
+    try:
+        with wave.open(io.BytesIO(blob or b""), "rb") as wf:
+            if wf.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM WAV supported")
+            nch = wf.getnchannels()
+            if nch <= 0:
+                raise ValueError("bad WAV channel count")
+            raw = wf.readframes(wf.getnframes())
+            raw = raw[: len(raw) - len(raw) % (2 * nch)]  # truncated tail
+            samples = np.frombuffer(raw, dtype="<i2").reshape(-1, nch)
+            return samples, wf.getframerate()
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"corrupt WAV stream ({type(e).__name__})") from e
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -294,6 +305,7 @@ def extract_features(
     """mapInPandas: (media rows) → fixed-dim feature vectors. The
     batch loop, Arrow transport and output schema are production
     plumbing; only the decode itself is faked/stubbed."""
+    from textindex_spark.ops.video import decode_video, sniff_container
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -325,19 +337,15 @@ def extract_features(
                             img = img.astype(np.float32)
                         except ValueError:
                             img = None
-                    else:
-                        from textindex_spark.ops.video import (
-                            decode_video, sniff_container,
-                        )
-
-                        if sniff_container(blob, mime) is not None:
-                            # REAL container decode (Y4M / MJPEG-AVI):
-                            # feature from the first frame, like GIF
-                            try:
-                                img = decode_video(blob, mime)[0][0]
-                                img = img.astype(np.float32)
-                            except ValueError:
-                                img = None
+                    elif sniff_container(blob, mime) is not None:
+                        # REAL container decode (Y4M / MJPEG-AVI):
+                        # feature from the first frame, like GIF —
+                        # max_frames=1 stops the container walk there
+                        try:
+                            img = decode_video(blob, mime, max_frames=1)[0][0]
+                            img = img.astype(np.float32)
+                        except ValueError:
+                            img = None  # corrupt/unsupported → stub
                     if img is not None:
                         hist = np.histogram(
                             img.mean(axis=2), bins=feat_dim - 3, range=(0, 255)
@@ -348,15 +356,25 @@ def extract_features(
                         )
                         feats.append(vec.astype(np.float32))
                     elif mime in ("audio/wav", "audio/x-wav"):
-                        # REAL decode path (stdlib wave module)
-                        samples, rate = decode_wav(blob)
-                        mono = samples.astype(np.float64).mean(axis=1)
-                        rms = float(np.sqrt((mono**2).mean() or 0.0)) / 32768.0
-                        zcr = float((np.diff(np.sign(mono)) != 0).mean() or 0.0)
-                        dur = len(mono) / rate
-                        vec = np.zeros(feat_dim, dtype=np.float32)
-                        vec[:3] = (rms, zcr, dur)
-                        feats.append(vec)
+                        # REAL decode path (stdlib wave module); a
+                        # corrupt stream falls through to the stub
+                        # like the image/video branches
+                        try:
+                            samples, rate = decode_wav(blob)
+                        except ValueError:
+                            samples = None
+                        if samples is not None and len(samples) and rate:
+                            mono = samples.astype(np.float64).mean(axis=1)
+                            rms = float(np.sqrt((mono**2).mean() or 0.0)) / 32768.0
+                            zcr = float((np.diff(np.sign(mono)) != 0).mean() or 0.0)
+                            dur = len(mono) / rate
+                            vec = np.zeros(feat_dim, dtype=np.float32)
+                            vec[:3] = (rms, zcr, dur)
+                            feats.append(vec)
+                        else:
+                            px = _decode_image_stub(blob, deterministic_fake)
+                            vec = px[: feat_dim * 4].reshape(feat_dim, -1).mean(axis=1)
+                            feats.append((vec / 255.0).astype(np.float32))
                     else:
                         px = _decode_image_stub(blob, deterministic_fake)
                         vec = px[: feat_dim * 4].reshape(feat_dim, -1).mean(axis=1)
@@ -392,7 +410,9 @@ def sample_frames(
     ffmpeg-class containers (H.264/VP9/AV1) keep the stub; for them
     the row explosion, schema and batch shape are the real plumbing."""
     from textindex_spark.ops.gif import decode_gif
-    from textindex_spark.ops.video import decode_video, sniff_container
+    from textindex_spark.ops.video import (
+        UnsupportedCodecError, decode_video, sniff_container,
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -425,22 +445,27 @@ def sample_frames(
                 if pdf["kind"].iat[i] != "video":
                     continue
                 if sniff_container(blob, mime) is not None:
+                    frames = None
                     try:
                         frames, fps = decode_video(blob, mime)
+                    except UnsupportedCodecError:
+                        pass  # e.g. H.264-in-AVI → stub path below
                     except ValueError:
                         # corrupt decodable container → no frames
                         # emitted (same contract as corrupt GIFs)
                         continue
-                    # REAL container decode: frame f is on screen in
-                    # [f*1000/fps, (f+1)*1000/fps); one PNG per sample
-                    total = int(round(len(frames) * 1000.0 / fps)) or 1
-                    tss = list(range(0, total, every_ms)) or [0]
-                    for f, ts in enumerate(tss):
-                        vis = min(int(ts * fps / 1000.0), len(frames) - 1)
-                        out["media_id"].append(pdf["media_id"].iat[i])
-                        out["frame_idx"].append(f)
-                        out["frame"].append(encode_png(frames[vis]))
-                    continue
+                    if frames is not None:
+                        # REAL container decode: frame f is on screen
+                        # in [f*1000/fps, (f+1)*1000/fps); one PNG per
+                        # sampled timestamp
+                        total = int(round(len(frames) * 1000.0 / fps)) or 1
+                        tss = list(range(0, total, every_ms)) or [0]
+                        for f, ts in enumerate(tss):
+                            vis = min(int(ts * fps / 1000.0), len(frames) - 1)
+                            out["media_id"].append(pdf["media_id"].iat[i])
+                            out["frame_idx"].append(f)
+                            out["frame"].append(encode_png(frames[vis]))
+                        continue
                 dur = int(pdf["duration_ms"].iat[i] or 0)
                 for f, _ts in enumerate(range(0, dur, every_ms)):
                     fake = _decode_image_stub(
@@ -455,13 +480,18 @@ def sample_frames(
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """mapInPandas: PPM, PNG and baseline-JPEG image rows → resized
-    blobs in the same format (REAL decode + nearest-neighbor numpy
-    resize + re-encode). Other mimes pass through unchanged with
-    ok=False so callers can route them to an imaging-library cluster.
-    Output schema == MEDIA_SCHEMA + ok boolean."""
+    """mapInPandas: PPM, PNG, baseline-JPEG, GIF, and Y4M / MJPEG-AVI
+    video rows → resized blobs in the same format (REAL decode +
+    nearest-neighbor numpy resize + re-encode; animations and videos
+    resize every frame preserving timing). Other mimes pass through
+    unchanged with ok=False so callers can route them to an
+    imaging-library cluster. Output schema == MEDIA_SCHEMA + ok
+    boolean."""
     from textindex_spark.ops.gif import decode_gif, encode_gif
     from textindex_spark.ops.jpeg import decode_jpeg, encode_jpeg
+    from textindex_spark.ops.video import (
+        decode_video, encode_avi_mjpeg, encode_y4m, sniff_container,
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -497,6 +527,25 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                         else:
                             img = resize_nearest(decode_jpeg(blob), out_w, out_h)
                             out_blobs.append(encode_jpeg(img))
+                        ws.append(out_w)
+                        hs.append(out_h)
+                        oks.append(True)
+                        continue
+                    except ValueError:
+                        pass
+                elif (container := sniff_container(blob, mime)) is not None:
+                    try:
+                        frames, fps = decode_video(blob, mime)
+                        resized = [resize_nearest(f, out_w, out_h) for f in frames]
+                        if container == "avi":
+                            out_blobs.append(encode_avi_mjpeg(resized, fps=fps))
+                        else:
+                            # C444 on re-encode: the resize kernel
+                            # favors fidelity over matching the
+                            # source's chroma subsampling
+                            out_blobs.append(
+                                encode_y4m(resized, fps=fps, colorspace="444")
+                            )
                         ws.append(out_w)
                         hs.append(out_h)
                         oks.append(True)

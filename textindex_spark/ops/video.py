@@ -56,8 +56,17 @@ _ENCODE_M = np.array(
         [0.5, -0.418687589158345, -0.081312410841655],
     ]
 )
+_DECODE_M = np.linalg.inv(_ENCODE_M)
 _Y_SCALE = 219.0 / 255.0
 _C_SCALE = 224.0 / 255.0
+
+
+class UnsupportedCodecError(ValueError):
+    """The container parsed fine but the payload codec is one this
+    module honestly cannot decode (non-MJPEG AVI, exotic Y4M
+    colorspace). Kept distinct from plain ValueError (= corrupt
+    stream) so the multimodal kernels can route these rows to the
+    deterministic-fake stub instead of skipping them."""
 
 
 def _rgb_to_yuv(rgb: np.ndarray) -> np.ndarray:
@@ -78,7 +87,7 @@ def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
         ],
         axis=-1,
     )
-    rgb = ycc @ np.linalg.inv(_ENCODE_M).T
+    rgb = ycc @ _DECODE_M.T
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
@@ -97,11 +106,16 @@ _Y4M_SUBSAMPLE = {
 }
 
 
-def decode_y4m(blob: bytes, max_pixels: int = 1 << 26) -> tuple[list[np.ndarray], float]:
+def decode_y4m(
+    blob: bytes, max_pixels: int = 1 << 26, max_frames: int | None = None
+) -> tuple[list[np.ndarray], float]:
     """YUV4MPEG2 bytes → ([(H, W, 3) uint8 RGB ...], fps).
 
-    ValueError on corrupt/truncated streams or colorspaces outside
-    C420*/C422/C444/Cmono (e.g. C411, 10-bit p10 variants)."""
+    ValueError on corrupt/truncated streams; UnsupportedCodecError
+    for colorspaces outside C420*/C422/C444/Cmono (e.g. C411, 10-bit
+    p10 variants). ``max_frames`` stops the walk early — frames are
+    independent, so a first-frame probe costs one frame, not the
+    whole stream."""
     if not blob.startswith(_Y4M_MAGIC):
         raise ValueError("not a YUV4MPEG2 stream")
     nl = blob.find(b"\n")
@@ -136,7 +150,7 @@ def decode_y4m(blob: bytes, max_pixels: int = 1 << 26) -> tuple[list[np.ndarray]
     if not mono:
         sub = _Y4M_SUBSAMPLE.get(cs)
         if sub is None:
-            raise ValueError(f"unsupported Y4M colorspace C{cs}")
+            raise UnsupportedCodecError(f"unsupported Y4M colorspace C{cs}")
         sv, sh = sub
         if (h % sv) or (w % sh):
             raise ValueError("Y4M dimensions not divisible by subsampling")
@@ -146,6 +160,8 @@ def decode_y4m(blob: bytes, max_pixels: int = 1 << 26) -> tuple[list[np.ndarray]
     frames: list[np.ndarray] = []
     pos = nl + 1
     while pos < len(blob):
+        if max_frames is not None and len(frames) >= max_frames:
+            break
         if not blob.startswith(b"FRAME", pos):
             raise ValueError("bad Y4M frame marker")
         fnl = blob.find(b"\n", pos)
@@ -268,12 +284,18 @@ def _walk_riff(blob: bytes, start: int, end: int):
         pos = body_end + (size & 1)  # chunks pad to even
 
 
-def decode_avi_mjpeg(blob: bytes) -> tuple[list[np.ndarray], float]:
+def decode_avi_mjpeg(
+    blob: bytes, max_frames: int | None = None
+) -> tuple[list[np.ndarray], float]:
     """MJPEG-in-AVI bytes → ([(H, W, 3) uint8 RGB ...], fps).
 
-    ValueError on non-AVI RIFF, non-MJPG video streams, or corrupt
-    frame data. Grayscale MJPEG frames are expanded to RGB so the
-    frame list is uniformly (H, W, 3)."""
+    ValueError on non-AVI RIFF or corrupt frame data;
+    UnsupportedCodecError when the video stream's codec is not MJPEG
+    (checked in strh fccHandler, falling back to strf biCompression —
+    real muxers leave either blank). Zero-length ``##dc`` chunks (the
+    standard dropped-frame timing marker) are skipped like players
+    do. Grayscale MJPEG frames are expanded to RGB so the frame list
+    is uniformly (H, W, 3)."""
     from textindex_spark.ops.jpeg import decode_jpeg
 
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
@@ -295,6 +317,7 @@ def decode_avi_mjpeg(blob: bytes) -> tuple[list[np.ndarray], float]:
                     if us_per_frame:
                         fps = 1e6 / us_per_frame
                 elif c2 == b"LIST" and l2 == b"strl":
+                    this_is_vid = False
                     for c3, _l3, s3, e3 in _walk_riff(blob, s2, e2):
                         if c3 == b"strh" and e3 - s3 >= 28:
                             fcc_type = blob[s3:s3 + 4]
@@ -302,10 +325,16 @@ def decode_avi_mjpeg(blob: bytes) -> tuple[list[np.ndarray], float]:
                             scale, rate = struct.unpack_from("<II", blob, s3 + 20)
                             if fcc_type == b"vids" and vid_stream is None:
                                 vid_stream = stream_no
+                                this_is_vid = True
                                 if handler.upper() in (b"MJPG", b"DMB1"):
                                     handler_ok = True
                                 if scale and rate:
                                     fps = rate / scale
+                        elif c3 == b"strf" and e3 - s3 >= 20 and this_is_vid:
+                            # BITMAPINFOHEADER biCompression: muxers
+                            # often blank fccHandler and set only this
+                            if blob[s3 + 16:s3 + 20].upper() in (b"MJPG", b"DMB1"):
+                                handler_ok = True
                     stream_no += 1
         elif fourcc == b"LIST" and ltype == b"movi":
             if vid_stream is None:
@@ -320,15 +349,23 @@ def decode_avi_mjpeg(blob: bytes) -> tuple[list[np.ndarray], float]:
                 )
                 for c3, _l3, s3, e3 in entries:
                     if c3[:2] == want and c3[2:4] in (b"dc", b"db"):
+                        if e3 == s3:
+                            continue  # dropped-frame timing marker
+                        if not handler_ok:
+                            raise UnsupportedCodecError(
+                                "AVI video stream is not MJPEG"
+                            )
                         data = _mjpeg_frame_bytes(blob[s3:e3])
                         img = decode_jpeg(data)
                         if img.shape[2] == 1:
                             img = np.repeat(img, 3, axis=2)
                         frames.append(img)
+                        if max_frames is not None and len(frames) >= max_frames:
+                            return frames, fps if fps > 0 else 30.0
     if vid_stream is None:
         raise ValueError("AVI has no video stream")
     if not handler_ok:
-        raise ValueError("AVI video stream is not MJPEG")
+        raise UnsupportedCodecError("AVI video stream is not MJPEG")
     if not frames:
         raise ValueError("AVI has no video frames")
     return frames, fps if fps > 0 else 30.0
@@ -357,7 +394,7 @@ def encode_avi_mjpeg(
     max_jpg = max(len(j) for j in jpgs)
     avih = struct.pack(
         "<14I",
-        round(1e6 * scale / rate), max_jpg * rate // scale // 8, 0,
+        round(1e6 * scale / rate), max_jpg * rate // scale, 0,
         0x10,  # AVIF_HASINDEX
         len(frames), 0, 1, max_jpg, w, h, 0, 0, 0, 0,
     )
@@ -401,12 +438,16 @@ def sniff_container(blob: bytes, mime: str | None = None) -> str | None:
     return None
 
 
-def decode_video(blob: bytes, mime: str | None = None) -> tuple[list[np.ndarray], float]:
-    """Dispatch on ``sniff_container``. ValueError for ffmpeg-class
-    containers — callers keep the stub path for those."""
+def decode_video(
+    blob: bytes, mime: str | None = None, max_frames: int | None = None
+) -> tuple[list[np.ndarray], float]:
+    """Dispatch on ``sniff_container``. UnsupportedCodecError for
+    ffmpeg-class containers/codecs — callers keep the stub path for
+    those; plain ValueError means an identified container is corrupt
+    (callers skip the row, the corrupt-GIF contract)."""
     kind = sniff_container(blob, mime)
     if kind == "y4m":
-        return decode_y4m(blob or b"")
+        return decode_y4m(blob or b"", max_frames=max_frames)
     if kind == "avi":
-        return decode_avi_mjpeg(blob or b"")
-    raise ValueError(f"unsupported video container (mime={mime!r})")
+        return decode_avi_mjpeg(blob or b"", max_frames=max_frames)
+    raise UnsupportedCodecError(f"unsupported video container (mime={mime!r})")

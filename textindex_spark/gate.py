@@ -549,6 +549,46 @@ def q_fingerprint(spark, sf_dir):
     return textstats.doc_fingerprint(_documents(spark, sf_dir))
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal kernel end-to-end with an arithmetic oracle: build a
+    4x4 PPM per document whose 48 interleaved RGB bytes are the doc's
+    16 md5(text) bytes tiled 3x (gcd(3, 16) = 1, so every channel
+    sees each of the 16 bytes exactly once across the 16 pixels), push
+    it through the REAL decode path (``extract_features`` mapInPandas
+    with ``deterministic_fake=False`` — only a real PPM decode can set
+    ok=True), and recover the integer per-channel byte sum from the
+    float32 feature. DuckDB computes the same sum straight from the
+    md5 hex — if the Arrow kernel, the PPM codec, or the feature math
+    drifts, the sums diverge."""
+    from textindex_spark.ops import multimodal
+
+    media = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(
+            F.lit(b"P6\n4 4\n255\n"),
+            F.unhex(F.repeat(F.md5(F.col("text")), 3)),
+        ).alias("content"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = multimodal.extract_features(media, deterministic_fake=False)
+    # feature[0:3] = channel mean / 255 in float32; x255x16 recovers
+    # the exact integer byte sum (max 4080 << 2^24, so float32 is
+    # exact through the sum and the /16; the /255 rounding is far
+    # below the 0.5 the round() absorbs)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "ok",
+        F.round(F.element_at("feature", 1) * (255 * 16)).cast("long").alias("sum_r"),
+        F.round(F.element_at("feature", 2) * (255 * 16)).cast("long").alias("sum_g"),
+        F.round(F.element_at("feature", 3) * (255 * 16)).cast("long").alias("sum_b"),
+    )
+
+
 # curation gates (ops/curate.py): every parameter here is mirrored
 # verbatim in the oracle SQL below.
 DECONTAM_MOD = 17          # benchmark = docs with doc_id % 17 == 0
@@ -989,6 +1029,8 @@ QUERIES = {
     "chunks": q_chunks,
     "pack_bins": q_pack_bins,
     "repetition": q_repetition,
+    # multimodal (the one family that had no oracle gate before r5)
+    "media_features": q_media_features,
 }
 
 
@@ -2020,6 +2062,25 @@ SELECT doc_id,
                         x -> x <> ''), ' ')), 1, 15))::BIGINT
            AS fp60
 FROM documents
+""",
+        # media_features: the Spark side round-trips a synthesized
+        # 4x4 PPM (pixel bytes = md5(text) tiled 3x) through the REAL
+        # Arrow decode kernel; the oracle computes the expected
+        # channel byte-sum arithmetically from the same md5 hex (each
+        # channel sees all 16 bytes once: gcd(3, 16) = 1). n_bytes =
+        # 11-byte P6 header + 48 pixel bytes.
+        "media_features": """
+WITH s AS (
+    SELECT doc_id,
+           list_sum(list_transform(generate_series(0, 15), j ->
+               (strpos('0123456789abcdef', substr(md5(text), 2*j + 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(md5(text), 2*j + 2, 1)) - 1
+           ))::BIGINT AS byte_sum
+    FROM documents
+)
+SELECT doc_id AS media_id, 59::BIGINT AS n_bytes, TRUE AS ok,
+       byte_sum AS sum_r, byte_sum AS sum_g, byte_sum AS sum_b
+FROM s
 """,
         # BOOL_QUERY = spark AND (vector OR merge) AND NOT qu*
         # positive vocabulary = {spark, vector, merge}; the NOT leaf

@@ -476,9 +476,9 @@ def test_multimodal_real_png(spark):
 def test_multimodal_real_jpeg(spark):
     """Baseline JPEG decodes for REAL (stdlib + numpy Huffman/IDCT):
     smooth images round-trip within DCT tolerance at 4:4:4 and 4:2:0,
-    grayscale and restart-interval streams decode, progressive and
-    corrupt streams raise the uniform ValueError, and the feature /
-    resize kernels consume JPEG without the stub."""
+    grayscale and restart-interval streams decode, malformed streams
+    raise the uniform ValueError, and the feature / resize kernels
+    consume JPEG without the stub."""
     from textindex_spark.ops.jpeg import decode_jpeg, encode_jpeg
 
     h, w = 24, 40
@@ -515,7 +515,9 @@ def test_multimodal_real_jpeg(spark):
         decode_jpeg(encode_jpeg(img, quality=90, restart_interval=3)),
         decode_jpeg(encode_jpeg(img, quality=90)),
     )
-    # error contract: progressive + corrupt/truncated → ValueError
+    # error contract: corrupt/truncated → ValueError; flipping SOF0
+    # to SOF2 leaves a baseline-shaped full-band scan inside a
+    # progressive stream, which the Annex G validation rejects
     blob = encode_jpeg(img, quality=90)
     i = blob.index(b"\xff\xc0")
     for bad in (b"", b"junk", blob[: i + 1], blob[: len(blob) // 2],
@@ -1765,6 +1767,82 @@ def test_gif_multi_palette_encode_lossless():
     rt, delays = decode_gif(encode_gif([a, b], delays_ms=[40, 60]))
     assert delays == [40, 60]
     assert np.array_equal(rt[0], a) and np.array_equal(rt[1], b)
+
+
+def test_jpeg_progressive(spark):
+    """Progressive JPEG (SOF2, T.81 Annex G) decodes for REAL: the
+    progressive writer carries the SAME quantized coefficients as the
+    baseline writer, so decode must be BIT-IDENTICAL to the baseline
+    round trip at equal quality — across spectral selection,
+    successive approximation (DC + AC first/refine), EOB runs (solid
+    regions), ZRL-in-refinement (noise), 4:2:0 chroma, grayscale,
+    odd dims, and restart intervals. Error contract: byte-flip fuzz
+    + all-offset truncation raise ValueError only, and the Spark
+    feature kernel consumes progressive without the stub."""
+    from textindex_spark.ops.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1),
+         (xx + yy) * 255 // (w + h - 2)],
+        axis=2,
+    ).astype(np.uint8)
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (33, 29, 3), np.uint8)
+    cases = [
+        (grad, dict(quality=100)),
+        (grad, dict(quality=90)),
+        (grad, dict(quality=95, subsample=True)),
+        (grad, dict(quality=90, restart_interval=2)),
+        (grad[:19, :37], dict(quality=90, subsample=True)),  # odd dims
+        (noise, dict(quality=85)),  # dense AC → ZRL + refinement runs
+        (noise, dict(quality=70, subsample=True, restart_interval=3)),
+        (np.full((16, 16, 3), 130, np.uint8), dict(quality=95)),  # EOBn
+        ((yy * 255 // (h - 1)).astype(np.uint8), dict(quality=100)),  # gray
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg(img, quality=kw["quality"],
+                                       subsample=kw.get("subsample", False)))
+        prog = decode_jpeg(encode_jpeg_progressive(img, **kw))
+        assert np.array_equal(base, prog), kw
+    # error contract: flips and truncations never escape ValueError
+    blob = bytearray(encode_jpeg_progressive(
+        noise[:16, :16], quality=80, subsample=True, restart_interval=2))
+    for _ in range(400):
+        b = bytearray(blob)
+        pos = rng.randint(0, len(b))
+        b[pos] = rng.randint(0, 256)
+        try:
+            out = decode_jpeg(bytes(b))
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
+    # truncations: ValueError or a valid ndarray (a prefix ending at
+    # a scan boundary is a legitimate coarse render — progressive's
+    # whole point), never any other exception
+    for cut in range(0, len(blob), 7):
+        try:
+            out = decode_jpeg(bytes(blob[:cut]))
+            assert isinstance(out, np.ndarray)
+        except ValueError:
+            pass
+    full = bytes(blob)
+    coarse = decode_jpeg(full[: full.rindex(b"\xff\xda")])
+    assert coarse.shape == decode_jpeg(full).shape
+    # Spark kernel consumes progressive for real (ok=True, exact mean)
+    pblob = encode_jpeg_progressive(grad, quality=90)
+    media = spark.createDataFrame(
+        [(1, "image", pblob, "image/jpeg", w, h, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(
+        media, deterministic_fake=False).collect()[0]
+    assert row["ok"]
+    want = decode_jpeg(pblob).reshape(-1, 3).mean(axis=0) / 255.0
+    assert np.allclose(row["feature"][:3], want, atol=1e-6)
 
 
 def test_jpeg_corrupt_streams_uniform_valueerror():

@@ -1,20 +1,26 @@
-"""Baseline JPEG codec — stdlib + numpy only, no imaging library.
+"""JPEG codec — stdlib + numpy only, no imaging library.
 
-REAL decode for the format the overwhelming majority of crawled web
-images use: baseline sequential DCT (SOF0), 8-bit, Huffman-coded,
-grayscale or YCbCr with any integer sampling factors (4:4:4 / 4:2:2 /
-4:2:0 ...), restart markers (DRI/RSTn) and 16-bit quant tables.
-Progressive (SOF2), arithmetic coding, hierarchical and 12-bit modes
-raise ``ValueError`` — callers route those rows to an
-imaging-library cluster exactly like the other decoders in
-``ops.multimodal`` route corrupt streams.
+REAL decode for the two formats that cover essentially all crawled
+web JPEGs: baseline sequential DCT (SOF0) and progressive DCT with
+Huffman coding (SOF2, ITU T.81 Annex G — spectral selection AND
+successive approximation, interleaved or single-component scans),
+8-bit, grayscale or YCbCr with any integer sampling factors (4:4:4 /
+4:2:2 / 4:2:0 ...), restart markers (DRI/RSTn) and 16-bit quant
+tables. Arithmetic coding, hierarchical and 12-bit modes raise
+``ValueError`` — callers route those rows to an imaging-library
+cluster exactly like the other decoders in ``ops.multimodal`` route
+corrupt streams.
 
-The encoder exists for the same reason ``encode_png`` does: a
+The encoders exist for the same reason ``encode_png`` does: a
 deterministic synthetic writer so round-trip tests and
-``resize_images`` re-encode work in this container. It writes
-baseline JFIF with the ITU T.81 Annex K quantization + Huffman
-tables (quality-scaled with the classic libjpeg formula), 4:4:4 or
-4:2:0 sampling, and optional restart intervals.
+``resize_images`` re-encode work in this container. ``encode_jpeg``
+writes baseline JFIF with the ITU T.81 Annex K quantization +
+Huffman tables (quality-scaled with the classic libjpeg formula),
+4:4:4 or 4:2:0 sampling, and optional restart intervals.
+``encode_jpeg_progressive`` writes a spectral-selection +
+successive-approximation scan script carrying the SAME quantized
+coefficients, so progressive decode is bit-identical to baseline
+decode at equal quality — the round-trip tests pin exactly that.
 
 Everything here is per-blob CPU work invoked from Arrow-batched
 ``mapInPandas`` kernels (``ops.multimodal``) — the distributed story
@@ -114,6 +120,15 @@ AC_CHROMA_VALS = [
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+# Flat AC table for the progressive encoder: the Annex K AC tables
+# lack the EOBn symbols (r<<4 for 1 <= r <= 14) progressive scans
+# emit, so the progressive writer ships its own table covering every
+# 8-bit symbol — 0x00..0xFE at 9 bits, 0xFF at 10 (BITS counts are
+# u8, so one length can hold at most 255 codes). Bloats the stream a
+# little; this writer optimizes for decoder coverage, not size.
+AC_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+AC_FLAT_VALS = list(range(256))
 
 # orthonormal 8x8 DCT-II basis: block = A @ coeff @ A.T inverts
 # coeff = A.T @ block @ A (A[k,n] = c(k)/2 * cos((2n+1)kπ/16))
@@ -226,9 +241,10 @@ def _parse_entropy(blob: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W, 3) uint8 RGB, or (H, W, 1) for
-    grayscale streams. ValueError on non-baseline modes or corrupt
-    data (uniform error contract with decode_ppm/decode_png).
+    """Baseline (SOF0) or progressive (SOF2) JPEG → (H, W, 3) uint8
+    RGB, or (H, W, 1) for grayscale streams. ValueError on other
+    modes or corrupt data (uniform error contract with
+    decode_ppm/decode_png).
 
     The contract is enforced at this boundary: any internal decode
     fault a corrupt stream can still provoke (index/zero-division in
@@ -253,6 +269,8 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     dri = 0
     i, n = 2, len(blob)
     scan: list[tuple[dict, np.ndarray]] | None = None
+    progressive = False
+    coef: list[np.ndarray] | None = None  # per-comp zigzag coeff stores
     while i + 4 <= n:
         if blob[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -266,11 +284,12 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
         seg = blob[i + 4 : i + 2 + seglen]
         if seglen < 2 or len(seg) != seglen - 2:
             raise ValueError("truncated JPEG segment")
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG mode (marker 0xFF{marker:02X}); "
-                "only baseline sequential (SOF0) is decoded here"
+                "only baseline (SOF0) and progressive (SOF2) Huffman "
+                "modes are decoded here"
             )
         if marker == 0xDB:  # DQT
             p = 0
@@ -297,7 +316,8 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                     raise ValueError("truncated JPEG DHT segment")
                 huff[(tc, th)] = _build_decode_table(bits, vals)
                 p += 17 + cnt
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if len(seg) < 6:
                 raise ValueError("truncated JPEG SOF segment")
             if seg[0] != 8:
@@ -324,6 +344,8 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
             if w is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns < 1 or len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS segment")
             order = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -333,6 +355,25 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
                 comp = matches[0]
                 comp["td"], comp["ta"] = tt >> 4, tt & 0x0F
                 order.append(comp)
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if coef is None:
+                    hmax = max(x["hs"] for x in comps)
+                    vmax = max(x["vs"] for x in comps)
+                    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                    coef = [
+                        np.zeros((mcuy * x["vs"], mcux * x["hs"], 64), np.int32)
+                        for x in comps
+                    ]
+                intervals, end = _parse_entropy(blob, i + 2 + seglen)
+                _decode_prog_scan(
+                    order, comps, coef, intervals,
+                    ss, se, ahal >> 4, ahal & 0x0F, w, h, huff, dri,
+                )
+                i = end
+                continue
             if len(order) != len(comps):
                 raise ValueError("non-interleaved JPEG scans not supported")
             intervals, _end = _parse_entropy(blob, i + 2 + seglen)
@@ -340,6 +381,8 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
             break
         i += 2 + seglen
     if scan is None:
+        if progressive and coef is not None:
+            return _assemble(_reconstruct_progressive(comps, coef, w, h, qt), w, h)
         raise ValueError("no JPEG scan data")
     return _assemble(scan, w, h)
 
@@ -403,6 +446,182 @@ def _decode_scan(comps, intervals, w, h, qt, huff, dri):
     for c, plane in planes:
         plane = np.clip(plane + 128.0, 0, 255)
         # upsample to full-resolution grid (nearest), crop to (h, w)
+        ry, rx = vmax // c["vs"], hmax // c["hs"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append((c, plane[:h, :w]))
+    return out
+
+
+def _decode_prog_scan(order, comps, coef, intervals, ss, se, ah, al,
+                      w, h, huff, dri):
+    """One progressive scan (T.81 Annex G decode): accumulate partial
+    coefficients into per-component zigzag-order stores. DC scans may
+    be interleaved (Ns > 1, MCU walk) or single-component; AC scans
+    are single-component by spec and walk the component's own block
+    grid row-major."""
+    if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
+        raise ValueError("bad progressive scan parameters")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if ss > 0 and len(order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ah and ah != al + 1:
+        raise ValueError("bad successive-approximation step")
+    if ss == 0:
+        if ah == 0:
+            for c in order:
+                if (0, c["td"]) not in huff:
+                    raise ValueError("missing Huffman table")
+    elif (1, order[0]["ta"]) not in huff:
+        raise ValueError("missing Huffman table")
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    cidx = {c["id"]: k for k, c in enumerate(comps)}
+    if len(order) > 1:
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        total = mcux * mcuy
+    else:
+        c0 = order[0]
+        cbw = ((w * c0["hs"] + hmax - 1) // hmax + 7) // 8
+        cbh = ((h * c0["vs"] + vmax - 1) // vmax + 7) // 8
+        total = cbw * cbh
+    done = 0
+    for iv, data in enumerate(intervals):
+        reader = _BitReader(data)
+        preds = {c["id"]: 0 for c in order}
+        eobrun = 0
+        end = min(total, done + dri) if dri else total
+        while done < end:
+            if len(order) > 1:  # interleaved DC MCU
+                my, mx = divmod(done, mcux)
+                for c in order:
+                    st = coef[cidx[c["id"]]]
+                    for by in range(c["vs"]):
+                        for bx in range(c["hs"]):
+                            zz = st[my * c["vs"] + by, mx * c["hs"] + bx]
+                            _prog_dc(reader, zz, preds, c, ah, al, huff)
+            else:
+                c = order[0]
+                by, bx = divmod(done, cbw)
+                zz = coef[cidx[c["id"]]][by, bx]
+                if ss == 0:
+                    _prog_dc(reader, zz, preds, c, ah, al, huff)
+                else:
+                    eobrun = _prog_ac(
+                        reader, zz, ss, se, ah, al,
+                        huff[(1, c["ta"])], eobrun,
+                    )
+            done += 1
+        if dri and done < total and iv + 1 >= len(intervals):
+            raise ValueError("truncated JPEG: missing restart interval")
+    if done < total:
+        raise ValueError("truncated JPEG scan")
+
+
+def _prog_dc(reader, zz, preds, c, ah, al, huff):
+    if ah == 0:  # first DC pass: baseline diff coding of dc >> al
+        s = reader.decode_huff(huff[(0, c["td"])])
+        diff = _extend(reader.receive(s), s) if s else 0
+        preds[c["id"]] += diff
+        zz[0] = preds[c["id"]] << al
+    elif reader.read_bit():  # refinement: one bit per block
+        zz[0] = int(zz[0]) | (1 << al)
+
+
+def _prog_ac(reader, zz, ss, se, ah, al, act, eobrun):
+    """AC band of one block; returns the remaining EOB run."""
+    if ah:
+        return _prog_ac_refine(reader, zz, ss, se, al, act, eobrun)
+    if eobrun:  # block entirely inside a pending EOB run
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: run of (1<<r)+ext blocks,
+            if r:                  # current block included
+                eobrun += reader.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        zz[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(reader, zz, ss, se, al, act, eobrun):
+    """Successive-approximation AC refinement (T.81 G.1.2.3 decode /
+    libjpeg decode_mcu_AC_refine shape): newly-nonzero coefficients
+    arrive as ±1<<al with runs counted over zero-HISTORY positions;
+    every nonzero-history position traversed (including the whole
+    band of blocks inside an EOB run) consumes one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn: finish this block in the tail below
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG refinement magnitude")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if reader.read_bit() and (int(zz[k]) & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(comps, coef, w, h, qt):
+    """Accumulated zigzag coefficients → dequantized planes (same
+    output contract as ``_decode_scan``): vectorized dequant + IDCT
+    over every block, then the shared upsample/crop."""
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    out = []
+    for c, zz in zip(comps, coef):
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quant table {c['tq']}")
+        q = qt[c["tq"]].astype(np.float64)  # natural order
+        bh, bw = zz.shape[:2]
+        nat = np.zeros((bh, bw, 64), np.float64)
+        nat[:, :, ZIGZAG] = zz.astype(np.float64)
+        nat *= q[None, None, :]
+        pix = np.einsum(
+            "kn,yxnm,ml->yxkl", _IDCT_L, nat.reshape(bh, bw, 8, 8), _A
+        )
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = np.clip(plane + 128.0, 0, 255)
         ry, rx = vmax // c["vs"], hmax // c["hs"]
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
@@ -519,17 +738,12 @@ def _pad_to(img: np.ndarray, my: int, mx: int) -> np.ndarray:
     return img
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W, 3) RGB or (H, W)/(H, W, 1) grayscale uint8 → baseline
-    JFIF bytes. ``subsample=True`` writes 4:2:0 (2×2 luma MCUs);
-    ``restart_interval`` > 0 writes a DRI segment and RSTn markers
-    every that many MCUs — both exist primarily to pin the decoder's
-    MCU-interleave and restart paths in tests."""
+def _plan_encode(img, quality, subsample):
+    """Shared encoder front half (baseline + progressive writers):
+    color convert, chroma subsample, MCU-aligned edge pad, FDCT +
+    quantization. Returns (coeffs, samp, gray, qy, qc, w, h, mcux,
+    mcuy) where coeffs[ci] is (blocks_y, blocks_x, 64) natural-order
+    quantized coefficients on the component's full padded grid."""
     img = np.asarray(img, dtype=np.float64)
     gray = img.ndim == 2 or img.shape[2] == 1
     if img.ndim == 2:
@@ -578,6 +792,24 @@ def encode_jpeg(
         coeffs.append(_fdct_quant(pp - 128.0, q))
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return coeffs, samp, gray, qy, qc, w, h, mcux, mcuy
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) RGB or (H, W)/(H, W, 1) grayscale uint8 → baseline
+    JFIF bytes. ``subsample=True`` writes 4:2:0 (2×2 luma MCUs);
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers
+    every that many MCUs — both exist primarily to pin the decoder's
+    MCU-interleave and restart paths in tests."""
+    coeffs, samp, gray, qy, qc, w, h, mcux, mcuy = _plan_encode(
+        img, quality, subsample
+    )
+    planes = coeffs  # one entry per component
 
     dc_y_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_y_enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -644,5 +876,242 @@ def encode_jpeg(
                     )
     bw.flush()
     out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encode
+
+
+def _flush_eobrun(bw: _BitWriter, ac_enc: dict, state: dict) -> None:
+    """Emit the pending EOBn symbol (+ extension bits) and then the
+    correction bits buffered across the run — the exact order the
+    refinement decoder consumes them (EOBn first, then each run
+    block's nonzero-history bits in block order)."""
+    if state["eob"]:
+        n = state["eob"].bit_length() - 1
+        code, length = ac_enc[n << 4]
+        bw.write(code, length)
+        if n:
+            bw.write(state["eob"] - (1 << n), n)
+        state["eob"] = 0
+    for bit in state["be"]:
+        bw.write(bit, 1)
+    state["be"] = []
+
+
+def _enc_ac_first(bw, zz, ss, se, al, ac_enc, state) -> None:
+    """First AC pass for one block's band: code sign(v)*(|v|>>al)
+    with run/size symbols; all-zero bands accumulate into EOBn runs
+    (T.81 G.1.2.2 / libjpeg encode_mcu_AC_first shape)."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = (abs(v) >> al)
+        vals.append(-t if v < 0 else t)
+    if not any(vals):
+        state["eob"] += 1
+        if state["eob"] == 0x7FFF:
+            _flush_eobrun(bw, ac_enc, state)
+        return
+    _flush_eobrun(bw, ac_enc, state)
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    r = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_enc[0xF0]  # ZRL
+            bw.write(code, length)
+            r -= 16
+        s = _cat(v)
+        code, length = ac_enc[(r << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        r = 0
+    if last_nz < se - ss:  # trailing zeros → this block joins an EOB run
+        state["eob"] += 1
+        if state["eob"] == 0x7FFF:
+            _flush_eobrun(bw, ac_enc, state)
+
+
+def _enc_ac_refine(bw, zz, ss, se, al, ac_enc, state) -> None:
+    """AC refinement pass for one block's band (T.81 G.1.2.3 /
+    libjpeg encode_mcu_AC_refine shape): newly-nonzero coefficients
+    ((|v|>>al) == 1) emit run/1 symbols + a sign bit, with runs
+    counted over zero-history positions only; already-nonzero
+    positions buffer one correction bit (bit al of |v|) that goes out
+    after the next emitted symbol — or rides the EOB-run buffer."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_at = 0  # band offset just past the last newly-nonzero coef
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_at = i + 1
+    r, br = 0, []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob_at:  # ZRLs not foldable into the EOB
+            _flush_eobrun(bw, ac_enc, state)
+            code, length = ac_enc[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+        if t > 1:  # history-nonzero: correction bit only
+            br.append(t & 1)
+            continue
+        _flush_eobrun(bw, ac_enc, state)
+        code, length = ac_enc[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+        for bit in br:
+            bw.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:  # trailing zeros/bits → join an EOB run
+        state["eob"] += 1
+        state["be"].extend(br)
+        if state["eob"] == 0x7FFF or len(state["be"]) > 900:
+            _flush_eobrun(bw, ac_enc, state)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) RGB or (H, W)/(H, W, 1) grayscale uint8 →
+    progressive (SOF2) JFIF bytes. Scan script: interleaved DC at
+    Al=1, per-component AC bands 1-5 then 6-63 at Al=1, then the
+    matching refinement scans down to Al=0 — so the stream exercises
+    spectral selection, successive approximation (first + refine, DC
+    + AC), EOB runs and ZRL, and carries the SAME quantized
+    coefficients as ``encode_jpeg`` at equal quality (decode is
+    bit-identical). AC scans use a flat all-symbol Huffman table
+    because the Annex K tables lack EOBn symbols."""
+    coeffs, samp, gray, qy, qc, w, h, mcux, mcuy = _plan_encode(
+        img, quality, subsample
+    )
+    ncomp = len(coeffs)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    czz = [cf[:, :, ZIGZAG] for cf in coeffs]  # zigzag-order blocks
+
+    dc_y_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c_enc = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_flat = _build_encode_table(AC_FLAT_BITS, AC_FLAT_VALS)
+    dc_tabs = [dc_y_enc] + [dc_c_enc] * (ncomp - 1)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    segment(0xDB, bytes([0x00]) + bytes(int(v) for v in qy[ZIGZAG]))
+    if not gray:
+        segment(0xDB, bytes([0x01]) + bytes(int(v) for v in qc[ZIGZAG]))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(ncomp)
+    for ci, (hs, vs) in enumerate(samp):
+        sof.extend([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    segment(0xC2, bytes(sof))  # SOF2 progressive
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> None:
+        segment(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    if not gray:
+        dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    dht(1, 0, AC_FLAT_BITS, AC_FLAT_VALS)
+    if restart_interval:
+        segment(0xDD, int(restart_interval).to_bytes(2, "big"))
+
+    def emit_scan(sos_payload: bytes, n_units: int, encode_unit) -> None:
+        """One entropy-coded scan with restart segmentation: flush
+        the EOB run + bit buffer and emit RSTn at every interval,
+        resetting DC predictors (decoder mirrors via _parse_entropy)."""
+        segment(0xDA, sos_payload)
+        bw = _BitWriter()
+        state = {"eob": 0, "be": [], "pred": [0] * ncomp}
+        rst = 0
+        for u in range(n_units):
+            if restart_interval and u and u % restart_interval == 0:
+                _flush_eobrun(bw, ac_flat, state)
+                bw.flush()
+                out.extend(bw.out)
+                out.extend(b"\xff" + bytes([0xD0 + (rst % 8)]))
+                rst += 1
+                bw = _BitWriter()
+                state = {"eob": 0, "be": [], "pred": [0] * ncomp}
+            encode_unit(bw, state, u)
+        _flush_eobrun(bw, ac_flat, state)
+        bw.flush()
+        out.extend(bw.out)
+
+    def dc_unit(ah: int, al: int):
+        def enc(bw, state, mcu):
+            my, mx = divmod(mcu, mcux)
+            for ci, (hs, vs) in enumerate(samp):
+                dc_enc = dc_tabs[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = int(czz[ci][my * vs + by, mx * hs + bx, 0])
+                        if ah == 0:
+                            diff = (dc >> al) - state["pred"][ci]
+                            state["pred"][ci] = dc >> al
+                            s = _cat(diff)
+                            code, length = dc_enc[s]
+                            bw.write(code, length)
+                            if s:
+                                bw.write(
+                                    diff if diff >= 0 else diff + (1 << s) - 1, s
+                                )
+                        else:
+                            bw.write((dc >> al) & 1, 1)
+        return enc
+
+    def dc_sos(ah: int, al: int) -> bytes:
+        sos = bytearray([ncomp])
+        for ci in range(ncomp):
+            sos.extend([ci + 1, (0 if ci == 0 else 1) << 4])
+        sos.extend([0, 0, (ah << 4) | al])
+        return bytes(sos)
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> None:
+        hs, vs = samp[ci]
+        # single-component scans walk the component's OWN block grid
+        # (only blocks covering real samples), not the padded MCU grid
+        cbw = ((w * hs + hmax - 1) // hmax + 7) // 8
+        cbh = ((h * vs + vmax - 1) // vmax + 7) // 8
+        enc_block = _enc_ac_refine if ah else _enc_ac_first
+
+        def enc(bw, state, u):
+            by, bx = divmod(u, cbw)
+            enc_block(bw, czz[ci][by, bx], ss, se, al, ac_flat, state)
+
+        sos = bytes([1, ci + 1, 0x00, ss, se, (ah << 4) | al])
+        emit_scan(sos, cbw * cbh, enc)
+
+    # scan script: DC first (Al=1), AC bands first (Al=1), then the
+    # refinement scans down to Al=0 (DC then AC, per T.81 G.1.1.1.1
+    # ordering constraints: a band's first scan precedes its refines)
+    emit_scan(dc_sos(0, 1), mcux * mcuy, dc_unit(0, 1))
+    for ci in range(ncomp):
+        ac_scan(ci, 1, 5, 0, 1)
+        ac_scan(ci, 6, 63, 0, 1)
+    emit_scan(dc_sos(1, 0), mcux * mcuy, dc_unit(1, 0))
+    for ci in range(ncomp):
+        ac_scan(ci, 1, 5, 1, 0)
+        ac_scan(ci, 6, 63, 1, 0)
+
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

@@ -5,17 +5,19 @@ Decode is REAL for the formats stdlib + numpy can parse —
 binary PPM images (``decode_ppm`` / ``encode_ppm`` /
 ``resize_nearest``), 8-bit non-interlaced PNG in all five filter
 types and five color types (``decode_png`` / ``encode_png``, stdlib
-zlib + numpy unfiltering — no imaging library), baseline JPEG
-(``ops.jpeg.decode_jpeg`` / ``encode_jpeg``: Huffman + IDCT +
-chroma upsample in numpy; progressive raises ValueError), animated
+zlib + numpy unfiltering — no imaging library), baseline AND
+progressive JPEG (``ops.jpeg.decode_jpeg`` / ``encode_jpeg`` /
+``encode_jpeg_progressive``: Huffman + IDCT + chroma upsample +
+T.81 Annex G spectral selection / successive approximation in
+numpy), animated
 GIF (``ops.gif``: LZW + full disposal/transparency compositing —
 ``sample_frames`` walks the real animation timeline), YUV4MPEG2 and
 MJPEG-in-AVI video (``ops.video``: RIFF/Y4M container parse +
 per-frame decode, fps-true frame sampling), and 16-bit
 PCM WAV audio (``decode_wav``) — and STUBBED for formats that need
 PIL/opencv/ffmpeg (absent in this container: entropy-coded
-inter-frame video H.264/VP9/AV1,
-progressive JPEG, WebP/AVIF...): ``_decode_image_stub``
+inter-frame video H.264/VP9/AV1, arithmetic/hierarchical JPEG,
+WebP/AVIF...): ``_decode_image_stub``
 raises ``NotImplementedError``
 unless ``deterministic_fake=True``, which produces a seeded,
 content-derived fake decode so the Spark-side plumbing — schema,
@@ -318,9 +320,9 @@ def extract_features(
                         "image/jpeg", "image/gif",
                     ):
                         # REAL decode paths (stdlib-only formats); a
-                        # corrupt/progressive stream falls through to
-                        # the stub so deterministic_fake semantics are
-                        # uniform
+                        # corrupt or unsupported-mode stream falls
+                        # through to the stub so deterministic_fake
+                        # semantics are uniform
                         try:
                             if mime == "image/x-portable-pixmap":
                                 img = decode_ppm(blob)

@@ -1832,6 +1832,13 @@ def test_jpeg_progressive(spark):
     full = bytes(blob)
     coarse = decode_jpeg(full[: full.rindex(b"\xff\xda")])
     assert coarse.shape == decode_jpeg(full).shape
+    # fill bytes before a marker are legal padding (T.81 B.1.1.2):
+    # some camera/optimizer encoders pad with extra 0xFF before SOF/SOS
+    sof_at = full.index(b"\xff\xc2")
+    sos_at = full.index(b"\xff\xda")
+    padded = (full[:sof_at] + b"\xff\xff" + full[sof_at:sos_at]
+              + b"\xff" + full[sos_at:])
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(full))
     # Spark kernel consumes progressive for real (ok=True, exact mean)
     pblob = encode_jpeg_progressive(grad, quality=90)
     media = spark.createDataFrame(

@@ -274,6 +274,8 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     while i + 4 <= n:
         if blob[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        while i + 1 < n and blob[i + 1] == 0xFF:  # fill bytes (B.1.1.2)
+            i += 1
         marker = blob[i + 1]
         if marker == 0xD9:  # EOI
             break
@@ -442,15 +444,19 @@ def _decode_scan(comps, intervals, w, h, qt, huff, dri):
             raise ValueError("truncated JPEG: missing restart interval")
     if mcu < total_mcus:
         raise ValueError("truncated JPEG scan")
-    out = []
-    for c, plane in planes:
-        plane = np.clip(plane + 128.0, 0, 255)
-        # upsample to full-resolution grid (nearest), crop to (h, w)
-        ry, rx = vmax // c["vs"], hmax // c["hs"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        out.append((c, plane[:h, :w]))
-    return out
+    return [
+        (c, _finish_plane(plane, c, hmax, vmax, w, h)) for c, plane in planes
+    ]
+
+
+def _finish_plane(plane, c, hmax, vmax, w, h) -> np.ndarray:
+    """Shared decode tail: level shift + clip, nearest upsample to the
+    full-resolution grid, crop to (h, w)."""
+    plane = np.clip(plane + 128.0, 0, 255)
+    ry, rx = vmax // c["vs"], hmax // c["hs"]
+    if ry > 1 or rx > 1:
+        plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+    return plane[:h, :w]
 
 
 def _decode_prog_scan(order, comps, coef, intervals, ss, se, ah, al,
@@ -621,11 +627,7 @@ def _reconstruct_progressive(comps, coef, w, h, qt):
             "kn,yxnm,ml->yxkl", _IDCT_L, nat.reshape(bh, bw, 8, 8), _A
         )
         plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        plane = np.clip(plane + 128.0, 0, 255)
-        ry, rx = vmax // c["vs"], hmax // c["hs"]
-        if ry > 1 or rx > 1:
-            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
-        out.append((c, plane[:h, :w]))
+        out.append((c, _finish_plane(plane, c, hmax, vmax, w, h)))
     return out
 
 
@@ -795,6 +797,35 @@ def _plan_encode(img, quality, subsample):
     return coeffs, samp, gray, qy, qc, w, h, mcux, mcuy
 
 
+def _write_headers(sof_marker, samp, gray, qy, qc, w, h, dhts,
+                   restart_interval):
+    """Shared JFIF header block for both writers: SOI + APP0 + DQT
+    (zigzag order on the wire) + SOF + DHT segments + optional DRI.
+    Returns (out bytearray, segment writer) so the caller appends its
+    SOS/entropy data with the same framing."""
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    segment(0xDB, bytes([0x00]) + bytes(int(v) for v in qy[ZIGZAG]))
+    if not gray:
+        segment(0xDB, bytes([0x01]) + bytes(int(v) for v in qc[ZIGZAG]))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof.append(len(samp))
+    for ci, (hs, vs) in enumerate(samp):
+        sof.extend([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    segment(sof_marker, bytes(sof))
+    for tc, th, bits, vals in dhts:
+        segment(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        segment(0xDD, int(restart_interval).to_bytes(2, "big"))
+    return out, segment
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 90,
@@ -809,53 +840,31 @@ def encode_jpeg(
     coeffs, samp, gray, qy, qc, w, h, mcux, mcuy = _plan_encode(
         img, quality, subsample
     )
-    planes = coeffs  # one entry per component
+    ncomp = len(coeffs)
 
     dc_y_enc = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_y_enc = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c_enc = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c_enc = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
-    enc_tabs = [(dc_y_enc, ac_y_enc)] + [(dc_c_enc, ac_c_enc)] * (len(planes) - 1)
+    enc_tabs = [(dc_y_enc, ac_y_enc)] + [(dc_c_enc, ac_c_enc)] * (ncomp - 1)
 
-    out = bytearray(b"\xff\xd8")  # SOI
-
-    def segment(marker: int, payload: bytes) -> None:
-        out.extend(b"\xff" + bytes([marker]))
-        out.extend((len(payload) + 2).to_bytes(2, "big"))
-        out.extend(payload)
-
-    # JFIF APP0
-    segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    # DQT (zigzag order on the wire)
-    segment(0xDB, bytes([0x00]) + bytes(int(v) for v in qy[ZIGZAG]))
+    dhts = [(0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            (1, 0, AC_LUMA_BITS, AC_LUMA_VALS)]
     if not gray:
-        segment(0xDB, bytes([0x01]) + bytes(int(v) for v in qc[ZIGZAG]))
-    # SOF0
-    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    sof.append(len(planes))
-    for ci, (hs, vs) in enumerate(samp):
-        sof.extend([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-    segment(0xC0, bytes(sof))
-    # DHT
-    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> None:
-        segment(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
-    if not gray:
-        dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-        dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
-    if restart_interval:
-        segment(0xDD, int(restart_interval).to_bytes(2, "big"))
+        dhts += [(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                 (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    out, segment = _write_headers(
+        0xC0, samp, gray, qy, qc, w, h, dhts, restart_interval
+    )
     # SOS
-    sos = bytearray([len(planes)])
-    for ci in range(len(planes)):
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
         sos.extend([ci + 1, 0x00 if ci == 0 else 0x11])
     sos.extend([0, 63, 0])
     segment(0xDA, bytes(sos))
 
     bw = _BitWriter()
-    preds = [0] * len(planes)
+    preds = [0] * ncomp
     rst = 0
     for mcu in range(mcux * mcuy):
         if restart_interval and mcu and mcu % restart_interval == 0:
@@ -864,7 +873,7 @@ def encode_jpeg(
             bw = _BitWriter()
             out.extend(b"\xff" + bytes([0xD0 + (rst % 8)]))
             rst += 1
-            preds = [0] * len(planes)
+            preds = [0] * ncomp
         my, mx = divmod(mcu, mcux)
         for ci, ((hs, vs), cf) in enumerate(zip(samp, coeffs)):
             dc_enc, ac_enc = enc_tabs[ci]
@@ -1008,32 +1017,13 @@ def encode_jpeg_progressive(
     ac_flat = _build_encode_table(AC_FLAT_BITS, AC_FLAT_VALS)
     dc_tabs = [dc_y_enc] + [dc_c_enc] * (ncomp - 1)
 
-    out = bytearray(b"\xff\xd8")  # SOI
-
-    def segment(marker: int, payload: bytes) -> None:
-        out.extend(b"\xff" + bytes([marker]))
-        out.extend((len(payload) + 2).to_bytes(2, "big"))
-        out.extend(payload)
-
-    segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    segment(0xDB, bytes([0x00]) + bytes(int(v) for v in qy[ZIGZAG]))
+    dhts = [(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)]
     if not gray:
-        segment(0xDB, bytes([0x01]) + bytes(int(v) for v in qc[ZIGZAG]))
-    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    sof.append(ncomp)
-    for ci, (hs, vs) in enumerate(samp):
-        sof.extend([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-    segment(0xC2, bytes(sof))  # SOF2 progressive
-
-    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> None:
-        segment(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
-    if not gray:
-        dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
-    dht(1, 0, AC_FLAT_BITS, AC_FLAT_VALS)
-    if restart_interval:
-        segment(0xDD, int(restart_interval).to_bytes(2, "big"))
+        dhts.append((0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    dhts.append((1, 0, AC_FLAT_BITS, AC_FLAT_VALS))
+    out, segment = _write_headers(
+        0xC2, samp, gray, qy, qc, w, h, dhts, restart_interval
+    )
 
     def emit_scan(sos_payload: bytes, n_units: int, encode_unit) -> None:
         """One entropy-coded scan with restart segmentation: flush

@@ -2,20 +2,25 @@
 """spark-submit entrypoint: approximate-nearest-neighbor (IVF) index.
 
     # build (k / n_probe / fit_sample calibrated to the corpus size
-    # via suggest_ivf_params unless given explicitly)
+    # via suggest_ivf_params unless given explicitly); --pq adds
+    # residual product-quantized codes (m bytes/vector) so queries
+    # can scan codes instead of vectors
     spark-submit --py-files textindex_spark.zip jobs/ann_index.py build \
         --input /data/embeddings --output /data/ivf \
-        [--centroids K] [--fit-sample F] [--max-iter 8]
+        [--centroids K] [--fit-sample F] [--max-iter 8] \
+        [--pq [--pq-m M] [--pq-nbits 8]]
 
     # incremental ingest (atomic; --append-id makes retries idempotent)
     spark-submit ... jobs/ann_index.py append \
         --input /data/new_embeddings --output /data/ivf \
         [--append-id batch42]
 
-    # query: top-k by cosine over the n_probe query-nearest buckets
+    # query: top-k by cosine over the n_probe query-nearest buckets;
+    # --pq uses the two-stage ADC-shortlist + exact-rerank path over
+    # the stored codes (the index must have been built with --pq)
     spark-submit ... jobs/ann_index.py query \
         --output /data/ivf --vec-id 17 --input /data/embeddings \
-        [--k 10] [--probe P]
+        [--k 10] [--probe P] [--pq [--rerank R]]
 
     # drift check + conditional re-fit (reads the k-row ledger only;
     # re-fits/re-buckets atomically when a bound is crossed —
@@ -59,6 +64,16 @@ def main() -> None:
     ap.add_argument("--refit-id", default=None,
                     help="refit: pins staging dirs so a crash-retry "
                     "overwrites its own staging")
+    ap.add_argument(
+        "--pq", action="store_true",
+        help="build: also store product-quantized codes (m/nbits from "
+        "suggest_pq_params unless --pq-m/--pq-nbits given); query "
+        "then uses the two-stage ADC + exact-rerank path",
+    )
+    ap.add_argument("--pq-m", type=int, default=None)
+    ap.add_argument("--pq-nbits", type=int, default=8)
+    ap.add_argument("--rerank", type=int, default=None,
+                    help="query: ADC shortlist size for the PQ path")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -83,13 +98,19 @@ def main() -> None:
         fs = args.fit_sample if args.fit_sample is not None else (
             p["fit_sample"] if p["fit_sample"] < 1.0 else None
         )
+        pq_m = 0
+        if args.pq or args.pq_m:
+            pq_m = args.pq_m or S.suggest_pq_params(
+                len(emb.select("embedding").first()[0])
+            )["pq_m"]
         cents = S.write_ivf(
             spark, emb, args.output, n_centroids=k,
             max_iter=args.max_iter, fit_sample=fs,
+            pq_m=pq_m, pq_nbits=args.pq_nbits,
         )
         print(json.dumps({
             "built": args.output, "n_centroids": len(cents),
-            "suggested": p,
+            "suggested": p, "pq_m": pq_m,
         }))
     elif args.cmd == "append":
         if not args.input:
@@ -124,13 +145,21 @@ def main() -> None:
         if not row:
             raise SystemExit(f"vec_id {args.vec_id} not found in {args.input}")
         q = [float(x) for x in row[0]["embedding"]]
-        # n_probe defaults to k/8 inside ivf_search_stored (no extra job)
+        # n_probe defaults to k/8 inside the search paths (no extra job)
         from pyspark.sql import functions as F
 
-        for r in S.ivf_search_stored(
-            spark, args.output, q, k=args.k, n_probe=args.probe,
-            where=F.expr(args.where) if args.where else None,
-        ).collect():
+        where = F.expr(args.where) if args.where else None
+        if args.pq:
+            hits = S.ivf_pq_search_stored(
+                spark, args.output, q, k=args.k, n_probe=args.probe,
+                rerank=args.rerank, where=where,
+            )
+        else:
+            hits = S.ivf_search_stored(
+                spark, args.output, q, k=args.k, n_probe=args.probe,
+                where=where,
+            )
+        for r in hits.collect():
             print(json.dumps(r.asDict()))
 
 

@@ -1264,6 +1264,130 @@ def test_ivf_append_schema_guard_and_refit_keeps_columns(spark, tmp_path):
     assert len(got) == 5
 
 
+def test_ivf_pq_two_stage_search(spark, tmp_path):
+    """IVF-PQ (residual product quantization, the faiss IndexIVFPQ
+    layout): codes cover unit(x) − centroid[bucket] — raw-vector
+    codes cannot discriminate inside a tight bucket (all members
+    quantize to the centroid's codewords; measured recall 0.6 vs 1.0
+    residual at the same settings). Pins: m-byte codes stored next to
+    the bucket partitioning, ADC stage scans WITHOUT the embedding
+    column (the 100 TB read-payload claim), two-stage recall,
+    append-encodes-with-stored-codebooks, refit retrains + re-encodes
+    in the same atomic commit."""
+    import pyspark.sql.functions as F
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 32) * 4
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.randn(32) * 0.4], i % 8)
+        for i in range(2000)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = str(tmp_path / "ivfpq")
+    pp = similarity.suggest_pq_params(32)
+    assert pp == {"pq_m": 8, "pq_nbits": 8}
+    assert similarity.suggest_pq_params(768)["pq_m"] <= 64  # byte cap
+    similarity.write_ivf(
+        spark, emb, out, n_centroids=8, max_iter=4,
+        pq_m=pp["pq_m"], pq_nbits=pp["pq_nbits"],
+    )
+    # codes are m bytes, stored alongside the bucket partition column
+    vec = similarity._read_ivf_table(spark, out, "vectors")
+    row = vec.select("pq_code").first()
+    assert len(bytes(row["pq_code"])) == pp["pq_m"]
+    # two-stage recall vs exact, 5 query draws
+    hits = 0
+    for t in range(5):
+        q = [float(x) for x in centers[t % 8] + rng.randn(32) * 0.4]
+        exact = {
+            r["vec_id"] for r in similarity.cosine_topk(emb, q, 10).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in similarity.ivf_pq_search_stored(
+                spark, out, q, 10, n_probe=2
+            ).collect()
+        }
+        hits += len(exact & got)
+    assert hits >= 45  # recall@10 ≥ 0.9 (measured 1.0)
+    # the ADC stage's scan must NOT read the embedding column: the
+    # select() inside pq_adc_topk prunes to (id, code, bucket)
+    cb = similarity._read_pq_codebooks(spark, out)
+    assert cb is not None and cb.shape[0] == pp["pq_m"]
+    q0 = [float(x) for x in centers[0]]
+    dots = similarity._unit(centers) @ similarity._unit(np.asarray(q0))
+    stage1 = similarity.pq_adc_topk(
+        vec.filter(F.col("bucket").isin([0, 1])), cb, q0, 16,
+        bucket_dots=dots,
+    )
+    plan = stage1._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("ReadSchema"):]
+    assert "pq_code" in scan and "embedding" not in scan.split("\n")[0]
+    # append: new vectors get codes from the STORED codebooks
+    new = spark.createDataFrame(
+        [(99999, [float(x) for x in centers[3]], 3)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    similarity.ivf_append(spark, new, out, append_id="b1")
+    got = [
+        r["vec_id"]
+        for r in similarity.ivf_pq_search_stored(
+            spark, out, [float(x) for x in centers[3]], 5, n_probe=2
+        ).collect()
+    ]
+    assert 99999 in got
+    # filtered PQ search: predicate applies before ADC scoring
+    f = similarity.ivf_pq_search_stored(
+        spark, out, q0, 5, n_probe=4, where=F.col("label") == 3
+    ).collect()
+    ok_ids = {r[0] for r in rows if r[2] == 3} | {99999}
+    assert f and all(r["vec_id"] in ok_ids for r in f)
+    # refit retrains codebooks + re-encodes atomically; recall holds
+    rep = similarity.maybe_refit(
+        spark, out, max_appended_frac=0.0, n_centroids=8, refit_id="r1"
+    )
+    assert rep["refit"]
+    cb2 = similarity._read_pq_codebooks(spark, out)
+    assert cb2 is not None and cb2.shape == cb.shape
+    q = [float(x) for x in centers[3] + rng.randn(32) * 0.4]
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, 10).collect()}
+    got = {
+        r["vec_id"]
+        for r in similarity.ivf_pq_search_stored(
+            spark, out, q, 10, n_probe=2
+        ).collect()
+    }
+    assert len(exact & got) >= 8
+
+
+def test_pq_flat_encode_and_topk(spark):
+    """Flat (non-IVF) PQ over the driver embeddings table: encode
+    determinism, ADC ordering contract, and two-stage recall with the
+    default rerank on near-random vectors (the hardest data for any
+    quantizer — recall comes from the exact rerank stage)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    d = len(emb.select("embedding").first()["embedding"])
+    pp = similarity.suggest_pq_params(d)
+    cb = similarity.pq_fit(emb, pp["pq_m"], pp["pq_nbits"])
+    assert cb.shape == (pp["pq_m"], 256, d // pp["pq_m"])
+    enc = similarity.pq_encode(emb, cb)
+    codes = {r["vec_id"]: bytes(r["pq_code"]) for r in enc.collect()}
+    codes2 = {r["vec_id"]: bytes(r["pq_code"]) for r in enc.collect()}
+    assert codes == codes2 and len(codes[0]) == pp["pq_m"]  # deterministic
+    q = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    adc = similarity.pq_adc_topk(enc, cb, q, 10).collect()
+    scores = [r["adc_score"] for r in adc]
+    assert scores == sorted(scores, reverse=True)
+    exact = {r["vec_id"] for r in similarity.cosine_topk(emb, q, 10).collect()}
+    got = {r["vec_id"] for r in similarity.pq_topk(enc, cb, q, 10).collect()}
+    assert 7 in got and len(exact & got) >= 8
+    # dim-mismatch error contract
+    with pytest.raises(Exception):
+        similarity.pq_adc_topk(enc, cb, q[:-1], 5).collect()
+
+
 def test_ivf_filtered_search(spark, tmp_path):
     """Filtered ANN: ivf_cosine_topk(where=) returns exactly the
     exact filtered ranking restricted to the probed buckets; with all

@@ -19,10 +19,26 @@
     partition pruning — the scan reads n_probe/k of the data.
   - ``ivf_cosine_topk``: in-memory variant over an assigned frame.
 
-At 100 TB: k-means runs on a sample (``fit_sample``), assignment is
-one linear pass, and queries touch n_probe partitions only. Recall is
-pinned by two pytest gates: ≥0.9 @10 probing 2/10 buckets on
-clustered data (test_ivf_kmeans_recall_clustered), and ≥2× the
+* IVF-PQ — the 100 TB QUERY-SCAN path (``write_ivf(pq_m=m)`` +
+  ``ivf_pq_search_stored``): residual product quantization in the
+  faiss IndexIVFPQ layout. Codes cover unit(x) − centroid[bucket]
+  (raw-vector codes cannot discriminate inside a tight bucket — all
+  members quantize to the centroid's codewords; measured 0.6 vs 1.0
+  recall), stored as m bytes/vector next to the bucket partition
+  column. Stage 1 ADC-scans ONLY (id, bucket, pq_code) from the
+  probed partitions — partition AND column pruning, so at 10^12
+  vectors × d=768 a query reads GB instead of TB — and stage 2
+  re-scores a 16k-ish shortlist exactly from the full vectors.
+  Appends encode with the stored codebooks; ``maybe_refit`` retrains
+  codebooks with the centroids in the same atomic commit.
+
+At 100 TB: k-means runs on a sample (``fit_sample``), PQ training is
+sample-based by design (the codebook summarizes the distribution,
+not the corpus), assignment/encoding is one linear pass, and queries
+touch n_probe partitions only. Recall is pinned by pytest gates:
+≥0.9 @10 probing 2/10 buckets on clustered data
+(test_ivf_kmeans_recall_clustered), ≥0.9 @10 for the two-stage PQ
+path on the same shape (test_ivf_pq_two_stage_search), and ≥2× the
 random-probe-fraction baseline on the driver embeddings table —
 which is near-random in cosine space (intra-label cos ≈ 0.01), so no
 sublinear index can reach 0.9 there; even label-oracle centroids
@@ -249,6 +265,24 @@ def suggest_ivf_params(n_rows: int, n_centroids: int | None = None) -> dict:
     return {"n_centroids": k, "n_probe": n_probe, "fit_sample": fit_sample}
 
 
+def suggest_pq_params(d: int, n_rows: int = 0) -> dict:
+    """PQ sizing: subspaces of ~4 dims (measured on clustered 32-d
+    data: m=8/nbits=8 reaches recall@10 = 1.0 at the default
+    rerank=256, m=16 already 0.92 at rerank=64; m=8/nbits=6 needs 4×
+    the rerank), nbits=8 (byte codes), capped at m ≤ 64 code bytes —
+    for d=768 that is 12× fewer query-scan bytes than float32 even
+    before the bucket pruning. Returns {pq_m, pq_nbits}; m divides d
+    by construction."""
+    m = d  # 1-dim subspaces: tiny or prime d
+    for dsub in (4, 3, 2):
+        if d % dsub == 0 and d // dsub >= 4:
+            m = d // dsub
+            break
+    while m > 64 and m % 2 == 0:
+        m //= 2
+    return {"pq_m": m, "pq_nbits": 8}
+
+
 def write_ivf(
     spark: SparkSession,
     emb: DataFrame,
@@ -258,17 +292,31 @@ def write_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_sample: float | None = None,
+    pq_m: int = 0,
+    pq_nbits: int = 8,
 ) -> list[list[float]]:
     """Persist the IVF index: vectors partitioned BY BUCKET (probing
     becomes physical partition pruning) + a centroids table, published
     as a manifest snapshot so ``ivf_append`` commits atomically
-    against it (plain-dir layout stays readable without one)."""
+    against it (plain-dir layout stays readable without one).
+
+    ``pq_m`` > 0 additionally trains an m-subspace product quantizer
+    (``pq_fit``) and stores an m-byte ``pq_code`` per vector plus a
+    ``pq_codebooks`` table in the same snapshot — the
+    ``ivf_pq_search_stored`` fast path then scans codes instead of
+    vectors (m bytes/row vs 4·d: the 100 TB query-scan payload)."""
     from textindex_spark import manifest
 
     centroids_np = kmeans_fit(
         emb, n_centroids, max_iter, vec_col, id_col, fit_sample
     )
     assigned = assign_buckets(emb, centroids_np, vec_col, with_resid=True)
+    codebooks = None
+    if pq_m:
+        codebooks = _pq_fit_residual(
+            emb, centroids_np, pq_m, pq_nbits, id_col, vec_col
+        )
+        assigned = pq_encode(assigned, codebooks, vec_col, centroids=centroids_np)
     assigned.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(f"{out_dir}/vectors")
@@ -277,22 +325,53 @@ def write_ivf(
         [(i, list(map(float, c))) for i, c in enumerate(centroids_np)],
         "bucket int, centroid array<double>",
     ).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    tables = {
+        "vectors": ["vectors"],
+        "centroids": ["centroids"],
+        "ivf_stats": ["ivf_stats"],
+    }
+    if codebooks is not None:
+        _write_pq_codebooks(spark, codebooks, f"{out_dir}/pq_codebooks")
+        tables["pq_codebooks"] = ["pq_codebooks"]
     # per-bucket drift baseline: counts + assignment-residual sums,
     # aggregated from the just-written columnar layout (reads ONLY
     # the bucket/_resid columns, never the vectors)
     _write_bucket_stats(
         spark, f"{out_dir}/vectors", f"{out_dir}/ivf_stats", gen="base"
     )
-    manifest.commit(
-        spark,
-        out_dir,
-        set_tables={
-            "vectors": ["vectors"],
-            "centroids": ["centroids"],
-            "ivf_stats": ["ivf_stats"],
-        },
-    )
+    manifest.commit(spark, out_dir, set_tables=tables)
     return [list(map(float, c)) for c in centroids_np]
+
+
+def _write_pq_codebooks(
+    spark: SparkSession, codebooks: np.ndarray, out: str
+) -> None:
+    """(sub, code, codeword) rows — m·ksub rows, driver-local."""
+    m, ksub, _ = codebooks.shape
+    local_df(
+        spark,
+        [
+            (s, c, [float(x) for x in codebooks[s, c]])
+            for s in range(m)
+            for c in range(ksub)
+        ],
+        "sub int, code int, codeword array<double>",
+    ).write.mode("overwrite").parquet(out)
+
+
+def _read_pq_codebooks(spark: SparkSession, out_dir: str) -> np.ndarray | None:
+    from textindex_spark import manifest
+
+    if not manifest.table_exists(spark, out_dir, "pq_codebooks"):
+        return None
+    rows = _read_ivf_table(spark, out_dir, "pq_codebooks").collect()
+    m = 1 + max(int(r["sub"]) for r in rows)
+    ksub = 1 + max(int(r["code"]) for r in rows)
+    dsub = len(rows[0]["codeword"])
+    cb = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in rows:
+        cb[int(r["sub"]), int(r["code"])] = list(map(float, r["codeword"]))
+    return cb
 
 
 def _write_bucket_stats(
@@ -364,7 +443,7 @@ def ivf_append(
     stored = [
         c
         for c in _read_ivf_table(spark, out_dir, "vectors").columns
-        if c not in ("_resid", "bucket")
+        if c not in ("_resid", "bucket", "pq_code")  # derived columns
     ]
     if set(emb.columns) != set(stored):
         raise ValueError(
@@ -373,7 +452,14 @@ def ivf_append(
             "match exactly (missing ones would break stored filters; "
             "extra ones would never be queryable)"
         )
-    assigned = assign_buckets(emb, centroids, vec_col, with_resid=True).persist()
+    assigned = assign_buckets(emb, centroids, vec_col, with_resid=True)
+    # a PQ-enabled index encodes appends with the STORED codebooks so
+    # codes stay comparable across generations (codebook staleness is
+    # covered by the same refit policy as the centroids)
+    codebooks = _read_pq_codebooks(spark, out_dir)
+    if codebooks is not None:
+        assigned = pq_encode(assigned, codebooks, vec_col, centroids=centroids)
+    assigned = assigned.persist()
     n = assigned.count()  # materializes ONE matmul pass; write reuses it
     assigned.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
@@ -499,10 +585,12 @@ def maybe_refit(
     if not reasons:
         return {"refit": False, "reasons": [], **drift}
 
-    # keep EVERY stored column except the derived two — a refit that
+    # keep EVERY stored column except the derived ones — a refit that
     # selected only (id, vector) would silently drop filtered-ANN
     # columns like label (r5 review find)
-    live = _read_ivf_table(spark, out_dir, "vectors").drop("_resid", "bucket")
+    live = _read_ivf_table(spark, out_dir, "vectors").drop(
+        "_resid", "bucket", "pq_code"
+    )
     n_rows = drift["base_rows"] + drift["appended_rows"]
     params = suggest_ivf_params(n_rows, n_centroids)
     k = n_centroids or params["n_centroids"]
@@ -515,6 +603,20 @@ def maybe_refit(
     cent_dir = f"{out_dir}/centroids_refit_{tag}"
     stats_dir = f"{out_dir}/ivf_stats_refit_{tag}"
     assigned = assign_buckets(live, centroids_np, vec_col, with_resid=True)
+    # PQ-enabled index: the refit retrains the codebooks on the
+    # CURRENT corpus (same m/nbits, read from the stored shape) and
+    # re-encodes — codebook drift is the same staleness the centroid
+    # refit fixes, so both roll in one atomic commit
+    old_cb = _read_pq_codebooks(spark, out_dir)
+    pq_dir = None
+    if old_cb is not None:
+        m, ksub, _ = old_cb.shape
+        new_cb = _pq_fit_residual(
+            live, centroids_np, m, int(ksub).bit_length() - 1, id_col, vec_col
+        )
+        assigned = pq_encode(assigned, new_cb, vec_col, centroids=centroids_np)
+        pq_dir = f"{out_dir}/pq_codebooks_refit_{tag}"
+        _write_pq_codebooks(spark, new_cb, pq_dir)
     assigned.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(vec_dir)
@@ -524,15 +626,14 @@ def maybe_refit(
         "bucket int, centroid array<double>",
     ).write.mode("overwrite").parquet(cent_dir)
     _write_bucket_stats(spark, vec_dir, stats_dir, gen="base")
-    manifest.commit(
-        spark,
-        out_dir,
-        set_tables={
-            "vectors": [manifest.rel(out_dir, vec_dir)],
-            "centroids": [manifest.rel(out_dir, cent_dir)],
-            "ivf_stats": [manifest.rel(out_dir, stats_dir)],
-        },
-    )
+    tables = {
+        "vectors": [manifest.rel(out_dir, vec_dir)],
+        "centroids": [manifest.rel(out_dir, cent_dir)],
+        "ivf_stats": [manifest.rel(out_dir, stats_dir)],
+    }
+    if pq_dir is not None:
+        tables["pq_codebooks"] = [manifest.rel(out_dir, pq_dir)]
+    manifest.commit(spark, out_dir, set_tables=tables)
     return {"refit": True, "reasons": reasons, "n_centroids": int(k), **drift}
 
 
@@ -603,6 +704,59 @@ def ivf_search_stored(
     if where is not None:
         vectors = vectors.filter(where)
     return cosine_topk(vectors, query_vec, k, id_col, vec_col)
+
+
+def ivf_pq_search_stored(
+    spark: SparkSession,
+    out_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int | None = 4,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    where: Column | None = None,
+) -> DataFrame:
+    """Two-stage IVF-PQ query over a ``write_ivf(..., pq_m=m)``
+    index. Stage 1 scans ONLY (id, pq_code) from the probed bucket
+    partitions — partition pruning AND column pruning, so the scan
+    payload is ~m bytes per candidate row instead of 4·d (at 10^12
+    vectors × d=768 that is the difference between reading TB and
+    GB per query) — and ADC-scores a ``rerank``-size shortlist.
+    Stage 2 re-scores just the shortlist EXACTLY from the full
+    vectors (isin + bucket pushdown). ``where`` predicates apply in
+    stage 1 before scoring (their columns join the pruned scan)."""
+    codebooks = _read_pq_codebooks(spark, out_dir)
+    if codebooks is None:
+        raise ValueError(
+            f"{out_dir} has no pq_codebooks table — build with "
+            "write_ivf(..., pq_m=m) or query via ivf_search_stored"
+        )
+    cent = _read_ivf_table(spark, out_dir, "centroids").orderBy("bucket").collect()
+    centroids = [list(r["centroid"]) for r in cent]
+    if n_probe is None:
+        n_probe = max(1, len(centroids) // 8)
+    probe = probe_buckets(centroids, query_vec, n_probe)
+    pruned = _read_ivf_table(spark, out_dir, "vectors").filter(
+        F.col("bucket").isin(probe)
+    )
+    if where is not None:
+        pruned = pruned.filter(where)
+    # residual-encoded codes: ADC adds the exact q-centroid dot of
+    # each row's bucket (k-vector, driver-side)
+    bucket_dots = _unit(np.asarray(centroids, dtype=np.float64)) @ _unit(
+        np.asarray(query_vec, dtype=np.float64)
+    )
+    rerank = min(rerank or max(16 * k, 256), PQ_RERANK_MAX)
+    short = pq_adc_topk(
+        pruned, codebooks, query_vec, rerank, id_col, bucket_dots=bucket_dots
+    ).collect()
+    ids = [r[id_col] for r in short]
+    if not ids:
+        return cosine_topk(pruned.limit(0), query_vec, k, id_col, vec_col)
+    return cosine_topk(
+        pruned.filter(F.col(id_col).isin(ids)), query_vec, k, id_col, vec_col
+    )
 
 
 # ------------------------------------- embedding-cosine near-dup pairs
@@ -985,3 +1139,272 @@ def embedding_near_pairs(
         .select("vec_a", "vec_b", "cos_micro")
     )
     return verified.unionByName(stars)
+
+
+# ------------------------------------------- product quantization (PQ)
+
+# PQ training is sample-based even at 100 TB: the codebook summarizes
+# the vector DISTRIBUTION, not the corpus (faiss trains PQ on
+# ~100k-1M vectors regardless of index size), so a driver-side Lloyd
+# loop over a deterministic hash-ordered sample is the honest scale
+# design — the distributed work is the ENCODE pass (one Arrow matmul
+# scan) and the ADC query scan, both linear and shuffle-free.
+PQ_FIT_MAX_ROWS = 100_000
+# shortlist cap for the exact-rerank stage: the shortlist is collected
+# to the driver as bare ids (k-rows class, same discipline as
+# ISIN_PUSHDOWN_MAX in query.py) and pushed back as an isin filter
+PQ_RERANK_MAX = 1024
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_rows: int | None = None,
+    max_iter: int = 10,
+) -> np.ndarray:
+    """Product-quantizer codebooks → (m, ksub, d/m) float64, ksub ≤
+    2**nbits (clamped to the distinct subvectors available). Vectors
+    are UNIT-NORMALIZED before splitting into m subspaces, so an ADC
+    sum of per-subspace dots approximates the full cosine. Sampling
+    is the same deterministic md5-hash ranking ``seed_centroids``
+    uses (TakeOrderedAndProject — no global sort), so fits are
+    reproducible across runs and cluster sizes."""
+    if not 1 <= nbits <= 8:
+        raise ValueError("pq_fit: nbits must be in [1, 8] (codes are bytes)")
+    ksub = 1 << nbits
+    if fit_rows is None:
+        fit_rows = min(256 * ksub, PQ_FIT_MAX_ROWS)
+    sample = (
+        emb.select(vec_col)
+        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(int(fit_rows))
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_fit: empty embedding table")
+    X = _unit(np.array([list(map(float, r[vec_col])) for r in sample]))
+    return _pq_lloyd(X, m, ksub, max_iter)
+
+
+def _pq_lloyd(X: np.ndarray, m: int, ksub: int, max_iter: int) -> np.ndarray:
+    """Per-subspace Lloyd iterations over an (n, d) training matrix
+    already in the target space (unit vectors for flat PQ, residuals
+    for IVF-PQ) → (m, ksub, d/m) codebooks."""
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for s in range(m):
+        S = X[:, s * dsub : (s + 1) * dsub]
+        # deterministic init: first ksub distinct subvectors in sample
+        # order (the sample itself is hash-ranked)
+        _, first = np.unique(S.round(9), axis=0, return_index=True)
+        init = S[np.sort(first)[:ksub]]
+        cb = init.copy()
+        for _ in range(max_iter):
+            d2 = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(np.round(d2, 9), axis=1)
+            new = cb.copy()  # empty cells keep their codeword
+            for c in range(cb.shape[0]):
+                sel = a == c
+                if sel.any():
+                    new[c] = S[sel].mean(axis=0)
+            if np.allclose(new, cb, atol=1e-9):
+                cb = new
+                break
+            cb = new
+        # pad clamped codebooks back to ksub rows (repeat last) so
+        # every subspace has the same shape — codes never reference
+        # the padding (argmin ties resolve to the first copy)
+        if cb.shape[0] < ksub:
+            pad = np.repeat(cb[-1:], ksub - cb.shape[0], axis=0)
+            cb = np.vstack([cb, pad])
+        books.append(cb)
+    return np.stack(books)  # (m, ksub, dsub)
+
+
+def _pq_fit_residual(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    m: int,
+    nbits: int,
+    id_col: str,
+    vec_col: str,
+    max_iter: int = 10,
+    fit_rows: int | None = None,
+) -> np.ndarray:
+    """IVF-PQ codebooks trained on assignment RESIDUALS
+    (unit(x) − centroid[bucket]) — the faiss IndexIVFPQ layout.
+    Raw-vector codes cannot discriminate within a tight bucket (all
+    members quantize to the centroid's codewords); residuals carry
+    exactly the intra-bucket variation the rerank needs. The sample
+    is assigned driver-side, so the fit costs no extra corpus pass."""
+    ksub = 1 << nbits
+    if fit_rows is None:
+        fit_rows = min(256 * ksub, PQ_FIT_MAX_ROWS)
+    sample = (
+        emb.select(vec_col)
+        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(int(fit_rows))
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_fit: empty embedding table")
+    X = _unit(np.array([list(map(float, r[vec_col])) for r in sample]))
+    cu = _unit(np.asarray(centroids, dtype=np.float64))
+    R = X - cu[_assign_np(X, cu)]
+    return _pq_lloyd(R, m, ksub, max_iter)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    centroids: np.ndarray | list[list[float]] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Add an m-byte ``code_col``: per subspace, the index of the
+    nearest codeword (one Arrow batch → one (batch, ksub) distance
+    matmul per subspace). m bytes per vector instead of 4·d — the
+    100 TB storage/scan payload. With ``centroids`` the codes cover
+    the assignment RESIDUAL unit(x) − centroid[bucket] (requires a
+    ``bucket_col``; IVF-PQ layout); without, the unit vector itself
+    (flat PQ)."""
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    cu = None
+    if centroids is not None:
+        cu = _unit(np.asarray(centroids, dtype=np.float64))
+    # ||s - c||² = ||s||² - 2 s·c + ||c||²; argmin needs only the
+    # last two terms, precompute ||c||² once
+    cb_n2 = (cb**2).sum(axis=2)  # (m, ksub)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {code_col} binary"
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _unit(np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ))
+            if X.shape[1] != m * dsub:
+                raise ValueError(
+                    f"embedding dim {X.shape[1]} != PQ dim {m * dsub}"
+                )
+            if cu is not None:
+                X = X - cu[pdf[bucket_col].values.astype(np.int64)]
+            codes = np.empty((len(X), m), dtype=np.uint8)
+            for s in range(m):
+                S = X[:, s * dsub : (s + 1) * dsub]
+                # round like _assign_np so ties break identically
+                # across batch boundaries / executors
+                d2 = np.round(cb_n2[s][None, :] - 2.0 * (S @ cb[s].T), 9)
+                codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+            pdf = pdf.copy()
+            pdf[code_col] = [c.tobytes() for c in codes]
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
+
+
+def _adc_table(codebooks: np.ndarray, query_vec: list[float]) -> np.ndarray:
+    """(m, ksub) table of per-subspace dots with the unit query:
+    cos(q, x) ≈ Σ_s table[s, code_s(x)]."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    q = _unit(np.asarray(query_vec, dtype=np.float64))
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != PQ dim {m * dsub}")
+    return np.einsum("mkd,md->mk", cb, q.reshape(m, dsub))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    bucket_dots: np.ndarray | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the kernel reads ONLY
+    (id, code[, bucket]) columns, scores each row with m table
+    lookups (one fancy-index + row sum per batch, no per-row Python),
+    keeps a local top-k per batch, and the driver merges k-row
+    partials via TakeOrderedAndProject. For residual-encoded IVF-PQ
+    pass ``bucket_dots`` (the q·centroid vector): cos(q, x) ≈
+    q·c_bucket + Σ_s table[s, code_s]. Scores are micro-rounded for
+    deterministic cross-partition ordering. Returns
+    (id_col, adc_score desc)."""
+    import pandas as pd
+
+    table = _adc_table(codebooks, query_vec)
+    m = table.shape[0]
+    sub_idx = np.arange(m)
+    id_type = {
+        f.name: f.dataType.simpleString() for f in encoded.schema.fields
+    }[id_col]
+    schema = f"{id_col} {id_type}, adc_score double"
+    cols = [id_col, code_col] + ([bucket_col] if bucket_dots is not None else [])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf[code_col]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            scores = table[sub_idx[None, :], codes].sum(axis=1)
+            if bucket_dots is not None:
+                scores = scores + bucket_dots[
+                    pdf[bucket_col].values.astype(np.int64)
+                ]
+            scores = np.round(scores * 1e6) / 1e6
+            top = np.argsort(-scores, kind="stable")[:k]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values[top], "adc_score": scores[top]}
+            )
+
+    return (
+        encoded.select(*cols)
+        .mapInPandas(kernel, schema)
+        .orderBy(F.desc("adc_score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist of ``rerank`` candidates
+    (default max(16k, 256), capped at PQ_RERANK_MAX) from the m-byte
+    codes, then EXACT cosine re-scoring of just the shortlist — the
+    standard recall-restoring rerank. The shortlist ids are collected
+    (k-rows class) and pushed back as an isin scan filter."""
+    rerank = min(rerank or max(16 * k, 256), PQ_RERANK_MAX)
+    short = pq_adc_topk(
+        encoded, codebooks, query_vec, rerank, id_col, code_col
+    ).collect()
+    ids = [r[id_col] for r in short]
+    if not ids:
+        return cosine_topk(encoded.limit(0), query_vec, k, id_col, vec_col)
+    return cosine_topk(
+        encoded.filter(F.col(id_col).isin(ids)), query_vec, k, id_col, vec_col
+    )

@@ -253,6 +253,29 @@ def main() -> None:
     )
     timed("emb_near_dup", lambda: similarity.embedding_near_pairs(emb).count())
 
+    # IVF-PQ stored path: build (kmeans + residual codebooks +
+    # bucket-partitioned write) once, then the two-stage query — an
+    # ADC scan that reads ONLY (id, pq_code) from the probed
+    # partitions plus an exact rerank of the shortlist. This is the
+    # 100 TB query-scan payload design (m bytes/row vs 4·d).
+    import tempfile
+
+    pq_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
+    pp = similarity.suggest_pq_params(len(qvec))
+    t0 = time.time()
+    similarity.write_ivf(
+        spark, emb, pq_dir, n_centroids=16, max_iter=5,
+        pq_m=pp["pq_m"], pq_nbits=pp["pq_nbits"],
+    )
+    timings["ann_pq_build"] = round(time.time() - t0, 3)
+    timed(
+        "ann_pq_query",
+        lambda: similarity.ivf_pq_search_stored(
+            spark, pq_dir, list(qvec), k=10, n_probe=4
+        ).collect(),
+    )
+    shutil.rmtree(pq_dir, ignore_errors=True)
+
     # r4 additions: Gopher repetition signals, exact-substring window
     # duplication, URL canonicalization + snapshot dedup (urls injected
     # deterministically — the documents table carries none)

@@ -4,7 +4,9 @@
     spark-submit --py-files textindex_spark.zip jobs/admin.py \
         --index /path/to/index (--describe | --delete 'url-glob' |
                                 --compact | --append INPUT_PARQUET [--upsert] |
-                                --purge | --versions | --rollback V)
+                                --purge | --versions | --rollback V |
+                                --expire KEEP_LAST [--min-age-sec S]
+                                [--dry-run])
 
 Mirrors the reference's `stats` / `delete` commands
 (``/root/reference/src/main.rs:277-347``; `delete` is a stub there)
@@ -44,13 +46,30 @@ def main() -> None:
         help="roll back to snapshot V (commits a new manifest; "
         "nothing is deleted)",
     )
+    ap.add_argument(
+        "--expire", type=int, default=None, metavar="KEEP_LAST",
+        help="retention maintenance: drop snapshots older than the "
+        "KEEP_LAST newest and delete their superseded data dirs plus "
+        "aged-out orphan staging dirs (Iceberg expire-snapshots + "
+        "remove-orphan-files)",
+    )
+    ap.add_argument(
+        "--min-age-sec", type=float, default=86400.0,
+        help="with --expire: only remove never-committed staging "
+        "orphans older than this (guards in-flight writers)",
+    )
+    ap.add_argument(
+        "--dry-run", action="store_true",
+        help="with --expire: report what would be removed, delete nothing",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
     if not (args.describe or args.delete or args.compact or args.append
-            or args.purge or args.versions or args.rollback is not None):
+            or args.purge or args.versions or args.rollback is not None
+            or args.expire is not None):
         ap.error("provide one of --describe / --delete / --compact / "
-                 "--append / --purge / --versions / --rollback")
+                 "--append / --purge / --versions / --rollback / --expire")
 
     from textindex_spark.build import (
         append_batch,
@@ -81,6 +100,13 @@ def main() -> None:
         man = manifest.rollback(spark, args.index, args.rollback)
         invalidate_cache(args.index)
         out["rollback"] = {"new_version": man["version"], **man["props"]}
+    if args.expire is not None:
+        from textindex_spark import manifest
+
+        out["expire"] = manifest.expire_snapshots(
+            spark, args.index, keep_last=args.expire,
+            min_age_sec=args.min_age_sec, dry_run=args.dry_run,
+        )
     if args.versions:
         from textindex_spark import manifest
 

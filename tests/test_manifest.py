@@ -112,6 +112,82 @@ def test_delete_is_atomic_commit(spark, index_dir):
     assert man["tables"]["stats"][0].startswith("stats_del_")
 
 
+def test_expire_snapshots_removes_superseded_dirs(spark, index_dir):
+    """Retention: after append + compact, expiring to keep_last=1
+    deletes the pre-compaction postings dirs AND the old manifest
+    version files; the current snapshot answers identically, time
+    travel to expired versions raises, and a re-run is a no-op."""
+    import os
+
+    append_batch(spark, corpus_df(spark, synth_corpus(160)[120:]), index_dir)
+    compact_postings(spark, index_dir)
+    before = _topk(spark, index_dir)
+    vers = [v["version"] for v in manifest.list_versions(spark, index_dir)]
+    assert len(vers) >= 3
+    rep = manifest.expire_snapshots(spark, index_dir, keep_last=1, min_age_sec=0)
+    assert rep["retained_versions"] == [vers[-1]]
+    assert rep["expired_versions"] == vers[:-1]
+    # the superseded plain postings dir and the append staging dirs
+    # are gone from disk; live tables untouched
+    assert "postings" in rep["removed_dirs"]
+    assert any(d.startswith("postings_append_") for d in rep["removed_dirs"])
+    for d in rep["removed_dirs"]:
+        assert not os.path.exists(f"{index_dir}/{d}")
+    assert _topk(spark, index_dir) == before
+    with pytest.raises(ValueError, match="no snapshot"):
+        manifest.manifest_at(spark, index_dir, vers[0])
+    rep2 = manifest.expire_snapshots(spark, index_dir, keep_last=1, min_age_sec=0)
+    assert rep2["expired_versions"] == [] and rep2["removed_dirs"] == []
+
+
+def test_expire_snapshots_orphans_age_guard_and_unknown_dirs(spark, index_dir):
+    """Orphan GC: a never-committed staging dir (crash leftover) is
+    removed only past the age guard; dry_run reports without
+    deleting; a plain dir no manifest mentions is never a candidate."""
+    import os
+
+    orphan = f"{index_dir}/postings_stage_deadbeef"
+    os.makedirs(orphan)
+    with open(f"{orphan}/part-0.parquet", "w") as f:
+        f.write("x")
+    aux = f"{index_dir}/lineage"  # unknown auxiliary table dir
+    os.makedirs(aux)
+    rep = manifest.expire_snapshots(
+        spark, index_dir, keep_last=1, min_age_sec=3600
+    )
+    assert "postings_stage_deadbeef" in rep["kept_young_dirs"]
+    assert os.path.exists(orphan)
+    rep = manifest.expire_snapshots(
+        spark, index_dir, keep_last=1, min_age_sec=0, dry_run=True
+    )
+    assert "postings_stage_deadbeef" in rep["removed_dirs"]
+    assert os.path.exists(orphan)  # dry run deletes nothing
+    rep = manifest.expire_snapshots(spark, index_dir, keep_last=1, min_age_sec=0)
+    assert "postings_stage_deadbeef" in rep["removed_dirs"]
+    assert not os.path.exists(orphan)
+    assert os.path.exists(aux) and "lineage" not in rep["removed_dirs"]
+
+
+def test_expire_after_purge_protects_live_subtree(spark, index_dir):
+    """The purge_N subtree is the CURRENT data after a purge — expiry
+    must delete the superseded top-level table dirs but recurse-
+    protect the subtree the retained manifest points into."""
+    import os
+
+    from textindex_spark.build import purge_deleted
+
+    victim = manifest.read_table(spark, index_dir, "docs").collect()[0]["url"]
+    delete_docs(spark, index_dir, victim)
+    assert purge_deleted(spark, index_dir) == 1
+    before = _topk(spark, index_dir)
+    rep = manifest.expire_snapshots(spark, index_dir, keep_last=1, min_age_sec=0)
+    assert all(not d.startswith("purge_") for d in rep["removed_dirs"])
+    assert "docs" in rep["removed_dirs"]  # superseded plain dirs go
+    sub = [d for d in os.listdir(index_dir) if d.startswith("purge_")]
+    assert len(sub) == 1 and os.path.isdir(f"{index_dir}/{sub[0]}/postings")
+    assert _topk(spark, index_dir) == before
+
+
 def test_write_file_atomic_loses_race_cleanly(spark, tmp_path):
     """ADVICE r2: POSIX rename overwrites, so version-race losers must
     detect the loss. Pre-existing destination → False without

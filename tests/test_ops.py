@@ -1360,6 +1360,21 @@ def test_ivf_pq_two_stage_search(spark, tmp_path):
         ).collect()
     }
     assert len(exact & got) >= 8
+    # retention: expiring to the current snapshot reclaims the
+    # pre-refit vectors/centroids/codebooks generations; the stored
+    # PQ query answers identically afterwards
+    from textindex_spark import manifest
+
+    rep = manifest.expire_snapshots(spark, out, keep_last=1, min_age_sec=0)
+    assert "vectors" in rep["removed_dirs"]  # pre-refit generation
+    assert "pq_codebooks" in rep["removed_dirs"]
+    got2 = {
+        r["vec_id"]
+        for r in similarity.ivf_pq_search_stored(
+            spark, out, q, 10, n_probe=2
+        ).collect()
+    }
+    assert got2 == got
 
 
 def test_pq_flat_encode_and_topk(spark):
@@ -1386,6 +1401,29 @@ def test_pq_flat_encode_and_topk(spark):
     # dim-mismatch error contract
     with pytest.raises(Exception):
         similarity.pq_adc_topk(enc, cb, q[:-1], 5).collect()
+
+
+def test_pq_adc_shortlist_tie_break_by_id(spark):
+    """ADC ties at the per-batch shortlist cut resolve by id, not by
+    row order within the Arrow batch: a block of identical vectors
+    (identical codes → identical ADC scores) presented in descending
+    id order must still shortlist the LOWEST ids, matching the global
+    (score desc, id asc) contract."""
+    rng = np.random.default_rng(5)
+    base = [float(x) for x in rng.normal(size=8)]
+    other = [float(x) for x in rng.normal(size=8)]
+    rows = [(int(i), base) for i in range(40)] + [
+        (int(i), other) for i in range(40, 60)
+    ]
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).orderBy(F.desc("vec_id")).repartition(7)
+    cb = similarity.pq_fit(emb, m=4, nbits=4)
+    enc = similarity.pq_encode(emb, cb)
+    got = [r["vec_id"] for r in similarity.pq_adc_topk(enc, cb, base, 10).collect()]
+    assert got == list(range(10))
 
 
 def test_ivf_filtered_search(spark, tmp_path):

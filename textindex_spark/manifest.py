@@ -427,6 +427,149 @@ def rebind_stream(
     commit(spark, state_dir, props={run_prop: str(run_id), batch_prop: -1})
 
 
+# Generated-directory name patterns of every engine writer (append /
+# compact / consolidate / refit / purge / explicit staging) — the only
+# names expire_snapshots may treat as never-committed orphans.
+_GEN_DIR_RE = re.compile(
+    r"_(stage|append|compact|consolidated|refit)_"  # staged table dirs
+    r"|^purge_\d+$"                                 # purge subtrees
+    r"|^(deleted|stats_del)_\d+$"                   # delete-commit dirs
+    r"|_b\d+_v\d+$"                                 # streaming state folds
+)
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    index_dir: str,
+    keep_last: int = 2,
+    min_age_sec: float = 86400.0,
+    dry_run: bool = False,
+) -> dict:
+    """Retention maintenance — Iceberg's expire-snapshots +
+    remove-orphan-files for the JSON-manifest layer. Without it every
+    compaction/refit/purge/append leaves its superseded data dirs on
+    disk forever (time travel holds them live): at 100 TB the index
+    footprint grows without bound. This call
+
+    1. deletes manifest version files BELOW the ``keep_last`` newest
+       (the current snapshot is always retained — ``keep_last`` is
+       clamped to ≥ 1), then
+    2. deletes data directories that the EXPIRED manifests referenced
+       but no retained snapshot still does (committed and provably
+       superseded — e.g. the pre-compaction postings dirs, a refit's
+       old vectors), and
+    3. deletes never-committed orphan staging dirs (crash leftovers)
+       recognized by the generated-name patterns the engine's own
+       writers use, but only when older than ``min_age_sec``
+       (Iceberg's remove-orphan-files age guard, default 3 days
+       there): a staging dir an in-flight concurrent writer has
+       created but not yet committed is unreferenced BY DESIGN. Pass
+       0 only when no other writer can be active.
+
+    Directories are only ever deleted from these two candidate sets —
+    a plain table dir no manifest mentions (the manifest-less
+    fallback layout, auxiliary tables) is never a candidate, and a
+    candidate with no "/" in its name is additionally skipped when
+    any retained manifest lacks that table name (its reads would fall
+    back to the plain dir).
+
+    Manifests are deleted before data dirs, so a crash mid-call
+    leaves orphan dirs (removed by a re-run) rather than readable
+    version files pointing at deleted data. Time travel / rollback to
+    an expired version raises the normal "no snapshot" error. The
+    current snapshot's reads are unaffected, so no cache
+    invalidation.
+
+    Returns {expired_versions, removed_dirs, kept_young_dirs,
+    retained_versions} (with ``dry_run=True`` the same report,
+    nothing deleted)."""
+    import time as _time
+
+    mdir = f"{index_dir}/{MANIFEST_DIR}"
+    fs, jmdir, jvm = _fs(spark, mdir)
+    if not fs.exists(jmdir):
+        return {
+            "expired_versions": [], "removed_dirs": [],
+            "kept_young_dirs": [], "retained_versions": [],
+        }
+    versions = sorted(
+        int(m.group(1))
+        for status in fs.listStatus(jmdir)
+        if (m := _V_RE.match(status.getPath().getName()))
+    )
+    retained = versions[-max(1, int(keep_last)):]
+    expired = [v for v in versions if v not in retained]
+    referenced: set[str] = set()
+    retained_names: list[set[str]] = []
+    known_keys: set[str] = set()
+    for v in retained:
+        man = manifest_at(spark, index_dir, v)
+        tables = man.get("tables", {})
+        retained_names.append(set(tables))
+        known_keys.update(tables)
+        for rels in tables.values():
+            referenced.update(r.strip("/") for r in rels)
+    superseded: set[str] = set()
+    for v in expired:
+        man = manifest_at(spark, index_dir, v)
+        tables = man.get("tables", {})
+        known_keys.update(tables)
+        for rels in tables.values():
+            superseded.update(r.strip("/") for r in rels)
+    superseded -= referenced
+    for v in expired:
+        if not dry_run:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{mdir}/v{v:012d}.json"), False
+            )
+
+    def _live(rel: str) -> bool:
+        """A retained snapshot still needs this path: referenced
+        directly, an ancestor of a referenced path, or the plain dir
+        of a TABLE NAME some retained manifest does not list — reads
+        of that table there resolve to {index_dir}/{name} via the
+        manifest-less fallback."""
+        if rel in referenced or any(r.startswith(rel + "/") for r in referenced):
+            return True
+        return rel in known_keys and any(
+            rel not in names for names in retained_names
+        )
+
+    removed: list[str] = []
+    kept_young: list[str] = []
+    for rel in sorted(superseded):
+        if _live(rel):
+            continue
+        jp = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/{rel}")
+        if not fs.exists(jp):
+            continue
+        removed.append(rel)
+        if not dry_run:
+            fs.delete(jp, True)
+    # never-committed staging orphans at the top level, by the
+    # engine's own generated-name patterns, behind the age guard
+    now_ms = _time.time() * 1000.0
+    _, jroot, _ = _fs(spark, index_dir)
+    for status in fs.listStatus(jroot):
+        name = status.getPath().getName()
+        if not status.isDirectory() or not _GEN_DIR_RE.search(name):
+            continue
+        if name in removed or _live(name):
+            continue
+        if (now_ms - status.getModificationTime()) / 1000.0 < min_age_sec:
+            kept_young.append(name)
+            continue
+        removed.append(name)
+        if not dry_run:
+            fs.delete(status.getPath(), True)
+    return {
+        "expired_versions": expired,
+        "removed_dirs": sorted(removed),
+        "kept_young_dirs": sorted(kept_young),
+        "retained_versions": retained,
+    }
+
+
 def next_staging_dir(index_dir: str, table: str, tag: str) -> str:
     """Deterministic staging dir name (idempotent retries overwrite
     the same staging output rather than duplicating it)."""

@@ -1205,8 +1205,12 @@ def _pq_lloyd(X: np.ndarray, m: int, ksub: int, max_iter: int) -> np.ndarray:
         _, first = np.unique(S.round(9), axis=0, return_index=True)
         init = S[np.sort(first)[:ksub]]
         cb = init.copy()
+        s_n2 = (S**2).sum(axis=1, keepdims=True)  # constant across iters
         for _ in range(max_iter):
-            d2 = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            # ||s-c||² = ||s||² − 2 s·c + ||c||² as one (n, ksub)
+            # matmul — the (n, ksub, dsub) difference tensor form
+            # allocates ~0.5 GB per subspace at the default fit size
+            d2 = s_n2 - 2.0 * (S @ cb.T) + (cb**2).sum(axis=1)[None, :]
             a = np.argmin(np.round(d2, 9), axis=1)
             new = cb.copy()  # empty cells keep their codeword
             for c in range(cb.shape[0]):
@@ -1370,9 +1374,17 @@ def pq_adc_topk(
                     pdf[bucket_col].values.astype(np.int64)
                 ]
             scores = np.round(scores * 1e6) / 1e6
-            top = np.argsort(-scores, kind="stable")[:k]
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].values[top], "adc_score": scores[top]}
+            # per-batch cut ties break by id (same key as the global
+            # orderBy below) — batch-row-order ties would make the
+            # shortlist depend on partitioning
+            yield (
+                pd.DataFrame({id_col: pdf[id_col].values, "adc_score": scores})
+                .sort_values(
+                    ["adc_score", id_col],
+                    ascending=[False, True],
+                    kind="mergesort",
+                )
+                .head(k)
             )
 
     return (

@@ -269,3 +269,30 @@ def test_canon_path_file_uri_authority(tmp_path):
     assert manifest._local_path("file://nas/share/idx") is None
     assert manifest._local_path(f"file://{d}") == d
     assert manifest._local_path("relative/path") is None
+
+
+def test_expire_rerun_reclaims_after_crash_between_phases(spark, index_dir):
+    """Crash window (review r5): expire deletes the expired manifest
+    files, then dies before its data-dir loop. The re-run can no
+    longer compute the superseded set (the referencing manifests are
+    gone) — plain table dirs must still be reclaimed via the
+    known-table-name orphan clause, while plain dirs a retained
+    manifest references stay protected."""
+    import os
+
+    append_batch(spark, corpus_df(spark, synth_corpus(160)[120:]), index_dir)
+    compact_postings(spark, index_dir)
+    before = _topk(spark, index_dir)
+    vers = [v["version"] for v in manifest.list_versions(spark, index_dir)]
+    # simulate the crash: only the expired version files are gone
+    for v in vers[:-1]:
+        os.remove(f"{index_dir}/_manifests/v{v:012d}.json")
+    assert os.path.isdir(f"{index_dir}/postings")  # the leak
+    rep = manifest.expire_snapshots(spark, index_dir, keep_last=1, min_age_sec=0)
+    assert "postings" in rep["removed_dirs"]
+    assert not os.path.exists(f"{index_dir}/postings")
+    man = manifest.current_manifest(spark, index_dir)
+    for name, rels in man["tables"].items():
+        for rel in rels:
+            assert os.path.exists(f"{index_dir}/{rel}"), (name, rel)
+    assert _topk(spark, index_dir) == before

@@ -2059,3 +2059,55 @@ def test_emb_near_pairs_local_path_releases_persists(spark):
     }
     assert not similarity._emb_persists  # local call drained them
     assert dist == local  # mirror is path-identical on the same banding
+
+
+def test_suggest_pq_params_cap_holds_for_odd_m():
+    """The m <= 64 code-byte cap must hold whenever d admits a
+    divisor in range — the halving loop alone strands odd m above the
+    cap (review r5: d=516 -> m=129). Prime d keeps m=d (documented
+    escape: the only other divisor is 1, one codeword cell for the
+    whole space)."""
+    for d in (516, 250, 768, 1536, 384, 132, 32):
+        m = similarity.suggest_pq_params(d)["pq_m"]
+        assert d % m == 0 and m <= 64, (d, m)
+    assert similarity.suggest_pq_params(509)["pq_m"] == 509  # prime
+
+
+def test_pq_nbits_validated_on_residual_path(spark, tmp_path):
+    """nbits > 8 must raise on the write_ivf path too — codes are
+    stored as single bytes, so 10-bit codes would silently wrap in
+    the uint8 cast and corrupt the stored index (review r5; pq_fit
+    already validated, the residual trainer skipped it)."""
+    rows = [(i, [float(i % 7), 1.0, -1.0, 0.5]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="nbits"):
+        similarity.write_ivf(
+            spark, emb, str(tmp_path / "x"), n_centroids=2, max_iter=2,
+            pq_m=2, pq_nbits=10,
+        )
+
+
+def test_ivf_rebuild_without_pq_drops_stale_codebooks(spark, tmp_path):
+    """Re-training a PQ-enabled index WITHOUT pq_m must drop the
+    manifest's pq_codebooks entry: stale codebooks would make the
+    next append encode a pq_code column the rewritten vectors lack,
+    poisoning every later read of the unioned vectors table (review
+    r5, reproduced live as NUM_COLUMNS_MISMATCH)."""
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "ivf")
+    similarity.write_ivf(spark, emb, out, n_centroids=4, max_iter=3, pq_m=4)
+    assert similarity._read_pq_codebooks(spark, out) is not None
+    similarity.write_ivf(spark, emb, out, n_centroids=4, max_iter=3)
+    assert similarity._read_pq_codebooks(spark, out) is None
+    more = [
+        (i, [float(x) for x in rng.randn(16)]) for i in range(300, 400)
+    ]
+    emb2 = spark.createDataFrame(more, "vec_id long, embedding array<double>")
+    assert similarity.ivf_append(spark, emb2, out) == 100
+    assert similarity._read_ivf_table(spark, out, "vectors").count() == 400
+    q = [float(x) for x in rng.randn(16)]
+    assert similarity.ivf_search_stored(spark, out, q, 5, n_probe=4).count() == 5
+    with pytest.raises(ValueError, match="pq_codebooks"):
+        similarity.ivf_pq_search_stored(spark, out, q, 5)

@@ -474,8 +474,10 @@ def expire_snapshots(
     back to the plain dir).
 
     Manifests are deleted before data dirs, so a crash mid-call
-    leaves orphan dirs (removed by a re-run) rather than readable
-    version files pointing at deleted data. Time travel / rollback to
+    leaves orphan dirs rather than readable version files pointing at
+    deleted data; a re-run removes them — generated-name dirs via the
+    orphan patterns, plain table dirs via the known-table-name clause
+    below (both behind the same age guard). Time travel / rollback to
     an expired version raises the normal "no snapshot" error. The
     current snapshot's reads are unaffected, so no cache
     invalidation.
@@ -546,13 +548,23 @@ def expire_snapshots(
         removed.append(rel)
         if not dry_run:
             fs.delete(jp, True)
-    # never-committed staging orphans at the top level, by the
-    # engine's own generated-name patterns, behind the age guard
+    # top-level orphans behind the age guard: never-committed staging
+    # dirs (the engine's own generated-name patterns) PLUS plain dirs
+    # carrying a table name every retained manifest knows but none
+    # references — the leftovers of a prior expire that crashed
+    # between its manifest deletion and its data-dir loop (their
+    # referencing manifests are gone, so the superseded set above can
+    # no longer see them; without this clause they leak forever).
+    # _live still protects the manifest-less-fallback and current-dir
+    # cases; the age guard protects an in-flight rebuild writing a
+    # plain dir it has not committed yet.
     now_ms = _time.time() * 1000.0
     _, jroot, _ = _fs(spark, index_dir)
     for status in fs.listStatus(jroot):
         name = status.getPath().getName()
-        if not status.isDirectory() or not _GEN_DIR_RE.search(name):
+        if not status.isDirectory() or not (
+            _GEN_DIR_RE.search(name) or name in known_keys
+        ):
             continue
         if name in removed or _live(name):
             continue

@@ -272,7 +272,10 @@ def suggest_pq_params(d: int, n_rows: int = 0) -> dict:
     the rerank), nbits=8 (byte codes), capped at m ≤ 64 code bytes —
     for d=768 that is 12× fewer query-scan bytes than float32 even
     before the bucket pruning. Returns {pq_m, pq_nbits}; m divides d
-    by construction."""
+    by construction. PRIME d past the cap keeps m = d (the only
+    divisors are 1 and d; one 256-codeword cell for the whole space
+    would make the ADC shortlist meaningless) — real embedding dims
+    are composite, so this is a documentation case, not a path."""
     m = d  # 1-dim subspaces: tiny or prime d
     for dsub in (4, 3, 2):
         if d % dsub == 0 and d // dsub >= 4:
@@ -280,6 +283,10 @@ def suggest_pq_params(d: int, n_rows: int = 0) -> dict:
             break
     while m > 64 and m % 2 == 0:
         m //= 2
+    if m > 64:
+        # odd m past the cap (halving can't reach it): largest
+        # divisor of d within the cap, if d has one beyond 1
+        m = next((x for x in range(64, 1, -1) if d % x == 0), m)
     return {"pq_m": m, "pq_nbits": 8}
 
 
@@ -329,10 +336,16 @@ def write_ivf(
         "vectors": ["vectors"],
         "centroids": ["centroids"],
         "ivf_stats": ["ivf_stats"],
+        # ALWAYS set (empty dir-list == dropped table): a rebuild
+        # without pq_m over a previously PQ-enabled index must drop
+        # the stale codebooks entry, or the next ivf_append would
+        # encode its batch with them and commit a pq_code column the
+        # rewritten vectors lack — poisoning every later read of the
+        # unioned vectors table (review r5, reproduced live)
+        "pq_codebooks": ["pq_codebooks"] if codebooks is not None else [],
     }
     if codebooks is not None:
         _write_pq_codebooks(spark, codebooks, f"{out_dir}/pq_codebooks")
-        tables["pq_codebooks"] = ["pq_codebooks"]
     # per-bucket drift baseline: counts + assignment-residual sums,
     # aggregated from the just-written columnar layout (reads ONLY
     # the bucket/_resid columns, never the vectors)
@@ -747,15 +760,9 @@ def ivf_pq_search_stored(
     bucket_dots = _unit(np.asarray(centroids, dtype=np.float64)) @ _unit(
         np.asarray(query_vec, dtype=np.float64)
     )
-    rerank = min(rerank or max(16 * k, 256), PQ_RERANK_MAX)
-    short = pq_adc_topk(
-        pruned, codebooks, query_vec, rerank, id_col, bucket_dots=bucket_dots
-    ).collect()
-    ids = [r[id_col] for r in short]
-    if not ids:
-        return cosine_topk(pruned.limit(0), query_vec, k, id_col, vec_col)
-    return cosine_topk(
-        pruned.filter(F.col(id_col).isin(ids)), query_vec, k, id_col, vec_col
+    return pq_topk(
+        pruned, codebooks, query_vec, k, rerank, id_col, vec_col,
+        bucket_dots=bucket_dots,
     )
 
 
@@ -1172,6 +1179,22 @@ def pq_fit(
     is the same deterministic md5-hash ranking ``seed_centroids``
     uses (TakeOrderedAndProject — no global sort), so fits are
     reproducible across runs and cluster sizes."""
+    X, ksub = _pq_sample(emb, nbits, id_col, vec_col, fit_rows)
+    return _pq_lloyd(X, m, ksub, max_iter)
+
+
+def _pq_sample(
+    emb: DataFrame,
+    nbits: int,
+    id_col: str,
+    vec_col: str,
+    fit_rows: int | None,
+) -> tuple[np.ndarray, int]:
+    """Shared fit-sample discipline for the flat and residual PQ
+    trainers: nbits validation (codes are stored as single bytes —
+    nbits > 8 would silently wrap in pq_encode's uint8 cast and
+    corrupt the index), deterministic md5-hash ranking, unit
+    normalization. Returns (unit sample matrix, ksub)."""
     if not 1 <= nbits <= 8:
         raise ValueError("pq_fit: nbits must be in [1, 8] (codes are bytes)")
     ksub = 1 << nbits
@@ -1185,8 +1208,7 @@ def pq_fit(
     )
     if not sample:
         raise ValueError("pq_fit: empty embedding table")
-    X = _unit(np.array([list(map(float, r[vec_col])) for r in sample]))
-    return _pq_lloyd(X, m, ksub, max_iter)
+    return _unit(np.array([list(map(float, r[vec_col])) for r in sample])), ksub
 
 
 def _pq_lloyd(X: np.ndarray, m: int, ksub: int, max_iter: int) -> np.ndarray:
@@ -1247,18 +1269,7 @@ def _pq_fit_residual(
     members quantize to the centroid's codewords); residuals carry
     exactly the intra-bucket variation the rerank needs. The sample
     is assigned driver-side, so the fit costs no extra corpus pass."""
-    ksub = 1 << nbits
-    if fit_rows is None:
-        fit_rows = min(256 * ksub, PQ_FIT_MAX_ROWS)
-    sample = (
-        emb.select(vec_col)
-        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(int(fit_rows))
-        .collect()
-    )
-    if not sample:
-        raise ValueError("pq_fit: empty embedding table")
-    X = _unit(np.array([list(map(float, r[vec_col])) for r in sample]))
+    X, ksub = _pq_sample(emb, nbits, id_col, vec_col, fit_rows)
     cu = _unit(np.asarray(centroids, dtype=np.float64))
     R = X - cu[_assign_np(X, cu)]
     return _pq_lloyd(R, m, ksub, max_iter)
@@ -1404,15 +1415,21 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    bucket_dots: np.ndarray | None = None,
+    bucket_col: str = "bucket",
 ) -> DataFrame:
     """Two-stage PQ search: ADC shortlist of ``rerank`` candidates
     (default max(16k, 256), capped at PQ_RERANK_MAX) from the m-byte
     codes, then EXACT cosine re-scoring of just the shortlist — the
     standard recall-restoring rerank. The shortlist ids are collected
-    (k-rows class) and pushed back as an isin scan filter."""
+    (k-rows class) and pushed back as an isin scan filter.
+    ``bucket_dots`` selects residual-encoded (IVF-PQ) scoring —
+    ``ivf_pq_search_stored`` delegates here so the two-stage contract
+    lives in one place."""
     rerank = min(rerank or max(16 * k, 256), PQ_RERANK_MAX)
     short = pq_adc_topk(
-        encoded, codebooks, query_vec, rerank, id_col, code_col
+        encoded, codebooks, query_vec, rerank, id_col, code_col,
+        bucket_dots=bucket_dots, bucket_col=bucket_col,
     ).collect()
     ids = [r[id_col] for r in short]
     if not ids:

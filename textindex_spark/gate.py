@@ -812,6 +812,27 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_pq(spark, sf_dir):
+    """Flat-PQ two-stage search with rerank ≥ corpus size: the ADC
+    shortlist then contains EVERY row, so the exact rerank equals the
+    exact cosine top-10 BY CONSTRUCTION — the gate drives the full
+    encode → code-only ADC scan → shortlist collect → isin-rerank
+    machinery end-to-end against the exact-cosine oracle. ADC
+    shortlist QUALITY at real rerank sizes is pinned by the pytest
+    recall gates (driver correctness runs at sf0.01: 500 vectors ≤
+    PQ_RERANK_MAX=1024)."""
+    emb = _embeddings(spark, sf_dir)
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    cb = similarity.pq_fit(base, m=16, nbits=8)
+    enc = similarity.pq_encode(base, cb)
+    return similarity.pq_topk(
+        enc, cb, qvec, k=10, rerank=similarity.PQ_RERANK_MAX
+    )
+
+
 ANN_FILTER_LABEL = 3
 ANN_FILTER_PROBE = 8  # selective predicate → probe more buckets
 
@@ -837,6 +858,17 @@ def q_ann_filtered(spark, sf_dir):
 # folded semantic stays driver-checked, the registry drops to 49
 # entries, and historically-unverified gates lead the dict. The
 # original single-variant q_* functions stay callable for pytest use.
+
+
+def q_ann_ivf_all(spark, sf_dir):
+    """ann_ivf + ann_pq folded → (variant, vec_id, cos_micro)."""
+    a = q_ann_ivf(spark, sf_dir).select(
+        F.lit("ivf").alias("variant"), "vec_id", "cos_micro"
+    )
+    b = q_ann_pq(spark, sf_dir).select(
+        F.lit("pq").alias("variant"), "vec_id", "cos_micro"
+    )
+    return a.unionByName(b)
 
 
 def q_facets_all(spark, sf_dir):
@@ -977,7 +1009,7 @@ def q_sharded_ops(spark, sf_dir):
 QUERIES = {
     # gates with no (or stale-r3) driver CORRECTNESS rows come first
     "ann_cosine": q_ann_cosine,
-    "ann_ivf": q_ann_ivf,
+    "ann_ivf": q_ann_ivf_all,
     "ann_filtered": q_ann_filtered,
     "emb_near_dup": q_emb_near_dup,
     "url_dedup": q_url_ops,
@@ -2628,6 +2660,13 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
     out["bm25_sharded"] = _fold([
         ("'bm25' AS variant, doc_id, score_micro", out["bm25_sharded"]),
         ("'bool' AS variant, doc_id, score_micro", out["bool_sharded"]),
+    ])
+    # the PQ variant's oracle IS the exact cosine top-10: with
+    # rerank ≥ corpus size the two-stage result is exact by
+    # construction (see q_ann_pq)
+    out["ann_ivf"] = _fold([
+        ("'ivf' AS variant, vec_id, cos_micro", out["ann_ivf"]),
+        ("'pq' AS variant, vec_id, cos_micro", out["ann_cosine"]),
     ])
     for dead in (
         "facet_lang", "phrase_match", "near_match", "near_match_wildcard",

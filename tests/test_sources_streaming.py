@@ -561,3 +561,56 @@ def test_warc_truncated_tail_yields_prefix_never_raises():
         for (gh, gp), (fh, fp) in zip(got, full):
             assert gh == fh, cut
             assert fp.startswith(gp), cut
+
+
+def test_expire_snapshots_reclaims_stream_state_generations(spark, tmp_path):
+    """Retention composes with the streaming dedup state: after
+    compaction folds the per-batch dirs, expire_snapshots(keep_last=1)
+    reclaims the superseded per-batch *_bN_vM generations from disk,
+    and the state answers identically — verdicts unchanged and a
+    further batch still dedups against the kept corpus."""
+    import os
+
+    from textindex_spark.streaming import dedup as SD
+
+    state = str(tmp_path / "estate")
+    n_batches = SD.MAX_STATE_DIRS + 3
+    for b in range(n_batches):
+        docs = spark.createDataFrame(
+            [
+                (100 * b + i, f"u{100 * b + i} v{100 * b + i} w{100 * b + i}")
+                for i in range(3)
+            ]
+            + [(100 * b + 50, "a repeated duplicate text body here")],
+            "doc_id long, text string",
+        )
+        SD.dedup_batch(spark, docs, state, b)
+        SD.maybe_compact_state(spark, state)
+    before = sorted(
+        (r["doc_id"], r["dup_of"], r["kind"])
+        for r in SD.read_verdicts(spark, state).collect()
+    )
+    rep = manifest.expire_snapshots(spark, state, keep_last=1, min_age_sec=0)
+    assert any("_b0_v" in d for d in rep["removed_dirs"])  # per-batch gens
+    leftover = [
+        d for d in os.listdir(state)
+        if "_b0_v" in d or "_b1_v" in d
+    ]
+    assert leftover == []
+    after = sorted(
+        (r["doc_id"], r["dup_of"], r["kind"])
+        for r in SD.read_verdicts(spark, state).collect()
+    )
+    assert after == before
+    # the expired state still dedups new batches correctly
+    SD.dedup_batch(
+        spark,
+        spark.createDataFrame(
+            [(9999, "a repeated duplicate text body here")],
+            "doc_id long, text string",
+        ),
+        state,
+        n_batches,
+    )
+    v = {r["doc_id"]: r for r in SD.read_verdicts(spark, state).collect()}
+    assert v[9999]["dup_of"] == 50 and v[9999]["kind"] == "exact"

@@ -2,7 +2,7 @@
 """spark-submit entrypoint: BM25 top-k / unranked find / file search.
 
     spark-submit --py-files textindex_spark.zip jobs/search.py \
-        --index /path/to/index --terms "spark" "quer*" \
+        --index /path/to/index --terms "spark" "quer*" "querry~1" \
         [--k 10] [--mode and|or] [--prune] [--unranked] [--files PAT]
         [--phrase]            # treat --terms as one exact phrase
         [--near N]            # docs with all terms within N kept tokens

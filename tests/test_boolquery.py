@@ -100,6 +100,9 @@ QUERIES = [
     "spark AND zz_absent_term",               # unsatisfiable leaf
     "spark OR zz_absent_term",                # absent leaf in OR
     "NOT NOT spark",                          # double negation
+    "querry~2 AND spark",                     # fuzzy positive leaf
+    "spark AND NOT indx~2",                   # fuzzy under NOT
+    "wimsor~1 OR topiqzurwi~1",               # two fuzzy expansions
 ]
 
 

@@ -514,7 +514,7 @@ def test_expand_distributed_matches_cached(spark, index_dir):
     sargable term range to the terms scan."""
     import textindex_spark.query as Q
 
-    pats = ["quer*", "spark", "*ie*", "?om", "absentzz*"]
+    pats = ["quer*", "spark", "*ie*", "?om", "absentzz*", "querry~2", "spark~1"]
     cached = Q.expand_patterns(spark, index_dir, pats)
     old_cap = Q.TERMS_CACHE_MAX
     try:
@@ -526,6 +526,68 @@ def test_expand_distributed_matches_cached(spark, index_dir):
         Q._dict_cache.pop(Q.canon_dir(index_dir), None)
     key = lambda df: sorted(map(tuple, df[["pattern_idx", "term"]].values))
     assert key(dist) == key(cached)
+
+
+def test_fuzzy_expand_matches_oracle(spark, index_dir, oracle):
+    """Fuzzy ``term~d`` expansion (engine extension): the resident-
+    dictionary banded/prefiltered kernel must equal the oracle's
+    independent full-matrix Levenshtein DP over the same vocabulary."""
+    import textindex_spark.query as Q
+
+    probes = ["spark~1", "querry~2", "indx~2", "merge~1", "absentzzzzz~1"]
+    multi = 0
+    for p in probes:
+        want = sorted(oracle.expand(p))
+        got = sorted(Q.expand_patterns(spark, index_dir, [p])["term"])
+        assert got == want, (p, got, want)
+        multi += len(want) > 1
+    assert multi  # at least one probe expanded to several terms
+
+
+def test_fuzzy_search_rank_identity(spark, index_dir, oracle):
+    """BM25 with fuzzy patterns is rank-identical to the oracle
+    (fuzzy expansions ride the same pattern_idx machinery as globs)."""
+    for q in (["querry~2"], ["wimsor~1", "topiqzurwi~1"], ["indx~2", "spark"]):
+        want = oracle.search(q, 10)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(spark, index_dir, q, k=10, with_urls=False).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], (q, got[:3], want[:3])
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), q
+        assert want, q  # the probe set must actually match docs
+
+
+def test_fuzzy_phrase_slots(spark, index_dir, oracle):
+    """A fuzzy word inside a phrase becomes a pattern slot (positions
+    union over its expansion, MAX-partial scoring) — engine matches
+    the oracle's independent recomputation."""
+    from textindex_spark.query import phrase_docs
+
+    checked = 0
+    for ph in (["woven", "archive~1"], ["spark~2", "index"]):
+        want = oracle.phrase_occurrences(ph)
+        got = {
+            r["doc_id"]: r["n_occ"]
+            for r in phrase_docs(spark, index_dir, ph).collect()
+        }
+        assert got == want, (ph, got, want)
+        checked += bool(want)
+    assert checked  # at least one fuzzy phrase matched
+
+
+def test_fuzzy_pattern_validation():
+    """Syntax guardrails: glob+fuzzy combination and out-of-range
+    distances are rejected up front; plain terms pass through."""
+    from textindex_spark.query import _parse_fuzzy
+
+    assert _parse_fuzzy("plain") is None
+    assert _parse_fuzzy("hash~") == ("hash", 1)
+    assert _parse_fuzzy("hash~2") == ("hash", 2)
+    for bad in ("qu*~1", "hash~0", "hash~9"):
+        with pytest.raises(ValueError):
+            _parse_fuzzy(bad)
 
 
 def test_empty_corpus_index(spark, tmp_path):

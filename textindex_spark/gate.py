@@ -34,6 +34,8 @@ BM25_TERMS = ["spark", "vector"]
 PHRASE_2 = ["agg", "hash"]
 PHRASE_3 = ["spark", "table", "hash"]
 WILDCARD = "qu*"
+# fuzzy probe: levenshtein("hast", ·) ≤ 1 → {fast, hash}; ≤ 2 adds part
+FUZZY_BASE = "hast"
 
 
 def _sql_quote(w: str) -> str:
@@ -141,11 +143,20 @@ def q_corpus_stats(spark, sf_dir):
 
 
 def q_wildcard_expand(spark, sf_dir):
+    """Dictionary expansion probes, union-tagged: 'wild' = glob
+    (WildMatch) expansion; 'fuzzy1'/'fuzzy2' = Levenshtein-bounded
+    fuzzy expansion (``term~d`` syntax, engine extension — oracle is
+    DuckDB's levenshtein(), the same classic edit distance)."""
     idx = ensure_index(spark, sf_dir)
-    expanded = Q.expand_patterns(spark, idx, [WILDCARD])
-    return local_df(
-        spark, [(t,) for t in sorted(expanded["term"])], "term string"
-    )
+    rows = []
+    for tag, pattern in (
+        ("wild", WILDCARD),
+        ("fuzzy1", f"{FUZZY_BASE}~1"),
+        ("fuzzy2", f"{FUZZY_BASE}~2"),
+    ):
+        expanded = Q.expand_patterns(spark, idx, [pattern])
+        rows.extend((tag, t) for t in sorted(expanded["term"]))
+    return local_df(spark, rows, "variant string, term string")
 
 
 def q_search_and(spark, sf_dir):
@@ -1834,8 +1845,16 @@ SELECT count(*)::BIGINT AS n_docs,
 FROM dl
 """,
         "wildcard_expand": f"""
-WITH {_TOKS_CTE}
-SELECT DISTINCT term FROM tf WHERE term LIKE '{WILDCARD.replace("*", "%")}'
+WITH {_TOKS_CTE},
+vocab AS (SELECT DISTINCT term FROM tf)
+SELECT 'wild' AS variant, term FROM vocab
+WHERE term LIKE '{WILDCARD.replace("*", "%")}'
+UNION ALL
+SELECT 'fuzzy1' AS variant, term FROM vocab
+WHERE levenshtein(term, '{FUZZY_BASE}') <= 1
+UNION ALL
+SELECT 'fuzzy2' AS variant, term FROM vocab
+WHERE levenshtein(term, '{FUZZY_BASE}') <= 2
 """,
         "search_and": f"""
 WITH {_TOKS_CTE}

@@ -25,6 +25,7 @@ adds on top:
 from __future__ import annotations
 
 import math
+import re
 import threading
 from collections import OrderedDict
 from collections.abc import Iterator
@@ -375,6 +376,106 @@ def _is_wildcard(p: str) -> bool:
     return "*" in p or "?" in p
 
 
+# --- fuzzy term expansion (Lucene ``term~d`` syntax, engine extension) --
+# A fuzzy pattern expands — like a wildcard — to every vocabulary term
+# within Levenshtein distance d of its base, then flows through the
+# SAME pattern_idx machinery (BM25 AND/OR, boolean trees, exclusions,
+# phrase slots). `~` can never appear inside a vocabulary term (the
+# tokenizer splits on it), so the suffix is unambiguous. Distance is
+# classic character-level Levenshtein (unit-cost ins/del/sub, no
+# transposition) — the exact function Spark's F.levenshtein and
+# DuckDB's levenshtein() compute, so the resident-dictionary path, the
+# distributed probe, and the DuckDB oracle agree by construction.
+FUZZY_MAX_DIST = 2
+_FUZZY_RE = re.compile(r"(.+)~([0-9]?)\Z", re.S)
+
+
+def _parse_fuzzy(p: str) -> tuple[str, int] | None:
+    """``base~`` / ``base~1`` / ``base~2`` → (base, dist); None when
+    ``p`` is not fuzzy syntax. Wildcard chars inside the base are
+    rejected — combined glob+fuzzy expansion is not defined."""
+    m = _FUZZY_RE.fullmatch(p)
+    if not m:
+        return None
+    base, raw_d = m.group(1), m.group(2)
+    if _is_wildcard(base):
+        raise ValueError(f"fuzzy and wildcard cannot combine: {p!r}")
+    d = int(raw_d) if raw_d else 1
+    if not 1 <= d <= FUZZY_MAX_DIST:
+        raise ValueError(
+            f"fuzzy distance must be 1..{FUZZY_MAX_DIST}: {p!r}"
+        )
+    return base, d
+
+
+def _lev_within(a: str, b: str, d: int) -> bool:
+    """True iff levenshtein(a, b) <= d. Row-wise Wagner-Fischer with a
+    best-in-row early exit — O(|a|·|b|) worst case but the caller's
+    length/pigeonhole prefilters keep candidate sets tiny."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        bj = b[j - 1]
+        cur = [j] + [0] * la
+        best = j
+        for i in range(1, la + 1):
+            c = prev[i - 1] + (a[i - 1] != bj)
+            up = prev[i] + 1
+            left = cur[i - 1] + 1
+            if up < c:
+                c = up
+            if left < c:
+                c = left
+            cur[i] = c
+            if c < best:
+                best = c
+        if best > d:
+            return False
+        prev = cur
+    return prev[la] <= d
+
+
+def _fuzzy_mask(series: pd.Series, base: str, d: int) -> pd.Series:
+    """Vectorized fuzzy match over a term Series. Two cheap vectorized
+    prefilters bound the interpreted-Python DP to a handful of
+    candidates even at the 5M-term cache cap: (1) length window
+    |len(t) − len(base)| ≤ d; (2) pigeonhole — ≤ d edits touch ≤ d of
+    the base's d+1 contiguous chunks, so a true match must contain at
+    least one chunk verbatim."""
+    if len(series) == 0:
+        return pd.Series([], dtype=bool, index=series.index)
+    mask = (series.str.len() - len(base)).abs() <= d
+    nchunks = d + 1
+    if len(base) >= nchunks:
+        step = len(base) // nchunks
+        chunk_hit = pd.Series(False, index=series.index)
+        for i in range(nchunks):
+            lo = i * step
+            hi = (i + 1) * step if i < nchunks - 1 else len(base)
+            chunk_hit |= series.str.contains(base[lo:hi], regex=False)
+        mask &= chunk_hit
+    cand = series[mask]
+    mask = mask.copy()
+    if len(cand):
+        mask.loc[cand.index] = [_lev_within(base, t, d) for t in cand]
+    return mask
+
+
+def _fuzzy_cond(base: str, d: int):
+    """Catalyst predicate for the distributed fuzzy probe: a sargable
+    length window narrows the scan before the levenshtein evaluation
+    (both are built-in JVM expressions — no Python in the probe)."""
+    return (
+        (F.length("term") >= len(base) - d)
+        & (F.length("term") <= len(base) + d)
+        & (F.levenshtein(F.col("term"), F.lit(base)) <= d)
+    )
+
+
 def _wild_mask(series: pd.Series, p: str) -> pd.Series:
     """Vectorized glob match over a term Series (VERDICT r2: the
     per-term interpreted-Python fullmatch loop cost seconds per
@@ -437,7 +538,10 @@ def expand_patterns(
         frames = []
         by_term = terms.set_index("term", drop=False)
         for i, p in enumerate(patterns):
-            if _is_wildcard(p):
+            fz = _parse_fuzzy(p)
+            if fz is not None:
+                hit = terms[_fuzzy_mask(terms["term"], *fz)].copy()
+            elif _is_wildcard(p):
                 hit = terms[_wild_mask(terms["term"], p)].copy()
             else:
                 hit = by_term.loc[[p]].copy() if p in by_term.index else terms.iloc[0:0].copy()
@@ -467,6 +571,10 @@ _shard_cache: dict[tuple[str, str], pd.DataFrame] = {}
 
 
 def _shard_key(p: str) -> str | None:
+    if _parse_fuzzy(p) is not None:
+        # an edit at position 0/1 changes the prefix — fuzzy matches
+        # are NOT confined to the base's prefix shard
+        return None
     head = p.split("*", 1)[0].split("?", 1)[0]
     return head[:SHARD_PREFIX_LEN] if len(head) >= SHARD_PREFIX_LEN else None
 
@@ -504,7 +612,10 @@ def _expand_sharded(
             # whole-shard fetch: sargable, term-sorted files prune
             conds.append(F.col("term").startswith(k))
         for p in keyless:
-            if _is_wildcard(p):
+            fz = _parse_fuzzy(p)
+            if fz is not None:
+                conds.append(_fuzzy_cond(*fz))
+            elif _is_wildcard(p):
                 rx_cond = F.col("term").rlike(
                     f"^(?s:{wildcard_to_regex(p).pattern})$"
                 )
@@ -533,7 +644,10 @@ def _expand_sharded(
             # keyless pattern, or a too-hot-to-cache shard: match
             # against this probe's result rows
             src = loose
-        if _is_wildcard(p):
+        fz = _parse_fuzzy(p)
+        if fz is not None:
+            hit = src[_fuzzy_mask(src["term"], *fz)].copy()
+        elif _is_wildcard(p):
             hit = src[_wild_mask(src["term"], p)].copy()
         else:
             hit = src[src["term"] == p].copy()
@@ -1638,14 +1752,15 @@ PHRASE_MAX_TERMS = 32
 
 
 def phrase_slots(words: list[str]) -> list[str]:
-    """Phrase slots with wildcard support: a word containing * or ?
-    becomes a pattern slot verbatim (lowercased — patterns bypass the
-    token pipeline, which would split on the wildcard); every other
-    word runs through the reference normalize pipeline (stop words
-    vanish, as in phrase_terms)."""
+    """Phrase slots with wildcard/fuzzy support: a word containing
+    * or ? — or carrying a ``~d`` fuzzy suffix — becomes a pattern
+    slot verbatim (lowercased — patterns bypass the token pipeline,
+    which would split on the metacharacter); every other word runs
+    through the reference normalize pipeline (stop words vanish, as
+    in phrase_terms)."""
     out: list[str] = []
     for w in words:
-        if _is_wildcard(w):
+        if _is_wildcard(w) or _parse_fuzzy(w) is not None:
             out.append(w.lower())
         else:
             out.extend(phrase_terms([w]))
@@ -2089,7 +2204,19 @@ def matched_lines(
     from textindex_spark.build import normalize_input
     from textindex_spark.refimpl.html_extract import decode_lossy
 
-    regexes = [wildcard_to_regex(p) for p in patterns]
+    matchers = []
+    for p in patterns:
+        fz = _parse_fuzzy(p)
+        if fz is not None:
+            # fuzzy display parity: a line matches when any raw word
+            # is within the pattern's edit-distance bound
+            matchers.append(
+                lambda w, base=fz[0], d=fz[1]: _lev_within(base, w, d)
+            )
+        else:
+            matchers.append(
+                lambda w, rx=wildcard_to_regex(p): rx.fullmatch(w) is not None
+            )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2101,9 +2228,9 @@ def matched_lines(
                     line
                     for line in txt.split("\n")
                     if any(
-                        rx.fullmatch(word)
+                        m(word)
                         for word in line.split(" ")
-                        for rx in regexes
+                        for m in matchers
                     )
                 ]
                 out_doc.append(pdf["doc_id"].iat[i])

@@ -58,6 +58,34 @@ def wildcard_to_regex(pattern: str) -> re.Pattern[str]:
     return re.compile("".join(out), re.DOTALL)
 
 
+def _is_pattern(w: str) -> bool:
+    """A query word that expands over the vocabulary rather than
+    matching literally: a WildMatch glob, or the engine's fuzzy
+    ``base~d`` suffix."""
+    if "*" in w or "?" in w:
+        return True
+    return bool(re.fullmatch(r"(.+)~([0-9]?)\Z", w, re.S))
+
+
+def _edit_distance(a: str, b: str) -> int:
+    """Classic character-level Levenshtein (unit-cost ins/del/sub),
+    full Wagner-Fischer matrix — deliberately the naive textbook form
+    so the engine's banded/prefiltered kernel is checked against an
+    independent implementation."""
+    la, lb = len(a), len(b)
+    dp = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev_diag, dp[0] = dp[0], i
+        for j in range(1, lb + 1):
+            cur = min(
+                dp[j] + 1,
+                dp[j - 1] + 1,
+                prev_diag + (a[i - 1] != b[j - 1]),
+            )
+            prev_diag, dp[j] = dp[j], cur
+    return dp[lb]
+
+
 def classify_and_extract(url: str, html: bytes, text: str) -> tuple[str, str, bool]:
     """→ (filter, extracted_text, truncated). filter ∈ {ignore, text,
     html}. Rows with empty html use the ``text`` column as a Text doc
@@ -117,6 +145,13 @@ class OracleIndex:
         return math.log(1.0 + (self.n_docs - d + 0.5) / (d + 0.5))
 
     def expand(self, pattern: str) -> list[str]:
+        fz = re.fullmatch(r"(.+)~([0-9]?)\Z", pattern, re.S)
+        if fz and "*" not in fz.group(1) and "?" not in fz.group(1):
+            # engine extension: fuzzy ``base~d`` — every vocabulary
+            # term within classic Levenshtein distance d (full-matrix
+            # DP here, independent of the engine's banded kernel)
+            base, d = fz.group(1), int(fz.group(2) or 1)
+            return [t for t in self.postings if _edit_distance(base, t) <= d]
         if "*" not in pattern and "?" not in pattern:
             return [pattern] if pattern in self.postings else []
         rx = wildcard_to_regex(pattern)
@@ -179,7 +214,7 @@ class OracleIndex:
 
         slots: list[list[str]] = []
         for w in words:
-            if "*" in w or "?" in w:
+            if _is_pattern(w):
                 slots.append(self.expand(w.lower()))
             else:
                 for raw in iter_raw_words(w):
@@ -219,7 +254,7 @@ class OracleIndex:
         slots: list[str] = []
         expansions: dict[str, list[str]] = {}
         for w in words:
-            if "*" in w or "?" in w:
+            if _is_pattern(w):
                 p = w.lower()
                 slots.append(p)
                 expansions[p] = self.expand(p)
@@ -266,7 +301,7 @@ class OracleIndex:
 
         patterns: list[str] = []
         for w in words:
-            if "*" in w or "?" in w:
+            if _is_pattern(w):
                 patterns.append(w.lower())
             else:
                 for raw in iter_raw_words(w):
@@ -277,7 +312,7 @@ class OracleIndex:
         for d in occ:
             s = 0.0
             for p in sorted(set(patterns)):
-                if "*" in p or "?" in p:
+                if _is_pattern(p):
                     ws = [
                         self.weight(t, d, self.postings[t][d])
                         for t in self.expand(p)

@@ -16,7 +16,9 @@ Command surface and behavior mirror ``/root/reference/src/cmds.rs``
                             posting-block layout)
     find <match...>         AND search; prints the first 20 hits with
                             their matched lines and stores the result
-                            cursor (main.rs:201-219)
+                            cursor (main.rs:201-219). Matches are
+                            globs (``dat*``) or fuzzy (``querry~1`` =
+                            Levenshtein ≤ 1 — engine extension)
     files <match>           file-name wildcard search (main.rs:220-232)
     first / next            page the stored result 20 at a time,
                             trailing "..." when more (main.rs:233-276)
@@ -44,7 +46,7 @@ PAGE = 20
 HELP = """
 index <parquet-path>
 stats base | debug | <word>
-find <match...> [-exclude...]
+find <match...> [-exclude...]   globs (dat*) and fuzzy (querry~1)
 bool <expr>            e.g. bool spark AND (vector OR merge) AND NOT qu*
 files <match>
 summary <nr>

@@ -7,6 +7,8 @@
         [--phrase]            # treat --terms as one exact phrase
         [--near N]            # docs with all terms within N kept tokens
         [--exclude PAT ...]   # NOT: drop docs matching any pattern
+        [--scope lang:en]     # metadata-filtered retrieval (lang:V /
+                              # site:HOST); ranked/bool modes
         [--bool "EXPR"]       # nested boolean tree, e.g.
                               #   "spark AND (vector OR merge) AND NOT qu*"
         [--lines DOCS.parquet]  # attach matched lines (snippets) to each
@@ -54,6 +56,12 @@ def main() -> None:
         "term patterns (wildcards allowed); ranked search only",
     )
     ap.add_argument(
+        "--scope", default=None, metavar="FIELD:VALUE",
+        help="metadata-filtered retrieval: only docs matching "
+        "'lang:VALUE' or 'site:HOST' reach top-k (scores unchanged); "
+        "ranked --terms and --bool modes, single-index or --shards",
+    )
+    ap.add_argument(
         "--bool", dest="bool_expr", default=None, metavar="EXPR",
         help="nested boolean query tree (AND/OR/NOT + parens; "
         "wildcard leaves allowed); ranked, single-index",
@@ -84,6 +92,11 @@ def main() -> None:
         or args.unranked or args.facet or args.exclude
     ):
         ap.error("--bool is a standalone ranked mode (single index or --shards)")
+    if args.scope and (
+        args.files or args.phrase or args.near is not None
+        or args.unranked or args.facet
+    ):
+        ap.error("--scope applies to ranked --terms search and --bool")
     if bool(args.index) == bool(args.shards):
         ap.error("provide exactly one of --index / --shards")
     if args.shards and (
@@ -130,10 +143,12 @@ def main() -> None:
 
         if args.shards:
             rows = search_bool_sharded(
-                spark, args.shards, args.bool_expr, k=args.k
+                spark, args.shards, args.bool_expr, k=args.k, scope=args.scope
             ).collect()
         else:
-            rows = search_bool(spark, args.index, args.bool_expr, k=args.k).collect()
+            rows = search_bool(
+                spark, args.index, args.bool_expr, k=args.k, scope=args.scope
+            ).collect()
         ast, leaves = parse_bool(args.bool_expr)
         # snippets show evidence: only positive leaves are matched
         emit(rows, [leaves[i] for i in sorted(positive_leaves(ast))])
@@ -141,7 +156,7 @@ def main() -> None:
     if args.shards:
         rows = search_sharded(
             spark, args.shards, args.terms, k=args.k, mode=args.mode,
-            exclude=args.exclude,
+            exclude=args.exclude, scope=args.scope,
         ).collect()
         emit(rows, args.terms)
         return
@@ -179,7 +194,7 @@ def main() -> None:
     else:
         rows = search(
             spark, args.index, args.terms, k=args.k, mode=args.mode,
-            prune=args.prune, exclude=args.exclude,
+            prune=args.prune, exclude=args.exclude, scope=args.scope,
         ).collect()
         emit(rows, args.terms)
         return

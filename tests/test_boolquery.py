@@ -201,6 +201,28 @@ def test_distributed_path_matches_local(spark, index_dir, oracle, q):
     assert got == exp, q
 
 
+def test_scoped_bool_matches_bruteforce(spark, index_dir, oracle):
+    """Metadata scope on boolean trees: filter-then-top-k, scores
+    unchanged — both execution paths equal the brute force filtered
+    by the oracle's metadata predicate."""
+    q = "qu* AND (spark OR vector)"
+    for scope in ("lang:de", "site:site3.example"):
+        full = oracle_bool(oracle, q, k=10**9)
+        want = [
+            (d, round(s, 9)) for d, s in full if oracle.scope_ok(d, scope)
+        ][:10]
+        assert want != [(d, round(s, 9)) for d, s in full[:10]]  # scope bites
+        for local in (None, False):
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in search_bool(
+                    spark, index_dir, q, k=10, with_urls=False,
+                    local_score=local, scope=scope,
+                ).collect()
+            ]
+            assert got == want, (scope, local)
+
+
 def test_leaf_count_cap():
     q = " OR ".join(f"t{i}" for i in range(64))
     with pytest.raises(ValueError, match="63"):

@@ -209,6 +209,19 @@ def test_sharded_search_matches_single_index(spark, rows, oracle, tmp_path_facto
             ).collect()
         ]
         assert [d for d, _ in got] == [d for d, _ in want], local
+    # metadata scope federates the same way (each shard's docs table
+    # answers the predicate for its own docs)
+    want = oracle.search(["spark", "vector"], 10, mode="or", scope="lang:fr")
+    assert want
+    for local in (None, False):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_sharded(
+                spark, [d1, d2], ["spark", "vector"], k=10, mode="or",
+                with_urls=False, local_score=local, scope="lang:fr",
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], local
 
 
 def test_and_range_preintersection(spark, index_dir, oracle):
@@ -575,6 +588,79 @@ def test_fuzzy_phrase_slots(spark, index_dir, oracle):
         assert got == want, (ph, got, want)
         checked += bool(want)
     assert checked  # at least one fuzzy phrase matched
+
+
+def test_scoped_search_matches_oracle(spark, index_dir, oracle):
+    """Metadata-scoped retrieval (engine extension): only docs
+    matching a lang:/site: predicate reach top-k, scores unchanged
+    (global stats) — all three execution paths (resident serving,
+    distributed, block-max pruned) are rank-identical to the oracle's
+    independent recomputation."""
+    cases = [
+        (["spark"], "or", "lang:de"),
+        (["spark", "vector"], "or", "lang:fr"),
+        (["qu*"], "or", "site:site3.example"),
+        (["spark", "table"], "and", "lang:en"),
+    ]
+    any_nonempty = 0
+    for terms, mode, scope in cases:
+        want = oracle.search(terms, 10, mode=mode, scope=scope)
+        unscoped = oracle.search(terms, 10, mode=mode)
+        for kw in (
+            {"local_score": True},
+            {"local_score": False},
+            {"prune": True},
+        ):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    spark, index_dir, terms, k=10, mode=mode,
+                    with_urls=False, scope=scope, **kw,
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], (
+                terms, scope, kw, got[:3], want[:3],
+            )
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9), (terms, scope)
+        any_nonempty += bool(want)
+        # the scope must actually bite (else the test proves nothing)
+        assert want != unscoped or not want, (terms, scope)
+    assert any_nonempty >= 3
+
+
+def test_scoped_search_with_exclusion(spark, index_dir, oracle):
+    """Scope composes with NOT exclusion — both filters apply, scores
+    unchanged, serving and distributed paths agree."""
+    want = oracle.search(
+        ["spark", "vector"], 10, mode="or", exclude=["ha*"], scope="lang:de"
+    )
+    assert want
+    for local in (True, False):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                spark, index_dir, ["spark", "vector"], k=10, mode="or",
+                with_urls=False, exclude=["ha*"], scope="lang:de",
+                local_score=local,
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], local
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9)
+
+
+def test_scope_validation(spark, index_dir):
+    """Malformed scopes are rejected before any work."""
+    from textindex_spark.query import parse_scope
+
+    assert parse_scope("lang:en") == ("lang", "en")
+    assert parse_scope("site:h.example") == ("site", "h.example")
+    for bad in ("lang", "lang:", "author:x", ":en"):
+        with pytest.raises(ValueError):
+            parse_scope(bad)
+        with pytest.raises(ValueError):
+            search(spark, index_dir, ["spark"], scope=bad)
 
 
 def test_fuzzy_pattern_validation():

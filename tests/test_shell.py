@@ -71,6 +71,28 @@ def test_find_with_not_terms(shell, spark):
     assert got == base - with_excl and got < base
 
 
+def test_find_with_scope(shell, spark):
+    """`find spark lang:de` keeps only German docs (metadata scope,
+    engine extension) and matches find_unranked(scope=)."""
+    from textindex_spark.query import find_unranked
+
+    shell.dispatch("find spark")
+    base = {u for u, _ in shell.found}
+    shell.dispatch("find spark lang:de")
+    got = {u for u, _ in shell.found}
+    want = {
+        r["url"]
+        for r in find_unranked(
+            spark, shell.index_dir, ["spark"], scope="lang:de"
+        ).collect()
+    }
+    assert got == want
+    assert got and got < base  # the scope bites
+    assert all("/de/" in u for u in got)
+    # one scope max; bad field rejected upstream by parse_scope
+    assert "at most one" in shell.dispatch("find spark lang:de site:x")
+
+
 def test_files_and_stats_and_store(shell, tmp_path):
     out = shell.dispatch("files *site3.example*")
     assert "site3.example" in out and "  0:" in out

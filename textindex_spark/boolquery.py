@@ -55,16 +55,19 @@ from textindex_spark.query import (
     K1,
     LOCAL_SCORE_MAX_POSTINGS,
     _and_surviving_ranges,
+    _apply_scope,
     _cached_table,
     _dead_ids_capped,
     _decoded_postings,
     _fetch_blocks,
     _finish_local,
+    _scope_nonmatch_ids,
     _score_blocks_np,
     apply_tombstones,
     cached_stats,
     expand_patterns,
     idf,
+    parse_scope,
 )
 from textindex_spark.session import local_df
 
@@ -247,10 +250,16 @@ def search_bool(
     with_urls: bool = True,
     pre_intersect: bool = True,
     local_score: bool | None = None,
+    scope: str | None = None,
 ) -> DataFrame:
     """BM25 top-k for a boolean query tree → DataFrame
     (doc_id, score[, url]), ordered (score desc, doc_id asc). See the
     module docstring for semantics and the execution plan.
+
+    ``scope`` ("lang:en" / "site:host"): metadata-filtered retrieval,
+    same mechanics as `query.search` — a capped complement merges
+    into the serving path's dead set; oversize complements apply as a
+    left_semi join on the distributed plan.
 
     Serving path: when the matched vocabulary's total df fits
     LOCAL_SCORE_MAX_POSTINGS (and the tombstone set is capped),
@@ -268,6 +277,8 @@ def search_bool(
             "(pure-negation form) — the complement of a postings set "
             "is not retrievable; anchor the query with a positive term"
         )
+    if scope:
+        parse_scope(scope)  # validate before any work
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
     empty = local_df(spark, [], "doc_id long, score double")
@@ -302,6 +313,11 @@ def search_bool(
             <= LOCAL_SCORE_MAX_POSTINGS
         )
         use_local = fits_local if local_score is None else (local_score and fits_local)
+        scope_ids = (
+            _scope_nonmatch_ids(spark, index_dir, scope) if scope else None
+        )
+        if scope and scope_ids is None:
+            use_local = False  # oversize complement: semi-join distributed
         # candidate-range pre-intersection on the CERTAIN conjuncts
         # (required_leaves): a satisfying doc has every required leaf
         # true, and a doc's postings live in one range — so only
@@ -320,6 +336,8 @@ def search_bool(
         if use_local:
             dead = _dead_ids_capped(spark, index_dir)
             if dead is not None:
+                if scope_ids is not None and len(scope_ids):
+                    dead = np.union1d(dead, scope_ids)
                 surviving = None
                 if req_masks is not None:
                     surviving = _and_surviving_ranges(
@@ -357,6 +375,8 @@ def search_bool(
             .filter(_mask_predicate(ast, F.col("mask")))
         )
         scored = apply_tombstones(spark, index_dir, scored)
+        if scope:
+            scored = _apply_scope(spark, index_dir, scored, scope, scope_ids)
         result = (
             scored.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -385,6 +405,7 @@ def search_bool_sharded(
     k: int = 10,
     with_urls: bool = True,
     local_score: bool | None = None,
+    scope: str | None = None,
 ) -> DataFrame:
     """Federated boolean-tree BM25 top-k over multiple index shards —
     identical to `search_bool` on one union-corpus index, by the same
@@ -408,6 +429,8 @@ def search_bool_sharded(
             "boolean query is satisfied by documents matching no term "
             "(pure-negation form) — anchor the query with a positive term"
         )
+    if scope:
+        parse_scope(scope)
     import pandas as pd
 
     stats_list = [cached_stats(spark, d) for d in index_dirs]
@@ -484,6 +507,13 @@ def search_bool_sharded(
             if dead is None:
                 ok = False
                 break
+            if scope:
+                sids = _scope_nonmatch_ids(spark, d, scope)
+                if sids is None:
+                    ok = False  # oversize complement: distributed plan
+                    break
+                if len(sids):
+                    dead = np.union1d(dead, sids)
             deads[i] = dead
     if use_local and ok:
         merged: list[tuple[int, float]] = []
@@ -550,6 +580,10 @@ def search_bool_sharded(
             .filter(_mask_predicate(ast, F.col("mask")))
         )
         sc = apply_tombstones(spark, d, sc)
+        if scope:
+            sc = _apply_scope(
+                spark, d, sc, scope, _scope_nonmatch_ids(spark, d, scope)
+            )
         scored_frames.append(sc.select("doc_id", "score"))
     if not scored_frames:
         return _attach_urls_sharded(spark, index_dirs, empty, with_urls)

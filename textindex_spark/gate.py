@@ -36,6 +36,8 @@ PHRASE_3 = ["spark", "table", "hash"]
 WILDCARD = "qu*"
 # fuzzy probe: levenshtein("hast", ·) ≤ 1 → {fast, hash}; ≤ 2 adds part
 FUZZY_BASE = "hast"
+# metadata-scoped retrieval probe (bm25_not 'scoped' variant)
+SCOPE_LANG = "de"
 
 
 def _sql_quote(w: str) -> str:
@@ -249,19 +251,27 @@ NOT_PATTERN = "qu*"
 
 
 def q_bm25_not(spark, sf_dir):
-    """Disjunctive BM25 top-10 with NOT semantics: docs containing
-    any expansion of NOT_PATTERN are excluded before top-k.
-    prune=True exercises the θ-probe exclusion merge (an excluded doc
-    in the probe must not inflate θ)."""
+    """Union-tagged variants: 'not' = disjunctive BM25 top-10 with
+    NOT semantics (docs containing any expansion of NOT_PATTERN are
+    excluded before top-k; prune=True exercises the θ-probe exclusion
+    merge — an excluded doc in the probe must not inflate θ).
+    'scoped' = metadata-filtered retrieval (engine extension): the
+    same disjunctive query restricted to lang:SCOPE_LANG docs, scores
+    unchanged, again with prune=True so the θ probe runs over the
+    scope-merged dead set."""
     idx = ensure_index(spark, sf_dir)
-    res = Q.search(
+    micro = F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long")
+    res_not = Q.search(
         spark, idx, BM25_TERMS, k=10, mode="or", prune=True,
         with_urls=False, exclude=[NOT_PATTERN],
+    ).select(F.lit("not").alias("variant"), "doc_id", micro.alias("score_micro"))
+    res_scoped = Q.search(
+        spark, idx, BM25_TERMS, k=10, mode="or", prune=True,
+        with_urls=False, scope=f"lang:{SCOPE_LANG}",
+    ).select(
+        F.lit("scoped").alias("variant"), "doc_id", micro.alias("score_micro")
     )
-    return res.select(
-        "doc_id",
-        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro"),
-    )
+    return res_not.unionByName(res_scoped)
 
 
 def q_facet_lang(spark, sf_dir):
@@ -1936,11 +1946,24 @@ hits AS (
     JOIN dl d ON t.doc_id = d.doc_id
     CROSS JOIN stats s
     WHERE t.term IN ({bm25_terms})
-      AND t.doc_id NOT IN (SELECT doc_id FROM excluded)
+),
+scores AS (
+    SELECT doc_id, sum(w) AS s,
+           floor(sum(w) * 1e6 + 0.5)::BIGINT AS score_micro
+    FROM hits GROUP BY doc_id
+),
+not_top AS (
+    SELECT 'not' AS variant, doc_id, score_micro FROM scores
+    WHERE doc_id NOT IN (SELECT doc_id FROM excluded)
+    ORDER BY s DESC, doc_id ASC LIMIT 10
+),
+scoped_top AS (
+    SELECT 'scoped' AS variant, sc.doc_id, sc.score_micro
+    FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
+    WHERE d.lang = '{SCOPE_LANG}'
+    ORDER BY sc.s DESC, sc.doc_id ASC LIMIT 10
 )
-SELECT doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT AS score_micro
-FROM hits GROUP BY doc_id
-ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
+SELECT * FROM not_top UNION ALL SELECT * FROM scoped_top
 """,
         "facet_lang": f"""
 WITH {_TOKS_CTE},

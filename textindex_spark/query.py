@@ -358,6 +358,8 @@ def invalidate_cache(index_dir: str) -> None:
         _dict_cache.pop(cd, None)
         _tomb_exists.pop(cd, None)
         _tomb_ids_cache.pop(cd, None)
+        for k in [k for k in _scope_ids_cache if k[0] == cd]:
+            _scope_ids_cache.pop(k, None)
         for k in [k for k in _block_cache if k[0] == cd]:
             _block_bytes -= _block_cache.pop(k)[1]
         for k in [k for k in _meta_cache if k[0] == cd]:
@@ -837,6 +839,7 @@ def search(
     with_urls: bool = True,
     local_score: bool | None = None,
     exclude: list[str] | None = None,
+    scope: str | None = None,
 ) -> DataFrame:
     """BM25 top-k → DataFrame (doc_id, score[, url]), ordered
     (score desc, doc_id asc). mode='and' keeps reference AND
@@ -851,7 +854,16 @@ def search(
     pruned) stay rank-identical and θ probes remain sound; oversize
     exclusions fall back to a distributed anti-join with pruning
     disabled (an unaccounted exclusion would inflate θ and over-
-    prune)."""
+    prune).
+
+    ``scope`` ("lang:en" / "site:host"): metadata-filtered retrieval
+    — only docs matching the predicate reach top-k; scores unchanged
+    (global stats). Mechanics mirror ``exclude``: a capped complement
+    merges into ``dead`` (resident + θ-sound), an oversize complement
+    applies as a left_semi join on the distributed plan with pruning
+    disabled."""
+    if scope:
+        parse_scope(scope)  # validate before any work
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
     n_patterns = len(patterns)
@@ -868,6 +880,9 @@ def search(
         excl_ids = _exclusion_ids(
             spark, index_dir, exclude, stats, expanded=excl_expanded
         )
+    scope_ids: np.ndarray | None = None
+    if scope and not query_is_empty:
+        scope_ids = _scope_nonmatch_ids(spark, index_dir, scope)
     fits_local = (
         len(expanded) > 0
         and expanded.drop_duplicates("term")["df"].sum() <= LOCAL_SCORE_MAX_POSTINGS
@@ -880,11 +895,15 @@ def search(
         local_score = local_score and fits_local
     if exclude and not query_is_empty and excl_ids is None:
         local_score = False  # exclusion set must stay distributed
+    if scope and not query_is_empty and scope_ids is None:
+        local_score = False  # oversize complement: semi-join distributed
     if local_score and not query_is_empty:
         dead = _dead_ids_capped(spark, index_dir)
         if dead is not None:  # oversize delete sets go distributed
             if excl_ids is not None and len(excl_ids):
                 dead = np.union1d(dead, excl_ids)
+            if scope_ids is not None and len(scope_ids):
+                dead = np.union1d(dead, scope_ids)
             res = _search_local(
                 spark, index_dir, expanded, stats, len(patterns), k, mode,
                 with_urls, dead, prune=prune,
@@ -915,6 +934,9 @@ def search(
             # ranges holding the true top-k. Fall back to exact
             # unpruned decode (still one distributed job).
             prune = False
+        if prune and scope and scope_ids is None:
+            # same soundness argument for an oversize scope complement
+            prune = False
         and_masks = None
         if mode == "and" and not prune and n_patterns > 1:
             # candidate-range pre-intersection: decode only ranges
@@ -930,12 +952,17 @@ def search(
         )
         if prune:
             dead_p = None
-            if excl_ids is not None and len(excl_ids):
+            extra = [
+                a for a in (excl_ids, scope_ids) if a is not None and len(a)
+            ]
+            if extra:
                 tomb = _dead_ids_capped(spark, index_dir)
                 # oversize tombstones leave dead_p=None: _prune_plan
                 # then recomputes (None again) and keeps θ=0 — safe
                 dead_p = (
-                    np.union1d(tomb, excl_ids) if tomb is not None else None
+                    np.union1d(tomb, np.concatenate(extra))
+                    if tomb is not None
+                    else None
                 )
             decoded = _pruned_decode(
                 spark, index_dir, qterms, stats, k, full_mask, term_list,
@@ -968,6 +995,8 @@ def search(
                 )
                 if excl_df is not None:
                     scored = scored.join(excl_df, "doc_id", "left_anti")
+        if scope:
+            scored = _apply_scope(spark, index_dir, scored, scope, scope_ids)
         result = scored.select("doc_id", "score").orderBy(
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
@@ -990,6 +1019,7 @@ def search_sharded(
     with_urls: bool = True,
     local_score: bool | None = None,
     exclude: list[str] | None = None,
+    scope: str | None = None,
 ) -> DataFrame:
     """Federated BM25 top-k over MULTIPLE index shards — the layout a
     100 TB corpus actually uses (one index per time window / site
@@ -1015,9 +1045,13 @@ def search_sharded(
     ``exclude`` (NOT semantics) applies per shard — a doc lives in
     one shard, so shard-local exclusion is global exclusion; the
     serving path merges each shard's exclusion ids into its dead set,
-    the distributed plan anti-joins per shard. Block-max pruning
-    stays a single-index feature (federated scoring is already one
-    decode job over all shards)."""
+    the distributed plan anti-joins per shard. ``scope`` (metadata-
+    filtered retrieval, see `search`) federates the same way: each
+    shard's own docs table answers the predicate for its docs.
+    Block-max pruning stays a single-index feature (federated scoring
+    is already one decode job over all shards)."""
+    if scope:
+        parse_scope(scope)
     stats_list = [cached_stats(spark, d) for d in index_dirs]
     n_docs_g = sum(int(s["n_docs"]) for s in stats_list)
     total_tokens_g = sum(int(s["total_tokens"]) for s in stats_list)
@@ -1048,7 +1082,7 @@ def search_sharded(
         local = (
             _sharded_local(
                 spark, index_dirs, stats_list, expansions, tinfo, avgdl_g,
-                n_patterns, full_mask, k, mode, with_urls, exclude,
+                n_patterns, full_mask, k, mode, with_urls, exclude, scope,
             )
             if local_score is not False
             else None
@@ -1093,6 +1127,10 @@ def search_sharded(
                 excl_df = _exclusion_docs_df(spark, d, exclude, stats_list[i])
                 if excl_df is not None:
                     sc = sc.join(excl_df, "doc_id", "left_anti")
+            if scope:
+                sc = _apply_scope(
+                    spark, d, sc, scope, _scope_nonmatch_ids(spark, d, scope)
+                )
             if with_urls:
                 docs_s = _cached_table(spark, d, "docs").select("doc_id", "url")
                 sc = sc.join(docs_s, "doc_id", "left")
@@ -1121,6 +1159,7 @@ def _sharded_local(
     mode: str,
     with_urls: bool,
     exclude: list[str] | None = None,
+    scope: str | None = None,
 ) -> DataFrame | None:
     """Query-node serving path for federated search: per-shard
     resident block fetch (range pre-intersected for AND) + numpy BM25
@@ -1151,6 +1190,12 @@ def _sharded_local(
                 return None  # oversize exclusion: distributed plan
             if len(excl):
                 dead = np.union1d(dead, excl)
+        if scope:
+            sids = _scope_nonmatch_ids(spark, d, scope)
+            if sids is None:
+                return None  # oversize complement: distributed plan
+            if len(sids):
+                dead = np.union1d(dead, sids)
         deads.append(dead)
     merged: list[tuple[int, float, int]] = []  # (doc_id, score, shard)
     for i, d in enumerate(index_dirs):
@@ -1333,6 +1378,100 @@ def _dead_ids_capped(spark: SparkSession, index_dir: str) -> np.ndarray | None:
             out = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     _tomb_ids_cache[cd] = out
     return out
+
+
+# --- metadata-scoped search (filtered retrieval, engine extension) ---
+# A scope restricts ranked retrieval to documents matching a metadata
+# predicate ("lang:en", "site:host.example") BEFORE top-k; surviving
+# scores are unchanged (global n_docs/avgdl/idf — standard
+# filtered-search semantics, so a scoped query is exactly the
+# unscoped ranking with non-matching docs removed).
+SCOPE_FIELDS = ("lang", "site")
+_scope_ids_cache: dict[tuple[str, str], np.ndarray | None] = {}
+
+
+def parse_scope(scope: str) -> tuple[str, str]:
+    """``"lang:en"`` / ``"site:host.example"`` → (field, value)."""
+    field, sep, value = scope.partition(":")
+    if not sep or field not in SCOPE_FIELDS or not value:
+        raise ValueError(
+            f"scope must be 'lang:VALUE' or 'site:VALUE': {scope!r}"
+        )
+    return field, value
+
+
+def _scope_col(field: str):
+    """Docs-table facet expression — same definitions as
+    facet_counts: the lang column, or the url host."""
+    return (
+        F.col("lang")
+        if field == "lang"
+        else F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    )
+
+
+def _scope_nonmatch_ids(
+    spark: SparkSession, index_dir: str, scope: str
+) -> np.ndarray | None:
+    """doc_ids NOT matching the scope, as a capped driver array: the
+    complement merges into the ``dead`` set, so every execution path
+    (resident serving, distributed agg, block-max θ probes) stays
+    rank-identical with zero new machinery. None when the complement
+    exceeds TOMBSTONE_LOCAL_MAX — callers then apply the scope as a
+    distributed left_semi join instead (selective scopes on a huge
+    corpus have huge complements; the allow side stays a pushdown-
+    filtered docs scan). Cached per (index, scope) until the next
+    snapshot mutation."""
+    field, value = parse_scope(scope)
+    key = (canon_dir(index_dir), scope)
+    if key in _scope_ids_cache:
+        return _scope_ids_cache[key]
+    docs = _cached_table(spark, index_dir, "docs")
+    rows = (
+        docs.filter(~_scope_col(field).eqNullSafe(value))
+        .select("doc_id")
+        .limit(TOMBSTONE_LOCAL_MAX + 1)
+        .collect()
+    )
+    if len(rows) > TOMBSTONE_LOCAL_MAX:
+        out: np.ndarray | None = None
+    else:
+        out = np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
+    _scope_ids_cache[key] = out
+    return out
+
+
+def _scope_docs_df(
+    spark: SparkSession, index_dir: str, scope: str
+) -> DataFrame:
+    """Allowed doc_ids as a DataFrame — the distributed form of the
+    scope (one left_semi join; the lang/host predicate prunes the
+    docs scan)."""
+    field, value = parse_scope(scope)
+    docs = _cached_table(spark, index_dir, "docs")
+    return docs.filter(_scope_col(field).eqNullSafe(value)).select("doc_id")
+
+
+def _apply_scope(
+    spark: SparkSession,
+    index_dir: str,
+    scored: DataFrame,
+    scope: str,
+    scope_ids: np.ndarray | None,
+) -> DataFrame:
+    """Distributed scope application on a (doc_id, ...) frame: small
+    complement → broadcast anti-join; oversize complement → left_semi
+    against the filtered docs scan."""
+    if scope_ids is not None and len(scope_ids) == 0:
+        return scored  # every live doc matches the scope
+    if scope_ids is not None:
+        ndf = local_df(
+            spark, [(int(i),) for i in scope_ids], "doc_id long"
+        )
+        return scored.join(F.broadcast(ndf), "doc_id", "left_anti")
+    return scored.join(
+        _scope_docs_df(spark, index_dir, scope), "doc_id", "left_semi"
+    )
 
 
 def _exclusion_ids(
@@ -1549,11 +1688,15 @@ def find_unranked(
     index_dir: str,
     patterns: list[str],
     exclude: list[str] | None = None,
+    scope: str | None = None,
 ) -> DataFrame:
     """Exact reference `find` semantics (index2.rs:550-582): unranked
     AND-intersection, urls ordered by doc_id. ``exclude`` (an engine
     extension; the reference has no NOT) drops docs matching any
-    exclusion pattern via one anti-join."""
+    exclusion pattern via one anti-join. ``scope`` (engine extension)
+    keeps only docs matching a lang:/site: metadata predicate."""
+    if scope:
+        parse_scope(scope)
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
     n_patterns = len(patterns)
@@ -1588,6 +1731,11 @@ def find_unranked(
         excl_df = _exclusion_docs_df(spark, index_dir, exclude, stats)
         if excl_df is not None:
             hits = hits.join(excl_df, "doc_id", "left_anti")
+    if scope:
+        hits = _apply_scope(
+            spark, index_dir, hits, scope,
+            _scope_nonmatch_ids(spark, index_dir, scope),
+        )
     return hits.join(docs, "doc_id", "left").orderBy("doc_id")
 
 

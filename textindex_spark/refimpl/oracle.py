@@ -125,6 +125,7 @@ class OracleIndex:
             tf, dl = term_frequencies(text)
             idx.docs[doc_id] = {
                 "url": row["url"],
+                "lang": row.get("lang") or "",
                 "doc_len": dl,
                 "filter": kind,
                 "truncated": truncated,
@@ -162,17 +163,32 @@ class OracleIndex:
         norm = tf + K1 * (1.0 - B + B * dl / self.avgdl)
         return self.idf(term) * tf * (K1 + 1.0) / norm
 
+    def scope_ok(self, doc_id: int, scope: str) -> bool:
+        """Metadata predicate for scoped search (engine extension):
+        ``"lang:VALUE"`` matches the doc's lang column, ``"site:
+        VALUE"`` the url host — same definitions as the engine's
+        facet_counts / _scope_col."""
+        field, _, value = scope.partition(":")
+        d = self.docs[doc_id]
+        if field == "lang":
+            return d.get("lang", "") == value
+        m = re.match(r"^[a-z]+://([^/]+)", d["url"])
+        return (m.group(1) if m else "") == value
+
     def search(
         self,
         terms: list[str],
         k: int = 10,
         mode: str = "and",
         exclude: list[str] | None = None,
+        scope: str | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score). mode='and' is reference find
         semantics; 'or' is pure disjunctive BM25. ``exclude`` drops
         any doc containing any expansion of an exclude pattern
-        (NOT semantics); surviving docs' scores are unchanged."""
+        (NOT semantics); surviving docs' scores are unchanged.
+        ``scope`` keeps only docs matching the metadata predicate
+        (scores unchanged — global stats)."""
         expansions = [self.expand(t) for t in terms]
         if mode == "and":
             cand: set[int] | None = None
@@ -190,6 +206,8 @@ class OracleIndex:
         for p in exclude or []:
             for v in self.expand(p):
                 candidates -= set(self.postings[v])
+        if scope:
+            candidates = {d for d in candidates if self.scope_ok(d, scope)}
         vocab_terms = sorted({v for exp in expansions for v in exp})
         scores: dict[int, float] = {}
         for v in vocab_terms:

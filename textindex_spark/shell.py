@@ -46,7 +46,7 @@ PAGE = 20
 HELP = """
 index <parquet-path>
 stats base | debug | <word>
-find <match...> [-exclude...]   globs (dat*) and fuzzy (querry~1)
+find <match...> [-exclude...] [lang:V|site:HOST]   globs, fuzzy, scope
 bool <expr>            e.g. bool spark AND (vector OR merge) AND NOT qu*
 files <match>
 summary <nr>
@@ -135,11 +135,19 @@ class Shell:
 
     def _cmd_find(self, args: list[str]) -> None:
         # `-pattern` tokens are NOT terms (engine extension): docs
-        # matching them are excluded from the AND result
+        # matching them are excluded from the AND result.
+        # `lang:V` / `site:HOST` tokens are metadata scopes (engine
+        # extension): the result keeps only matching docs.
         exclude = [a[1:] for a in args if a.startswith("-") and len(a) > 1]
-        args = [a for a in args if not a.startswith("-")]
+        scopes = [a for a in args if a.startswith(("lang:", "site:"))]
+        if len(scopes) > 1:
+            print("at most one lang:/site: scope per query")
+            return
+        args = [
+            a for a in args if not a.startswith(("-", "lang:", "site:"))
+        ]
         if not args:
-            print("usage: find <match...> [-exclude ...]")
+            print("usage: find <match...> [-exclude ...] [lang:V|site:HOST]")
             return
         from textindex_spark.query import find_unranked, matched_lines
         from textindex_spark.session import local_df
@@ -147,7 +155,8 @@ class Shell:
         # collect once; matched_lines gets the ids as a local frame so
         # the distributed AND query runs exactly one time (review r4)
         hit_rows = find_unranked(
-            self.spark, self.index_dir, args, exclude=exclude or None
+            self.spark, self.index_dir, args, exclude=exclude or None,
+            scope=scopes[0] if scopes else None,
         ).collect()
         if self.docs_path is not None and hit_rows:
             ids = local_df(

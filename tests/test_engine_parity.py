@@ -590,6 +590,26 @@ def test_fuzzy_phrase_slots(spark, index_dir, oracle):
     assert checked  # at least one fuzzy phrase matched
 
 
+def test_suggest_matches_oracle(spark, index_dir, oracle):
+    """Did-you-mean suggestions (engine extension): the ranked
+    (distance asc, df desc, term asc) top-5 equals the oracle's
+    independent full-matrix DP + postings-df recomputation; the exact
+    word itself is excluded even when it is in the vocabulary."""
+    from textindex_spark.query import suggest_terms
+
+    nonempty = 0
+    for w in ("querry", "spark", "indx", "wimsor", "absentzzzzzz"):
+        want = oracle.suggest(w)
+        got = [
+            (r.term, int(r.dist), int(r.df))
+            for r in suggest_terms(spark, index_dir, w).itertuples(index=False)
+        ]
+        assert got == want, (w, got, want)
+        assert all(t != w for t, _, _ in got), w
+        nonempty += bool(want)
+    assert nonempty >= 3
+
+
 def test_scoped_search_matches_oracle(spark, index_dir, oracle):
     """Metadata-scoped retrieval (engine extension): only docs
     matching a lang:/site: predicate reach top-k, scores unchanged

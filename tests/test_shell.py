@@ -71,6 +71,20 @@ def test_find_with_not_terms(shell, spark):
     assert got == base - with_excl and got < base
 
 
+def test_suggest_command(shell, spark):
+    """`suggest querry` prints did-you-mean candidates matching
+    suggest_terms' ranking (engine extension)."""
+    from textindex_spark.query import suggest_terms
+
+    out = shell.dispatch("suggest querry")
+    want = suggest_terms(spark, shell.index_dir, "querry")
+    assert len(want) and "distance" in out
+    for r in want.itertuples(index=False):
+        assert f"  {r.term} (distance {r.dist}, {r.df} docs)" in out
+    assert "usage" in shell.dispatch("suggest")
+    assert "no suggestions" in shell.dispatch("suggest qqqqzzzzzzqq")
+
+
 def test_find_with_scope(shell, spark):
     """`find spark lang:de` keeps only German docs (metadata scope,
     engine extension) and matches find_unranked(scope=)."""

@@ -148,17 +148,35 @@ def q_wildcard_expand(spark, sf_dir):
     """Dictionary expansion probes, union-tagged: 'wild' = glob
     (WildMatch) expansion; 'fuzzy1'/'fuzzy2' = Levenshtein-bounded
     fuzzy expansion (``term~d`` syntax, engine extension — oracle is
-    DuckDB's levenshtein(), the same classic edit distance)."""
+    DuckDB's levenshtein(), the same classic edit distance); 'sugg' =
+    did-you-mean suggestions ranked (distance asc, df desc, term asc)
+    top 5. Every row carries (dist, df) so the oracle also
+    cross-checks the expansion's document frequencies (dist = -1 for
+    glob rows, where no edit distance is defined)."""
     idx = ensure_index(spark, sf_dir)
     rows = []
-    for tag, pattern in (
-        ("wild", WILDCARD),
-        ("fuzzy1", f"{FUZZY_BASE}~1"),
-        ("fuzzy2", f"{FUZZY_BASE}~2"),
+    for tag, pattern, dmax in (
+        ("wild", WILDCARD, None),
+        ("fuzzy1", f"{FUZZY_BASE}~1", 1),
+        ("fuzzy2", f"{FUZZY_BASE}~2", 2),
     ):
         expanded = Q.expand_patterns(spark, idx, [pattern])
-        rows.extend((tag, t) for t in sorted(expanded["term"]))
-    return local_df(spark, rows, "variant string, term string")
+        rows.extend(
+            (
+                tag,
+                t,
+                -1 if dmax is None else Q.fuzzy_distance(FUZZY_BASE, t, dmax),
+                int(df),
+            )
+            for t, df in sorted(zip(expanded["term"], expanded["df"]))
+        )
+    rows.extend(
+        ("sugg", r.term, int(r.dist), int(r.df))
+        for r in Q.suggest_terms(spark, idx, FUZZY_BASE).itertuples(index=False)
+    )
+    return local_df(
+        spark, rows, "variant string, term string, dist long, df long"
+    )
 
 
 def q_search_and(spark, sf_dir):
@@ -1856,15 +1874,23 @@ FROM dl
 """,
         "wildcard_expand": f"""
 WITH {_TOKS_CTE},
-vocab AS (SELECT DISTINCT term FROM tf)
-SELECT 'wild' AS variant, term FROM vocab
+vocab AS (
+    SELECT term, levenshtein(term, '{FUZZY_BASE}')::BIGINT AS lev,
+           count(*)::BIGINT AS df
+    FROM tf GROUP BY term
+)
+SELECT 'wild' AS variant, term, -1::BIGINT AS dist, df FROM vocab
 WHERE term LIKE '{WILDCARD.replace("*", "%")}'
 UNION ALL
-SELECT 'fuzzy1' AS variant, term FROM vocab
-WHERE levenshtein(term, '{FUZZY_BASE}') <= 1
+SELECT 'fuzzy1' AS variant, term, lev AS dist, df FROM vocab WHERE lev <= 1
 UNION ALL
-SELECT 'fuzzy2' AS variant, term FROM vocab
-WHERE levenshtein(term, '{FUZZY_BASE}') <= 2
+SELECT 'fuzzy2' AS variant, term, lev AS dist, df FROM vocab WHERE lev <= 2
+UNION ALL
+SELECT 'sugg' AS variant, term, dist, df FROM (
+    SELECT term, lev AS dist, df,
+           row_number() OVER (ORDER BY lev ASC, df DESC, term ASC) AS rn
+    FROM vocab WHERE lev BETWEEN 1 AND 2
+) WHERE rn <= 5
 """,
         "search_and": f"""
 WITH {_TOKS_CTE}

@@ -467,6 +467,48 @@ def _fuzzy_mask(series: pd.Series, base: str, d: int) -> pd.Series:
     return mask
 
 
+def fuzzy_distance(base: str, term: str, max_dist: int) -> int:
+    """Minimal Levenshtein distance in 0..max_dist, or max_dist+1
+    when the bound is exceeded (banded check per level — candidates
+    have already passed the expansion prefilters, so levels are
+    cheap)."""
+    if term == base:
+        return 0
+    for d in range(1, max_dist + 1):
+        if _lev_within(base, term, d):
+            return d
+    return max_dist + 1
+
+
+def suggest_terms(
+    spark: SparkSession,
+    index_dir: str,
+    word: str,
+    n: int = 5,
+    max_dist: int = FUZZY_MAX_DIST,
+) -> pd.DataFrame:
+    """Did-you-mean spelling suggestions (engine extension — the
+    Lucene SpellChecker surface): vocabulary terms within Levenshtein
+    distance ``max_dist`` of the lowercased word, the exact word
+    itself excluded, ranked (distance asc, corpus df desc, term asc),
+    top ``n``. → pandas (term, dist, df).
+
+    Rides the fuzzy expansion machinery, so the resident-dictionary
+    path answers with zero Spark jobs warm and oversize dictionaries
+    fall back to the sharded/distributed probe (sargable length
+    window + JVM levenshtein); df comes back with the expansion — no
+    second lookup."""
+    word = word.lower()
+    expanded = expand_patterns(spark, index_dir, [f"{word}~{max_dist}"])
+    rows = [
+        (t, fuzzy_distance(word, t, max_dist), int(df))
+        for t, df in zip(expanded["term"], expanded["df"])
+        if t != word
+    ]
+    rows.sort(key=lambda r: (r[1], -r[2], r[0]))
+    return pd.DataFrame(rows[:n], columns=["term", "dist", "df"])
+
+
 def _fuzzy_cond(base: str, d: int):
     """Catalyst predicate for the distributed fuzzy probe: a sargable
     length window narrows the scan before the levenshtein evaluation

@@ -163,6 +163,23 @@ class OracleIndex:
         norm = tf + K1 * (1.0 - B + B * dl / self.avgdl)
         return self.idf(term) * tf * (K1 + 1.0) / norm
 
+    def suggest(self, word: str, n: int = 5, max_dist: int = 2):
+        """Did-you-mean (engine extension): vocabulary terms within
+        Levenshtein distance max_dist of the lowercased word (the
+        exact word excluded), ranked (distance asc, df desc, term
+        asc), top n → [(term, dist, df)]. Full-matrix DP — an
+        independent check on the engine's banded kernel."""
+        word = word.lower()
+        rows = []
+        for t, plist in self.postings.items():
+            if t == word:
+                continue
+            d = _edit_distance(word, t)
+            if d <= max_dist:
+                rows.append((t, d, len(plist)))
+        rows.sort(key=lambda r: (r[1], -r[2], r[0]))
+        return rows[:n]
+
     def scope_ok(self, doc_id: int, scope: str) -> bool:
         """Metadata predicate for scoped search (engine extension):
         ``"lang:VALUE"`` matches the doc's lang column, ``"site:

@@ -48,6 +48,7 @@ index <parquet-path>
 stats base | debug | <word>
 find <match...> [-exclude...] [lang:V|site:HOST]   globs, fuzzy, scope
 bool <expr>            e.g. bool spark AND (vector OR merge) AND NOT qu*
+suggest <word>         did-you-mean spelling suggestions
 files <match>
 summary <nr>
 delete <file-match>
@@ -105,6 +106,8 @@ class Shell:
             self._page()
         elif cmd == "stats":
             self._cmd_stats(args)
+        elif cmd == "suggest":
+            self._cmd_suggest(args)
         elif cmd == "delete":
             self._cmd_delete(args)
         elif cmd == "summary":
@@ -278,8 +281,23 @@ class Shell:
 
     COMMANDS = (
         "index", "stats", "find", "bool", "files", "summary", "delete",
-        "store", "first", "next", "help", "quit", "exit",
+        "store", "suggest", "first", "next", "help", "quit", "exit",
     )
+
+    def _cmd_suggest(self, args: list[str]) -> None:
+        # did-you-mean (engine extension): fuzzy dictionary
+        # candidates ranked (distance asc, corpus df desc, term asc)
+        if len(args) != 1:
+            print("usage: suggest <word>")
+            return
+        from textindex_spark.query import suggest_terms
+
+        got = suggest_terms(self.spark, self.index_dir, args[0])
+        if not len(got):
+            print("no suggestions")
+            return
+        for r in got.itertuples(index=False):
+            print(f"  {r.term} (distance {r.dist}, {r.df} docs)")
 
     def complete(self, text: str, state_line: str) -> list[str]:
         """Completion candidates for the token ``text`` at the end of

@@ -147,6 +147,30 @@ def main() -> None:
     search(spark, idx_dir, ["spark", "index"], **args).collect()
     timings["bm25_not"] = round(time.time() - t0, 3)
 
+    # metadata-scoped retrieval (r5): warm serving cost of the capped
+    # scope complement merged into the dead set (the complement ids
+    # are cached per (index, scope) after the first query)
+    args = dict(k=10, mode="or", prune=True, with_urls=False, scope="lang:de")
+    search(spark, idx_dir, ["spark", "index"], **args).collect()
+    t0 = time.time()
+    search(spark, idx_dir, ["spark", "index"], **args).collect()
+    timings["bm25_scoped"] = round(time.time() - t0, 3)
+
+    # fuzzy expansion + did-you-mean (r5): resident-dictionary banded
+    # DP behind the vectorized prefilters — zero Spark jobs warm
+    from textindex_spark.query import suggest_terms
+
+    search(spark, idx_dir, ["sparc~1", "index"], k=10, mode="or",
+           with_urls=False).collect()
+    t0 = time.time()
+    search(spark, idx_dir, ["sparc~1", "index"], k=10, mode="or",
+           with_urls=False).collect()
+    timings["bm25_fuzzy"] = round(time.time() - t0, 3)
+    suggest_terms(spark, idx_dir, "sparc")
+    t0 = time.time()
+    suggest_terms(spark, idx_dir, "sparc")
+    timings["suggest"] = round(time.time() - t0, 3)
+
     # the DISTRIBUTED OR plans (local_score=False) — the path a
     # beyond-driver-memory candidate set takes at real scale; this is
     # where block-max pruning pays (the serving path above reads so

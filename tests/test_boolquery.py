@@ -103,6 +103,7 @@ QUERIES = [
     "querry~2 AND spark",                     # fuzzy positive leaf
     "spark AND NOT indx~2",                   # fuzzy under NOT
     "wimsor~1 OR topiqzurwi~1",               # two fuzzy expansions
+    "/quer.*/ AND spark",                     # regex leaf (paren-free)
 ]
 
 

@@ -527,7 +527,10 @@ def test_expand_distributed_matches_cached(spark, index_dir):
     sargable term range to the terms scan."""
     import textindex_spark.query as Q
 
-    pats = ["quer*", "spark", "*ie*", "?om", "absentzz*", "querry~2", "spark~1"]
+    pats = [
+        "quer*", "spark", "*ie*", "?om", "absentzz*", "querry~2", "spark~1",
+        "/quer.*/", "/(spark|vector)/",
+    ]
     cached = Q.expand_patterns(spark, index_dir, pats)
     old_cap = Q.TERMS_CACHE_MAX
     try:
@@ -588,6 +591,60 @@ def test_fuzzy_phrase_slots(spark, index_dir, oracle):
         assert got == want, (ph, got, want)
         checked += bool(want)
     assert checked  # at least one fuzzy phrase matched
+
+
+def test_regex_expand_and_rank(spark, index_dir, oracle):
+    """Slash-delimited regex terms (engine extension): expansion over
+    the vocabulary equals the oracle's independent re.fullmatch scan,
+    and a regex pattern in a ranked query is rank-identical to the
+    oracle (regexes ride the same pattern_idx machinery as globs)."""
+    import textindex_spark.query as Q
+
+    multi = 0
+    for p in ("/quer.*/", "/qu(ery|edra)/", "/.om.?/", "/zzzz+/"):
+        want = sorted(oracle.expand(p))
+        got = sorted(Q.expand_patterns(spark, index_dir, [p])["term"])
+        assert got == want, (p, got, want)
+        multi += len(want) > 1
+    assert multi >= 2
+    for q in (["/quer.*/"], ["/(spark|vector)/", "index"]):
+        want = oracle.search(q, 10, mode="or")
+        assert want, q
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search(
+                spark, index_dir, q, k=10, mode="or", with_urls=False
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), q
+
+
+def test_regex_phrase_slot(spark, index_dir, oracle):
+    """A regex word inside a phrase becomes a pattern slot, matching
+    the oracle's recomputation."""
+    from textindex_spark.query import phrase_docs
+
+    ph = ["woven", "/archiv.*/"]
+    want = oracle.phrase_occurrences(ph)
+    got = {
+        r["doc_id"]: r["n_occ"]
+        for r in phrase_docs(spark, index_dir, ph).collect()
+    }
+    assert got == want and want
+
+
+def test_regex_validation():
+    """Invalid regex is rejected up front; non-slash words pass
+    through untouched."""
+    from textindex_spark.query import _parse_regex
+
+    assert _parse_regex("plain") is None
+    assert _parse_regex("/a/") is not None
+    assert _parse_regex("//") is None  # empty: not regex syntax
+    with pytest.raises(ValueError):
+        _parse_regex("/(unclosed/")
 
 
 def test_suggest_matches_oracle(spark, index_dir, oracle):

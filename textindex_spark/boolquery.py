@@ -6,8 +6,11 @@ Generalizes the flat `query.search` surface (mode="and"/"or" +
 
     search_bool(spark, idx, "spark AND (vector OR merge) AND NOT index")
 
-Semantics: a leaf is a term or wildcard pattern; a document's leaf is
-TRUE iff the document contains at least one expansion of the pattern.
+Semantics: a leaf is a term or pattern (glob, ``base~d`` fuzzy, or
+slash-delimited ``/regex/`` — note the lexer splits on parens and
+whitespace, so regex leaves must avoid both; use a flat query for
+group constructs); a document's leaf is TRUE iff the document
+contains at least one expansion of the pattern.
 A document is retrieved iff the formula evaluates TRUE, ranked by the
 BM25 sum over the distinct matched vocabulary terms of POSITIVE
 leaves (leaves under an even number of NOTs) — negated leaves gate

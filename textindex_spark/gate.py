@@ -38,6 +38,10 @@ WILDCARD = "qu*"
 FUZZY_BASE = "hast"
 # metadata-scoped retrieval probe (bm25_not 'scoped' variant)
 SCOPE_LANG = "de"
+# regex probe (wildcard_expand 'regex' variant) — common
+# Python/Java/RE2 subset so Spark rlike, pandas fullmatch and DuckDB
+# regexp_full_match agree
+REGEX_PROBE = "(fa|ha).*"
 
 
 def _sql_quote(w: str) -> str:
@@ -146,7 +150,9 @@ def q_corpus_stats(spark, sf_dir):
 
 def q_wildcard_expand(spark, sf_dir):
     """Dictionary expansion probes, union-tagged: 'wild' = glob
-    (WildMatch) expansion; 'fuzzy1'/'fuzzy2' = Levenshtein-bounded
+    (WildMatch) expansion; 'regex' = slash-delimited ``/re/``
+    expansion (engine extension — oracle is DuckDB
+    regexp_full_match); 'fuzzy1'/'fuzzy2' = Levenshtein-bounded
     fuzzy expansion (``term~d`` syntax, engine extension — oracle is
     DuckDB's levenshtein(), the same classic edit distance); 'sugg' =
     did-you-mean suggestions ranked (distance asc, df desc, term asc)
@@ -157,6 +163,7 @@ def q_wildcard_expand(spark, sf_dir):
     rows = []
     for tag, pattern, dmax in (
         ("wild", WILDCARD, None),
+        ("regex", f"/{REGEX_PROBE}/", None),
         ("fuzzy1", f"{FUZZY_BASE}~1", 1),
         ("fuzzy2", f"{FUZZY_BASE}~2", 2),
     ):
@@ -1881,6 +1888,9 @@ vocab AS (
 )
 SELECT 'wild' AS variant, term, -1::BIGINT AS dist, df FROM vocab
 WHERE term LIKE '{WILDCARD.replace("*", "%")}'
+UNION ALL
+SELECT 'regex' AS variant, term, -1::BIGINT AS dist, df FROM vocab
+WHERE regexp_full_match(term, '{REGEX_PROBE}')
 UNION ALL
 SELECT 'fuzzy1' AS variant, term, lev AS dist, df FROM vocab WHERE lev <= 1
 UNION ALL

@@ -467,6 +467,42 @@ def _fuzzy_mask(series: pd.Series, base: str, d: int) -> pd.Series:
     return mask
 
 
+# --- regex term expansion (``/pattern/`` syntax, engine extension) ---
+# A slash-delimited pattern expands to every vocabulary term the
+# regex fully matches, then rides the same pattern_idx machinery as
+# globs and fuzzy terms. The resident path evaluates Python re over
+# the dictionary (vectorized str.fullmatch); the distributed probe
+# compiles the same source into Spark's JVM `rlike`. Keep patterns in
+# the common Python/Java/RE2 subset (literals, classes, anchored-free
+# alternation, quantifiers) — exotic constructs may diverge between
+# the engines, exactly as with any multi-runtime regex surface.
+
+
+def _parse_regex(p: str) -> re.Pattern[str] | None:
+    """``/pattern/`` → compiled regex (DOTALL, full-match semantics);
+    None when ``p`` is not slash-delimited. Invalid regex raises
+    up front."""
+    if len(p) < 3 or not (p.startswith("/") and p.endswith("/")):
+        return None
+    try:
+        return re.compile(p[1:-1], re.DOTALL)
+    except re.error as e:
+        raise ValueError(f"invalid regex pattern {p!r}: {e}") from None
+
+
+def _regex_mask(series: pd.Series, rx: re.Pattern[str]) -> pd.Series:
+    """Vectorized full-match over a term Series."""
+    if len(series) == 0:
+        return pd.Series([], dtype=bool, index=series.index)
+    return series.str.fullmatch(rx).fillna(False)
+
+
+def _regex_cond(rx: re.Pattern[str]):
+    """Catalyst predicate for the distributed regex probe (JVM-side
+    rlike, anchored to full-match like the resident path)."""
+    return F.col("term").rlike(f"^(?s:{rx.pattern})$")
+
+
 def fuzzy_distance(base: str, term: str, max_dist: int) -> int:
     """Minimal Levenshtein distance in 0..max_dist, or max_dist+1
     when the bound is exceeded (banded check per level — candidates
@@ -582,8 +618,11 @@ def expand_patterns(
         frames = []
         by_term = terms.set_index("term", drop=False)
         for i, p in enumerate(patterns):
-            fz = _parse_fuzzy(p)
-            if fz is not None:
+            rx = _parse_regex(p)
+            fz = None if rx is not None else _parse_fuzzy(p)
+            if rx is not None:
+                hit = terms[_regex_mask(terms["term"], rx)].copy()
+            elif fz is not None:
                 hit = terms[_fuzzy_mask(terms["term"], *fz)].copy()
             elif _is_wildcard(p):
                 hit = terms[_wild_mask(terms["term"], p)].copy()
@@ -615,6 +654,8 @@ _shard_cache: dict[tuple[str, str], pd.DataFrame] = {}
 
 
 def _shard_key(p: str) -> str | None:
+    if _parse_regex(p) is not None:
+        return None  # a regex has no reliable literal prefix
     if _parse_fuzzy(p) is not None:
         # an edit at position 0/1 changes the prefix — fuzzy matches
         # are NOT confined to the base's prefix shard
@@ -656,8 +697,11 @@ def _expand_sharded(
             # whole-shard fetch: sargable, term-sorted files prune
             conds.append(F.col("term").startswith(k))
         for p in keyless:
-            fz = _parse_fuzzy(p)
-            if fz is not None:
+            rx = _parse_regex(p)
+            fz = None if rx is not None else _parse_fuzzy(p)
+            if rx is not None:
+                conds.append(_regex_cond(rx))
+            elif fz is not None:
                 conds.append(_fuzzy_cond(*fz))
             elif _is_wildcard(p):
                 rx_cond = F.col("term").rlike(
@@ -688,8 +732,11 @@ def _expand_sharded(
             # keyless pattern, or a too-hot-to-cache shard: match
             # against this probe's result rows
             src = loose
-        fz = _parse_fuzzy(p)
-        if fz is not None:
+        rx = _parse_regex(p)
+        fz = None if rx is not None else _parse_fuzzy(p)
+        if rx is not None:
+            hit = src[_regex_mask(src["term"], rx)].copy()
+        elif fz is not None:
             hit = src[_fuzzy_mask(src["term"], *fz)].copy()
         elif _is_wildcard(p):
             hit = src[_wild_mask(src["term"], p)].copy()
@@ -1950,7 +1997,11 @@ def phrase_slots(words: list[str]) -> list[str]:
     in phrase_terms)."""
     out: list[str] = []
     for w in words:
-        if _is_wildcard(w) or _parse_fuzzy(w) is not None:
+        if (
+            _is_wildcard(w)
+            or _parse_regex(w) is not None
+            or _parse_fuzzy(w) is not None
+        ):
             out.append(w.lower())
         else:
             out.extend(phrase_terms([w]))
@@ -2396,6 +2447,12 @@ def matched_lines(
 
     matchers = []
     for p in patterns:
+        prx = _parse_regex(p)
+        if prx is not None:
+            matchers.append(
+                lambda w, rx=prx: rx.fullmatch(w) is not None
+            )
+            continue
         fz = _parse_fuzzy(p)
         if fz is not None:
             # fuzzy display parity: a line matches when any raw word

@@ -60,9 +60,11 @@ def wildcard_to_regex(pattern: str) -> re.Pattern[str]:
 
 def _is_pattern(w: str) -> bool:
     """A query word that expands over the vocabulary rather than
-    matching literally: a WildMatch glob, or the engine's fuzzy
-    ``base~d`` suffix."""
+    matching literally: a WildMatch glob, the engine's fuzzy
+    ``base~d`` suffix, or a slash-delimited ``/regex/``."""
     if "*" in w or "?" in w:
+        return True
+    if len(w) >= 3 and w.startswith("/") and w.endswith("/"):
         return True
     return bool(re.fullmatch(r"(.+)~([0-9]?)\Z", w, re.S))
 
@@ -146,6 +148,15 @@ class OracleIndex:
         return math.log(1.0 + (self.n_docs - d + 0.5) / (d + 0.5))
 
     def expand(self, pattern: str) -> list[str]:
+        if (
+            len(pattern) >= 3
+            and pattern.startswith("/")
+            and pattern.endswith("/")
+        ):
+            # engine extension: slash-delimited regex, full-match
+            # over the vocabulary (DOTALL, like the engine)
+            rx = re.compile(pattern[1:-1], re.DOTALL)
+            return [t for t in self.postings if rx.fullmatch(t)]
         fz = re.fullmatch(r"(.+)~([0-9]?)\Z", pattern, re.S)
         if fz and "*" not in fz.group(1) and "?" not in fz.group(1):
             # engine extension: fuzzy ``base~d`` — every vocabulary

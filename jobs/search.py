@@ -67,6 +67,15 @@ def main() -> None:
         "wildcard leaves allowed); ranked, single-index",
     )
     ap.add_argument(
+        "--similar", type=int, default=None, metavar="DOC_ID",
+        help="more-like-this: rank documents similar to DOC_ID "
+        "(query-by-document; requires --docs with the raw corpus)",
+    )
+    ap.add_argument(
+        "--docs", default=None, metavar="PARQUET",
+        help="raw documents parquet (the --similar source lookup)",
+    )
+    ap.add_argument(
         "--lines", default=None, metavar="DOCS",
         help="raw documents parquet: attach matched-line snippets to "
         "each ranked hit (--terms ranked mode and --bool)",
@@ -85,8 +94,16 @@ def main() -> None:
     )
     from textindex_spark.session import get_spark
 
-    if not args.files and not args.terms and not args.bool_expr:
-        ap.error("provide --terms T [T ...], --bool EXPR, or --files PATTERN")
+    if (
+        not args.files and not args.terms and not args.bool_expr
+        and args.similar is None
+    ):
+        ap.error(
+            "provide --terms T [T ...], --bool EXPR, --similar DOC_ID, "
+            "or --files PATTERN"
+        )
+    if args.similar is not None and not args.docs:
+        ap.error("--similar requires --docs PARQUET (the raw corpus)")
     if args.bool_expr and (
         args.terms or args.files or args.phrase or args.near is not None
         or args.unranked or args.facet or args.exclude
@@ -101,7 +118,7 @@ def main() -> None:
         ap.error("provide exactly one of --index / --shards")
     if args.shards and (
         args.phrase or args.near is not None or args.unranked
-        or args.facet or args.files or args.prune
+        or args.facet or args.files or args.prune or args.similar is not None
     ):
         ap.error(
             "--shards supports ranked --terms search only (with --mode/"
@@ -133,6 +150,16 @@ def main() -> None:
         for r in rows:
             print(json.dumps(r.asDict()))
 
+    if args.similar is not None:
+        from textindex_spark.query import more_like_this
+
+        rows = more_like_this(
+            spark, args.index, spark.read.parquet(args.docs), args.similar,
+            k=args.k, with_urls=True,
+        ).collect()
+        for r in rows:
+            print(json.dumps(r.asDict()))
+        return
     if args.bool_expr:
         from textindex_spark.boolquery import (
             parse_bool,

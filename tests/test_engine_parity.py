@@ -593,6 +593,32 @@ def test_fuzzy_phrase_slots(spark, index_dir, oracle):
     assert checked  # at least one fuzzy phrase matched
 
 
+def test_more_like_this_matches_oracle(spark, index_dir, rows, oracle):
+    """Query-by-document (engine extension): the engine re-tokenizes
+    the source from the raw corpus and ranks terms by tf·idf; the
+    oracle recomputes the chain from its postings scan — identical
+    term selection, identical top-k, source doc never in results."""
+    from textindex_spark.query import more_like_this
+
+    docs = corpus_df(spark, rows)
+    probes = sorted(oracle.docs)[:2] + [sorted(oracle.docs)[150]]
+    nonempty = 0
+    for did in probes:
+        want = oracle.more_like_this(did)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in more_like_this(spark, index_dir, docs, did).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], (did, got[:3], want[:3])
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), did
+        assert all(d != did for d, _ in got), did
+        nonempty += bool(want)
+    assert nonempty == len(probes)
+    with pytest.raises(ValueError, match="not found"):
+        more_like_this(spark, index_dir, docs, 10**12)
+
+
 def test_regex_expand_and_rank(spark, index_dir, oracle):
     """Slash-delimited regex terms (engine extension): expansion over
     the vocabulary equals the oracle's independent re.fullmatch scan,

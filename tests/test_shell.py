@@ -85,6 +85,24 @@ def test_suggest_command(shell, spark):
     assert "no suggestions" in shell.dispatch("suggest qqqqzzzzzzqq")
 
 
+def test_similar_command(shell, spark, capsys):
+    """`similar <doc_id>` prints the more-like-this ranking with
+    urls; bad input gets a usage line."""
+    from textindex_spark.query import more_like_this
+
+    out = shell.dispatch("similar 0")
+    want = more_like_this(
+        spark, shell.index_dir, spark.read.parquet(shell.docs_path), 0,
+        with_urls=True,
+    ).collect()
+    assert want and "  0:" in out
+    for i, r in enumerate(want):
+        assert f"  {i}:{r['url']}" in out
+    assert "usage" in shell.dispatch("similar")
+    assert "usage" in shell.dispatch("similar notanumber")
+    assert "not found" in shell.dispatch("similar 999999999")
+
+
 def test_find_with_scope(shell, spark):
     """`find spark lang:de` keeps only German docs (metadata scope,
     engine extension) and matches find_unranked(scope=)."""

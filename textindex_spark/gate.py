@@ -42,6 +42,8 @@ SCOPE_LANG = "de"
 # Python/Java/RE2 subset so Spark rlike, pandas fullmatch and DuckDB
 # regexp_full_match agree
 REGEX_PROBE = "(fa|ha).*"
+# more-like-this probe document (bm25_topk 'mlt' variant)
+MLT_DOC = 42
 
 
 def _sql_quote(w: str) -> str:
@@ -192,11 +194,21 @@ def q_search_and(spark, sf_dir):
 
 
 def q_bm25_topk(spark, sf_dir):
+    """Union-tagged variants: 'topk' = conjunctive BM25 top-10;
+    'mlt' = more-like-this (engine extension — query-by-document:
+    doc MLT_DOC's terms ranked tf·idf, top 10 fed to disjunctive
+    BM25, source doc excluded; the oracle recomputes the whole chain
+    including the term selection window)."""
     idx = ensure_index(spark, sf_dir)
-    res = Q.search(spark, idx, BM25_TERMS, k=10, mode="and", with_urls=False)
-    return res.select(
-        "doc_id", F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro")
+    micro = F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long")
+    topk = Q.search(
+        spark, idx, BM25_TERMS, k=10, mode="and", with_urls=False
+    ).select(F.lit("topk").alias("variant"), "doc_id", micro.alias("score_micro"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mlt = Q.more_like_this(spark, idx, docs, MLT_DOC, k=10).select(
+        F.lit("mlt").alias("variant"), "doc_id", micro.alias("score_micro")
     )
+    return topk.unionByName(mlt)
 
 
 def q_bm25_or_topk(spark, sf_dir):
@@ -2745,6 +2757,51 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
     out["ann_ivf"] = _fold([
         ("'ivf' AS variant, vec_id, cos_micro", out["ann_ivf"]),
         ("'pq' AS variant, vec_id, cos_micro", out["ann_cosine"]),
+    ])
+    # more-like-this variant folds into bm25_topk LAST, so the
+    # bm25_after_append / bm25_sharded aliases above keep the plain
+    # single-variant topk SQL
+    mlt_sql = f"""
+WITH {_TOKS_CTE},
+stats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl
+),
+alldf AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term
+),
+mlt_sel AS (
+    SELECT term FROM (
+        SELECT src.term,
+               row_number() OVER (
+                   ORDER BY src.tf * ln(1.0 + (st.n_docs - a.df + 0.5)
+                                        / (a.df + 0.5)) DESC,
+                            src.term ASC
+               ) AS rn
+        FROM tf src
+        JOIN alldf a ON src.term = a.term
+        CROSS JOIN stats st
+        WHERE src.doc_id = {MLT_DOC}
+    ) WHERE rn <= 10
+),
+mlt_hits AS (
+    SELECT t.doc_id,
+           ln(1.0 + (st.n_docs - a.df + 0.5) / (a.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / st.avgdl)) AS w
+    FROM tf t
+    JOIN mlt_sel q ON t.term = q.term
+    JOIN alldf a ON t.term = a.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats st
+    WHERE t.doc_id <> {MLT_DOC}
+)
+SELECT doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT AS score_micro
+FROM mlt_hits GROUP BY doc_id
+ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
+"""
+    out["bm25_topk"] = _fold([
+        ("'topk' AS variant, doc_id, score_micro", out["bm25_topk"]),
+        ("'mlt' AS variant, doc_id, score_micro", mlt_sql),
     ])
     for dead in (
         "facet_lang", "phrase_match", "near_match", "near_match_wildcard",

@@ -929,10 +929,15 @@ def search(
     local_score: bool | None = None,
     exclude: list[str] | None = None,
     scope: str | None = None,
+    exclude_ids: list[int] | None = None,
 ) -> DataFrame:
     """BM25 top-k → DataFrame (doc_id, score[, url]), ordered
     (score desc, doc_id asc). mode='and' keeps reference AND
     semantics across query patterns.
+
+    ``exclude_ids``: drop specific doc_ids before top-k (caller-
+    bounded — e.g. more_like_this removing its source document);
+    merges into the dead set on every path, so θ probes stay sound.
 
     ``exclude``: NOT semantics — docs containing ANY expansion of an
     exclude pattern (wildcards allowed) are dropped before top-k;
@@ -972,6 +977,11 @@ def search(
     scope_ids: np.ndarray | None = None
     if scope and not query_is_empty:
         scope_ids = _scope_nonmatch_ids(spark, index_dir, scope)
+    xids: np.ndarray | None = (
+        np.array(sorted(set(exclude_ids)), dtype=np.int64)
+        if exclude_ids
+        else None
+    )
     fits_local = (
         len(expanded) > 0
         and expanded.drop_duplicates("term")["df"].sum() <= LOCAL_SCORE_MAX_POSTINGS
@@ -993,6 +1003,8 @@ def search(
                 dead = np.union1d(dead, excl_ids)
             if scope_ids is not None and len(scope_ids):
                 dead = np.union1d(dead, scope_ids)
+            if xids is not None:
+                dead = np.union1d(dead, xids)
             res = _search_local(
                 spark, index_dir, expanded, stats, len(patterns), k, mode,
                 with_urls, dead, prune=prune,
@@ -1042,7 +1054,9 @@ def search(
         if prune:
             dead_p = None
             extra = [
-                a for a in (excl_ids, scope_ids) if a is not None and len(a)
+                a
+                for a in (excl_ids, scope_ids, xids)
+                if a is not None and len(a)
             ]
             if extra:
                 tomb = _dead_ids_capped(spark, index_dir)
@@ -1086,6 +1100,9 @@ def search(
                     scored = scored.join(excl_df, "doc_id", "left_anti")
         if scope:
             scored = _apply_scope(spark, index_dir, scored, scope, scope_ids)
+        if xids is not None:
+            xdf = local_df(spark, [(int(i),) for i in xids], "doc_id long")
+            scored = scored.join(F.broadcast(xdf), "doc_id", "left_anti")
         result = scored.select("doc_id", "score").orderBy(
             F.desc("score"), F.asc("doc_id")
         ).limit(k)
@@ -2430,6 +2447,102 @@ def find_files(spark: SparkSession, index_dir: str, pattern: str) -> DataFrame:
         .select("doc_id", "url")
         .orderBy("doc_id")
     )
+
+
+MLT_MAX_TERMS = 10
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    documents: DataFrame,
+    doc_id: int,
+    k: int = 10,
+    max_terms: int = MLT_MAX_TERMS,
+    min_df: int = 1,
+    with_urls: bool = False,
+) -> DataFrame:
+    """Query-by-document (engine extension — the Lucene MoreLikeThis
+    surface): rank documents similar to ``doc_id``. → (doc_id, score
+    [, url]) like `search`.
+
+    Plan: (1) the source document is re-read from the raw corpus with
+    a pushdown point lookup (`doc_id =` prunes the parquet scan — the
+    same one-doc pattern `matched_lines` uses) and extracted +
+    tokenized with the reference pipeline; (2) its distinct terms are
+    ranked by tf·idf — idf from the resident dictionary (one
+    broadcast-probe job when the vocabulary exceeds the cache),
+    tie-break term asc — and terms with dictionary df < ``min_df``
+    drop; (3) the top ``max_terms`` run disjunctive BM25 through
+    `search` with the source doc merged into the dead set
+    (``exclude_ids``), so the similar-document ranking never contains
+    the probe itself. The expensive machinery (postings decode,
+    serving caches, pruning) is all reused — MLT adds one point
+    lookup and a driver-side tf computation."""
+    from textindex_spark.build import normalize_input
+    from textindex_spark.refimpl import filters
+    from textindex_spark.refimpl.oracle import classify_and_extract
+    from textindex_spark.refimpl.txt_tokenize import term_frequencies
+
+    rows = (
+        normalize_input(documents)
+        .filter(F.col("doc_id") == int(doc_id))
+        .select("url", "html", "text")
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"doc_id {doc_id} not found in documents")
+    r = rows[0]
+    kind, text, _ = classify_and_extract(
+        r["url"], r["html"] or b"", r["text"] or ""
+    )
+    empty = local_df(spark, [], "doc_id long, score double")
+    if with_urls:
+        empty = empty.withColumn("url", F.lit(None).cast("string"))
+    if kind == filters.IGNORE:
+        return empty
+    tf, _dl = term_frequencies(text)
+    if not tf:
+        return empty
+    stats = cached_stats(spark, index_dir)
+    dfs = _term_dfs(spark, index_dir, sorted(tf))
+    ranked = sorted(
+        (
+            (t, tf[t] * idf(stats["n_docs"], dfs[t]))
+            for t in tf
+            if dfs.get(t, 0) >= max(min_df, 1)
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    terms = [t for t, _ in ranked[:max_terms]]
+    if not terms:
+        return empty
+    return search(
+        spark, index_dir, terms, k=k, mode="or", with_urls=with_urls,
+        exclude_ids=[int(doc_id)],
+    )
+
+
+def _term_dfs(
+    spark: SparkSession, index_dir: str, terms_list: list[str]
+) -> dict[str, int]:
+    """Dictionary df lookup for a (possibly >MAX_QUERY_PATTERNS) term
+    list: resident dictionary when cached, else ONE broadcast-probe
+    join against the terms table (no isin — the list can exceed the
+    pushdown cap)."""
+    terms = _load_dictionary(spark, index_dir)
+    if terms is not None:
+        sub = terms[terms["term"].isin(terms_list)]
+        return dict(zip(sub["term"], (int(x) for x in sub["df"])))
+    probe = local_df(spark, [(t,) for t in terms_list], "term string")
+    rows = (
+        _cached_table(spark, index_dir, "terms")
+        .select("term", "df")
+        .join(F.broadcast(probe), "term")
+        .collect()
+    )
+    return {r["term"]: int(r["df"]) for r in rows}
 
 
 def matched_lines(

@@ -174,6 +174,33 @@ class OracleIndex:
         norm = tf + K1 * (1.0 - B + B * dl / self.avgdl)
         return self.idf(term) * tf * (K1 + 1.0) / norm
 
+    def more_like_this(
+        self, doc_id: int, k: int = 10, max_terms: int = 10, min_df: int = 1
+    ) -> list[tuple[int, float]]:
+        """Query-by-document (engine extension): the source doc's
+        terms ranked by tf·idf (tie-break term asc), top max_terms →
+        disjunctive BM25 with the source excluded. Independent
+        recomputation: tf from the postings scan, not from re-
+        tokenizing."""
+        tf = {
+            t: plist[doc_id]
+            for t, plist in self.postings.items()
+            if doc_id in plist
+        }
+        ranked = sorted(
+            (
+                (t, n_occ * self.idf(t))
+                for t, n_occ in tf.items()
+                if self.df(t) >= max(min_df, 1)
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        terms = [t for t, _ in ranked[:max_terms]]
+        if not terms:
+            return []
+        full = self.search(terms, k + 1, mode="or")
+        return [(d, s) for d, s in full if d != doc_id][:k]
+
     def suggest(self, word: str, n: int = 5, max_dist: int = 2):
         """Did-you-mean (engine extension): vocabulary terms within
         Levenshtein distance max_dist of the lowercased word (the

@@ -49,6 +49,7 @@ stats base | debug | <word>
 find <match...> [-exclude...] [lang:V|site:HOST]   globs, fuzzy, scope
 bool <expr>            e.g. bool spark AND (vector OR merge) AND NOT qu*
 suggest <word>         did-you-mean spelling suggestions
+similar <doc_id>       more-like-this: docs similar to a document
 files <match>
 summary <nr>
 delete <file-match>
@@ -108,6 +109,8 @@ class Shell:
             self._cmd_stats(args)
         elif cmd == "suggest":
             self._cmd_suggest(args)
+        elif cmd == "similar":
+            self._cmd_similar(args)
         elif cmd == "delete":
             self._cmd_delete(args)
         elif cmd == "summary":
@@ -281,8 +284,35 @@ class Shell:
 
     COMMANDS = (
         "index", "stats", "find", "bool", "files", "summary", "delete",
-        "store", "suggest", "first", "next", "help", "quit", "exit",
+        "store", "suggest", "similar", "first", "next", "help", "quit",
+        "exit",
     )
+
+    def _cmd_similar(self, args: list[str]) -> None:
+        # more-like-this (engine extension): rank docs similar to a
+        # doc_id; needs the raw corpus for the source point lookup
+        if len(args) != 1 or not args[0].lstrip("-").isdigit():
+            print("usage: similar <doc_id>")
+            return
+        if self.docs_path is None:
+            print("similar needs the raw corpus (open the shell with --docs)")
+            return
+        from textindex_spark.query import more_like_this
+
+        try:
+            rows = more_like_this(
+                self.spark, self.index_dir,
+                self.spark.read.parquet(self.docs_path), int(args[0]),
+                with_urls=True,
+            ).collect()
+        except ValueError as e:
+            print(e)
+            return
+        if not rows:
+            print("no similar documents")
+            return
+        for i, r in enumerate(rows):
+            print(f"  {i}:{r['url']} ({r['score']:.4f})")
 
     def _cmd_suggest(self, args: list[str]) -> None:
         # did-you-mean (engine extension): fuzzy dictionary

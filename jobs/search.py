@@ -110,10 +110,19 @@ def main() -> None:
     ):
         ap.error("--bool is a standalone ranked mode (single index or --shards)")
     if args.scope and (
-        args.files or args.phrase or args.near is not None
-        or args.unranked or args.facet
+        args.files or args.phrase or args.near is not None or args.facet
     ):
-        ap.error("--scope applies to ranked --terms search and --bool")
+        ap.error(
+            "--scope applies to ranked --terms search, --unranked, and --bool"
+        )
+    if args.similar is not None and (
+        args.terms or args.bool_expr or args.files or args.phrase
+        or args.near is not None or args.unranked or args.facet
+        or args.exclude or args.scope or args.lines
+    ):
+        ap.error(
+            "--similar is a standalone mode (only --k/--docs/--index apply)"
+        )
     if bool(args.index) == bool(args.shards):
         ap.error("provide exactly one of --index / --shards")
     if args.shards and (
@@ -216,7 +225,8 @@ def main() -> None:
         ).collect()
     elif args.unranked:
         rows = find_unranked(
-            spark, args.index, args.terms, exclude=args.exclude
+            spark, args.index, args.terms, exclude=args.exclude,
+            scope=args.scope,
         ).collect()
     else:
         rows = search(

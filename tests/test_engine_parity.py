@@ -753,6 +753,47 @@ def test_scoped_search_with_exclusion(spark, index_dir, oracle):
             assert math.isclose(gs, ws, rel_tol=1e-9)
 
 
+def test_scope_oversize_complement_distributed(spark, index_dir, oracle, monkeypatch):
+    """The 10^12-doc scope form: when the complement exceeds
+    TOMBSTONE_LOCAL_MAX, the scope applies as a left_semi join
+    against the pushdown-filtered docs scan (serving path and
+    block-max pruning disabled) — results must stay rank-identical
+    to the capped-complement path on flat, pruned, and boolean
+    queries."""
+    import textindex_spark.query as Qm
+    from textindex_spark.boolquery import search_bool
+
+    monkeypatch.setattr(Qm, "TOMBSTONE_LOCAL_MAX", 0)
+    Qm._scope_ids_cache.clear()
+    assert Qm._scope_nonmatch_ids(spark, index_dir, "lang:de") is None
+    try:
+        want = oracle.search(["spark", "vector"], 10, mode="or", scope="lang:de")
+        assert want
+        for kw in ({}, {"prune": True}):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    spark, index_dir, ["spark", "vector"], k=10, mode="or",
+                    with_urls=False, scope="lang:de", **kw,
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], kw
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9), kw
+        q = "qu* AND (spark OR vector)"
+        want_b = {
+            r["doc_id"]
+            for r in search_bool(
+                spark, index_dir, q, k=10, with_urls=False, scope="lang:de"
+            ).collect()
+        }
+        assert want_b and all(
+            oracle.scope_ok(d, "lang:de") for d in want_b
+        )
+    finally:
+        Qm._scope_ids_cache.clear()
+
+
 def test_scope_validation(spark, index_dir):
     """Malformed scopes are rejected before any work."""
     from textindex_spark.query import parse_scope
@@ -774,7 +815,7 @@ def test_fuzzy_pattern_validation():
     assert _parse_fuzzy("plain") is None
     assert _parse_fuzzy("hash~") == ("hash", 1)
     assert _parse_fuzzy("hash~2") == ("hash", 2)
-    for bad in ("qu*~1", "hash~0", "hash~9"):
+    for bad in ("qu*~1", "hash~0", "hash~9", "hash~12"):
         with pytest.raises(ValueError):
             _parse_fuzzy(bad)
 

@@ -389,7 +389,10 @@ def _is_wildcard(p: str) -> bool:
 # DuckDB's levenshtein() compute, so the resident-dictionary path, the
 # distributed probe, and the DuckDB oracle agree by construction.
 FUZZY_MAX_DIST = 2
-_FUZZY_RE = re.compile(r"(.+)~([0-9]?)\Z", re.S)
+# [0-9]* (not ?): 'term~12' must parse as fuzzy syntax and get the
+# loud out-of-range error, not fall through to a silent exact-term
+# miss ('~' can never appear in a vocabulary term) — review r5
+_FUZZY_RE = re.compile(r"(.+)~([0-9]*)\Z", re.S)
 
 
 def _parse_fuzzy(p: str) -> tuple[str, int] | None:
@@ -534,6 +537,14 @@ def suggest_terms(
     fall back to the sharded/distributed probe (sargable length
     window + JVM levenshtein); df comes back with the expansion — no
     second lookup."""
+    if not 1 <= max_dist <= FUZZY_MAX_DIST:
+        raise ValueError(
+            f"suggest max_dist must be 1..{FUZZY_MAX_DIST}: {max_dist}"
+        )
+    if not word or _is_wildcard(word) or "~" in word or "/" in word:
+        # a clean error in suggest's own vocabulary — not the fuzzy
+        # parser's complaint about syntax the user never typed
+        raise ValueError(f"suggest takes a plain word: {word!r}")
     word = word.lower()
     expanded = expand_patterns(spark, index_dir, [f"{word}~{max_dist}"])
     rows = [
@@ -1493,6 +1504,10 @@ def _dead_ids_capped(spark: SparkSession, index_dir: str) -> np.ndarray | None:
 # filtered-search semantics, so a scoped query is exactly the
 # unscoped ranking with non-matching docs removed).
 SCOPE_FIELDS = ("lang", "site")
+# FIFO-capped like the other driver caches: site:HOST scopes are
+# high-cardinality, and each capped complement holds up to
+# TOMBSTONE_LOCAL_MAX int64 ids (~800 KB) — review r5
+SCOPE_CACHE_MAX = 64
 _scope_ids_cache: dict[tuple[str, str], np.ndarray | None] = {}
 
 
@@ -1543,6 +1558,8 @@ def _scope_nonmatch_ids(
         out: np.ndarray | None = None
     else:
         out = np.array(sorted(r["doc_id"] for r in rows), dtype=np.int64)
+    while len(_scope_ids_cache) >= SCOPE_CACHE_MAX:
+        _scope_ids_cache.pop(next(iter(_scope_ids_cache)))
     _scope_ids_cache[key] = out
     return out
 

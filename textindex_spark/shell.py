@@ -322,7 +322,11 @@ class Shell:
             return
         from textindex_spark.query import suggest_terms
 
-        got = suggest_terms(self.spark, self.index_dir, args[0])
+        try:
+            got = suggest_terms(self.spark, self.index_dir, args[0])
+        except ValueError as e:
+            print(e)
+            return
         if not len(got):
             print("no suggestions")
             return

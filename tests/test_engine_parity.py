@@ -209,6 +209,20 @@ def test_sharded_search_matches_single_index(spark, rows, oracle, tmp_path_facto
             ).collect()
         ]
         assert [d for d, _ in got] == [d for d, _ in want], local
+    # query-time boosts federate: the global max boost per term folds
+    # into the global idf
+    want = oracle.search(["spark^2", "vector"], 10, mode="or")
+    for local in (None, False):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_sharded(
+                spark, [d1, d2], ["spark^2", "vector"], k=10, mode="or",
+                with_urls=False, local_score=local,
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], local
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9)
     # metadata scope federates the same way (each shard's docs table
     # answers the predicate for its own docs)
     want = oracle.search(["spark", "vector"], 10, mode="or", scope="lang:fr")
@@ -591,6 +605,50 @@ def test_fuzzy_phrase_slots(spark, index_dir, oracle):
         assert got == want, (ph, got, want)
         checked += bool(want)
     assert checked  # at least one fuzzy phrase matched
+
+
+def test_boosted_search_matches_oracle(spark, index_dir, oracle):
+    """Query-time boosts (``pattern^boost``, engine extension): the
+    boost folds into idf before scoring AND pruning, so all three
+    execution paths stay rank-identical to the oracle's independent
+    max-boost-per-term recomputation — and the boost genuinely
+    reorders results vs the unboosted query."""
+    cases = [
+        (["spark^2", "vector"], "or"),
+        (["qu*^1.5", "spark"], "and"),
+        (["querry~2^3", "index"], "or"),
+        (["qu*^2", "query^0.5"], "or"),  # overlapping patterns: max
+    ]
+    reordered = 0
+    for terms, mode in cases:
+        want = oracle.search(terms, 10, mode=mode)
+        assert want, terms
+        plain = oracle.search(
+            [t.split("^")[0] for t in terms], 10, mode=mode
+        )
+        reordered += want != plain
+        for kw in (
+            {"local_score": True},
+            {"local_score": False},
+            {"prune": True},
+        ):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    spark, index_dir, terms, k=10, mode=mode,
+                    with_urls=False, **kw,
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], (terms, kw)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9), (terms, kw)
+    assert reordered >= 2  # the boosts must actually change rankings
+    # ^1 is a no-op; non-positive boosts are rejected
+    a = search(spark, index_dir, ["spark^1"], k=5, with_urls=False).collect()
+    b = search(spark, index_dir, ["spark"], k=5, with_urls=False).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    with pytest.raises(ValueError, match="boost"):
+        search(spark, index_dir, ["spark^0"], k=5)
 
 
 def test_more_like_this_matches_oracle(spark, index_dir, rows, oracle):

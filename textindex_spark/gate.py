@@ -44,6 +44,8 @@ SCOPE_LANG = "de"
 REGEX_PROBE = "(fa|ha).*"
 # more-like-this probe document (bm25_topk 'mlt' variant)
 MLT_DOC = 42
+# query-time boost probe (bm25_or_topk 'boost' variant)
+BOOST_FACTOR = 2.5
 
 
 def _sql_quote(w: str) -> str:
@@ -212,17 +214,25 @@ def q_bm25_topk(spark, sf_dir):
 
 
 def q_bm25_or_topk(spark, sf_dir):
-    """Disjunctive (OR) BM25 top-10 WITH block-max pruning — the
-    WAND home case (VERDICT r3 task 4). prune=True exercises the
-    OR prune plan; results must stay exact."""
+    """Union-tagged variants: 'or' = disjunctive BM25 top-10 WITH
+    block-max pruning (the WAND home case, VERDICT r3 task 4;
+    results must stay exact). 'boost' = the same query with a
+    ``^BOOST_FACTOR`` suffix on the first term (Lucene query-time
+    boost, engine extension) — the boost folds into the idf the θ
+    probe and block bounds read, so pruning stays exact under
+    boosting too."""
     idx = ensure_index(spark, sf_dir)
-    res = Q.search(
+    micro = F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long")
+    res_or = Q.search(
         spark, idx, BM25_TERMS, k=10, mode="or", prune=True, with_urls=False
+    ).select(F.lit("or").alias("variant"), "doc_id", micro.alias("score_micro"))
+    boosted = [f"{BM25_TERMS[0]}^{BOOST_FACTOR}", *BM25_TERMS[1:]]
+    res_boost = Q.search(
+        spark, idx, boosted, k=10, mode="or", prune=True, with_urls=False
+    ).select(
+        F.lit("boost").alias("variant"), "doc_id", micro.alias("score_micro")
     )
-    return res.select(
-        "doc_id",
-        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias("score_micro"),
-    )
+    return res_or.unionByName(res_boost)
 
 
 BOOL_QUERY = "spark AND (vector OR merge) AND NOT qu*"
@@ -1966,10 +1976,24 @@ hits AS (
     JOIN dl d ON t.doc_id = d.doc_id
     CROSS JOIN stats s
     WHERE t.term IN ({bm25_terms})
+),
+or_top AS (
+    SELECT 'or' AS variant, doc_id,
+           floor(sum(w) * 1e6 + 0.5)::BIGINT AS score_micro
+    FROM hits GROUP BY doc_id
+    ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
+),
+boost_top AS (
+    SELECT 'boost' AS variant, doc_id,
+           floor(sum(w * CASE WHEN term = '{BM25_TERMS[0]}'
+                              THEN {BOOST_FACTOR} ELSE 1.0 END)
+                 * 1e6 + 0.5)::BIGINT AS score_micro
+    FROM hits GROUP BY doc_id
+    ORDER BY sum(w * CASE WHEN term = '{BM25_TERMS[0]}'
+                          THEN {BOOST_FACTOR} ELSE 1.0 END) DESC,
+             doc_id ASC LIMIT 10
 )
-SELECT doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT AS score_micro
-FROM hits GROUP BY doc_id
-ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
+SELECT * FROM or_top UNION ALL SELECT * FROM boost_top
 """,
         "bm25_not": f"""
 WITH {_TOKS_CTE},

@@ -470,6 +470,41 @@ def _fuzzy_mask(series: pd.Series, base: str, d: int) -> pd.Series:
     return mask
 
 
+# --- query-time boosts (Lucene ``pattern^boost``, engine extension) ---
+# A ``^N`` / ``^N.M`` suffix multiplies the idf weight of every
+# vocabulary term the pattern covers (flat ranked search; a term
+# covered by several patterns takes the MAX boost, matching the
+# engine's count-each-term-once overlap semantics). The boost folds
+# into term_info's idf BEFORE any scoring or pruning math, so the
+# resident, distributed, and block-max paths — whose θ probes and
+# per-block upper bounds all read that same idf column — stay
+# rank-identical with no extra machinery. ``^`` can never appear in
+# a vocabulary term (the tokenizer splits on it), so the suffix is
+# unambiguous.
+_BOOST_RE = re.compile(r"(.+)\^([0-9]+(?:\.[0-9]+)?)\Z", re.S)
+
+
+def split_boosts(patterns: list[str]) -> tuple[list[str], list[float]]:
+    """→ (base_patterns, per-pattern boosts). Boost must be > 0 — a
+    zero-weight clause would still gate AND membership while
+    contributing nothing, which is never what a ranking query
+    means."""
+    bases: list[str] = []
+    boosts: list[float] = []
+    for p in patterns:
+        m = _BOOST_RE.fullmatch(p)
+        if m:
+            b = float(m.group(2))
+            if b <= 0:
+                raise ValueError(f"boost must be > 0: {p!r}")
+            bases.append(m.group(1))
+            boosts.append(b)
+        else:
+            bases.append(p)
+            boosts.append(1.0)
+    return bases, boosts
+
+
 # --- regex term expansion (``/pattern/`` syntax, engine extension) ---
 # A slash-delimited pattern expands to every vocabulary term the
 # regex fully matches, then rides the same pattern_idx machinery as
@@ -969,8 +1004,12 @@ def search(
     disabled."""
     if scope:
         parse_scope(scope)  # validate before any work
+    patterns, boosts = split_boosts(patterns)
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
+    if any(b != 1.0 for b in boosts) and len(expanded):
+        expanded = expanded.copy()
+        expanded["boost"] = [boosts[i] for i in expanded["pattern_idx"]]
     n_patterns = len(patterns)
     query_is_empty = len(expanded) == 0 or (
         mode == "and" and expanded["pattern_idx"].nunique() < n_patterns
@@ -1030,14 +1069,17 @@ def search(
         expanded = expanded.copy()
         expanded["idf"] = [idf(stats["n_docs"], int(d)) for d in expanded["df"]]
         # one row per matched vocab term: idf + pattern-coverage mask
-        term_info = (
-            expanded.groupby("term")
-            .agg(
-                idf=("idf", "first"),
-                mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s]))),
-            )
-            .reset_index()
+        aggs = dict(
+            idf=("idf", "first"),
+            mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s]))),
         )
+        if "boost" in expanded.columns:
+            aggs["boost"] = ("boost", "max")
+        term_info = expanded.groupby("term").agg(**aggs).reset_index()
+        if "boost" in term_info.columns:
+            # fold the boost into idf BEFORE any scoring/pruning math
+            term_info["idf"] = term_info["idf"] * term_info["boost"]
+            term_info = term_info.drop(columns=["boost"])
         qterms = spark.createDataFrame(term_info[["term", "idf", "mask"]])
         term_list = list(term_info["term"])
         if prune and exclude and excl_ids is None:
@@ -1169,6 +1211,8 @@ def search_sharded(
     is already one decode job over all shards)."""
     if scope:
         parse_scope(scope)
+    patterns, boosts = split_boosts(patterns)
+    boosted = any(b != 1.0 for b in boosts)
     stats_list = [cached_stats(spark, d) for d in index_dirs]
     n_docs_g = sum(int(s["n_docs"]) for s in stats_list)
     total_tokens_g = sum(int(s["total_tokens"]) for s in stats_list)
@@ -1176,6 +1220,13 @@ def search_sharded(
     n_patterns = len(patterns)
     full_mask = (1 << n_patterns) - 1
     expansions = [expand_patterns(spark, d, patterns) for d in index_dirs]
+    if boosted:
+        expansions = [
+            e.assign(boost=[boosts[i] for i in e["pattern_idx"]])
+            if len(e)
+            else e
+            for e in expansions
+        ]
     cat = []
     for i, e in enumerate(expansions):
         if len(e):
@@ -1189,12 +1240,18 @@ def search_sharded(
         result = empty
     else:
         df_g = allx.drop_duplicates(["shard", "term"]).groupby("term")["df"].sum()
-        tinfo = (
-            allx.groupby("term")
-            .agg(mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s]))))
-            .reset_index()
+        aggs = dict(
+            mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s])))
         )
+        if "boost" in allx.columns:
+            aggs["boost"] = ("boost", "max")
+        tinfo = allx.groupby("term").agg(**aggs).reset_index()
         tinfo["idf"] = [idf(n_docs_g, int(df_g[t])) for t in tinfo["term"]]
+        if "boost" in tinfo.columns:
+            # global max boost per term, folded into the global idf —
+            # federation stays rank-identical to the union index
+            tinfo["idf"] = tinfo["idf"] * tinfo["boost"]
+            tinfo = tinfo.drop(columns=["boost"])
         tinfo = tinfo.set_index("term")
         local = (
             _sharded_local(
@@ -1388,15 +1445,19 @@ def _search_local(
     None when the expansion is too wide for isin pushdown (caller
     falls back to the distributed pruned plan)."""
     full_mask = (1 << n_patterns) - 1
-    term_info = (
-        expanded.groupby("term")
-        .agg(
-            df=("df", "first"),
-            mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s]))),
-        )
-        .reset_index()
+    aggs = dict(
+        df=("df", "first"),
+        mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s]))),
     )
+    if "boost" in expanded.columns:
+        aggs["boost"] = ("boost", "max")
+    term_info = expanded.groupby("term").agg(**aggs).reset_index()
     term_info["idf"] = [idf(stats["n_docs"], int(d)) for d in term_info["df"]]
+    if "boost" in term_info.columns:
+        # pre-multiplied idf: scoring, θ probes and block upper
+        # bounds all read this column, so boosts stay path-consistent
+        term_info["idf"] = term_info["idf"] * term_info["boost"]
+        term_info = term_info.drop(columns=["boost"])
     if prune and len(term_info) > ISIN_PUSHDOWN_MAX:
         return None
     covered = int(np.bitwise_or.reduce(term_info["mask"].values)) if len(term_info) else 0

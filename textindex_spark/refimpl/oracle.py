@@ -243,8 +243,25 @@ class OracleIndex:
         any doc containing any expansion of an exclude pattern
         (NOT semantics); surviving docs' scores are unchanged.
         ``scope`` keeps only docs matching the metadata predicate
-        (scores unchanged — global stats)."""
+        (scores unchanged — global stats). A ``pattern^boost`` suffix
+        multiplies the idf weight of the pattern's expansion terms
+        (max over covering patterns — engine semantics)."""
+        base: list[str] = []
+        boosts: list[float] = []
+        for t in terms:
+            m = re.fullmatch(r"(.+)\^([0-9]+(?:\.[0-9]+)?)\Z", t, re.S)
+            if m:
+                base.append(m.group(1))
+                boosts.append(float(m.group(2)))
+            else:
+                base.append(t)
+                boosts.append(1.0)
+        terms = base
         expansions = [self.expand(t) for t in terms]
+        tboost: dict[str, float] = {}
+        for exp, b in zip(expansions, boosts):
+            for v in exp:
+                tboost[v] = max(tboost.get(v, 0.0), b)
         if mode == "and":
             cand: set[int] | None = None
             for exp in expansions:
@@ -270,7 +287,9 @@ class OracleIndex:
             for doc_id in candidates:
                 tf = plist.get(doc_id)
                 if tf:
-                    scores[doc_id] = scores.get(doc_id, 0.0) + self.weight(v, doc_id, tf)
+                    scores[doc_id] = scores.get(doc_id, 0.0) + self.weight(
+                        v, doc_id, tf
+                    ) * tboost.get(v, 1.0)
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 

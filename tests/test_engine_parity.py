@@ -865,6 +865,43 @@ def test_scope_validation(spark, index_dir):
             search(spark, index_dir, ["spark"], scope=bad)
 
 
+def test_fuzzy_kernel_hypothesis():
+    """Property fuzz: the banded early-exit DP (`_lev_within`) and
+    the prefiltered vectorized kernel (`_fuzzy_mask`) agree with the
+    oracle's independent full-matrix Levenshtein on random inputs —
+    the pigeonhole chunk filter must never reject a true match."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from textindex_spark.query import _fuzzy_mask, _lev_within, fuzzy_distance
+    from textindex_spark.refimpl.oracle import _edit_distance
+
+    words = st.text(alphabet="abcde", max_size=8)
+
+    @settings(max_examples=300, deadline=None)
+    @given(words, words, st.integers(1, 2))
+    def check_banded(a, b, d):
+        assert _lev_within(a, b, d) == (_edit_distance(a, b) <= d)
+        fd = fuzzy_distance(a, b, d)
+        true = _edit_distance(a, b)
+        assert fd == (true if true <= d else d + 1)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(st.text(alphabet="abcd", max_size=6), max_size=15),
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(1, 2),
+    )
+    def check_mask(terms, base, d):
+        got = list(_fuzzy_mask(pd.Series(terms, dtype=object), base, d))
+        want = [_edit_distance(base, t) <= d for t in terms]
+        assert got == want, (terms, base, d)
+
+    check_banded()
+    check_mask()
+
+
 def test_fuzzy_pattern_validation():
     """Syntax guardrails: glob+fuzzy combination and out-of-range
     distances are rejected up front; plain terms pass through."""
@@ -1050,32 +1087,49 @@ def test_search_near_ranked_matches_oracle(spark, index_dir, oracle):
 
 
 def test_random_query_differential(spark, index_dir, oracle):
-    """Seeded random-query fuzz: 40 generated queries (1-3 patterns,
-    term or prefix-wildcard, AND/OR, optional NOT exclusion) must be
-    rank-AND-score-identical across the oracle and all three engine
-    execution paths (query-node, distributed, block-max pruned). The
-    per-feature parity tests pin each path on curated shapes; this
-    pins their COMPOSITION on shapes nobody curated."""
+    """Seeded random-query fuzz: 40 generated queries over ALL four
+    pattern types (term, glob, ``~d`` fuzzy, ``/regex/``) with
+    optional ``^boost`` suffixes, AND/OR, optional NOT exclusion and
+    optional metadata scope — rank-AND-score-identical across the
+    oracle and all three engine execution paths (query-node,
+    distributed, block-max pruned). The per-feature parity tests pin
+    each path on curated shapes; this pins their COMPOSITION on
+    shapes nobody curated."""
     import random
+    import re as re_mod
 
     rng = random.Random(20260818)
     vocab = sorted(oracle.postings)
     assert len(vocab) > 50
 
-    def pattern():
+    def pattern(boost_ok=True):
         t = rng.choice(vocab)
-        if rng.random() < 0.3 and len(t) > 3:
-            return t[: rng.randint(2, len(t) - 1)] + "*"
-        return t
+        r = rng.random()
+        if r < 0.2 and len(t) > 3:
+            p = t[: rng.randint(2, len(t) - 1)] + "*"
+        elif r < 0.35 and len(t) > 3:
+            # mutate one char; fuzzy distance reaches back to vocab
+            i = rng.randrange(len(t))
+            p = f"{t[:i]}{rng.choice('abcdefgh')}{t[i + 1:]}~{rng.choice([1, 2])}"
+        elif r < 0.5 and len(t) > 3:
+            p = f"/{re_mod.escape(t[:3])}.*/"
+        else:
+            p = t
+        if boost_ok and rng.random() < 0.25:
+            p += "^" + rng.choice(["2", "0.5", "3.5"])
+        return p
 
     for qi in range(40):
         pats = [pattern() for _ in range(rng.randint(1, 3))]
         mode = rng.choice(["and", "or"])
-        exclude = [pattern()] if rng.random() < 0.4 else None
+        exclude = [pattern(boost_ok=False)] if rng.random() < 0.4 else None
+        scope = rng.choice([None, None, None, "lang:de", "lang:fr"])
         k = rng.choice([5, 10])
         want = [
             (d, round(s, 9))
-            for d, s in oracle.search(pats, k=k, mode=mode, exclude=exclude)
+            for d, s in oracle.search(
+                pats, k=k, mode=mode, exclude=exclude, scope=scope
+            )
         ]
         for path_kw in (
             {"local_score": True},
@@ -1086,10 +1140,10 @@ def test_random_query_differential(spark, index_dir, oracle):
                 (r["doc_id"], round(r["score"], 9))
                 for r in search(
                     spark, index_dir, pats, k=k, mode=mode,
-                    exclude=exclude, with_urls=False, **path_kw,
+                    exclude=exclude, scope=scope, with_urls=False, **path_kw,
                 ).collect()
             ]
-            assert got == want, (qi, pats, mode, exclude, path_kw)
+            assert got == want, (qi, pats, mode, exclude, scope, path_kw)
 
 
 def test_random_phrase_differential(spark, index_dir, oracle):

@@ -109,12 +109,8 @@ def main() -> None:
         or args.unranked or args.facet or args.exclude
     ):
         ap.error("--bool is a standalone ranked mode (single index or --shards)")
-    if args.scope and (
-        args.files or args.phrase or args.near is not None or args.facet
-    ):
-        ap.error(
-            "--scope applies to ranked --terms search, --unranked, and --bool"
-        )
+    if args.scope and args.files:
+        ap.error("--scope does not apply to --files name search")
     if args.similar is not None and (
         args.terms or args.bool_expr or args.files or args.phrase
         or args.near is not None or args.unranked or args.facet
@@ -201,11 +197,12 @@ def main() -> None:
     elif args.facet:
         rows = facet_counts(
             spark, args.index, args.terms, by=args.facet, mode=args.mode,
-            exclude=args.exclude,
+            exclude=args.exclude, scope=args.scope,
         ).collect()
     elif args.phrase:
         rows = search_phrase(
-            spark, args.index, args.terms, k=args.k, exclude=args.exclude
+            spark, args.index, args.terms, k=args.k, exclude=args.exclude,
+            scope=args.scope,
         ).collect()
         emit(rows, args.terms)
         return
@@ -214,14 +211,14 @@ def main() -> None:
 
         rows = search_near(
             spark, args.index, args.terms, window=args.near, k=args.k,
-            exclude=args.exclude,
+            exclude=args.exclude, scope=args.scope,
         ).collect()
         emit(rows, args.terms)
         return
     elif args.near is not None:
         rows = near_docs(
             spark, args.index, args.terms, window=args.near,
-            exclude=args.exclude,
+            exclude=args.exclude, scope=args.scope,
         ).collect()
     elif args.unranked:
         rows = find_unranked(

@@ -852,6 +852,85 @@ def test_scope_oversize_complement_distributed(spark, index_dir, oracle, monkeyp
         Qm._scope_ids_cache.clear()
 
 
+def test_scope_on_phrase_near_facets(spark, index_dir, oracle):
+    """The scope matrix is complete: phrase top-k, proximity
+    (membership + ranked), and facet counts all accept lang:/site:
+    scopes — each equals the oracle's recomputation filtered by the
+    same metadata predicate (scores/counts unchanged by the
+    filter)."""
+    from textindex_spark.query import (
+        facet_counts,
+        near_docs,
+        search_near,
+        search_phrase,
+    )
+
+    scope = "lang:de"
+
+    # phrase: full oracle ranking, filter, take 10
+    ph = ["woven", "archive"]
+    full = oracle.search_phrase(ph, k=10**9)
+    want = [
+        (d, round(s, 9)) for d, s in full if oracle.scope_ok(d, scope)
+    ][:10]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_phrase(
+            spark, index_dir, ph, k=10, with_urls=False, scope=scope
+        ).collect()
+    ]
+    assert got == want and want
+    assert want != [(d, round(s, 9)) for d, s in full[:10]]  # scope bites
+
+    # proximity membership: the scoped (doc, n_near) set is exactly
+    # the unscoped set restricted to in-scope docs
+    nw = ["spark", "index"]
+    base = {
+        (r["doc_id"], r["n_near"])
+        for r in near_docs(spark, index_dir, nw, window=12).collect()
+    }
+    got_n = {
+        (r["doc_id"], r["n_near"])
+        for r in near_docs(
+            spark, index_dir, nw, window=12, scope=scope
+        ).collect()
+    }
+    want_n = {(d, n) for d, n in base if oracle.scope_ok(d, scope)}
+    assert got_n == want_n and got_n and got_n < base
+
+    # ranked proximity: scoped top-k = unscoped ranking filtered
+    full_r = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_near(
+            spark, index_dir, nw, window=12, k=10**6, with_urls=False
+        ).collect()
+    ]
+    want_r = [t for t in full_r if oracle.scope_ok(t[0], scope)][:10]
+    got_r = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_near(
+            spark, index_dir, nw, window=12, k=10, with_urls=False,
+            scope=scope,
+        ).collect()
+    ]
+    assert got_r == want_r and want_r
+
+    # facets: scoped counts = per-value counts over in-scope matches
+    base_f = {
+        (r["value"], r["n_docs"])
+        for r in facet_counts(
+            spark, index_dir, ["spark"], by="lang", mode="or"
+        ).collect()
+    }
+    got_f = {
+        (r["value"], r["n_docs"])
+        for r in facet_counts(
+            spark, index_dir, ["spark"], by="lang", mode="or", scope=scope
+        ).collect()
+    }
+    assert got_f == {(v, n) for v, n in base_f if v == "de"} and got_f
+
+
 def test_scope_validation(spark, index_dir):
     """Malformed scopes are rejected before any work."""
     from textindex_spark.query import parse_scope

@@ -2240,6 +2240,7 @@ def near_docs(
     window: int = 8,
     exclude: list[str] | None = None,
     with_score: bool = False,
+    scope: str | None = None,
 ) -> DataFrame:
     """NEAR/k proximity over the positional payload: → (doc_id,
     n_near[, score]) for live docs where every query slot occurs
@@ -2255,6 +2256,8 @@ def near_docs(
     literal slots contribute idf·tfnorm, wildcard slots the MAX
     matched expansion partial, exactly `_phrase_frame`'s scoring
     (candidates and scores from the same scan)."""
+    if scope:
+        parse_scope(scope)  # validate before any work
     slots = phrase_slots(words)
     if not slots:
         raise ValueError("query contains no indexable terms")
@@ -2322,6 +2325,11 @@ def near_docs(
         excl_df = _exclusion_docs_df(spark, index_dir, exclude, stats)
         if excl_df is not None:
             out = out.join(excl_df, "doc_id", "left_anti")
+    if scope:
+        out = _apply_scope(
+            spark, index_dir, out, scope,
+            _scope_nonmatch_ids(spark, index_dir, scope),
+        )
     return apply_tombstones(spark, index_dir, out)
 
 
@@ -2333,14 +2341,16 @@ def search_near(
     k: int = 10,
     with_urls: bool = True,
     exclude: list[str] | None = None,
+    scope: str | None = None,
 ) -> DataFrame:
     """Ranked NEAR/k: proximity-gated BM25 top-k → (doc_id,
     score[, url]), ordered (score desc, doc_id asc) — membership by
     the anchored-window test (`near_docs`), rank by the BM25 sum over
     the distinct slot patterns (`search_phrase` semantics applied to
-    proximity)."""
+    proximity). ``scope``: metadata-filtered (see `search`)."""
     frame = near_docs(
-        spark, index_dir, words, window=window, exclude=exclude, with_score=True
+        spark, index_dir, words, window=window, exclude=exclude,
+        with_score=True, scope=scope,
     )
     result = (
         frame.select("doc_id", "score")
@@ -2374,10 +2384,14 @@ def search_phrase(
     k: int = 10,
     with_urls: bool = True,
     exclude: list[str] | None = None,
+    scope: str | None = None,
 ) -> DataFrame:
     """Exact-phrase top-k, ranked by BM25 over the phrase's distinct
     terms (same formula, same doc_id tie-break as ``search``).
-    ``exclude``: NOT semantics, one anti-join before top-k."""
+    ``exclude``: NOT semantics, one anti-join before top-k.
+    ``scope``: metadata-filtered retrieval (see `search`)."""
+    if scope:
+        parse_scope(scope)
     frame = _phrase_frame(spark, index_dir, words)
     if frame is not None and exclude:
         excl_df = _exclusion_docs_df(
@@ -2385,6 +2399,11 @@ def search_phrase(
         )
         if excl_df is not None:
             frame = frame.join(excl_df, "doc_id", "left_anti")
+    if frame is not None and scope:
+        frame = _apply_scope(
+            spark, index_dir, frame, scope,
+            _scope_nonmatch_ids(spark, index_dir, scope),
+        )
     result = (
         local_df(spark, [], "doc_id long, score double")
         if frame is None
@@ -2449,6 +2468,7 @@ def facet_counts(
     by: str = "lang",
     mode: str = "and",
     exclude: list[str] | None = None,
+    scope: str | None = None,
 ) -> DataFrame:
     """→ (value, n_docs): matched-document counts per facet — the
     corpus-analytics slice a training-data pipeline runs over a query
@@ -2502,6 +2522,11 @@ def facet_counts(
         excl_df = _exclusion_docs_df(spark, index_dir, exclude, stats)
         if excl_df is not None:
             hits = hits.join(excl_df, "doc_id", "left_anti")
+    if scope:
+        hits = _apply_scope(
+            spark, index_dir, hits, scope,
+            _scope_nonmatch_ids(spark, index_dir, scope),
+        )
     docs = _cached_table(spark, index_dir, "docs")
     facet = (
         F.col("lang")

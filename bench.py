@@ -171,6 +171,24 @@ def main() -> None:
     suggest_terms(spark, idx_dir, "sparc")
     timings["suggest"] = round(time.time() - t0, 3)
 
+    # more-like-this (r5): one pushdown point lookup + driver tf·idf
+    # term selection + the warm OR serving path with the source doc
+    # in the dead set
+    from textindex_spark.query import more_like_this
+
+    # the build minted url-ordered ids (the corpus parquet's own
+    # doc_id column was dropped), so take the probe id from a query
+    # hit and re-mint the corpus the same way via normalize_input
+    corpus_docs = spark.read.parquet(corpus_path).drop("doc_id")
+    probe_doc = int(
+        search(spark, idx_dir, ["spark"], k=1, with_urls=False)
+        .collect()[0]["doc_id"]
+    )
+    more_like_this(spark, idx_dir, corpus_docs, probe_doc).collect()
+    t0 = time.time()
+    more_like_this(spark, idx_dir, corpus_docs, probe_doc).collect()
+    timings["more_like_this"] = round(time.time() - t0, 3)
+
     # the DISTRIBUTED OR plans (local_score=False) — the path a
     # beyond-driver-memory candidate set takes at real scale; this is
     # where block-max pruning pays (the serving path above reads so

@@ -649,6 +649,15 @@ def test_boosted_search_matches_oracle(spark, index_dir, oracle):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
     with pytest.raises(ValueError, match="boost"):
         search(spark, index_dir, ["spark^0"], k=5)
+    # boosts are flat-search syntax: phrases and boolean trees reject
+    # them loudly instead of silently matching nothing
+    from textindex_spark.boolquery import parse_bool
+    from textindex_spark.query import phrase_slots
+
+    with pytest.raises(ValueError, match="boost"):
+        parse_bool("spark^2 AND vector")
+    with pytest.raises(ValueError, match="boost"):
+        phrase_slots(["woven", "archive^2"])
 
 
 def test_more_like_this_matches_oracle(spark, index_dir, rows, oracle):

@@ -139,6 +139,13 @@ def parse_bool(query: str) -> tuple[tuple, list[str]]:
         if t == ")" or t.lower() in _KEYWORDS:
             raise ValueError(f"unexpected token {t!r}")
         take()
+        if "^" in t:
+            # '^' never appears in a vocabulary term, so a boosted
+            # leaf would silently match nothing — reject loudly
+            # (query-time boosts are a flat-search feature)
+            raise ValueError(
+                f"boosts are not supported in boolean queries: {t!r}"
+            )
         leaves.append(t)
         return ("leaf", len(leaves) - 1)
 

@@ -2092,6 +2092,11 @@ def phrase_slots(words: list[str]) -> list[str]:
     in phrase_terms)."""
     out: list[str] = []
     for w in words:
+        if "^" in w:
+            # a boosted phrase word would silently match nothing
+            # ('^' never survives tokenization) — boosts are a
+            # flat-search feature
+            raise ValueError(f"boosts are not supported in phrases: {w!r}")
         if (
             _is_wildcard(w)
             or _parse_regex(w) is not None

@@ -71,6 +71,25 @@ def test_find_with_not_terms(shell, spark):
     assert got == base - with_excl and got < base
 
 
+def test_bool_with_scope(shell, spark):
+    """`bool <expr> lang:de` strips the scope token from the expr and
+    keeps only matching docs — matches search_bool(scope=)."""
+    from textindex_spark.boolquery import search_bool
+
+    shell.dispatch("bool spark OR vector")
+    base = {u.split("  [")[0] for u, _ in shell.found}
+    shell.dispatch("bool spark OR vector lang:de")
+    got = {u.split("  [")[0] for u, _ in shell.found}
+    want = {
+        r["url"]
+        for r in search_bool(
+            spark, shell.index_dir, "spark OR vector", k=20, scope="lang:de"
+        ).collect()
+    }
+    assert got == want and got and got != base
+    assert all("/de/" in u for u in got)
+
+
 def test_suggest_command(shell, spark):
     """`suggest querry` prints did-you-mean candidates matching
     suggest_terms' ranking (engine extension)."""

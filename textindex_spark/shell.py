@@ -179,14 +179,22 @@ class Shell:
 
     def _cmd_bool(self, args: list[str]) -> None:
         # ranked boolean tree (engine extension): AND/OR/NOT + parens,
-        # wildcard leaves; prints BM25 top hits (url + score)
+        # wildcard leaves; prints BM25 top hits (url + score).
+        # `lang:V` / `site:HOST` tokens are metadata scopes — left in
+        # the expr they would parse as silently-unmatchable leaves.
+        scopes = [a for a in args if a.startswith(("lang:", "site:"))]
+        if len(scopes) > 1:
+            print("at most one lang:/site: scope per query")
+            return
+        args = [a for a in args if not a.startswith(("lang:", "site:"))]
         if not args:
-            print("usage: bool <expr>   e.g. bool spark AND (vector OR merge)")
+            print("usage: bool <expr> [lang:V|site:HOST]")
             return
         from textindex_spark.boolquery import search_bool
 
         rows = search_bool(
-            self.spark, self.index_dir, " ".join(args), k=PAGE
+            self.spark, self.index_dir, " ".join(args), k=PAGE,
+            scope=scopes[0] if scopes else None,
         ).collect()
         self.found = [(f"{r['url']}  [{r['score']:.4f}]", []) for r in rows]
         self.lines_idx = 0

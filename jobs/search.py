@@ -8,7 +8,8 @@
         [--near N]            # docs with all terms within N kept tokens
         [--exclude PAT ...]   # NOT: drop docs matching any pattern
         [--scope lang:en]     # metadata-filtered retrieval (lang:V /
-                              # site:HOST); ranked/bool modes
+                              # site:HOST); all query modes except
+                              # --files and --similar
         [--bool "EXPR"]       # nested boolean tree, e.g.
                               #   "spark AND (vector OR merge) AND NOT qu*"
         [--lines DOCS.parquet]  # attach matched lines (snippets) to each
@@ -58,8 +59,9 @@ def main() -> None:
     ap.add_argument(
         "--scope", default=None, metavar="FIELD:VALUE",
         help="metadata-filtered retrieval: only docs matching "
-        "'lang:VALUE' or 'site:HOST' reach top-k (scores unchanged); "
-        "ranked --terms and --bool modes, single-index or --shards",
+        "'lang:VALUE' or 'site:HOST' reach the result (scores/counts "
+        "unchanged); every query mode except --files and --similar, "
+        "single-index or --shards",
     )
     ap.add_argument(
         "--bool", dest="bool_expr", default=None, metavar="EXPR",
@@ -114,7 +116,8 @@ def main() -> None:
     if args.similar is not None and (
         args.terms or args.bool_expr or args.files or args.phrase
         or args.near is not None or args.unranked or args.facet
-        or args.exclude or args.scope or args.lines
+        or args.exclude or args.scope or args.lines or args.prune
+        or args.ranked
     ):
         ap.error(
             "--similar is a standalone mode (only --k/--docs/--index apply)"
@@ -186,11 +189,14 @@ def main() -> None:
         emit(rows, [leaves[i] for i in sorted(positive_leaves(ast))])
         return
     if args.shards:
+        from textindex_spark.query import split_boosts
+
         rows = search_sharded(
             spark, args.shards, args.terms, k=args.k, mode=args.mode,
             exclude=args.exclude, scope=args.scope,
         ).collect()
-        emit(rows, args.terms)
+        # snippet matchers need the base patterns, not boost syntax
+        emit(rows, split_boosts(args.terms)[0])
         return
     if args.files:
         rows = find_files(spark, args.index, args.files).collect()
@@ -226,11 +232,14 @@ def main() -> None:
             scope=args.scope,
         ).collect()
     else:
+        from textindex_spark.query import split_boosts
+
         rows = search(
             spark, args.index, args.terms, k=args.k, mode=args.mode,
             prune=args.prune, exclude=args.exclude, scope=args.scope,
         ).collect()
-        emit(rows, args.terms)
+        # snippet matchers need the base patterns, not boost syntax
+        emit(rows, split_boosts(args.terms)[0])
         return
     for r in rows:
         print(json.dumps(r.asDict()))

@@ -658,6 +658,49 @@ def test_boosted_search_matches_oracle(spark, index_dir, oracle):
         parse_bool("spark^2 AND vector")
     with pytest.raises(ValueError, match="boost"):
         phrase_slots(["woven", "archive^2"])
+    # malformed boost syntax errors loudly (never a silent miss);
+    # '^' inside a /regex/ stays legal
+    from textindex_spark.query import split_boosts
+
+    for bad in ("spark^", "spark^x", "a^b", "spark^^2", "spark^2x"):
+        with pytest.raises(ValueError, match="boost"):
+            split_boosts([bad])
+    assert split_boosts(["/a^b/", "/qu.*/^2"]) == (
+        ["/a^b/", "/qu.*/"],
+        [1.0, 2.0],
+    )
+
+
+def test_boost_stripped_on_membership_surfaces(spark, index_dir, oracle):
+    """Boosts cannot change a membership answer: exclusions, unranked
+    find, and facet counts strip the boost and honor the base pattern
+    (previously a boosted exclude silently no-opped)."""
+    from textindex_spark.query import facet_counts
+
+    want = oracle.search(["spark", "vector"], 10, mode="or", exclude=["ha*"])
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search(
+            spark, index_dir, ["spark", "vector"], k=10, mode="or",
+            with_urls=False, exclude=["ha*^2"],
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want] and want
+    plain = {r["doc_id"] for r in find_unranked(spark, index_dir, ["spark"]).collect()}
+    boosted = {
+        r["doc_id"]
+        for r in find_unranked(spark, index_dir, ["spark^3"]).collect()
+    }
+    assert boosted == plain and plain
+    a = {
+        (r["value"], r["n_docs"])
+        for r in facet_counts(spark, index_dir, ["spark"], by="lang", mode="or").collect()
+    }
+    b = {
+        (r["value"], r["n_docs"])
+        for r in facet_counts(spark, index_dir, ["spark^3"], by="lang", mode="or").collect()
+    }
+    assert a == b and a
 
 
 def test_more_like_this_matches_oracle(spark, index_dir, rows, oracle):

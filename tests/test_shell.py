@@ -88,6 +88,11 @@ def test_bool_with_scope(shell, spark):
     }
     assert got == want and got and got != base
     assert all("/de/" in u for u in got)
+    # a scope token glued to a paren would become an unmatchable
+    # boolean leaf — rejected with guidance instead
+    assert "outside the expression" in shell.dispatch(
+        "bool spark AND (lang:de OR vector)"
+    )
 
 
 def test_suggest_command(shell, spark):

@@ -487,22 +487,48 @@ _BOOST_RE = re.compile(r"(.+)\^([0-9]+(?:\.[0-9]+)?)\Z", re.S)
 def split_boosts(patterns: list[str]) -> tuple[list[str], list[float]]:
     """→ (base_patterns, per-pattern boosts). Boost must be > 0 — a
     zero-weight clause would still gate AND membership while
-    contributing nothing, which is never what a ranking query
-    means."""
+    contributing nothing, which is never what a ranking query means.
+    Malformed boost syntax (``spark^``, ``spark^x``, ``a^b``) errors
+    loudly — a '^' outside a ``/regex/`` can never match a vocabulary
+    term, so falling through would be a silent miss. Membership-only
+    surfaces (exclusions, unranked find, facets) call this to STRIP
+    boosts: a boost cannot change a membership answer, so the base
+    pattern is honored and the weight ignored."""
     bases: list[str] = []
     boosts: list[float] = []
     for p in patterns:
         m = _BOOST_RE.fullmatch(p)
         if m:
-            b = float(m.group(2))
+            base, b = m.group(1), float(m.group(2))
             if b <= 0:
                 raise ValueError(f"boost must be > 0: {p!r}")
-            bases.append(m.group(1))
-            boosts.append(b)
         else:
-            bases.append(p)
-            boosts.append(1.0)
+            base, b = p, 1.0
+        if "^" in base and _parse_regex(base) is None:
+            raise ValueError(
+                f"malformed boost (expected pattern^NUMBER): {p!r}"
+            )
+        bases.append(base)
+        boosts.append(b)
     return bases, boosts
+
+
+def _boost_aggs(expanded: pd.DataFrame, aggs: dict) -> dict:
+    """Add the max-boost aggregation when the expansion carries one."""
+    if "boost" in expanded.columns:
+        aggs["boost"] = ("boost", "max")
+    return aggs
+
+
+def _fold_boost_idf(term_info: pd.DataFrame) -> pd.DataFrame:
+    """Single definition of boost semantics (see split_boosts): fold
+    the aggregated max boost into idf BEFORE any scoring/pruning math
+    — every downstream consumer (scoring, θ probes, block upper
+    bounds, federation) reads the same pre-multiplied column."""
+    if "boost" in term_info.columns:
+        term_info["idf"] = term_info["idf"] * term_info["boost"]
+        term_info = term_info.drop(columns=["boost"])
+    return term_info
 
 
 # --- regex term expansion (``/pattern/`` syntax, engine extension) ---
@@ -1019,7 +1045,9 @@ def search(
     if exclude and not query_is_empty:
         # expand exclusion patterns ONCE (the dictionary wildcard scan
         # is shared by the id fetch and any distributed anti-join);
-        # skip entirely when the positive query is provably empty
+        # skip entirely when the positive query is provably empty.
+        # Boosts cannot change membership: strip, honor the base.
+        exclude = split_boosts(exclude)[0]
         excl_expanded = expand_patterns(spark, index_dir, exclude)
         excl_ids = _exclusion_ids(
             spark, index_dir, exclude, stats, expanded=excl_expanded
@@ -1069,17 +1097,13 @@ def search(
         expanded = expanded.copy()
         expanded["idf"] = [idf(stats["n_docs"], int(d)) for d in expanded["df"]]
         # one row per matched vocab term: idf + pattern-coverage mask
-        aggs = dict(
+        aggs = _boost_aggs(expanded, dict(
             idf=("idf", "first"),
             mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s]))),
+        ))
+        term_info = _fold_boost_idf(
+            expanded.groupby("term").agg(**aggs).reset_index()
         )
-        if "boost" in expanded.columns:
-            aggs["boost"] = ("boost", "max")
-        term_info = expanded.groupby("term").agg(**aggs).reset_index()
-        if "boost" in term_info.columns:
-            # fold the boost into idf BEFORE any scoring/pruning math
-            term_info["idf"] = term_info["idf"] * term_info["boost"]
-            term_info = term_info.drop(columns=["boost"])
         qterms = spark.createDataFrame(term_info[["term", "idf", "mask"]])
         term_list = list(term_info["term"])
         if prune and exclude and excl_ids is None:
@@ -1240,19 +1264,14 @@ def search_sharded(
         result = empty
     else:
         df_g = allx.drop_duplicates(["shard", "term"]).groupby("term")["df"].sum()
-        aggs = dict(
+        aggs = _boost_aggs(allx, dict(
             mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s])))
-        )
-        if "boost" in allx.columns:
-            aggs["boost"] = ("boost", "max")
+        ))
         tinfo = allx.groupby("term").agg(**aggs).reset_index()
         tinfo["idf"] = [idf(n_docs_g, int(df_g[t])) for t in tinfo["term"]]
-        if "boost" in tinfo.columns:
-            # global max boost per term, folded into the global idf —
-            # federation stays rank-identical to the union index
-            tinfo["idf"] = tinfo["idf"] * tinfo["boost"]
-            tinfo = tinfo.drop(columns=["boost"])
-        tinfo = tinfo.set_index("term")
+        # global max boost per term folded into the global idf —
+        # federation stays rank-identical to the union index
+        tinfo = _fold_boost_idf(tinfo).set_index("term")
         local = (
             _sharded_local(
                 spark, index_dirs, stats_list, expansions, tinfo, avgdl_g,
@@ -1445,19 +1464,13 @@ def _search_local(
     None when the expansion is too wide for isin pushdown (caller
     falls back to the distributed pruned plan)."""
     full_mask = (1 << n_patterns) - 1
-    aggs = dict(
+    aggs = _boost_aggs(expanded, dict(
         df=("df", "first"),
         mask=("pattern_idx", lambda s: int(np.bitwise_or.reduce([1 << i for i in s]))),
-    )
-    if "boost" in expanded.columns:
-        aggs["boost"] = ("boost", "max")
+    ))
     term_info = expanded.groupby("term").agg(**aggs).reset_index()
     term_info["idf"] = [idf(stats["n_docs"], int(d)) for d in term_info["df"]]
-    if "boost" in term_info.columns:
-        # pre-multiplied idf: scoring, θ probes and block upper
-        # bounds all read this column, so boosts stay path-consistent
-        term_info["idf"] = term_info["idf"] * term_info["boost"]
-        term_info = term_info.drop(columns=["boost"])
+    term_info = _fold_boost_idf(term_info)
     if prune and len(term_info) > ISIN_PUSHDOWN_MAX:
         return None
     covered = int(np.bitwise_or.reduce(term_info["mask"].values)) if len(term_info) else 0
@@ -1676,7 +1689,8 @@ def _exclusion_ids(
     true top-k. ``expanded`` reuses a caller-side expansion of the
     same patterns (one dictionary wildcard scan, not two)."""
     if expanded is None:
-        expanded = expand_patterns(spark, index_dir, exclude)
+        # boosts cannot change membership: strip, honor the base
+        expanded = expand_patterns(spark, index_dir, split_boosts(exclude)[0])
     if len(expanded) == 0:
         return np.empty(0, dtype=np.int64)
     uniq = expanded.drop_duplicates("term")
@@ -1702,7 +1716,8 @@ def _exclusion_docs_df(
     hold on the query node), or None when no pattern matches.
     ``expanded`` reuses a caller-side expansion."""
     if expanded is None:
-        expanded = expand_patterns(spark, index_dir, exclude)
+        # boosts cannot change membership: strip, honor the base
+        expanded = expand_patterns(spark, index_dir, split_boosts(exclude)[0])
     if len(expanded) == 0:
         return None
     terms = sorted(set(expanded["term"]))
@@ -1878,9 +1893,11 @@ def find_unranked(
     AND-intersection, urls ordered by doc_id. ``exclude`` (an engine
     extension; the reference has no NOT) drops docs matching any
     exclusion pattern via one anti-join. ``scope`` (engine extension)
-    keeps only docs matching a lang:/site: metadata predicate."""
+    keeps only docs matching a lang:/site: metadata predicate.
+    Boosts are stripped (membership-only surface)."""
     if scope:
         parse_scope(scope)
+    patterns = split_boosts(patterns)[0]
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
     n_patterns = len(patterns)
@@ -2491,6 +2508,7 @@ def facet_counts(
     whenever the match set is small."""
     if by not in ("lang", "site"):
         raise ValueError("facet by must be 'lang' or 'site'")
+    patterns = split_boosts(patterns)[0]  # membership-only: strip
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
     n_patterns = len(patterns)

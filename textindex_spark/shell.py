@@ -187,6 +187,12 @@ class Shell:
             print("at most one lang:/site: scope per query")
             return
         args = [a for a in args if not a.startswith(("lang:", "site:"))]
+        if any("lang:" in a or "site:" in a for a in args):
+            # e.g. "(lang:de" — attached to a paren it would become a
+            # silently-unmatchable boolean leaf
+            print("place lang:/site: outside the expression, e.g. "
+                  "bool spark AND vector lang:de")
+            return
         if not args:
             print("usage: bool <expr> [lang:V|site:HOST]")
             return

@@ -224,6 +224,58 @@ def test_scoped_bool_matches_bruteforce(spark, index_dir, oracle):
             assert got == want, (scope, local)
 
 
+def test_random_bool_tree_differential(spark, index_dir, oracle):
+    """Seeded random boolean-tree fuzz: 25 generated ASTs (depth ≤ 3,
+    AND/OR/NOT over term/glob/fuzzy leaves, guaranteed one positive
+    anchor) must match the brute-force oracle on BOTH execution
+    paths. The curated QUERIES list pins known shapes; this pins
+    arbitrary nesting nobody curated."""
+    import random
+
+    rng = random.Random(20260820)
+    vocab = sorted(oracle.postings)
+
+    def leaf():
+        t = rng.choice(vocab)
+        r = rng.random()
+        if r < 0.25 and len(t) > 3:
+            return t[: rng.randint(2, len(t) - 1)] + "*"
+        if r < 0.4 and len(t) > 3:
+            i = rng.randrange(len(t))
+            return f"{t[:i]}{rng.choice('abcdef')}{t[i + 1:]}~{rng.choice([1, 2])}"
+        return t
+
+    def expr(depth):
+        if depth == 0 or rng.random() < 0.35:
+            return leaf()
+        op = rng.choice(["AND", "OR"])
+        parts = [expr(depth - 1) for _ in range(rng.randint(2, 3))]
+        if rng.random() < 0.3:
+            i = rng.randrange(len(parts))
+            parts[i] = f"NOT ({parts[i]})"
+        return "(" + f" {op} ".join(parts) + ")"
+
+    checked = nonempty = 0
+    while checked < 25:
+        q = f"{leaf()} AND {expr(2)}"  # anchored: never pure-negation
+        try:
+            want = [(d, round(s, 9)) for d, s in oracle_bool(oracle, q, k=10)]
+        except ValueError:
+            continue  # degenerate generation (shouldn't happen)
+        checked += 1
+        nonempty += bool(want)
+        for local in (None, False):
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in search_bool(
+                    spark, index_dir, q, k=10, with_urls=False,
+                    local_score=local,
+                ).collect()
+            ]
+            assert got == want, (q, local, got[:3], want[:3])
+    assert nonempty >= 10  # the generator must produce real matches
+
+
 def test_leaf_count_cap():
     q = " OR ".join(f"t{i}" for i in range(64))
     with pytest.raises(ValueError, match="63"):

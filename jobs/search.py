@@ -8,8 +8,8 @@
         [--near N]            # docs with all terms within N kept tokens
         [--exclude PAT ...]   # NOT: drop docs matching any pattern
         [--scope lang:en]     # metadata-filtered retrieval (lang:V /
-                              # site:HOST); all query modes except
-                              # --files and --similar
+                              # site:HOST / ts:FROM..TO); all query
+                              # modes except --files and --similar
         [--bool "EXPR"]       # nested boolean tree, e.g.
                               #   "spark AND (vector OR merge) AND NOT qu*"
         [--lines DOCS.parquet]  # attach matched lines (snippets) to each
@@ -48,8 +48,9 @@ def main() -> None:
         help="with --near: BM25-ranked top-k instead of (doc, count)",
     )
     ap.add_argument(
-        "--facet", choices=["lang", "site"], default=None,
-        help="print matched-doc counts per facet value instead of hits",
+        "--facet", choices=["lang", "site", "month"], default=None,
+        help="print matched-doc counts per facet value instead of hits "
+        "(month = crawl-date histogram over warc_ts)",
     )
     ap.add_argument(
         "--exclude", nargs="*", default=None, metavar="PAT",
@@ -59,7 +60,8 @@ def main() -> None:
     ap.add_argument(
         "--scope", default=None, metavar="FIELD:VALUE",
         help="metadata-filtered retrieval: only docs matching "
-        "'lang:VALUE' or 'site:HOST' reach the result (scores/counts "
+        "'lang:VALUE', 'site:HOST' or 'ts:FROM..TO' (ISO-8601, UTC, "
+        "inclusive; one side may be empty) reach the result (scores/counts "
         "unchanged); every query mode except --files and --similar, "
         "single-index or --shards",
     )

@@ -34,7 +34,14 @@ def corpus_df(spark, rows):
         ]
     )
     data = [
-        (r["doc_id"], r["url"], r["warc_ts"].replace(tzinfo=None), r["html"], r["text"], r["lang"])
+        (
+            r["doc_id"],
+            r["url"],
+            r["warc_ts"].replace(tzinfo=None) if r.get("warc_ts") else None,
+            r["html"],
+            r["text"],
+            r["lang"],
+        )
         for r in rows
     ]
     return spark.createDataFrame(data, schema)

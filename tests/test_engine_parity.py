@@ -989,11 +989,209 @@ def test_scope_validation(spark, index_dir):
 
     assert parse_scope("lang:en") == ("lang", "en")
     assert parse_scope("site:h.example") == ("site", "h.example")
-    for bad in ("lang", "lang:", "author:x", ":en"):
+    assert parse_scope("ts:2025-01-01..2025-02-01") == (
+        "ts", "2025-01-01..2025-02-01"
+    )
+    assert parse_scope("ts:..2025-02-01") == ("ts", "..2025-02-01")
+    for bad in (
+        "lang", "lang:", "author:x", ":en",
+        "ts:", "ts:..", "ts:2025-01-01",          # no window
+        "ts:notadate..2025-01-01",                 # bad ISO
+        "ts:2025-02-01..2025-01-01",               # FROM after TO
+    ):
         with pytest.raises(ValueError):
             parse_scope(bad)
         with pytest.raises(ValueError):
             search(spark, index_dir, ["spark"], scope=bad)
+
+
+def test_ts_scoped_search_matches_oracle(spark, index_dir, oracle):
+    """Crawl-date-scoped retrieval (``ts:FROM..TO`` over warc_ts,
+    inclusive UTC window, open ends allowed): rank- and
+    score-identical to the oracle's independent recomputation on all
+    three execution paths, for closed and half-open windows. The
+    synthetic corpus mints warc_ts = 2025-01-01T00:00:00Z +
+    13 s · doc_id, so minute-granular windows slice the corpus."""
+    cases = [
+        (["spark"], "or", "ts:2025-01-01T00:10:00..2025-01-01T00:40:00"),
+        (["spark", "vector"], "or", "ts:..2025-01-01T00:20:00"),
+        (["qu*"], "or", "ts:2025-01-01T00:30:00.."),
+        (["spark", "table"], "and",
+         "ts:2025-01-01T00:05:00..2025-01-01T00:55:00"),
+    ]
+    any_nonempty = 0
+    for terms, mode, scope in cases:
+        want = oracle.search(terms, 10, mode=mode, scope=scope)
+        unscoped = oracle.search(terms, 10, mode=mode)
+        for kw in (
+            {"local_score": True},
+            {"local_score": False},
+            {"prune": True},
+        ):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    spark, index_dir, terms, k=10, mode=mode,
+                    with_urls=False, scope=scope, **kw,
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], (
+                terms, scope, kw, got[:3], want[:3],
+            )
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9), (terms, scope)
+        any_nonempty += bool(want)
+        assert want != unscoped or not want, (terms, scope)  # scope bites
+    assert any_nonempty >= 3
+
+    # boolean trees ride the same scope funnel
+    from textindex_spark.boolquery import search_bool
+
+    scope = "ts:2025-01-01T00:10:00..2025-01-01T00:40:00"
+    got_b = {
+        r["doc_id"]
+        for r in search_bool(
+            spark, index_dir, "spark OR vector", k=10, with_urls=False,
+            scope=scope,
+        ).collect()
+    }
+    assert got_b and all(oracle.scope_ok(d, scope) for d in got_b)
+
+
+def test_docs_warc_ts_roundtrip(spark, index_dir, rows):
+    """The docs table carries the crawl fetch time instant exactly
+    (UTC session; input was tz-aware UTC)."""
+    got = {
+        r["doc_id"]: r["warc_ts"]
+        for r in spark.read.parquet(f"{index_dir}/docs").collect()
+    }
+    assert got and all(v is not None for v in got.values())
+    by_id = {r["doc_id"]: r for r in rows}
+    for doc_id, ts in got.items():
+        want = by_id[doc_id]["warc_ts"]
+        assert ts.replace(tzinfo=None) == want.replace(tzinfo=None), doc_id
+
+
+def test_month_facet_matches_oracle(spark, index_dir, oracle, rows, tmp_path):
+    """``facet_counts(by="month")`` is a crawl-date histogram: per
+    'yyyy-MM' matched-doc counts equal to the oracle's recomputation.
+    The parity index spans one month, so a second index with the
+    same pages shifted 40 days apart pins the multi-bucket shape."""
+    from collections import Counter
+
+    from textindex_spark.query import facet_counts
+
+    full = oracle.search(["spark"], k=10**9, mode="or")
+    want = Counter(
+        oracle.docs[d]["warc_ts"].strftime("%Y-%m") for d, _ in full
+    )
+    got = {
+        r["value"]: r["n_docs"]
+        for r in facet_counts(
+            spark, index_dir, ["spark"], by="month",
+            mode="or",
+        ).collect()
+    }
+    assert got == dict(want) and got
+
+    # multi-month: same corpus, warc_ts spread 40 days apart
+    import pyspark.sql.functions as F
+
+    from textindex_spark.build import build_index
+
+    spread = corpus_df(spark, rows[:80]).withColumn(
+        "warc_ts",
+        F.expr("timestamp'2025-01-01' + make_interval(0,0,0, doc_id*40, 0,0,0)"),
+    )
+    out = str(tmp_path / "spread_idx")
+    build_index(spark, spread, out, range_bits=6)
+    got2 = {
+        r["value"]: r["n_docs"]
+        for r in facet_counts(spark, out, ["*"], by="month", mode="or").collect()
+    }
+    assert len(got2) >= 3 and sum(got2.values()) > 0
+    # windowed scope composes: restrict to a 3-month slice
+    from textindex_spark.query import search as _search
+
+    sliced = _search(
+        spark, out, ["*"], k=10**6, mode="or", with_urls=False,
+        scope="ts:2025-03-01..2025-05-31T23:59:59",
+    ).collect()
+    months = {
+        r["value"]: r["n_docs"]
+        for r in facet_counts(
+            spark, out, ["*"], by="month", mode="or",
+            scope="ts:2025-03-01..2025-05-31T23:59:59",
+        ).collect()
+    }
+    assert set(months) <= {"2025-03", "2025-04", "2025-05"}
+    assert sum(months.values()) == len(sliced)
+
+
+def test_ts_scope_null_warc_ts_never_matches(spark, rows, tmp_path):
+    """Pre-upgrade indexes (and inputs without a fetch time) read
+    warc_ts as null through the explicit docs schema: a ts scope
+    matches nothing, lang scopes are unaffected, and the month facet
+    buckets the docs under a null value."""
+    from textindex_spark.build import build_index
+    from textindex_spark.query import facet_counts
+
+    nots = corpus_df(spark, rows[:60]).drop("warc_ts")
+    out = str(tmp_path / "nots_idx")
+    stats = build_index(spark, nots, out, range_bits=6)
+    assert stats["n_docs"] > 0
+    empty = search(
+        spark, out, ["*"], k=10, mode="or", with_urls=False,
+        scope="ts:2000-01-01..2100-01-01",
+    ).collect()
+    assert empty == []
+    langs = search(
+        spark, out, ["*"], k=10, mode="or", with_urls=False, scope="lang:de"
+    ).collect()
+    assert langs
+    fm = facet_counts(spark, out, ["*"], by="month", mode="or").collect()
+    assert len(fm) == 1 and fm[0]["value"] is None
+
+
+def test_build_survives_all_ignored_batch(spark, tmp_path):
+    """Regression (latent pre-ts-scope): an Arrow batch whose every
+    row the CONTENT sniff classifies Ignore (e.g. a crawl segment of
+    binary blobs behind .html urls) produced an all-empty pandas
+    frame whose float64 columns crashed the Arrow conversion against
+    the list<> segment fields — the kernel must yield nothing
+    instead, and a fully-rejected corpus must still build a readable
+    empty index."""
+    from textindex_spark.build import build_index
+    from textindex_spark.corpus import synth_corpus
+
+    binary = b"\x00\x01\x02\xff" * 100
+    rows = [
+        {
+            "doc_id": i,
+            "url": f"https://site0.example/bin{i}.html",
+            "warc_ts": None,
+            "html": binary,
+            "text": None,
+            "lang": "en",
+        }
+        for i in range(8)
+    ]
+    # all rows pass the NAME filter (.html) but fail the content
+    # sniff, in one partition → one fully-ignored batch
+    df = corpus_df(spark, rows).coalesce(1)
+    out = str(tmp_path / "allbin_idx")
+    stats = build_index(spark, df, out, range_bits=6)
+    assert stats["n_docs"] == 0
+    assert search(spark, out, ["*"], k=5, mode="or", with_urls=False).collect() == []
+
+    # mixed corpus on one partition: the ignored rows ride along
+    good = synth_corpus(20)
+    mixed = corpus_df(
+        spark, rows + [{**r, "doc_id": r["doc_id"] + 100} for r in good]
+    ).coalesce(1)
+    out2 = str(tmp_path / "mixed_idx")
+    stats2 = build_index(spark, mixed, out2, range_bits=6)
+    assert 0 < stats2["n_docs"] <= 20
 
 
 def test_fuzzy_kernel_hypothesis():

@@ -149,6 +149,27 @@ def test_find_with_scope(shell, spark):
     assert "at most one" in shell.dispatch("find spark lang:de site:x")
 
 
+def test_find_with_ts_scope(shell, spark):
+    """`find spark ts:A..B` keeps only docs whose crawl fetch time
+    falls in the window (corpus: 2025-01-01Z + 13 s · doc_id)."""
+    from textindex_spark.query import find_unranked
+
+    shell.dispatch("find spark")
+    base = {u for u, _ in shell.found}
+    win = "ts:2025-01-01T00:05:00..2025-01-01T00:25:00"
+    shell.dispatch(f"find spark {win}")
+    got = {u for u, _ in shell.found}
+    want = {
+        r["url"]
+        for r in find_unranked(
+            spark, shell.index_dir, ["spark"], scope=win
+        ).collect()
+    }
+    assert got == want
+    assert got and got < base  # the window bites
+    assert "at most one" in shell.dispatch(f"find spark lang:de {win}")
+
+
 def test_files_and_stats_and_store(shell, tmp_path):
     out = shell.dispatch("files *site3.example*")
     assert "site3.example" in out and "  0:" in out

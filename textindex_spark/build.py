@@ -159,6 +159,14 @@ POSTING_SCHEMA = (
     "doc_gaps binary, tf_bytes binary, dl_bytes binary, pos_bytes binary"
 )
 
+# docs-table projection of a segments frame (manifest.TABLE_SCHEMAS
+# keeps the authoritative DDL; warc_ts rides along for ts-scoped
+# retrieval — older on-disk docs tables without the column read as
+# null through the explicit read schema)
+DOC_COLS = (
+    "doc_id", "url", "lang", "warc_ts", "filter", "truncated", "doc_len"
+)
+
 
 def name_filter_predicate(url: Column) -> Column:
     """Catalyst (pushdown-able) form of the reference name filter
@@ -257,7 +265,10 @@ def mint_doc_ids(documents: DataFrame, base: int = 0) -> DataFrame:
 def normalize_input(documents: DataFrame) -> DataFrame:
     """Accept either the input_hint shape (url, warc_ts, html, text,
     lang [, doc_id]) or the driver testdata shape (doc_id, text, lang,
-    source, n_chars) and produce (doc_id, url, html, text, lang)."""
+    source, n_chars) and produce (doc_id, url, html, text, lang,
+    warc_ts). ``warc_ts`` (crawl fetch time) is carried into the docs
+    table for ts-scoped retrieval and date-histogram facets; inputs
+    without it get a null timestamp."""
     cols = set(documents.columns)
     if "url" not in cols:
         documents = documents.withColumn(
@@ -276,9 +287,15 @@ def normalize_input(documents: DataFrame) -> DataFrame:
         documents = documents.withColumn("text", F.lit(None).cast("string"))
     if "lang" not in cols:
         documents = documents.withColumn("lang", F.lit(""))
+    if "warc_ts" not in cols:
+        documents = documents.withColumn(
+            "warc_ts", F.lit(None).cast("timestamp")
+        )
     if "doc_id" not in cols:
         documents = mint_doc_ids(documents)
-    return documents.select("doc_id", "url", "html", "text", "lang")
+    return documents.select(
+        "doc_id", "url", "html", "text", "lang", "warc_ts"
+    )
 
 
 def tokenize_segments(documents: DataFrame) -> DataFrame:
@@ -432,7 +449,7 @@ def finalize_index(
     seg = spark.read.schema(manifest.TABLE_SCHEMAS["segments"]).parquet(
         f"{out_dir}/segments"
     )
-    docs = seg.select("doc_id", "url", "lang", "filter", "truncated", "doc_len")
+    docs = seg.select(*DOC_COLS)
     # The docs write is independent of the postings chain (both read
     # only the segments table), so it runs on a driver thread while
     # the stats agg + postings shuffle proceed — Spark schedules jobs
@@ -825,9 +842,7 @@ def append_batch(
     tokenize_segments(documents).write.mode("overwrite").parquet(seg_dir)
     new_seg = spark.read.schema(manifest.TABLE_SCHEMAS["segments"]).parquet(seg_dir)
 
-    new_seg.select(
-        "doc_id", "url", "lang", "filter", "truncated", "doc_len"
-    ).write.mode("overwrite").parquet(docs_dir)
+    new_seg.select(*DOC_COLS).write.mode("overwrite").parquet(docs_dir)
     # stats must count LIVE docs only: the docs table keeps tombstoned
     # rows (queries anti-join the `deleted` table), so an append after
     # a delete would otherwise resurrect the dead docs in

@@ -23,7 +23,8 @@ from textindex_spark.refimpl.txt_tokenize import term_positions
 # arrays (not array<struct>) keep the Arrow conversion flat; the
 # build plan zips+explodes them JVM-side.
 SEGMENT_SCHEMA = (
-    "doc_id long, url string, lang string, filter string, "
+    "doc_id long, url string, lang string, warc_ts timestamp, "
+    "filter string, "
     "truncated boolean, doc_len long, terms array<string>, tfs array<int>, "
     "positions array<array<int>>"
 )
@@ -34,16 +35,19 @@ EXTRACTED_SCHEMA = "doc_id long, url string, text string, truncated boolean"
 def extract_tokenize_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (doc_id, url, html, text, lang) →
-    SEGMENT_SCHEMA rows. Rows that the name/content filters classify
+    """mapInPandas kernel: (doc_id, url, html, text, lang[, warc_ts])
+    → SEGMENT_SCHEMA rows. Rows that the name/content filters classify
     as Ignore are dropped here (the url-extension part is *also*
     pushed down as a Catalyst predicate in the build plan — this is
-    the authoritative re-check)."""
+    the authoritative re-check). ``warc_ts`` (crawl fetch time,
+    input_hint column) passes through untouched so the docs table can
+    serve ts-scoped retrieval; absent → NaT (null timestamp)."""
     for pdf in batches:
         out: dict[str, list] = {
             "doc_id": [],
             "url": [],
             "lang": [],
+            "warc_ts": [],
             "filter": [],
             "truncated": [],
             "doc_len": [],
@@ -51,6 +55,7 @@ def extract_tokenize_batches(
             "tfs": [],
             "positions": [],
         }
+        tss = pdf["warc_ts"] if "warc_ts" in pdf else None
         htmls = pdf["html"].values
         texts = pdf["text"].values if "text" in pdf else [""] * len(pdf)
         for i in range(len(pdf)):
@@ -64,6 +69,7 @@ def extract_tokenize_batches(
             out["doc_id"].append(pdf["doc_id"].iat[i])
             out["url"].append(url)
             out["lang"].append(pdf["lang"].iat[i] if "lang" in pdf else "")
+            out["warc_ts"].append(tss.iat[i] if tss is not None else pd.NaT)
             out["filter"].append(kind)
             out["truncated"].append(truncated)
             out["doc_len"].append(dl)
@@ -74,7 +80,17 @@ def extract_tokenize_batches(
             out["positions"].append(
                 [np.array(p, dtype=np.int32) for p in pos.values()]
             )
-        yield pd.DataFrame(out)
+        if not out["doc_id"]:
+            # a batch whose every row the filters classified Ignore:
+            # an all-empty DataFrame infers float64 columns, which
+            # Arrow rejects against the list<...> fields (latent crash
+            # on e.g. an all-binary crawl segment) — yield nothing
+            continue
+        pdf_out = pd.DataFrame(out)
+        # object/NaT values must not leave the timestamp column as
+        # object dtype — Arrow needs datetime64[ns]
+        pdf_out["warc_ts"] = pd.to_datetime(pdf_out["warc_ts"])
+        yield pdf_out
 
 
 def extract_text_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

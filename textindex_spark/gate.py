@@ -46,6 +46,16 @@ REGEX_PROBE = "(fa|ha).*"
 MLT_DOC = 42
 # query-time boost probe (bm25_or_topk 'boost' variant)
 BOOST_FACTOR = 2.5
+# crawl-date probes: the driver documents table has no timestamp
+# column, so the gate mints a deterministic warc_ts from doc_id in
+# BOTH engines — 2020-01-01T00:00:00Z + 6 h · doc_id (the same
+# minted-column pattern as the doc:// urls). The ts window below is
+# sized to bite at sf0.001 (100 docs ≈ 25 days) and sf0.01 alike.
+TS_EPOCH0 = 1577836800  # 2020-01-01T00:00:00Z
+TS_STEP = 21600  # 6 h between consecutive doc_ids
+TS_SCOPE = "ts:2020-01-10..2020-03-15"
+TS_SCOPE_LO = 1578614400  # epoch of 2020-01-10T00:00:00Z
+TS_SCOPE_HI = 1584230400  # epoch of 2020-03-15T00:00:00Z
 
 
 def _sql_quote(w: str) -> str:
@@ -79,7 +89,12 @@ dl AS (
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "warc_ts",
+        F.timestamp_seconds(
+            F.lit(TS_EPOCH0) + F.col("doc_id") * F.lit(TS_STEP)
+        ),
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,6 +112,11 @@ def tune_session(spark: SparkSession) -> None:
         "spark.sql.shuffle.partitions": "32",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # month-facet gate renders warc_ts as 'yyyy-MM' — pin the
+        # render timezone so driver-created sessions match the
+        # oracle's naive-UTC arithmetic (engine sessions already
+        # pin UTC in session.py)
+        "spark.sql.session.timeZone": "UTC",
     }.items():
         try:
             spark.conf.set(k, v)
@@ -108,7 +128,9 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the engine index over the driver documents table."""
     tune_session(spark)
     key = os.path.basename(os.path.normpath(sf_dir))
-    out = f"{GATE_DIR}/{key}"
+    # _v2: docs schema gained warc_ts (ts-scoped gates) — a stale
+    # pre-upgrade cached index would serve null timestamps
+    out = f"{GATE_DIR}/{key}_v2"
     marker = f"{out}/stats"
     try:
         spark.read.parquet(marker).collect()
@@ -305,7 +327,9 @@ def q_bm25_not(spark, sf_dir):
     'scoped' = metadata-filtered retrieval (engine extension): the
     same disjunctive query restricted to lang:SCOPE_LANG docs, scores
     unchanged, again with prune=True so the θ probe runs over the
-    scope-merged dead set."""
+    scope-merged dead set. 'tscoped' = the same query through a
+    crawl-date window (``ts:FROM..TO`` over the minted warc_ts —
+    inclusive UTC epoch bounds, prune=True)."""
     idx = ensure_index(spark, sf_dir)
     micro = F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long")
     res_not = Q.search(
@@ -318,7 +342,13 @@ def q_bm25_not(spark, sf_dir):
     ).select(
         F.lit("scoped").alias("variant"), "doc_id", micro.alias("score_micro")
     )
-    return res_not.unionByName(res_scoped)
+    res_ts = Q.search(
+        spark, idx, BM25_TERMS, k=10, mode="or", prune=True,
+        with_urls=False, scope=TS_SCOPE,
+    ).select(
+        F.lit("tscoped").alias("variant"), "doc_id", micro.alias("score_micro")
+    )
+    return res_not.unionByName(res_scoped).unionByName(res_ts)
 
 
 def q_facet_lang(spark, sf_dir):
@@ -939,15 +969,26 @@ def q_ann_ivf_all(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_facet_month(spark, sf_dir):
+    """Crawl-date histogram for the OR query: matched-doc counts per
+    'yyyy-MM' bucket of the minted warc_ts (engine extension)."""
+    idx = ensure_index(spark, sf_dir)
+    return Q.facet_counts(spark, idx, BM25_TERMS, by="month", mode="or")
+
+
 def q_facets_all(spark, sf_dir):
-    """facet_lang + facet_site folded → (facet, value, n_docs)."""
+    """facet_lang + facet_site + facet_month folded
+    → (facet, value, n_docs)."""
     a = q_facet_lang(spark, sf_dir).select(
         F.lit("lang").alias("facet"), "value", "n_docs"
     )
     b = q_facet_site(spark, sf_dir).select(
         F.lit("site").alias("facet"), "value", "n_docs"
     )
-    return a.unionByName(b)
+    c = q_facet_month(spark, sf_dir).select(
+        F.lit("month").alias("facet"), "value", "n_docs"
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q_phrase_ops(spark, sf_dir):
@@ -2034,8 +2075,16 @@ scoped_top AS (
     FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
     WHERE d.lang = '{SCOPE_LANG}'
     ORDER BY sc.s DESC, sc.doc_id ASC LIMIT 10
+),
+tscoped_top AS (
+    SELECT 'tscoped' AS variant, sc.doc_id, sc.score_micro
+    FROM scores sc
+    WHERE ({TS_EPOCH0} + sc.doc_id * {TS_STEP})
+          BETWEEN {TS_SCOPE_LO} AND {TS_SCOPE_HI}
+    ORDER BY sc.s DESC, sc.doc_id ASC LIMIT 10
 )
 SELECT * FROM not_top UNION ALL SELECT * FROM scoped_top
+UNION ALL SELECT * FROM tscoped_top
 """,
         "facet_lang": f"""
 WITH {_TOKS_CTE},
@@ -2060,6 +2109,19 @@ excluded AS (
 SELECT coalesce(d.source, 'src') AS value, count(*)::BIGINT AS n_docs
 FROM hits h JOIN documents d ON h.doc_id = d.doc_id
 WHERE h.doc_id NOT IN (SELECT doc_id FROM excluded)
+GROUP BY value
+ORDER BY n_docs DESC, value ASC
+""",
+        "facet_month": f"""
+WITH {_TOKS_CTE},
+hits AS (
+    SELECT DISTINCT doc_id FROM tf WHERE term IN ({bm25_terms})
+)
+SELECT strftime(TIMESTAMP '2020-01-01 00:00:00'
+                + (d.doc_id * {TS_STEP}) * INTERVAL 1 SECOND,
+                '%Y-%m') AS value,
+       count(*)::BIGINT AS n_docs
+FROM hits h JOIN documents d ON h.doc_id = d.doc_id
 GROUP BY value
 ORDER BY n_docs DESC, value ASC
 """,
@@ -2720,6 +2782,7 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
     out["facet_site"] = _fold([
         ("'lang' AS facet, value, n_docs", out["facet_lang"]),
         ("'site' AS facet, value, n_docs", out["facet_site"]),
+        ("'month' AS facet, value, n_docs", out["facet_month"]),
     ])
     out["phrase_rank"] = _fold([
         ("'match' AS variant, doc_id, n_occ::BIGINT AS val",
@@ -2828,7 +2891,8 @@ ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
         ("'mlt' AS variant, doc_id, score_micro", mlt_sql),
     ])
     for dead in (
-        "facet_lang", "phrase_match", "near_match", "near_match_wildcard",
+        "facet_lang", "facet_month", "phrase_match", "near_match",
+        "near_match_wildcard",
         "tf_histogram", "exact_dedup_norm", "canon_url", "dup_windows",
         "minhash_signatures", "bool_sharded",
     ):

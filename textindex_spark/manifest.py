@@ -249,13 +249,13 @@ def rollback(spark: SparkSession, index_dir: str, version: int) -> dict:
 # directory-partition column.
 TABLE_SCHEMAS = {
     "segments": (
-        "doc_id long, url string, lang string, filter string, "
-        "truncated boolean, doc_len long, terms array<string>, "
-        "tfs array<int>, positions array<array<int>>"
+        "doc_id long, url string, lang string, warc_ts timestamp, "
+        "filter string, truncated boolean, doc_len long, "
+        "terms array<string>, tfs array<int>, positions array<array<int>>"
     ),
     "docs": (
-        "doc_id long, url string, lang string, filter string, "
-        "truncated boolean, doc_len long"
+        "doc_id long, url string, lang string, warc_ts timestamp, "
+        "filter string, truncated boolean, doc_len long"
     ),
     "postings": (
         "term string, range_id long, n_docs int, sum_tf long, max_tf int, "

@@ -476,6 +476,11 @@ def sample_frames(
                     out["media_id"].append(pdf["media_id"].iat[i])
                     out["frame_idx"].append(f)
                     out["frame"].append(fake.tobytes())
+            if not out["media_id"]:
+                # all rows skipped (non-video / corrupt blobs): an
+                # all-empty DataFrame infers float64 columns, which
+                # Arrow rejects against the binary field
+                continue
             yield pd.DataFrame(out)
 
     return media.mapInPandas(kernel, FRAME_SCHEMA)

@@ -187,7 +187,7 @@ def run_pipeline(
 
     url_dropped = None
     if url_dedup:
-        # on the RAW input: normalize_input projects warc_ts away.
+        # on the RAW input, before any normalization.
         # The canonical crawl shape (input_hint) carries no doc_id —
         # mint ids here, BEFORE the snapshot dedup that keys its keep
         # list on doc_id (normalize_input sees the column and skips

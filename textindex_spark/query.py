@@ -1577,7 +1577,7 @@ def _dead_ids_capped(spark: SparkSession, index_dir: str) -> np.ndarray | None:
 # scores are unchanged (global n_docs/avgdl/idf — standard
 # filtered-search semantics, so a scoped query is exactly the
 # unscoped ranking with non-matching docs removed).
-SCOPE_FIELDS = ("lang", "site")
+SCOPE_FIELDS = ("lang", "site", "ts")
 # FIFO-capped like the other driver caches: site:HOST scopes are
 # high-cardinality, and each capped complement holds up to
 # TOMBSTONE_LOCAL_MAX int64 ids (~800 KB) — review r5
@@ -1586,13 +1586,51 @@ _scope_ids_cache: dict[tuple[str, str], np.ndarray | None] = {}
 
 
 def parse_scope(scope: str) -> tuple[str, str]:
-    """``"lang:en"`` / ``"site:host.example"`` → (field, value)."""
+    """``"lang:en"`` / ``"site:host.example"`` / ``"ts:A..B"``
+    → (field, value). ts values are validated eagerly (before any
+    work) so a malformed range fails loudly at the call site."""
     field, sep, value = scope.partition(":")
     if not sep or field not in SCOPE_FIELDS or not value:
         raise ValueError(
-            f"scope must be 'lang:VALUE' or 'site:VALUE': {scope!r}"
+            f"scope must be 'lang:VALUE', 'site:VALUE' or "
+            f"'ts:FROM..TO': {scope!r}"
         )
+    if field == "ts":
+        parse_ts_range(value)
     return field, value
+
+
+def parse_ts_range(value: str) -> tuple[float | None, float | None]:
+    """``"A..B"`` → (lo_epoch, hi_epoch) in UTC seconds, inclusive
+    both ends. A and B are ISO-8601 dates or datetimes (naive = UTC;
+    explicit offsets honored); either side may be empty for an
+    open-ended range (``ts:2021-01-01..``), but not both. A date-only
+    upper bound means that day's midnight — use a datetime for
+    end-of-day semantics."""
+    from datetime import datetime, timezone
+
+    lo_s, sep, hi_s = value.partition("..")
+    if not sep or (not lo_s and not hi_s):
+        raise ValueError(
+            f"ts scope must be 'ts:FROM..TO' (ISO-8601, one side may "
+            f"be empty): 'ts:{value}'"
+        )
+
+    def _epoch(s: str) -> float | None:
+        if not s:
+            return None
+        try:
+            dt = datetime.fromisoformat(s)
+        except ValueError as e:
+            raise ValueError(f"bad ISO-8601 in ts scope: {s!r}") from e
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+
+    lo, hi = _epoch(lo_s), _epoch(hi_s)
+    if lo is not None and hi is not None and lo > hi:
+        raise ValueError(f"empty ts scope (FROM after TO): 'ts:{value}'")
+    return lo, hi
 
 
 def _scope_col(field: str):
@@ -1603,6 +1641,25 @@ def _scope_col(field: str):
         if field == "lang"
         else F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
     )
+
+
+def _scope_match_pred(field: str, value: str) -> Column:
+    """Null-safe boolean match predicate over the docs table for a
+    parsed scope. ``ts`` compares the warc_ts instant against UTC
+    epoch bounds (``timestamp_seconds`` literals are constant-folded,
+    so the comparison pushes down to the parquet scan); a null
+    warc_ts never matches a ts scope — crawl rows without a fetch
+    time are outside every time window."""
+    if field != "ts":
+        return _scope_col(field).eqNullSafe(value)
+    lo, hi = parse_ts_range(value)
+    c = F.col("warc_ts")
+    pred = c.isNotNull()
+    if lo is not None:
+        pred = pred & (c >= F.timestamp_seconds(F.lit(lo)))
+    if hi is not None:
+        pred = pred & (c <= F.timestamp_seconds(F.lit(hi)))
+    return pred
 
 
 def _scope_nonmatch_ids(
@@ -1623,7 +1680,7 @@ def _scope_nonmatch_ids(
         return _scope_ids_cache[key]
     docs = _cached_table(spark, index_dir, "docs")
     rows = (
-        docs.filter(~_scope_col(field).eqNullSafe(value))
+        docs.filter(~_scope_match_pred(field, value))
         .select("doc_id")
         .limit(TOMBSTONE_LOCAL_MAX + 1)
         .collect()
@@ -1646,7 +1703,7 @@ def _scope_docs_df(
     docs scan)."""
     field, value = parse_scope(scope)
     docs = _cached_table(spark, index_dir, "docs")
-    return docs.filter(_scope_col(field).eqNullSafe(value)).select("doc_id")
+    return docs.filter(_scope_match_pred(field, value)).select("doc_id")
 
 
 def _apply_scope(
@@ -2494,10 +2551,13 @@ def facet_counts(
 ) -> DataFrame:
     """→ (value, n_docs): matched-document counts per facet — the
     corpus-analytics slice a training-data pipeline runs over a query
-    ("how many matching docs per language / site"). ``by``:
+    ("how many matching docs per language / site / crawl month").
+    ``by``:
 
     * ``lang`` — the docs table's language column
     * ``site`` — the url host (``regexp_extract``, codegen'd)
+    * ``month`` — warc_ts truncated to 'yyyy-MM' (date histogram
+      over the crawl fetch time; null fetch time → null bucket)
 
     Match semantics are exactly ``find_unranked``'s (AND/OR over
     wildcard-expanded patterns, tombstones and ``exclude`` applied).
@@ -2506,8 +2566,8 @@ def facet_counts(
     groupBy(value) count. No collect; the facet agg is map-side
     partial (few distinct values), and the doc_id join broadcasts
     whenever the match set is small."""
-    if by not in ("lang", "site"):
-        raise ValueError("facet by must be 'lang' or 'site'")
+    if by not in ("lang", "site", "month"):
+        raise ValueError("facet by must be 'lang', 'site' or 'month'")
     patterns = split_boosts(patterns)[0]  # membership-only: strip
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
@@ -2551,11 +2611,15 @@ def facet_counts(
             _scope_nonmatch_ids(spark, index_dir, scope),
         )
     docs = _cached_table(spark, index_dir, "docs")
-    facet = (
-        F.col("lang")
-        if by == "lang"
-        else F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
-    )
+    if by == "lang":
+        facet = F.col("lang")
+    elif by == "site":
+        facet = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    else:
+        # crawl-date histogram: month rendered in the session tz
+        # (engine sessions pin UTC — session.py); docs without a
+        # fetch time land in a null bucket
+        facet = F.date_format("warc_ts", "yyyy-MM")
     return (
         hits.join(docs.select("doc_id", facet.alias("value")), "doc_id")
         .groupBy("value")

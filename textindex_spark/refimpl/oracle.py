@@ -69,6 +69,34 @@ def _is_pattern(w: str) -> bool:
     return bool(re.fullmatch(r"(.+)~([0-9]?)\Z", w, re.S))
 
 
+def _utc_epoch(ts) -> float:
+    """datetime/pandas-Timestamp → UTC epoch seconds; naive values
+    are read AS UTC (matching the engine's UTC session timezone)."""
+    from datetime import timezone
+
+    if getattr(ts, "tzinfo", None) is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return ts.timestamp()
+
+
+def _parse_ts_range(value: str) -> tuple[float | None, float | None]:
+    """Independent recomputation of the engine's ``ts:A..B`` window
+    parse (ISO-8601, naive = UTC, inclusive, open ends allowed)."""
+    from datetime import datetime, timezone
+
+    lo_s, _, hi_s = value.partition("..")
+
+    def _epoch(s: str):
+        if not s:
+            return None
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.timestamp()
+
+    return _epoch(lo_s), _epoch(hi_s)
+
+
 def _edit_distance(a: str, b: str) -> int:
     """Classic character-level Levenshtein (unit-cost ins/del/sub),
     full Wagner-Fischer matrix — deliberately the naive textbook form
@@ -128,6 +156,7 @@ class OracleIndex:
             idx.docs[doc_id] = {
                 "url": row["url"],
                 "lang": row.get("lang") or "",
+                "warc_ts": row.get("warc_ts"),
                 "doc_len": dl,
                 "filter": kind,
                 "truncated": truncated,
@@ -221,12 +250,21 @@ class OracleIndex:
     def scope_ok(self, doc_id: int, scope: str) -> bool:
         """Metadata predicate for scoped search (engine extension):
         ``"lang:VALUE"`` matches the doc's lang column, ``"site:
-        VALUE"`` the url host — same definitions as the engine's
-        facet_counts / _scope_col."""
+        VALUE"`` the url host, ``"ts:A..B"`` the crawl fetch time
+        against an inclusive UTC window (null fetch time never
+        matches) — same definitions as the engine's facet_counts /
+        _scope_match_pred."""
         field, _, value = scope.partition(":")
         d = self.docs[doc_id]
         if field == "lang":
             return d.get("lang", "") == value
+        if field == "ts":
+            ts = d.get("warc_ts")
+            if ts is None:
+                return False
+            epoch = _utc_epoch(ts)
+            lo, hi = _parse_ts_range(value)
+            return (lo is None or epoch >= lo) and (hi is None or epoch <= hi)
         m = re.match(r"^[a-z]+://([^/]+)", d["url"])
         return (m.group(1) if m else "") == value
 

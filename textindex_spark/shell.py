@@ -46,7 +46,7 @@ PAGE = 20
 HELP = """
 index <parquet-path>
 stats base | debug | <word>
-find <match...> [-exclude...] [lang:V|site:HOST]   globs, fuzzy, scope
+find <match...> [-exclude...] [lang:V|site:HOST|ts:A..B]   globs, fuzzy, scope
 bool <expr>            e.g. bool spark AND (vector OR merge) AND NOT qu*
 suggest <word>         did-you-mean spelling suggestions
 similar <doc_id>       more-like-this: docs similar to a document
@@ -142,18 +142,18 @@ class Shell:
     def _cmd_find(self, args: list[str]) -> None:
         # `-pattern` tokens are NOT terms (engine extension): docs
         # matching them are excluded from the AND result.
-        # `lang:V` / `site:HOST` tokens are metadata scopes (engine
+        # `lang:V` / `site:HOST` / `ts:A..B` tokens are metadata scopes (engine
         # extension): the result keeps only matching docs.
         exclude = [a[1:] for a in args if a.startswith("-") and len(a) > 1]
-        scopes = [a for a in args if a.startswith(("lang:", "site:"))]
+        scopes = [a for a in args if a.startswith(("lang:", "site:", "ts:"))]
         if len(scopes) > 1:
-            print("at most one lang:/site: scope per query")
+            print("at most one lang:/site:/ts: scope per query")
             return
         args = [
-            a for a in args if not a.startswith(("-", "lang:", "site:"))
+            a for a in args if not a.startswith(("-", "lang:", "site:", "ts:"))
         ]
         if not args:
-            print("usage: find <match...> [-exclude ...] [lang:V|site:HOST]")
+            print("usage: find <match...> [-exclude ...] [lang:V|site:HOST|ts:A..B]")
             return
         from textindex_spark.query import find_unranked, matched_lines
         from textindex_spark.session import local_df
@@ -180,21 +180,21 @@ class Shell:
     def _cmd_bool(self, args: list[str]) -> None:
         # ranked boolean tree (engine extension): AND/OR/NOT + parens,
         # wildcard leaves; prints BM25 top hits (url + score).
-        # `lang:V` / `site:HOST` tokens are metadata scopes — left in
+        # `lang:V` / `site:HOST` / `ts:A..B` tokens are metadata scopes — left in
         # the expr they would parse as silently-unmatchable leaves.
-        scopes = [a for a in args if a.startswith(("lang:", "site:"))]
+        scopes = [a for a in args if a.startswith(("lang:", "site:", "ts:"))]
         if len(scopes) > 1:
-            print("at most one lang:/site: scope per query")
+            print("at most one lang:/site:/ts: scope per query")
             return
-        args = [a for a in args if not a.startswith(("lang:", "site:"))]
-        if any("lang:" in a or "site:" in a for a in args):
+        args = [a for a in args if not a.startswith(("lang:", "site:", "ts:"))]
+        if any("lang:" in a or "site:" in a or "ts:" in a for a in args):
             # e.g. "(lang:de" — attached to a paren it would become a
             # silently-unmatchable boolean leaf
-            print("place lang:/site: outside the expression, e.g. "
+            print("place lang:/site:/ts: outside the expression, e.g. "
                   "bool spark AND vector lang:de")
             return
         if not args:
-            print("usage: bool <expr> [lang:V|site:HOST]")
+            print("usage: bool <expr> [lang:V|site:HOST|ts:A..B]")
             return
         from textindex_spark.boolquery import search_bool
 

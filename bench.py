@@ -189,6 +189,43 @@ def main() -> None:
     more_like_this(spark, idx_dir, corpus_docs, probe_doc).collect()
     timings["more_like_this"] = round(time.time() - t0, 3)
 
+    # crawl-date scoped retrieval (r5): ts:FROM..TO windows + range_ts
+    # time pruning. Two physical layouts of the SAME corpus:
+    # * time-ordered ids (fetch-order ingest, the common crawl shape):
+    #   warc_ts is monotone in doc_id, so a 10%-of-corpus window keeps
+    #   ~10% of posting ranges — range pruning skips the rest before
+    #   any decode (the win scales with corpus/window ratio: a 1-day
+    #   window on a year-long 10^12-doc index skips ~99.7% of ranges).
+    # * url-ordered ids (the headline index): timestamps scatter
+    #   across ranges, every range overlaps the window, pruning keeps
+    #   everything — the honest no-benefit baseline.
+    from datetime import datetime, timedelta, timezone
+
+    ep0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    span = 13 * n_docs
+    iso = lambda s: (ep0 + timedelta(seconds=s)).strftime("%Y-%m-%dT%H:%M:%S")
+    win = f"ts:{iso(int(span * 0.45))}..{iso(int(span * 0.55))}"
+    targs = dict(k=10, mode="or", prune=True, with_urls=False, scope=win)
+    dargs = dict(
+        k=10, mode="or", with_urls=False, scope=win, local_score=False
+    )
+    idx_time = f"/tmp/textindex_bench/index_time_{n_docs}_{CPUS}"
+    if not os.path.exists(f"{idx_time}/stats/_SUCCESS"):
+        # keep the generator's doc_id: minted in fetch-time order
+        build_index(
+            spark, ensure_bench_corpus(spark, n_docs, corpus_path),
+            idx_time, range_bits=12,
+        )
+    for tag, d in (("", idx_time), ("_urlorder", idx_dir)):
+        search(spark, d, ["spark", "index"], **targs).collect()
+        t0 = time.time()
+        search(spark, d, ["spark", "index"], **targs).collect()
+        timings[f"bm25_tscoped{tag}"] = round(time.time() - t0, 3)
+        search(spark, d, ["spark", "index"], **dargs).collect()
+        t0 = time.time()
+        search(spark, d, ["spark", "index"], **dargs).collect()
+        timings[f"bm25_tscoped{tag}_dist"] = round(time.time() - t0, 3)
+
     # the DISTRIBUTED OR plans (local_score=False) — the path a
     # beyond-driver-memory candidate set takes at real scale; this is
     # where block-max pruning pays (the serving path above reads so

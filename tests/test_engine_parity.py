@@ -1153,6 +1153,120 @@ def test_ts_scope_null_warc_ts_never_matches(spark, rows, tmp_path):
     assert len(fm) == 1 and fm[0]["value"] is None
 
 
+def test_ts_range_pruning(spark, index_dir, oracle, rows, tmp_path):
+    """Time pruning: the build records per-range crawl-time bounds
+    (range_ts — one row per range_id = doc_id >> range_bits), and a
+    ts-scoped query decodes ONLY ranges whose [min_ts, max_ts]
+    intersects its window. On this time-ordered corpus (warc_ts
+    monotone in doc_id, range_bits=6) a narrow window must keep a
+    PROPER subset of ranges while every path stays oracle-identical
+    (pinned by test_ts_scoped_search_matches_oracle, which runs
+    through the same pruning)."""
+    import numpy as np
+
+    from textindex_spark.query import (
+        _ts_allowed_ranges,
+        _ts_range_cache,
+        parse_ts_range,
+    )
+
+    # bounds table exists and is complete
+    rts = {
+        r["range_id"]: r
+        for r in spark.read.parquet(f"{index_dir}/range_ts").collect()
+    }
+    docs = spark.read.parquet(f"{index_dir}/docs").collect()
+    want_ranges = {d["doc_id"] >> 6 for d in docs}
+    assert set(rts) == want_ranges and len(rts) >= 3
+    for d in docs:
+        r = rts[d["doc_id"] >> 6]
+        assert r["min_ts"] <= d["warc_ts"] <= r["max_ts"]
+
+    # a mid-corpus window keeps a proper subset of ranges — exactly
+    # those holding an in-window doc (time-ordered ⇒ contiguous)
+    scope = "ts:2025-01-01T00:10:00..2025-01-01T00:20:00"
+    allowed = _ts_allowed_ranges(spark, index_dir, scope)
+    assert allowed is not None
+    lo, hi = parse_ts_range(scope.partition(":")[2])
+    in_window = {
+        d["doc_id"] >> 6
+        for d in docs
+        if lo <= d["warc_ts"].timestamp() <= hi
+    }
+    assert set(allowed) == in_window
+    assert 0 < len(allowed) < len(want_ranges)
+
+    # a window past the corpus end prunes everything → empty result
+    _ts_range_cache.clear()
+    none_scope = "ts:2030-01-01..2031-01-01"
+    assert _ts_allowed_ranges(spark, index_dir, none_scope) == []
+    for kw in ({"local_score": True}, {"local_score": False}, {"prune": True}):
+        got = search(
+            spark, index_dir, ["spark"], k=5, mode="or", with_urls=False,
+            scope=none_scope, **kw,
+        ).collect()
+        assert got == [], kw
+
+    # an index without the table (pre-upgrade) → pruning unavailable,
+    # queries still correct via the dead-set/semi-join scope
+    from textindex_spark import manifest as M
+    from textindex_spark.build import build_index
+
+    out = str(tmp_path / "no_rts")
+    build_index(spark, corpus_df(spark, rows[:60]), out, range_bits=6)
+    man = M.current_manifest(spark, out)
+    tables = dict(man["tables"])
+    assert "range_ts" in tables
+    tables["range_ts"] = []
+    M.commit(spark, out, set_tables=tables)
+    from textindex_spark.query import invalidate_cache
+
+    invalidate_cache(out)
+    assert _ts_allowed_ranges(spark, out, scope) is None
+    win = "ts:2025-01-01T00:02:00..2025-01-01T00:08:00"
+    got = [
+        r["doc_id"]
+        for r in search(
+            spark, out, ["spark"], k=10, mode="or", with_urls=False,
+            scope=win,
+        ).collect()
+    ]
+    lo2, hi2 = parse_ts_range(win.partition(":")[2])
+    sub_oracle = OracleIndex.build(rows[:60])
+    want = [d for d, _ in sub_oracle.search(["spark"], 10, mode="or", scope=win)]
+    assert got == want
+
+
+def test_ts_range_pruning_after_append(spark, rows, tmp_path):
+    """Appends stage range_ts rows for the new docs; a range split
+    across base+append dirs aggregates min/max over its rows, and a
+    window over only the appended period returns exactly the appended
+    matches on every path."""
+    from textindex_spark.build import append_batch, build_index
+    from textindex_spark.query import _ts_allowed_ranges
+
+    out = str(tmp_path / "append_rts")
+    build_index(spark, corpus_df(spark, rows[:100]), out, range_bits=6)
+    append_batch(spark, corpus_df(spark, rows[100:160]), out)
+    # appended window: rows 100..159 → 2025-01-01T00:21:40..00:34:27
+    win = "ts:2025-01-01T00:22:00..2025-01-01T00:30:00"
+    allowed = _ts_allowed_ranges(spark, out, win)
+    assert allowed is not None and allowed
+    oracle2 = OracleIndex.build(rows[:160])
+    want = [d for d, _ in oracle2.search(["spark"], 10, mode="or", scope=win)]
+    assert want
+    for kw in ({"local_score": True}, {"local_score": False}, {"prune": True}):
+        got = [
+            r["doc_id"]
+            for r in search(
+                spark, out, ["spark"], k=10, mode="or", with_urls=False,
+                scope=win, **kw,
+            ).collect()
+        ]
+        assert got == want, kw
+    assert all(100 <= d < 160 for d in want)
+
+
 def test_build_survives_all_ignored_batch(spark, tmp_path):
     """Regression (latent pre-ts-scope): an Arrow batch whose every
     row the CONTENT sniff classifies Ignore (e.g. a crawl segment of

@@ -168,6 +168,22 @@ DOC_COLS = (
 )
 
 
+def range_ts(docs: DataFrame, range_bits: int) -> DataFrame:
+    """Per-posting-range crawl-time bounds over a docs-shaped frame:
+    (range_id, min_ts, max_ts, n_docs), range_id = doc_id >>
+    range_bits. The ts-scope range-pruning metadata — the time analog
+    of the per-block max-score bounds."""
+    return (
+        docs.groupBy(
+            F.shiftright(F.col("doc_id"), range_bits).alias("range_id")
+        ).agg(
+            F.min("warc_ts").alias("min_ts"),
+            F.max("warc_ts").alias("max_ts"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
 def name_filter_predicate(url: Column) -> Column:
     """Catalyst (pushdown-able) form of the reference name filter
     (proc3.rs:203-299): lowercased last path component; extension =
@@ -463,6 +479,19 @@ def finalize_index(
     def _write_docs() -> None:
         try:
             docs.write.mode("overwrite").parquet(f"{out_dir}/docs")
+            # per-range crawl-time bounds (doc_id >> range_bits is the
+            # posting-block key): a ts-scoped query prunes posting
+            # ranges whose [min_ts, max_ts] misses its window BEFORE
+            # any decode — on a time-ordered crawl (the common ingest
+            # order) a narrow window skips almost every range. Nulls
+            # are ignored by min/max, so an all-null range carries
+            # null bounds and is prunable by every window (null
+            # warc_ts never matches a ts scope). Same seg lineage,
+            # one tiny agg (n_docs >> range_bits rows) on the already-
+            # overlapped docs thread.
+            range_ts(docs, range_bits).write.mode("overwrite").parquet(
+                f"{out_dir}/range_ts"
+            )
         except BaseException as e:  # surfaced after join()
             docs_err.append(e)
 
@@ -572,6 +601,7 @@ def finalize_index(
             "postings": ["postings"],
             "terms": ["terms"],
             "stats": ["stats"],
+            "range_ts": ["range_ts"],
             "deleted": [],
         },
         props=extra_props,
@@ -843,6 +873,19 @@ def append_batch(
     new_seg = spark.read.schema(manifest.TABLE_SCHEMAS["segments"]).parquet(seg_dir)
 
     new_seg.select(*DOC_COLS).write.mode("overwrite").parquet(docs_dir)
+    # crawl-time range bounds for the appended rows. ONLY when the
+    # base index already has the table: a base built before range_ts
+    # existed has no rows for its own ranges, and a partial table
+    # would prune live base ranges (query-side pruning trusts the
+    # table to be complete). A range straddling base+append owns a
+    # row in each dir; the query loader aggregates min/max per range.
+    rts_dir = f"{out_dir}/range_ts_append_{tag}"
+    has_range_ts = bool(manifest.table_paths(spark, out_dir, "range_ts"))
+    if has_range_ts:
+        range_ts(
+            spark.read.schema(manifest.TABLE_SCHEMAS["docs"]).parquet(docs_dir),
+            range_bits,
+        ).write.mode("overwrite").parquet(rts_dir)
     # stats must count LIVE docs only: the docs table keeps tombstoned
     # rows (queries anti-join the `deleted` table), so an append after
     # a delete would otherwise resurrect the dead docs in
@@ -937,6 +980,8 @@ def append_batch(
         "docs": [manifest.rel(out_dir, docs_dir)],
         "postings": [manifest.rel(out_dir, postings_dir)],
     }
+    if has_range_ts:
+        add["range_ts"] = [manifest.rel(out_dir, rts_dir)]
     if victims is not None:
         add["deleted"] = [manifest.rel(out_dir, dead_dir)]
     manifest.commit(
@@ -1048,7 +1093,7 @@ def purge_deleted(spark: SparkSession, out_dir: str) -> int:
     )
     tables = {
         t: [f"{sub}/{t}"]
-        for t in ("segments", "docs", "postings", "terms", "stats")
+        for t in ("segments", "docs", "postings", "terms", "stats", "range_ts")
     }
     tables["deleted"] = []
     manifest.commit(spark, out_dir, set_tables=tables)

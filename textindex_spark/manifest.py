@@ -263,6 +263,9 @@ TABLE_SCHEMAS = {
         "tf_bytes binary, dl_bytes binary, pos_bytes binary, term_bucket int"
     ),
     "terms": "term string, df long, cf long, max_tfnorm double, n_ranges long",
+    "range_ts": (
+        "range_id long, min_ts timestamp, max_ts timestamp, n_docs long"
+    ),
     "deleted": "doc_id long",
 }
 

@@ -360,6 +360,8 @@ def invalidate_cache(index_dir: str) -> None:
         _tomb_ids_cache.pop(cd, None)
         for k in [k for k in _scope_ids_cache if k[0] == cd]:
             _scope_ids_cache.pop(k, None)
+        for k in [k for k in _ts_range_cache if k[0] == cd]:
+            _ts_range_cache.pop(k, None)
         for k in [k for k in _block_cache if k[0] == cd]:
             _block_bytes -= _block_cache.pop(k)[1]
         for k in [k for k in _meta_cache if k[0] == cd]:
@@ -950,19 +952,32 @@ def _decoded_postings(
     stats: dict,
     term_list: list[str],
     and_masks: tuple[dict[str, int], int] | None = None,
+    allowed_ranges: list[int] | None = None,
 ) -> DataFrame:
     """Posting blocks for the query vocabulary, decoded to
     (term, doc_id, tf, doc_len, tfnorm) rows. ``and_masks``
     (mask_by_term, full_mask) enables candidate-range
     pre-intersection for conjunctive consumers — only ranges where
     every pattern is present are decoded (exact; see
-    ``_and_surviving_ranges``)."""
+    ``_and_surviving_ranges``). ``allowed_ranges`` restricts the
+    decode to a caller-proven range set (ts-scope time pruning,
+    ``_ts_allowed_ranges``); both restrictions intersect."""
     blocks = _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets"))
+    ids = allowed_ranges
     if and_masks is not None:
-        ids = _and_surviving_ranges(
+        ids = _intersect_ranges(ids, _and_surviving_ranges(
             spark, index_dir, and_masks[0], and_masks[1], stats, blocks
-        )
-        if ids is not None:
+        ))
+    if ids is not None:
+        if len(ids) > ISIN_PUSHDOWN_MAX:
+            # keep the plan's in-list bounded (same invariant as
+            # _fetch_blocks): a wide survivor set applies as one
+            # broadcast equality join instead of a 10^4-literal In()
+            surv_df = local_df(
+                spark, [(int(r),) for r in ids], "range_id long"
+            )
+            blocks = blocks.join(F.broadcast(surv_df), "range_id")
+        else:
             blocks = (
                 blocks.filter(F.col("range_id").isin(ids))
                 if ids
@@ -1053,8 +1068,12 @@ def search(
             spark, index_dir, exclude, stats, expanded=excl_expanded
         )
     scope_ids: np.ndarray | None = None
+    ts_ranges: list[int] | None = None
     if scope and not query_is_empty:
         scope_ids = _scope_nonmatch_ids(spark, index_dir, scope)
+        # time pruning: posting ranges a ts window can touch (None =
+        # unavailable / not a ts scope; [] = the window is empty)
+        ts_ranges = _ts_allowed_ranges(spark, index_dir, scope)
     xids: np.ndarray | None = (
         np.array(sorted(set(exclude_ids)), dtype=np.int64)
         if exclude_ids
@@ -1085,7 +1104,7 @@ def search(
                 dead = np.union1d(dead, xids)
             res = _search_local(
                 spark, index_dir, expanded, stats, len(patterns), k, mode,
-                with_urls, dead, prune=prune,
+                with_urls, dead, prune=prune, allowed_ranges=ts_ranges,
             )
             if res is not None:
                 return res
@@ -1126,7 +1145,8 @@ def search(
                 full_mask,
             )
         decoded = _decoded_postings(
-            spark, index_dir, qterms, stats, term_list, and_masks=and_masks
+            spark, index_dir, qterms, stats, term_list, and_masks=and_masks,
+            allowed_ranges=ts_ranges,
         )
         if prune:
             dead_p = None
@@ -1146,7 +1166,7 @@ def search(
                 )
             decoded = _pruned_decode(
                 spark, index_dir, qterms, stats, k, full_mask, term_list,
-                term_info, mode=mode, dead=dead_p,
+                term_info, mode=mode, dead=dead_p, allowed_ranges=ts_ranges,
             )
         scored = (
             decoded.join(F.broadcast(qterms), "term")
@@ -1297,7 +1317,10 @@ def search_sharded(
                     full_mask,
                 )
             decoded = _decoded_postings(
-                spark, d, qterms, stats_list[i], terms_s, and_masks=and_masks
+                spark, d, qterms, stats_list[i], terms_s, and_masks=and_masks,
+                allowed_ranges=(
+                    _ts_allowed_ranges(spark, d, scope) if scope else None
+                ),
             )
             w = (
                 F.col("idf")
@@ -1410,6 +1433,12 @@ def _sharded_local(
             )
             if surviving == []:
                 continue
+        if scope:
+            surviving = _intersect_ranges(
+                surviving, _ts_allowed_ranges(spark, d, scope)
+            )
+            if surviving is not None and len(surviving) == 0:
+                continue
         blocks = _fetch_blocks(spark, d, terms_s, stats_s, ranges=surviving)
         uniq, score, mask_acc = _score_blocks_np(blocks, stats_s, ti)
         if mode == "and":
@@ -1452,11 +1481,15 @@ def _search_local(
     with_urls: bool,
     dead: np.ndarray,
     prune: bool = False,
+    allowed_ranges: list[int] | None = None,
 ) -> DataFrame | None:
     """Query-node scoring: one pushdown-filtered block fetch, then
     numpy decode + BM25 + AND-mask + top-k locally. Rank-identical to
     the distributed path (same formula, same tie-break). ``dead`` is
     the (capped, see TOMBSTONE_LOCAL_MAX) tombstone id array.
+    ``allowed_ranges`` (ts-scope time pruning) intersects whatever
+    range restriction the plan derives — exact because ``dead``
+    already carries the scope complement.
 
     With ``prune=True`` the fetch is preceded by the block-max prune
     plan (2 light metadata/θ jobs) and reads ONLY surviving ranges —
@@ -1502,6 +1535,9 @@ def _search_local(
                 return _finish_local(spark, index_dir, [], empty, with_urls)
             # (_fetch_blocks reads everything for a survivor set wider
             # than the isin cap — still exact)
+        surviving = _intersect_ranges(surviving, allowed_ranges)
+        if surviving is not None and len(surviving) == 0:
+            return _finish_local(spark, index_dir, [], empty, with_urls)
         blocks = _fetch_blocks(
             spark, index_dir, list(term_info["term"]), stats, ranges=surviving
         )
@@ -1660,6 +1696,81 @@ def _scope_match_pred(field: str, value: str) -> Column:
     if hi is not None:
         pred = pred & (c <= F.timestamp_seconds(F.lit(hi)))
     return pred
+
+
+# ts-scope range pruning (the time analog of block-max pruning): the
+# build records per-range crawl-time bounds (build.range_ts — one row
+# per range_id = doc_id >> range_bits), so a ts-scoped query can skip
+# every posting range whose [min_ts, max_ts] misses its window BEFORE
+# any block is fetched or decoded. On a time-ordered crawl (the
+# common ingest order: doc_ids minted in fetch order) a narrow window
+# keeps a handful of contiguous ranges out of n_docs >> range_bits.
+# Sound by construction: a doc's postings live in exactly ONE range,
+# and the scope already removes every out-of-window doc from the
+# result — skipping ranges that contain no in-window doc cannot
+# change any surviving score or the θ probe (whose dead set already
+# carries the scope complement wherever pruning is enabled).
+TS_RANGE_LOCAL_MAX = 100_000
+_ts_range_cache: dict[tuple[str, str], list[int] | None] = {}
+
+
+def _ts_allowed_ranges(
+    spark: SparkSession, index_dir: str, scope: str
+) -> list[int] | None:
+    """Sorted range_ids whose crawl-time bounds intersect the ts
+    scope's window, or None when range pruning is unavailable (not a
+    ts scope; no range_ts table — pre-upgrade index or timestamp-less
+    append base; more survivors than the driver cap — a wide window
+    on a huge index, where pruning wouldn't pay anyway). ``[]`` means
+    NO range holds an in-window doc: the query is empty. Cached per
+    (index, scope) until the next snapshot mutation; a range split
+    across base+append dirs aggregates min/max over its rows."""
+    field, value = parse_scope(scope)
+    if field != "ts":
+        return None
+    key = (canon_dir(index_dir), scope)
+    if key in _ts_range_cache:
+        return _ts_range_cache[key]
+    if not manifest.table_paths(spark, index_dir, "range_ts"):
+        out: list[int] | None = None
+    else:
+        lo, hi = parse_ts_range(value)
+        bounds = (
+            _cached_table(spark, index_dir, "range_ts")
+            .groupBy("range_id")
+            .agg(F.min("min_ts").alias("lo"), F.max("max_ts").alias("hi"))
+        )
+        pred = F.col("hi").isNotNull()  # all-null range: never matches
+        if lo is not None:
+            pred = pred & (F.col("hi") >= F.timestamp_seconds(F.lit(lo)))
+        if hi is not None:
+            pred = pred & (F.col("lo") <= F.timestamp_seconds(F.lit(hi)))
+        rows = (
+            bounds.filter(pred)
+            .select("range_id")
+            .limit(TS_RANGE_LOCAL_MAX + 1)
+            .collect()
+        )
+        if len(rows) > TS_RANGE_LOCAL_MAX:
+            out = None
+        else:
+            out = sorted(int(r["range_id"]) for r in rows)
+    while len(_ts_range_cache) >= SCOPE_CACHE_MAX:
+        _ts_range_cache.pop(next(iter(_ts_range_cache)))
+    _ts_range_cache[key] = out
+    return out
+
+
+def _intersect_ranges(
+    a: list[int] | None, b: list[int] | None
+) -> list[int] | None:
+    """Intersection of two optional allowed-range sets (None = no
+    restriction)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return sorted(set(a) & set(b))
 
 
 def _scope_nonmatch_ids(
@@ -1882,12 +1993,16 @@ def _pruned_decode(
     term_info: pd.DataFrame,
     mode: str = "and",
     dead: np.ndarray | None = None,
+    allowed_ranges: list[int] | None = None,
 ) -> DataFrame:
     """Distributed block-max-pruned decode: prune plan (2 light jobs)
     + ONE mapInPandas decode job over surviving blocks (term+range_id
     pushdown reaches the parquet scan). ``dead`` augments the θ
     probe's live filter (tombstones ∪ per-query exclusions); None →
-    the plan fetches tombstones itself."""
+    the plan fetches tombstones itself. ``allowed_ranges`` (ts-scope
+    time pruning) intersects the plan's survivor set — exact, because
+    the scope's dead-set/anti-join already removes every doc those
+    ranges would have contributed."""
     plan = _prune_plan(
         spark, index_dir, stats, k, full_mask, term_list, term_info,
         mode=mode, dead=dead,
@@ -1895,6 +2010,9 @@ def _pruned_decode(
     if plan is None:
         return local_df(spark, [], DECODED_SCHEMA)
     surviving, _ = plan
+    surviving = _intersect_ranges(surviving, allowed_ranges)
+    if surviving is not None and len(surviving) == 0:
+        return local_df(spark, [], DECODED_SCHEMA)
     blocks = _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets"))
     if len(surviving) <= ISIN_PUSHDOWN_MAX:
         blocks = blocks.filter(F.col("range_id").isin(surviving))
@@ -1950,8 +2068,10 @@ def find_unranked(
     AND-intersection, urls ordered by doc_id. ``exclude`` (an engine
     extension; the reference has no NOT) drops docs matching any
     exclusion pattern via one anti-join. ``scope`` (engine extension)
-    keeps only docs matching a lang:/site: metadata predicate.
-    Boosts are stripped (membership-only surface)."""
+    keeps only docs matching a lang:/site:/ts: metadata predicate
+    (ts scopes additionally prune whole posting ranges via the
+    range_ts bounds). Boosts are stripped (membership-only
+    surface)."""
     if scope:
         parse_scope(scope)
     patterns = split_boosts(patterns)[0]
@@ -1974,6 +2094,9 @@ def find_unranked(
         and_masks=(
             dict(zip(term_info["term"], (int(m) for m in term_info["mask"]))),
             full_mask,
+        ),
+        allowed_ranges=(
+            _ts_allowed_ranges(spark, index_dir, scope) if scope else None
         ),
     )
     hits = (
@@ -2592,6 +2715,9 @@ def facet_counts(
     decoded = _decoded_postings(
         spark, index_dir, qterms.withColumn("idf", F.lit(0.0)),
         stats, list(term_info["term"]), and_masks=and_masks,
+        allowed_ranges=(
+            _ts_allowed_ranges(spark, index_dir, scope) if scope else None
+        ),
     )
     hits = (
         decoded.join(F.broadcast(qterms), "term")

@@ -1208,19 +1208,37 @@ def test_ts_range_pruning(spark, index_dir, oracle, rows, tmp_path):
         assert got == [], kw
 
     # an index without the table (pre-upgrade) → pruning unavailable,
-    # queries still correct via the dead-set/semi-join scope
+    # queries still correct via the dead-set/semi-join scope. Two
+    # real shapes: the manifest KEY absent entirely (what an old
+    # finalize_index produced — table_paths would hand back a
+    # phantom default dir, so the gate must use table_exists) and an
+    # explicitly-dropped table (empty dir list).
+    import glob
+    import json
+    import shutil
+
     from textindex_spark import manifest as M
     from textindex_spark.build import build_index
+    from textindex_spark.query import invalidate_cache
 
     out = str(tmp_path / "no_rts")
     build_index(spark, corpus_df(spark, rows[:60]), out, range_bits=6)
-    man = M.current_manifest(spark, out)
+    man_file = sorted(glob.glob(f"{out}/{M.MANIFEST_DIR}/v*.json"))[-1]
+    man = json.loads(open(man_file).read())
+    del man["tables"]["range_ts"]  # the genuine pre-upgrade shape
+    open(man_file, "w").write(json.dumps(man))
+    shutil.rmtree(f"{out}/range_ts")
+    invalidate_cache(out)
+    assert _ts_allowed_ranges(spark, out, scope) is None
+    win = "ts:2025-01-01T00:02:00..2025-01-01T00:08:00"
+    assert search(
+        spark, out, ["spark"], k=10, mode="or", with_urls=False, scope=win
+    ).collect()  # no crash, results checked against the oracle below
+
+    # explicitly-dropped table (empty dir list) degrades the same way
     tables = dict(man["tables"])
-    assert "range_ts" in tables
     tables["range_ts"] = []
     M.commit(spark, out, set_tables=tables)
-    from textindex_spark.query import invalidate_cache
-
     invalidate_cache(out)
     assert _ts_allowed_ranges(spark, out, scope) is None
     win = "ts:2025-01-01T00:02:00..2025-01-01T00:08:00"

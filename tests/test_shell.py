@@ -93,6 +93,16 @@ def test_bool_with_scope(shell, spark):
     assert "outside the expression" in shell.dispatch(
         "bool spark AND (lang:de OR vector)"
     )
+    assert "outside the expression" in shell.dispatch(
+        "bool spark AND (ts:2025-01-01..2025-02-01 OR vector)"
+    )
+    # a token merely CONTAINING a scope prefix mid-word (e.g. the
+    # term "stats:x") is an ordinary — unmatchable — leaf, not a
+    # misplaced scope: the query still runs
+    shell.dispatch("bool spark")
+    only_spark = {u.split("  [")[0] for u, _ in shell.found}
+    shell.dispatch("bool spark OR stats:x")
+    assert {u.split("  [")[0] for u, _ in shell.found} == only_spark
 
 
 def test_suggest_command(shell, spark):

@@ -486,10 +486,14 @@ def finalize_index(
             # order) a narrow window skips almost every range. Nulls
             # are ignored by min/max, so an all-null range carries
             # null bounds and is prunable by every window (null
-            # warc_ts never matches a ts scope). Same seg lineage,
-            # one tiny agg (n_docs >> range_bits rows) on the already-
-            # overlapped docs thread.
-            range_ts(docs, range_bits).write.mode("overwrite").parquet(
+            # warc_ts never matches a ts scope). Aggregated from the
+            # just-written docs table — a 2-column scan of the small
+            # table, not a second pass over the segments lineage —
+            # still on the already-overlapped docs thread.
+            written = spark.read.schema(
+                manifest.TABLE_SCHEMAS["docs"]
+            ).parquet(f"{out_dir}/docs")
+            range_ts(written, range_bits).write.mode("overwrite").parquet(
                 f"{out_dir}/range_ts"
             )
         except BaseException as e:  # surfaced after join()
@@ -880,7 +884,11 @@ def append_batch(
     # table to be complete). A range straddling base+append owns a
     # row in each dir; the query loader aggregates min/max per range.
     rts_dir = f"{out_dir}/range_ts_append_{tag}"
-    has_range_ts = bool(manifest.table_paths(spark, out_dir, "range_ts"))
+    # table_exists, not table_paths: a manifest lacking the key
+    # entirely (pre-upgrade base) would get paths()'s phantom default
+    # dir and stage a table covering ONLY the appended ranges — the
+    # partial-table hazard this gate exists to prevent
+    has_range_ts = manifest.table_exists(spark, out_dir, "range_ts")
     if has_range_ts:
         range_ts(
             spark.read.schema(manifest.TABLE_SCHEMAS["docs"]).parquet(docs_dir),

@@ -968,21 +968,7 @@ def _decoded_postings(
         ids = _intersect_ranges(ids, _and_surviving_ranges(
             spark, index_dir, and_masks[0], and_masks[1], stats, blocks
         ))
-    if ids is not None:
-        if len(ids) > ISIN_PUSHDOWN_MAX:
-            # keep the plan's in-list bounded (same invariant as
-            # _fetch_blocks): a wide survivor set applies as one
-            # broadcast equality join instead of a 10^4-literal In()
-            surv_df = local_df(
-                spark, [(int(r),) for r in ids], "range_id long"
-            )
-            blocks = blocks.join(F.broadcast(surv_df), "range_id")
-        else:
-            blocks = (
-                blocks.filter(F.col("range_id").isin(ids))
-                if ids
-                else blocks.filter(F.lit(False))
-            )
+    blocks = _restrict_ranges(spark, blocks, ids)
     blocks = blocks.select(*_DECODE_COLS).withColumn(
         "range_bits", F.lit(stats["range_bits"])
     ).withColumn("avgdl", F.lit(stats["avgdl"]))
@@ -1711,7 +1697,7 @@ def _scope_match_pred(field: str, value: str) -> Column:
 # change any surviving score or the θ probe (whose dead set already
 # carries the scope complement wherever pruning is enabled).
 TS_RANGE_LOCAL_MAX = 100_000
-_ts_range_cache: dict[tuple[str, str], list[int] | None] = {}
+_ts_range_cache: dict[tuple[str, str], "np.ndarray | None"] = {}
 
 
 def _ts_allowed_ranges(
@@ -1723,16 +1709,24 @@ def _ts_allowed_ranges(
     append base; more survivors than the driver cap — a wide window
     on a huge index, where pruning wouldn't pay anyway). ``[]`` means
     NO range holds an in-window doc: the query is empty. Cached per
-    (index, scope) until the next snapshot mutation; a range split
-    across base+append dirs aggregates min/max over its rows."""
+    (index, scope) until the next snapshot mutation, as np.int64
+    arrays (~800 KB at the cap — the same per-entry budget as
+    _scope_ids_cache; the list callers get is a per-call transient);
+    a range split across base+append dirs aggregates min/max over
+    its rows."""
     field, value = parse_scope(scope)
     if field != "ts":
         return None
     key = (canon_dir(index_dir), scope)
     if key in _ts_range_cache:
-        return _ts_range_cache[key]
-    if not manifest.table_paths(spark, index_dir, "range_ts"):
-        out: list[int] | None = None
+        hit = _ts_range_cache[key]
+        return None if hit is None else [int(x) for x in hit]
+    # table_exists, NOT table_paths: a manifest lacking the range_ts
+    # key entirely (pre-upgrade index) falls back to the default dir,
+    # which does not exist — paths() would return that phantom path
+    # and the read would crash instead of degrading to unpruned
+    if not manifest.table_exists(spark, index_dir, "range_ts"):
+        out: np.ndarray | None = None
     else:
         lo, hi = parse_ts_range(value)
         bounds = (
@@ -1754,11 +1748,13 @@ def _ts_allowed_ranges(
         if len(rows) > TS_RANGE_LOCAL_MAX:
             out = None
         else:
-            out = sorted(int(r["range_id"]) for r in rows)
+            out = np.array(
+                sorted(int(r["range_id"]) for r in rows), dtype=np.int64
+            )
     while len(_ts_range_cache) >= SCOPE_CACHE_MAX:
         _ts_range_cache.pop(next(iter(_ts_range_cache)))
     _ts_range_cache[key] = out
-    return out
+    return None if out is None else [int(x) for x in out]
 
 
 def _intersect_ranges(
@@ -1771,6 +1767,22 @@ def _intersect_ranges(
     if b is None:
         return a
     return sorted(set(a) & set(b))
+
+
+def _restrict_ranges(spark: SparkSession, blocks: DataFrame, ids):
+    """Apply an allowed-range set to a blocks frame under the
+    plan-size invariant shared with _fetch_blocks: None → untouched,
+    empty → no rows, ≤ ISIN_PUSHDOWN_MAX → In() pushdown into the
+    scan, wider → one broadcast equality join (never a 10^4-literal
+    In() in the plan)."""
+    if ids is None:
+        return blocks
+    if not len(ids):
+        return blocks.filter(F.lit(False))
+    if len(ids) <= ISIN_PUSHDOWN_MAX:
+        return blocks.filter(F.col("range_id").isin([int(r) for r in ids]))
+    surv_df = local_df(spark, [(int(r),) for r in ids], "range_id long")
+    return blocks.join(F.broadcast(surv_df), "range_id")
 
 
 def _scope_nonmatch_ids(
@@ -2013,12 +2025,11 @@ def _pruned_decode(
     surviving = _intersect_ranges(surviving, allowed_ranges)
     if surviving is not None and len(surviving) == 0:
         return local_df(spark, [], DECODED_SCHEMA)
-    blocks = _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets"))
-    if len(surviving) <= ISIN_PUSHDOWN_MAX:
-        blocks = blocks.filter(F.col("range_id").isin(surviving))
-    else:
-        surv_df = local_df(spark, [(r,) for r in surviving], "range_id long")
-        blocks = blocks.join(F.broadcast(surv_df), "range_id")
+    blocks = _restrict_ranges(
+        spark,
+        _query_blocks(spark, index_dir, qterms, term_list, stats.get("n_term_buckets")),
+        surviving,
+    )
     pruned_blocks = blocks.select(*_DECODE_COLS).withColumn(
         "range_bits", F.lit(stats["range_bits"])
     ).withColumn("avgdl", F.lit(stats["avgdl"]))

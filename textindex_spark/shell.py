@@ -187,7 +187,9 @@ class Shell:
             print("at most one lang:/site:/ts: scope per query")
             return
         args = [a for a in args if not a.startswith(("lang:", "site:", "ts:"))]
-        if any("lang:" in a or "site:" in a or "ts:" in a for a in args):
+        if any(
+            a.lstrip("(").startswith(("lang:", "site:", "ts:")) for a in args
+        ):
             # e.g. "(lang:de" — attached to a paren it would become a
             # silently-unmatchable boolean leaf
             print("place lang:/site:/ts: outside the expression, e.g. "

@@ -5,7 +5,8 @@
         --index /path/to/index (--describe | --delete 'url-glob' |
                                 --compact | --append INPUT_PARQUET [--upsert] |
                                 --purge | --versions | --rollback V |
-                                --expire KEEP_LAST [--min-age-sec S]
+                                --expire KEEP_LAST [--min-age-sec S] |
+                                --backfill-range-ts
                                 [--dry-run])
 
 Mirrors the reference's `stats` / `delete` commands
@@ -59,6 +60,12 @@ def main() -> None:
         "orphans older than this (guards in-flight writers)",
     )
     ap.add_argument(
+        "--backfill-range-ts", action="store_true",
+        help="upgrade op: derive the per-range crawl-time bounds "
+        "table for a pre-upgrade index (enables ts:FROM..TO range "
+        "pruning without a rebuild; atomic, idempotent)",
+    )
+    ap.add_argument(
         "--dry-run", action="store_true",
         help="with --expire: report what would be removed, delete nothing",
     )
@@ -67,9 +74,10 @@ def main() -> None:
 
     if not (args.describe or args.delete or args.compact or args.append
             or args.purge or args.versions or args.rollback is not None
-            or args.expire is not None):
+            or args.expire is not None or args.backfill_range_ts):
         ap.error("provide one of --describe / --delete / --compact / "
-                 "--append / --purge / --versions / --rollback / --expire")
+                 "--append / --purge / --versions / --rollback / "
+                 "--expire / --backfill-range-ts")
 
     from textindex_spark.build import (
         append_batch,
@@ -91,6 +99,10 @@ def main() -> None:
         out["deleted"] = delete_docs(spark, args.index, args.delete)
     if args.compact:
         out["compacted_keys"] = compact_postings(spark, args.index)
+    if args.backfill_range_ts:
+        from textindex_spark.build import backfill_range_ts
+
+        out["range_ts_rows"] = backfill_range_ts(spark, args.index)
     if args.purge:
         out["purged_docs"] = purge_deleted(spark, args.index)
     if args.rollback is not None:

@@ -1241,6 +1241,16 @@ def test_ts_range_pruning(spark, index_dir, oracle, rows, tmp_path):
     M.commit(spark, out, set_tables=tables)
     invalidate_cache(out)
     assert _ts_allowed_ranges(spark, out, scope) is None
+
+    # the backfill upgrade op derives the table from the docs scan
+    # and re-enables pruning — atomic commit, idempotent second call
+    from textindex_spark.build import backfill_range_ts
+
+    n = backfill_range_ts(spark, out)
+    assert n == len({r["doc_id"] >> 6 for r in spark.read.parquet(f"{out}/docs").collect()})
+    assert backfill_range_ts(spark, out) == 0  # already present
+    allowed_bf = _ts_allowed_ranges(spark, out, win)
+    assert allowed_bf  # pruning available again, window non-empty
     win = "ts:2025-01-01T00:02:00..2025-01-01T00:08:00"
     got = [
         r["doc_id"]

@@ -1009,6 +1009,38 @@ def append_batch(
     return new_stats
 
 
+def backfill_range_ts(spark: SparkSession, out_dir: str) -> int:
+    """Upgrade op: derive the per-range crawl-time bounds table
+    (``range_ts``) for an index built before it existed, enabling
+    ts-scope time pruning without a rebuild. One 2-column agg over
+    the docs table → a STAGED versioned dir → one atomic manifest
+    commit (idempotent: a retry re-stages the same version-tagged dir;
+    a crash before the commit leaves the snapshot untouched). Returns
+    the number of range rows written; no-op (0) when the current
+    snapshot already carries the table."""
+    if manifest.table_exists(spark, out_dir, "range_ts"):
+        return 0
+    stats = read_stats(spark, out_dir)
+    man = manifest.current_manifest(spark, out_dir)
+    tag = int(man["version"]) if man else 0
+    rts_dir = f"{out_dir}/range_ts_backfill_v{tag}"
+    docs = manifest.read_table(spark, out_dir, "docs")
+    range_ts(docs, int(stats["range_bits"])).write.mode(
+        "overwrite"
+    ).parquet(rts_dir)
+    n = spark.read.schema(manifest.TABLE_SCHEMAS["range_ts"]).parquet(
+        rts_dir
+    ).count()
+    manifest.commit(
+        spark, out_dir,
+        set_tables={"range_ts": [manifest.rel(out_dir, rts_dir)]},
+    )
+    from textindex_spark import query as _q
+
+    _q.invalidate_cache(out_dir)
+    return n
+
+
 def maybe_compact(
     spark: SparkSession, out_dir: str, max_postings_dirs: int = 4
 ) -> int:

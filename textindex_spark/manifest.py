@@ -43,7 +43,9 @@ MANIFEST_DIR = "_manifests"
 _V_RE = re.compile(r"^v(\d{12})\.json$")
 
 # Default (manifest-less) layout: one directory per table.
-DEFAULT_TABLES = ("docs", "postings", "terms", "stats", "deleted", "segments")
+DEFAULT_TABLES = (
+    "docs", "postings", "terms", "stats", "deleted", "segments", "range_ts"
+)
 
 
 def _fs(spark: SparkSession, path: str):

@@ -207,7 +207,13 @@ def test_scoped_bool_matches_bruteforce(spark, index_dir, oracle):
     unchanged — both execution paths equal the brute force filtered
     by the oracle's metadata predicate."""
     q = "qu* AND (spark OR vector)"
-    for scope in ("lang:de", "site:site3.example"):
+    for scope in (
+        "lang:de",
+        "site:site3.example",
+        # crawl-date window (corpus: 2025-01-01Z + 13 s * doc_id);
+        # rides the same funnel + range_ts time pruning
+        "ts:2025-01-01T00:05:00..2025-01-01T00:35:00",
+    ):
         full = oracle_bool(oracle, q, k=10**9)
         want = [
             (d, round(s, 9)) for d, s in full if oracle.scope_ok(d, scope)

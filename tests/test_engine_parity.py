@@ -904,20 +904,22 @@ def test_scope_oversize_complement_distributed(spark, index_dir, oracle, monkeyp
         Qm._scope_ids_cache.clear()
 
 
-def test_scope_on_phrase_near_facets(spark, index_dir, oracle):
+@pytest.mark.parametrize(
+    "scope", ["lang:de", "ts:2025-01-01T00:05:00..2025-01-01T00:35:00"]
+)
+def test_scope_on_phrase_near_facets(spark, index_dir, oracle, scope):
     """The scope matrix is complete: phrase top-k, proximity
     (membership + ranked), and facet counts all accept lang:/site:
-    scopes — each equals the oracle's recomputation filtered by the
-    same metadata predicate (scores/counts unchanged by the
-    filter)."""
+    and ts:A..B scopes — each equals the oracle's recomputation
+    filtered by the same metadata predicate (scores/counts unchanged
+    by the filter). The ts case runs the positional paths through
+    range_ts time pruning."""
     from textindex_spark.query import (
         facet_counts,
         near_docs,
         search_near,
         search_phrase,
     )
-
-    scope = "lang:de"
 
     # phrase: full oracle ranking, filter, take 10
     ph = ["woven", "archive"]
@@ -968,19 +970,19 @@ def test_scope_on_phrase_near_facets(spark, index_dir, oracle):
     assert got_r == want_r and want_r
 
     # facets: scoped counts = per-value counts over in-scope matches
-    base_f = {
-        (r["value"], r["n_docs"])
-        for r in facet_counts(
-            spark, index_dir, ["spark"], by="lang", mode="or"
-        ).collect()
-    }
+    from collections import Counter
+
     got_f = {
         (r["value"], r["n_docs"])
         for r in facet_counts(
             spark, index_dir, ["spark"], by="lang", mode="or", scope=scope
         ).collect()
     }
-    assert got_f == {(v, n) for v, n in base_f if v == "de"} and got_f
+    full_f = oracle.search(["spark"], k=10**9, mode="or")
+    want_f = Counter(
+        oracle.docs[d]["lang"] for d, _ in full_f if oracle.scope_ok(d, scope)
+    )
+    assert got_f == set(want_f.items()) and got_f
 
 
 def test_scope_validation(spark, index_dir):
@@ -1561,7 +1563,8 @@ def test_random_query_differential(spark, index_dir, oracle):
     """Seeded random-query fuzz: 40 generated queries over ALL four
     pattern types (term, glob, ``~d`` fuzzy, ``/regex/``) with
     optional ``^boost`` suffixes, AND/OR, optional NOT exclusion and
-    optional metadata scope — rank-AND-score-identical across the
+    optional metadata scope (lang values and ts crawl-date windows,
+    the latter exercising range_ts time pruning) — rank-AND-score-identical across the
     oracle and all three engine execution paths (query-node,
     distributed, block-max pruned). The per-feature parity tests pin
     each path on curated shapes; this pins their COMPOSITION on
@@ -1594,7 +1597,14 @@ def test_random_query_differential(spark, index_dir, oracle):
         pats = [pattern() for _ in range(rng.randint(1, 3))]
         mode = rng.choice(["and", "or"])
         exclude = [pattern(boost_ok=False)] if rng.random() < 0.4 else None
-        scope = rng.choice([None, None, None, "lang:de", "lang:fr"])
+        scope = rng.choice([
+            None, None, None, "lang:de", "lang:fr",
+            # ts windows hit the range_ts time-pruning paths; the
+            # narrow one often keeps a strict range subset, the late
+            # one is frequently empty
+            "ts:2025-01-01T00:08:00..2025-01-01T00:30:00",
+            "ts:2025-01-01T00:45:00..",
+        ])
         k = rng.choice([5, 10])
         want = [
             (d, round(s, 9))

@@ -2231,6 +2231,7 @@ def _decoded_pos(
     index_dir: str,
     slot_term_lists: list[list[str]],
     stats: dict,
+    allowed_ranges: list[int] | None = None,
 ) -> DataFrame:
     """Positional postings for a conjunctive (phrase/NEAR) query, with
     candidate-range pre-intersection (VERDICT r2: the positional path
@@ -2246,26 +2247,28 @@ def _decoded_pos(
     range_id isin pushdown (row-group skipping; same machinery as the
     block-max pruner). When more than ISIN_PUSHDOWN_MAX ranges survive
     the intersection isn't selective and the pre-pass is dropped —
-    pruning only when it prunes."""
+    pruning only when it prunes.
+
+    ``allowed_ranges`` (ts-scope time pruning) intersects the AND
+    pre-pass — positions are the index's heaviest payload, so
+    skipping out-of-window ranges before the pos_bytes fetch is where
+    range_ts pays most."""
     n_buckets = stats.get("n_term_buckets")
     all_terms = sorted({t for lst in slot_term_lists for t in lst})
     blocks = _query_blocks(spark, index_dir, None, all_terms, n_buckets)
+    ids = allowed_ranges
     if len(slot_term_lists) > 1:
         mask_by_term: dict[str, int] = {}
         for i, lst in enumerate(slot_term_lists):
             for t in lst:
                 mask_by_term[t] = mask_by_term.get(t, 0) | (1 << i)
         full = (1 << len(slot_term_lists)) - 1
-        ids = _and_surviving_ranges(
+        ids = _intersect_ranges(ids, _and_surviving_ranges(
             spark, index_dir, mask_by_term, full, stats, blocks
-        )
-        if ids is not None:
-            blocks = (
-                blocks.filter(F.col("range_id").isin(ids))
-                if ids
-                else blocks.filter(F.lit(False))
-            )
-        # ids None: unselective — keep the unpruned scan
+        ))
+        # AND ids None: unselective — only the time window (if any)
+        # restricts the scan
+    blocks = _restrict_ranges(spark, blocks, ids)
     blocks = blocks.select(*_DECODE_POS_COLS).withColumn(
         "range_bits", F.lit(stats["range_bits"])
     ).withColumn("avgdl", F.lit(stats["avgdl"]))
@@ -2359,7 +2362,11 @@ def _slot_occurrences(
 
 
 def _phrase_frame(
-    spark: SparkSession, index_dir: str, words: list[str], with_score: bool = True
+    spark: SparkSession,
+    index_dir: str,
+    words: list[str],
+    with_score: bool = True,
+    allowed_ranges: list[int] | None = None,
 ) -> DataFrame | None:
     """→ (doc_id, n_occ[, score]) for every doc containing the exact
     phrase, or None when a slot matches nothing in the dictionary
@@ -2397,7 +2404,8 @@ def _phrase_frame(
     # distinct slot pattern occurs, so ranges missing any slot's terms
     # are pruned before pos_bytes is ever read
     decoded = _decoded_pos(
-        spark, index_dir, [slot_terms[p] for p in patterns], stats
+        spark, index_dir, [slot_terms[p] for p in patterns], stats,
+        allowed_ranges=allowed_ranges,
     )
     first_occ: dict[str, int] = {}
     cur = None
@@ -2488,7 +2496,12 @@ def near_docs(
     if any(not slot_terms[p] for p in uniq):
         schema = "doc_id long, n_near int" + (", score double" if with_score else "")
         return local_df(spark, [], schema)
-    decoded = _decoded_pos(spark, index_dir, [slot_terms[p] for p in uniq], stats)
+    decoded = _decoded_pos(
+        spark, index_dir, [slot_terms[p] for p in uniq], stats,
+        allowed_ranges=(
+            _ts_allowed_ranges(spark, index_dir, scope) if scope else None
+        ),
+    )
     if with_score:
         idf_by_term = {
             t: idf(stats["n_docs"], int(d))
@@ -2602,10 +2615,17 @@ def search_phrase(
     """Exact-phrase top-k, ranked by BM25 over the phrase's distinct
     terms (same formula, same doc_id tie-break as ``search``).
     ``exclude``: NOT semantics, one anti-join before top-k.
-    ``scope``: metadata-filtered retrieval (see `search`)."""
+    ``scope``: metadata-filtered retrieval (see `search`); a ts
+    scope additionally time-prunes the positional fetch (range_ts
+    bounds — pos_bytes is the heaviest payload)."""
     if scope:
         parse_scope(scope)
-    frame = _phrase_frame(spark, index_dir, words)
+    frame = _phrase_frame(
+        spark, index_dir, words,
+        allowed_ranges=(
+            _ts_allowed_ranges(spark, index_dir, scope) if scope else None
+        ),
+    )
     if frame is not None and exclude:
         excl_df = _exclusion_docs_df(
             spark, index_dir, exclude, cached_stats(spark, index_dir)

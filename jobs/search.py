@@ -9,7 +9,7 @@
         [--exclude PAT ...]   # NOT: drop docs matching any pattern
         [--scope lang:en]     # metadata-filtered retrieval (lang:V /
                               # site:HOST / ts:FROM..TO); all query
-                              # modes except --files and --similar
+                              # modes except --files
         [--bool "EXPR"]       # nested boolean tree, e.g.
                               #   "spark AND (vector OR merge) AND NOT qu*"
         [--lines DOCS.parquet]  # attach matched lines (snippets) to each
@@ -48,9 +48,10 @@ def main() -> None:
         help="with --near: BM25-ranked top-k instead of (doc, count)",
     )
     ap.add_argument(
-        "--facet", choices=["lang", "site", "month"], default=None,
+        "--facet", choices=["lang", "site", "year", "month", "day"],
+        default=None,
         help="print matched-doc counts per facet value instead of hits "
-        "(month = crawl-date histogram over warc_ts)",
+        "(year/month/day = crawl-date histogram over warc_ts)",
     )
     ap.add_argument(
         "--exclude", nargs="*", default=None, metavar="PAT",
@@ -62,7 +63,7 @@ def main() -> None:
         help="metadata-filtered retrieval: only docs matching "
         "'lang:VALUE', 'site:HOST' or 'ts:FROM..TO' (ISO-8601, UTC, "
         "inclusive; one side may be empty) reach the result (scores/counts "
-        "unchanged); every query mode except --files and --similar, "
+        "unchanged); every query mode except --files, "
         "single-index or --shards",
     )
     ap.add_argument(
@@ -118,11 +119,12 @@ def main() -> None:
     if args.similar is not None and (
         args.terms or args.bool_expr or args.files or args.phrase
         or args.near is not None or args.unranked or args.facet
-        or args.exclude or args.scope or args.lines or args.prune
+        or args.exclude or args.lines or args.prune
         or args.ranked
     ):
         ap.error(
-            "--similar is a standalone mode (only --k/--docs/--index apply)"
+            "--similar is a standalone mode (only --k/--docs/--scope/"
+            "--index apply)"
         )
     if bool(args.index) == bool(args.shards):
         ap.error("provide exactly one of --index / --shards")
@@ -165,7 +167,7 @@ def main() -> None:
 
         rows = more_like_this(
             spark, args.index, spark.read.parquet(args.docs), args.similar,
-            k=args.k, with_urls=True,
+            k=args.k, with_urls=True, scope=args.scope,
         ).collect()
         for r in rows:
             print(json.dumps(r.asDict()))

@@ -728,6 +728,22 @@ def test_more_like_this_matches_oracle(spark, index_dir, rows, oracle):
     with pytest.raises(ValueError, match="not found"):
         more_like_this(spark, index_dir, docs, 10**12)
 
+    # scoped MLT: "similar docs from this slice" — candidates
+    # filtered, term selection and scores unchanged
+    did = probes[-1]
+    for scope in ("lang:de", "ts:2025-01-01T00:05:00..2025-01-01T00:35:00"):
+        want = oracle.more_like_this(did, scope=scope)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in more_like_this(
+                spark, index_dir, docs, did, scope=scope
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], (scope, got[:3])
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9), scope
+        assert want and want != oracle.more_like_this(did)  # scope bites
+
 
 def test_regex_expand_and_rank(spark, index_dir, oracle):
     """Slash-delimited regex terms (engine extension): expansion over
@@ -1095,6 +1111,19 @@ def test_month_facet_matches_oracle(spark, index_dir, oracle, rows, tmp_path):
         ).collect()
     }
     assert got == dict(want) and got
+    # day/year granularities share the machinery; 300 docs * 13 s all
+    # land on one day, so day has one bucket and year one bucket
+    for by, fmt in (("day", "%Y-%m-%d"), ("year", "%Y")):
+        got_g = {
+            r["value"]: r["n_docs"]
+            for r in facet_counts(
+                spark, index_dir, ["spark"], by=by, mode="or"
+            ).collect()
+        }
+        want_g = Counter(
+            oracle.docs[d]["warc_ts"].strftime(fmt) for d, _ in full
+        )
+        assert got_g == dict(want_g) and got_g, by
 
     # multi-month: same corpus, warc_ts spread 40 days apart
     import pyspark.sql.functions as F

@@ -2710,8 +2710,9 @@ def facet_counts(
 
     * ``lang`` — the docs table's language column
     * ``site`` — the url host (``regexp_extract``, codegen'd)
-    * ``month`` — warc_ts truncated to 'yyyy-MM' (date histogram
-      over the crawl fetch time; null fetch time → null bucket)
+    * ``year`` / ``month`` / ``day`` — warc_ts truncated to 'yyyy' /
+      'yyyy-MM' / 'yyyy-MM-dd' (date histogram over the crawl fetch
+      time; null fetch time → null bucket)
 
     Match semantics are exactly ``find_unranked``'s (AND/OR over
     wildcard-expanded patterns, tombstones and ``exclude`` applied).
@@ -2720,8 +2721,10 @@ def facet_counts(
     groupBy(value) count. No collect; the facet agg is map-side
     partial (few distinct values), and the doc_id join broadcasts
     whenever the match set is small."""
-    if by not in ("lang", "site", "month"):
-        raise ValueError("facet by must be 'lang', 'site' or 'month'")
+    if by not in ("lang", "site", "year", "month", "day"):
+        raise ValueError(
+            "facet by must be 'lang', 'site', 'year', 'month' or 'day'"
+        )
     patterns = split_boosts(patterns)[0]  # membership-only: strip
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
@@ -2773,10 +2776,12 @@ def facet_counts(
     elif by == "site":
         facet = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
     else:
-        # crawl-date histogram: month rendered in the session tz
-        # (engine sessions pin UTC — session.py); docs without a
-        # fetch time land in a null bucket
-        facet = F.date_format("warc_ts", "yyyy-MM")
+        # crawl-date histogram at year/month/day granularity,
+        # rendered in the session tz (engine sessions pin UTC —
+        # session.py); docs without a fetch time land in a null
+        # bucket
+        fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}[by]
+        facet = F.date_format("warc_ts", fmt)
     return (
         hits.join(docs.select("doc_id", facet.alias("value")), "doc_id")
         .groupBy("value")
@@ -2808,10 +2813,15 @@ def more_like_this(
     max_terms: int = MLT_MAX_TERMS,
     min_df: int = 1,
     with_urls: bool = False,
+    scope: str | None = None,
 ) -> DataFrame:
     """Query-by-document (engine extension — the Lucene MoreLikeThis
     surface): rank documents similar to ``doc_id``. → (doc_id, score
-    [, url]) like `search`.
+    [, url]) like `search`. ``scope`` restricts the similar-document
+    ranking to a lang:/site:/ts: slice ("similar pages from this
+    site", "similar pages crawled that month") — term selection still
+    reads the UNSCOPED source document; only the ranked candidates
+    are filtered, scores unchanged.
 
     Plan: (1) the source document is re-read from the raw corpus with
     a pushdown point lookup (`doc_id =` prunes the parquet scan — the
@@ -2831,6 +2841,8 @@ def more_like_this(
     from textindex_spark.refimpl.oracle import classify_and_extract
     from textindex_spark.refimpl.txt_tokenize import term_frequencies
 
+    if scope:
+        parse_scope(scope)  # validate before the point lookup
     rows = (
         normalize_input(documents)
         .filter(F.col("doc_id") == int(doc_id))
@@ -2867,7 +2879,7 @@ def more_like_this(
         return empty
     return search(
         spark, index_dir, terms, k=k, mode="or", with_urls=with_urls,
-        exclude_ids=[int(doc_id)],
+        exclude_ids=[int(doc_id)], scope=scope,
     )
 
 

@@ -204,7 +204,12 @@ class OracleIndex:
         return self.idf(term) * tf * (K1 + 1.0) / norm
 
     def more_like_this(
-        self, doc_id: int, k: int = 10, max_terms: int = 10, min_df: int = 1
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_terms: int = 10,
+        min_df: int = 1,
+        scope: str | None = None,
     ) -> list[tuple[int, float]]:
         """Query-by-document (engine extension): the source doc's
         terms ranked by tf·idf (tie-break term asc), top max_terms →
@@ -227,7 +232,7 @@ class OracleIndex:
         terms = [t for t, _ in ranked[:max_terms]]
         if not terms:
             return []
-        full = self.search(terms, k + 1, mode="or")
+        full = self.search(terms, k + 1, mode="or", scope=scope)
         return [(d, s) for d, s in full if d != doc_id][:k]
 
     def suggest(self, word: str, n: int = 5, max_dist: int = 2):

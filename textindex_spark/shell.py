@@ -49,7 +49,7 @@ stats base | debug | <word>
 find <match...> [-exclude...] [lang:V|site:HOST|ts:A..B]   globs, fuzzy, scope
 bool <expr>            e.g. bool spark AND (vector OR merge) AND NOT qu*
 suggest <word>         did-you-mean spelling suggestions
-similar <doc_id>       more-like-this: docs similar to a document
+similar <doc_id> [scope]   more-like-this: docs similar to a document
 files <match>
 summary <nr>
 delete <file-match>
@@ -306,9 +306,12 @@ class Shell:
 
     def _cmd_similar(self, args: list[str]) -> None:
         # more-like-this (engine extension): rank docs similar to a
-        # doc_id; needs the raw corpus for the source point lookup
-        if len(args) != 1 or not args[0].lstrip("-").isdigit():
-            print("usage: similar <doc_id>")
+        # doc_id; needs the raw corpus for the source point lookup.
+        # An optional lang:/site:/ts: token restricts the candidates.
+        scopes = [a for a in args if a.startswith(("lang:", "site:", "ts:"))]
+        args = [a for a in args if a not in scopes]
+        if len(args) != 1 or not args[0].lstrip("-").isdigit() or len(scopes) > 1:
+            print("usage: similar <doc_id> [lang:V|site:HOST|ts:A..B]")
             return
         if self.docs_path is None:
             print("similar needs the raw corpus (open the shell with --docs)")
@@ -319,7 +322,7 @@ class Shell:
             rows = more_like_this(
                 self.spark, self.index_dir,
                 self.spark.read.parquet(self.docs_path), int(args[0]),
-                with_urls=True,
+                with_urls=True, scope=scopes[0] if scopes else None,
             ).collect()
         except ValueError as e:
             print(e)

@@ -223,6 +223,39 @@ def test_sharded_search_matches_single_index(spark, rows, oracle, tmp_path_facto
         assert [d for d, _ in got] == [d for d, _ in want], local
         for (_, gs), (_, ws) in zip(got, want):
             assert math.isclose(gs, ws, rel_tol=1e-9)
+    # a ts window covering only the SECOND shard's crawl period:
+    # results equal the union-index oracle (global stats), and the
+    # out-of-window shard is provably skippable — its range_ts bounds
+    # yield zero allowed ranges, the shard-per-crawl-month federation
+    # shape (shard 1 = rows 0..159 → times 00:00:00..00:34:27)
+    from textindex_spark.query import _ts_allowed_ranges
+
+    win = "ts:2025-01-01T00:40:00..2025-01-01T00:55:00"
+    assert _ts_allowed_ranges(spark, d1, win) == []
+    assert _ts_allowed_ranges(spark, d2, win)
+    want = oracle.search(["spark", "vector"], 10, mode="or", scope=win)
+    assert want
+    for local in (None, False):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_sharded(
+                spark, [d1, d2], ["spark", "vector"], k=10, mode="or",
+                with_urls=False, local_score=local, scope=win,
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], local
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9)
+
+    # a window past every shard's crawl period: all shards skip,
+    # both paths return empty
+    for local in (None, False):
+        assert search_sharded(
+            spark, [d1, d2], ["spark", "vector"], k=10, mode="or",
+            with_urls=False, local_score=local,
+            scope="ts:2030-01-01..2031-01-01",
+        ).collect() == [], local
+
     # metadata scope federates the same way (each shard's docs table
     # answers the predicate for its own docs)
     want = oracle.search(["spark", "vector"], 10, mode="or", scope="lang:fr")
@@ -1440,7 +1473,10 @@ def test_empty_corpus_index(spark, tmp_path):
     assert phrase_docs(spark, out, ["blackbird", "catfish"]).collect() == []
     assert near_docs(spark, out, ["blackbird", "catfish"]).collect() == []
     rows = {k: v["rows"] for k, v in describe_index(spark, out)["tables"].items()}
-    assert rows == {"docs": 0, "postings": 0, "terms": 0, "stats": 1, "segments": 0}
+    assert rows == {
+        "docs": 0, "postings": 0, "terms": 0, "stats": 1, "segments": 0,
+        "range_ts": 0,
+    }
 
 
 def test_phrase_wildcard_slots(spark, index_dir, oracle):

@@ -1293,6 +1293,16 @@ def search_sharded(
             e = expansions[i]
             if len(e) == 0:
                 continue
+            ts_r = _ts_allowed_ranges(spark, d, scope) if scope else None
+            if ts_r is not None and len(ts_r) == 0:
+                # shard-level time pruning: the shard's crawl period
+                # misses the window entirely — contribute nothing and
+                # launch nothing (the shard-per-crawl-month federation
+                # shape: a 1-month window touches ONE shard of a
+                # multi-year federation). Global df/avgdl above still
+                # counted this shard — scores are unchanged, exactly
+                # as if its empty contribution had been unioned in.
+                continue
             terms_s = sorted(set(e["term"]))
             ti = tinfo.loc[terms_s].reset_index()
             qterms = spark.createDataFrame(ti[["term", "idf", "mask"]])
@@ -1304,9 +1314,7 @@ def search_sharded(
                 )
             decoded = _decoded_postings(
                 spark, d, qterms, stats_list[i], terms_s, and_masks=and_masks,
-                allowed_ranges=(
-                    _ts_allowed_ranges(spark, d, scope) if scope else None
-                ),
+                allowed_ranges=ts_r,
             )
             w = (
                 F.col("idf")
@@ -1339,6 +1347,12 @@ def search_sharded(
             scored_frames.append(
                 sc.select("doc_id", "score", *(["url"] if with_urls else []))
             )
+        if not scored_frames:
+            # every matching shard was time-pruned away
+            empty_s = local_df(spark, [], "doc_id long, score double")
+            if with_urls:
+                empty_s = empty_s.withColumn("url", F.lit(None).cast("string"))
+            return empty_s
         merged = scored_frames[0]
         for f in scored_frames[1:]:
             merged = merged.unionByName(f)

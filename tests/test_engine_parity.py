@@ -1315,7 +1315,6 @@ def test_ts_range_pruning(spark, index_dir, oracle, rows, tmp_path):
     assert backfill_range_ts(spark, out) == 0  # already present
     allowed_bf = _ts_allowed_ranges(spark, out, win)
     assert allowed_bf  # pruning available again, window non-empty
-    win = "ts:2025-01-01T00:02:00..2025-01-01T00:08:00"
     got = [
         r["doc_id"]
         for r in search(

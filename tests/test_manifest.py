@@ -296,3 +296,74 @@ def test_expire_rerun_reclaims_after_crash_between_phases(spark, index_dir):
         for rel in rels:
             assert os.path.exists(f"{index_dir}/{rel}"), (name, rel)
     assert _topk(spark, index_dir) == before
+
+
+def test_conditional_commit_and_backfill_conflict(spark, tmp_path):
+    """`commit(require_tables=)` is a conditional publish: the named
+    table's dir list must be current at the version the commit lands
+    on, else CommitConflict and NO new version. backfill_range_ts
+    uses it so a concurrent append between its docs scan and its
+    publish re-derives instead of committing a bounds table that
+    silently prunes the appended ranges."""
+    import glob
+    import json
+    import shutil
+
+    from textindex_spark.build import backfill_range_ts, build_index
+    from textindex_spark.corpus import synth_corpus
+    from textindex_spark.query import _ts_allowed_ranges, invalidate_cache
+
+    rows = synth_corpus(80, seed=11)
+    out = str(tmp_path / "idx")
+    build_index(spark, corpus_df(spark, rows), out, range_bits=5)
+
+    v0 = manifest.current_manifest(spark, out)["version"]
+    with pytest.raises(manifest.CommitConflict):
+        manifest.commit(
+            spark, out,
+            set_tables={"range_ts": ["bogus_dir"]},
+            require_tables={"docs": ["not", "the", "current", "dirs"]},
+        )
+    assert manifest.current_manifest(spark, out)["version"] == v0
+
+    # strip range_ts (pre-upgrade shape), then backfill under a
+    # first-attempt conflict: the loop must re-derive and succeed
+    man_file = sorted(glob.glob(f"{out}/_manifests/v*.json"))[-1]
+    man = json.loads(open(man_file).read())
+    del man["tables"]["range_ts"]
+    open(man_file, "w").write(json.dumps(man))
+    shutil.rmtree(f"{out}/range_ts")
+    invalidate_cache(out)
+
+    real_commit = manifest.commit
+    calls = {"n": 0}
+
+    def flaky_commit(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise manifest.CommitConflict("simulated concurrent append")
+        return real_commit(*a, **kw)
+
+    import textindex_spark.build as B_mod
+
+    orig = B_mod.manifest.commit
+    B_mod.manifest.commit = flaky_commit
+    try:
+        n = backfill_range_ts(spark, out)
+    finally:
+        B_mod.manifest.commit = orig
+    assert calls["n"] == 2 and n > 0
+    invalidate_cache(out)
+    assert _ts_allowed_ranges(
+        spark, out, "ts:2025-01-01T00:00:00..2025-01-01T00:20:00"
+    )
+
+    # aborted-backfill staging dirs are expire-reclaimable (the
+    # _backfill_ pattern joined _GEN_DIR_RE)
+    import os
+
+    os.makedirs(f"{out}/range_ts_backfill_v99", exist_ok=True)
+    open(f"{out}/range_ts_backfill_v99/part-0.parquet", "w").close()
+    rep = manifest.expire_snapshots(spark, out, keep_last=1, min_age_sec=0)
+    assert "range_ts_backfill_v99" in rep["removed_dirs"]
+    assert not os.path.exists(f"{out}/range_ts_backfill_v99")

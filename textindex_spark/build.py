@@ -1017,28 +1017,47 @@ def backfill_range_ts(spark: SparkSession, out_dir: str) -> int:
     commit (idempotent: a retry re-stages the same version-tagged dir;
     a crash before the commit leaves the snapshot untouched). Returns
     the number of range rows written; no-op (0) when the current
-    snapshot already carries the table."""
-    if manifest.table_exists(spark, out_dir, "range_ts"):
-        return 0
+    snapshot already carries the table. Concurrent-append safe: the
+    publish is a conditional commit on the docs dir list the bounds
+    were derived from (manifest.CommitConflict → re-derive)."""
     stats = read_stats(spark, out_dir)
-    man = manifest.current_manifest(spark, out_dir)
-    tag = int(man["version"]) if man else 0
-    rts_dir = f"{out_dir}/range_ts_backfill_v{tag}"
-    docs = manifest.read_table(spark, out_dir, "docs")
-    range_ts(docs, int(stats["range_bits"])).write.mode(
-        "overwrite"
-    ).parquet(rts_dir)
-    n = spark.read.schema(manifest.TABLE_SCHEMAS["range_ts"]).parquet(
-        rts_dir
-    ).count()
-    manifest.commit(
-        spark, out_dir,
-        set_tables={"range_ts": [manifest.rel(out_dir, rts_dir)]},
-    )
-    from textindex_spark import query as _q
+    for _ in range(5):
+        if manifest.table_exists(spark, out_dir, "range_ts"):
+            return 0
+        man = manifest.current_manifest(spark, out_dir)
+        tag = int(man["version"]) if man else 0
+        rts_dir = f"{out_dir}/range_ts_backfill_v{tag}"
+        docs = manifest.read_table(spark, out_dir, "docs")
+        range_ts(docs, int(stats["range_bits"])).write.mode(
+            "overwrite"
+        ).parquet(rts_dir)
+        n = spark.read.schema(manifest.TABLE_SCHEMAS["range_ts"]).parquet(
+            rts_dir
+        ).count()
+        try:
+            # CONDITIONAL commit: the staged bounds must cover the
+            # WHOLE docs table, so the publish requires the docs dir
+            # list it was derived from to still be current — a
+            # concurrent append/purge between the scan and the commit
+            # raises CommitConflict and the loop re-derives against
+            # the new snapshot (a partial bounds table would silently
+            # prune the ranges it misses)
+            manifest.commit(
+                spark, out_dir,
+                set_tables={"range_ts": [manifest.rel(out_dir, rts_dir)]},
+                require_tables={
+                    "docs": list(man["tables"].get("docs", ["docs"]))
+                } if man else None,
+            )
+        except manifest.CommitConflict:
+            continue
+        from textindex_spark import query as _q
 
-    _q.invalidate_cache(out_dir)
-    return n
+        _q.invalidate_cache(out_dir)
+        return n
+    raise RuntimeError(
+        f"backfill_range_ts: persistent commit contention at {out_dir}"
+    )
 
 
 def maybe_compact(

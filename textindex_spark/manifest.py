@@ -319,6 +319,12 @@ def get_prop(spark: SparkSession, index_dir: str, key: str, default=None):
     return man.get("props", {}).get(key, default)
 
 
+class CommitConflict(RuntimeError):
+    """A conditional commit found ``require_tables`` out of date: a
+    concurrent commit changed a table the caller derived its staged
+    data from. Callers re-derive against the new snapshot and retry."""
+
+
 def commit(
     spark: SparkSession,
     index_dir: str,
@@ -326,6 +332,7 @@ def commit(
     add_to_tables: dict[str, list[str]] | None = None,
     props: dict | None = None,
     replace_props: bool = False,
+    require_tables: dict[str, list[str]] | None = None,
 ) -> dict:
     """Publish a new snapshot: ``set_tables`` replaces a table's
     directory list (relative paths), ``add_to_tables`` appends to it,
@@ -333,7 +340,16 @@ def commit(
     (``replace_props=True`` substitutes them wholesale — rollback
     must not leak props committed after the target snapshot, e.g.
     stream batch-id replay guards). Retries the version race a few
-    times; returns the committed manifest."""
+    times; returns the committed manifest.
+
+    ``require_tables`` makes the commit CONDITIONAL: each named
+    table's current dir list must equal the given value at the
+    version this commit lands on, else CommitConflict. Because the
+    version file write is create-if-absent (a CAS), the check and the
+    publish are atomic together — a derive-stage-commit caller (e.g.
+    ``backfill_range_ts``, whose staged bounds must cover the WHOLE
+    docs table) can prove no concurrent append/purge slipped between
+    its source scan and its publish."""
     for _ in range(16):
         man = current_manifest(spark, index_dir)
         if man is None:
@@ -346,6 +362,14 @@ def commit(
         else:
             tables = {k: list(v) for k, v in man.get("tables", {}).items()}
             version, mprops = int(man["version"]), dict(man.get("props", {}))
+        if require_tables is not None:
+            for t, want in require_tables.items():
+                if tables.get(t, []) != list(want):
+                    raise CommitConflict(
+                        f"table {t!r} changed since the caller's source "
+                        f"scan at {index_dir} (have {tables.get(t, [])}, "
+                        f"derived from {list(want)})"
+                    )
         for t, paths in (set_tables or {}).items():
             tables[t] = list(paths)
         for t, paths in (add_to_tables or {}).items():
@@ -436,7 +460,7 @@ def rebind_stream(
 # compact / consolidate / refit / purge / explicit staging) — the only
 # names expire_snapshots may treat as never-committed orphans.
 _GEN_DIR_RE = re.compile(
-    r"_(stage|append|compact|consolidated|refit)_"  # staged table dirs
+    r"_(stage|append|compact|consolidated|refit|backfill)_"  # staged dirs
     r"|^purge_\d+$"                                 # purge subtrees
     r"|^(deleted|stats_del)_\d+$"                   # delete-commit dirs
     r"|_b\d+_v\d+$"                                 # streaming state folds

@@ -1349,10 +1349,7 @@ def search_sharded(
             )
         if not scored_frames:
             # every matching shard was time-pruned away
-            empty_s = local_df(spark, [], "doc_id long, score double")
-            if with_urls:
-                empty_s = empty_s.withColumn("url", F.lit(None).cast("string"))
-            return empty_s
+            return _empty_result(spark, with_urls)
         merged = scored_frames[0]
         for f in scored_frames[1:]:
             merged = merged.unionByName(f)
@@ -1781,6 +1778,14 @@ def _intersect_ranges(
     if b is None:
         return a
     return sorted(set(a) & set(b))
+
+
+def _empty_result(spark: SparkSession, with_urls: bool) -> DataFrame:
+    """The empty ranked-result frame in `search`'s output shape."""
+    empty = local_df(spark, [], "doc_id long, score double")
+    if with_urls:
+        empty = empty.withColumn("url", F.lit(None).cast("string"))
+    return empty
 
 
 def _restrict_ranges(spark: SparkSession, blocks: DataFrame, ids):
@@ -2870,9 +2875,7 @@ def more_like_this(
     kind, text, _ = classify_and_extract(
         r["url"], r["html"] or b"", r["text"] or ""
     )
-    empty = local_df(spark, [], "doc_id long, score double")
-    if with_urls:
-        empty = empty.withColumn("url", F.lit(None).cast("string"))
+    empty = _empty_result(spark, with_urls)
     if kind == filters.IGNORE:
         return empty
     tf, _dl = term_frequencies(text)

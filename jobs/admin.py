@@ -3,6 +3,7 @@
 
     spark-submit --py-files textindex_spark.zip jobs/admin.py \
         --index /path/to/index (--describe | --delete 'url-glob' |
+                                --delete-before ISO_TS |
                                 --compact | --append INPUT_PARQUET [--upsert] |
                                 --purge | --versions | --rollback V |
                                 --expire KEEP_LAST [--min-age-sec S] |
@@ -25,6 +26,12 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--describe", action="store_true")
     ap.add_argument("--delete", default=None, metavar="URL_GLOB")
+    ap.add_argument(
+        "--delete-before", default=None, metavar="ISO_TS",
+        help="retention delete: tombstone docs with warc_ts strictly "
+        "before this ISO-8601 UTC instant (null fetch times kept); "
+        "physically reclaimed by --purge",
+    )
     ap.add_argument("--compact", action="store_true")
     ap.add_argument(
         "--purge", action="store_true",
@@ -72,11 +79,12 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
-    if not (args.describe or args.delete or args.compact or args.append
+    if not (args.describe or args.delete or args.delete_before
+            or args.compact or args.append
             or args.purge or args.versions or args.rollback is not None
             or args.expire is not None or args.backfill_range_ts):
-        ap.error("provide one of --describe / --delete / --compact / "
-                 "--append / --purge / --versions / --rollback / "
+        ap.error("provide one of --describe / --delete / --delete-before / "
+                 "--compact / --append / --purge / --versions / --rollback / "
                  "--expire / --backfill-range-ts")
 
     from textindex_spark.build import (
@@ -97,6 +105,12 @@ def main() -> None:
         )
     if args.delete:
         out["deleted"] = delete_docs(spark, args.index, args.delete)
+    if args.delete_before:
+        from textindex_spark.query import delete_before
+
+        out["deleted_before"] = delete_before(
+            spark, args.index, args.delete_before
+        )
     if args.compact:
         out["compacted_keys"] = compact_postings(spark, args.index)
     if args.backfill_range_ts:

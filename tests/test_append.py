@@ -109,9 +109,23 @@ def test_maybe_compact_policy(spark, rows, dirs):
     assert n_dirs >= 2  # base + at least one append
     assert maybe_compact(spark, inc_dir, max_postings_dirs=n_dirs + 1) == 0
     assert len(manifest.table_paths(spark, inc_dir, "postings")) == n_dirs
+    rts_before = {
+        r["range_id"]: (r["min_ts"], r["max_ts"])
+        for r in manifest.read_table(spark, inc_dir, "range_ts")
+        .groupBy("range_id")
+        .agg(F.min("min_ts").alias("min_ts"), F.max("max_ts").alias("max_ts"))
+        .collect()
+    }
     maybe_compact(spark, inc_dir, max_postings_dirs=n_dirs)
     # triggered: dirs fold to one (via key merge or consolidation)
     assert len(manifest.table_paths(spark, inc_dir, "postings")) == 1
+    # the per-append range_ts dirs fold too, bounds unchanged
+    assert len(manifest.table_paths(spark, inc_dir, "range_ts")) == 1
+    rts_after = {
+        r["range_id"]: (r["min_ts"], r["max_ts"])
+        for r in manifest.read_table(spark, inc_dir, "range_ts").collect()
+    }
+    assert rts_after == rts_before
     # and the index still answers identically
     extra_appended = (
         manifest.read_table(spark, inc_dir, "docs")

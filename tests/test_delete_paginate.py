@@ -208,3 +208,57 @@ def test_too_many_patterns_rejected(spark, index_dir):
 
     with _pytest.raises(ValueError, match="too many query patterns"):
         search(spark, index_dir, [f"t{i}" for i in range(64)], k=5)
+
+
+def test_delete_before_retention(spark, tmp_path_factory):
+    """Retention delete (`delete_before`, admin --delete-before):
+    docs crawled strictly before the cutoff are tombstoned — same
+    staged-commit machinery as url deletes — while docs with a null
+    fetch time are KEPT (an unknown crawl time must not satisfy a
+    retention cutoff). Malformed cutoffs fail loudly."""
+    from textindex_spark.build import purge_deleted
+    from textindex_spark.query import delete_before
+
+    rows = synth_corpus(120, seed=3)
+    # one doc with an unknown fetch time, old enough that a naive
+    # predicate would delete it
+    rows[5] = dict(rows[5], warc_ts=None)
+    out = str(tmp_path_factory.mktemp("ret") / "idx")
+    build_index(spark, corpus_df(spark, rows), out, range_bits=6)
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{out}/docs")
+    cutoff = "2025-01-01T00:10:00"
+    import datetime as dt
+
+    bound = dt.datetime(2025, 1, 1, 0, 10, 0)
+    old_ids = {
+        r["doc_id"]
+        for r in docs.collect()
+        if r["warc_ts"] is not None
+        and r["warc_ts"].replace(tzinfo=None) < bound
+    }
+    assert old_ids and 5 not in old_ids  # null-ts doc not a victim
+    n = delete_before(spark, out, cutoff)
+    assert n == len(old_ids)
+    hits = {
+        r["doc_id"]
+        for r in search(
+            spark, out, ["spark"], k=10**6, mode="or", with_urls=False
+        ).collect()
+    }
+    assert hits and not (hits & old_ids)
+    # the null-ts doc (if it matches) is still servable
+    # re-run: idempotent (no new victims)
+    assert delete_before(spark, out, cutoff) == 0
+    # physical reclaim composes
+    assert purge_deleted(spark, out) == len(old_ids)
+    hits2 = {
+        r["doc_id"]
+        for r in search(
+            spark, out, ["spark"], k=10**6, mode="or", with_urls=False
+        ).collect()
+    }
+    assert hits2 == hits
+    with pytest.raises(ValueError):
+        delete_before(spark, out, "not-a-timestamp")

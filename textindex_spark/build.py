@@ -1072,6 +1072,13 @@ def maybe_compact(
     (0 = not triggered or nothing split)."""
     from textindex_spark import manifest as _m
 
+    if (
+        _m.table_exists(spark, out_dir, "range_ts")
+        and len(_m.table_paths(spark, out_dir, "range_ts")) >= max_postings_dirs
+    ):
+        # per-append bounds dirs grow like postings dirs; fold them
+        # into one aggregated dir (cheap: n_ranges rows)
+        _consolidate_range_ts(spark, out_dir)
     if len(_m.table_paths(spark, out_dir, "postings")) < max_postings_dirs:
         return 0
     merged = compact_postings(spark, out_dir)
@@ -1082,6 +1089,43 @@ def maybe_compact(
         # into one bucketed table
         _consolidate_postings(spark, out_dir)
     return merged
+
+
+def _consolidate_range_ts(spark: SparkSession, out_dir: str) -> None:
+    """Fold the range_ts table's per-append dirs into ONE aggregated
+    dir (min/max per range — the same reduction the query loader does
+    on the fly) and commit atomically. Conditional on the range_ts
+    dir list itself: a concurrent append staging new bounds must not
+    be silently dropped by the rewrite (CommitConflict → skip; the
+    next maintenance call retries)."""
+    man = manifest.current_manifest(spark, out_dir)
+    gen = (int(man["version"]) + 1) if man else 1
+    new_dir = f"{out_dir}/range_ts_compact_{gen}"
+    (
+        manifest.read_table(spark, out_dir, "range_ts")
+        .groupBy("range_id")
+        .agg(
+            F.min("min_ts").alias("min_ts"),
+            F.max("max_ts").alias("max_ts"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new_dir)
+    )
+    try:
+        manifest.commit(
+            spark, out_dir,
+            set_tables={"range_ts": [manifest.rel(out_dir, new_dir)]},
+            require_tables={
+                "range_ts": list(man["tables"].get("range_ts", ["range_ts"]))
+            } if man else None,
+        )
+    except manifest.CommitConflict:
+        return
+    from textindex_spark import query as _q
+
+    _q.invalidate_cache(out_dir)
 
 
 def _consolidate_postings(spark: SparkSession, out_dir: str) -> None:

@@ -32,7 +32,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from textindex_spark import manifest
@@ -2161,6 +2161,27 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
     snapshot intact). ``compact_postings``-style physical purge can
     follow offline."""
     rx = wildcard_to_regex(url_pattern).pattern
+    return _delete_where(spark, index_dir, F.col("url").rlike(f"^(?s:{rx})$"))
+
+
+def delete_before(spark: SparkSession, index_dir: str, cutoff: str) -> int:
+    """Retention delete: tombstone every doc whose crawl fetch time is
+    STRICTLY BEFORE the ISO-8601 UTC ``cutoff`` ("purge everything
+    crawled before 2024") — the data-retention companion of
+    ``delete_docs``, same staged tombstones + stats + one atomic
+    commit, physically reclaimed by ``purge_deleted``. Docs with a
+    null warc_ts are KEPT (an unknown fetch time must not satisfy a
+    retention cutoff); the predicate pushes down to the docs scan."""
+    lo = parse_ts_range(f"..{cutoff}")[1]  # reuse the scope ISO parse
+    return _delete_where(
+        spark, index_dir, F.col("warc_ts") < F.timestamp_seconds(F.lit(lo))
+    )
+
+
+def _delete_where(spark: SparkSession, index_dir: str, pred: Column) -> int:
+    """Shared tombstone machinery: docs matching ``pred`` (and not
+    already dead) become a staged ``deleted`` part + recomputed live
+    stats, published atomically."""
     docs = _cached_table(spark, index_dir, "docs")
     old_dead = (
         _tombstones(spark, index_dir) or local_df(spark, [], "doc_id long")
@@ -2171,7 +2192,7 @@ def delete_docs(spark: SparkSession, index_dir: str, url_pattern: str) -> int:
     # reported count and prematurely trip TOMBSTONE_LOCAL_MAX's
     # row-count cap, disabling the zero-job serving path (review r4)
     victims = (
-        docs.filter(F.col("url").rlike(f"^(?s:{rx})$"))
+        docs.filter(pred)
         .select("doc_id")
         .join(old_dead, "doc_id", "left_anti")
     )

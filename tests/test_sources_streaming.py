@@ -90,6 +90,40 @@ def test_read_warc_roundtrip(spark, rows, tmp_path):
         assert got[r["url"]]["warc_ts"].replace(tzinfo=None) == r["warc_ts"].replace(tzinfo=None)
 
 
+def test_warc_to_ts_scope_end_to_end(spark, rows, tmp_path):
+    """The crawl-date dimension works from REAL warc input: WARC-Date
+    → read_warc's warc_ts → the docs table → ts-scoped retrieval +
+    range_ts time pruning — no column is lost anywhere in the chain
+    (rows fixture: html pages with warc_ts = 2025-01-01Z + 13 s·i)."""
+    from textindex_spark.build import build_index
+    from textindex_spark.query import _ts_allowed_ranges
+
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(make_warc(rows))
+    out = str(tmp_path / "warc_idx")
+    build_index(spark, read_warc(spark, [str(p)]), out, range_bits=4)
+    docs = {r["url"]: r for r in spark.read.parquet(f"{out}/docs").collect()}
+    assert len(docs) == len(rows)
+    for r in rows:
+        assert (
+            docs[r["url"]]["warc_ts"].replace(tzinfo=None)
+            == r["warc_ts"].replace(tzinfo=None)
+        ), r["url"]
+    # a window over the first half of the crawl
+    mid = rows[len(rows) // 2]["warc_ts"].strftime("%Y-%m-%dT%H:%M:%S")
+    win = f"ts:..{mid}"
+    assert _ts_allowed_ranges(spark, out, win) is not None
+    hits = search(
+        spark, out, ["*"], k=10**6, mode="or", with_urls=True, scope=win
+    ).collect()
+    in_window = {
+        r["url"] for r in rows
+        if r["warc_ts"].replace(tzinfo=None)
+        <= rows[len(rows) // 2]["warc_ts"].replace(tzinfo=None)
+    }
+    assert {r["url"] for r in hits} == in_window and hits
+
+
 def test_stream_index_incremental(spark, tmp_path):
     rows = synth_corpus(150)
     src = tmp_path / "incoming"

@@ -76,6 +76,57 @@ def canonical_url_col(url: Column) -> Column:
     return F.when(scheme == "", url).otherwise(rebuilt)
 
 
+def with_canonical_url(df: DataFrame, url_col: str, out_col: str) -> DataFrame:
+    """Add ``out_col`` = canonical form of ``url_col`` — the SAME
+    semantics as `canonical_url_col`, staged through named
+    projections so each sub-expression is computed once and referenced
+    as an attribute. Use this form when the input column is itself a
+    derived expression (e.g. a resolved href): composing
+    `canonical_url_col` over a non-trivial input duplicates the
+    input's tree at every internal reference and the serialized plan
+    grows ~10× (measured 60 KB → 693 KB on the link-extraction plan).
+    Parity with the Column form is test-pinned
+    (`test_links.test_with_canonical_url_matches_column_form`)."""
+    passthru = [c for c in df.columns if c != out_col]
+    url = F.col(url_col)
+    s = df.select(
+        *passthru,
+        F.lower(F.regexp_extract(url, _SCHEME_RE, 1)).alias("_csch"),
+        F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1)).alias("_chp"),
+        F.regexp_extract(url, _PATH_RE, 1).alias("_cp0"),
+        F.regexp_extract(url, _QUERY_RE, 1).alias("_cq0"),
+    )
+    host = (
+        F.when(F.col("_csch") == "http", F.regexp_replace("_chp", ":80$", ""))
+        .when(F.col("_csch") == "https", F.regexp_replace("_chp", ":443$", ""))
+        .otherwise(F.col("_chp"))
+    )
+    path = F.when(F.col("_cp0") == "", F.lit("/")).otherwise(F.col("_cp0"))
+    keep_params = F.filter(
+        F.split(F.col("_cq0"), "&"),
+        lambda p: (p != "")
+        & ~p.startswith(TRACKING_PARAM_PREFIX)
+        & ~F.element_at(F.split(p, "="), 1).isin(*TRACKING_PARAMS),
+    )
+    s = s.select(
+        "*",
+        host.alias("_chost"),
+        path.alias("_cpath"),
+        F.array_join(F.array_sort(keep_params), "&").alias("_ccq"),
+    )
+    rebuilt = F.concat(
+        F.col("_csch"),
+        F.lit("://"),
+        F.col("_chost"),
+        F.col("_cpath"),
+        F.when(
+            F.col("_ccq") != "", F.concat(F.lit("?"), F.col("_ccq"))
+        ).otherwise(F.lit("")),
+    )
+    out = F.when(F.col("_csch") == "", url).otherwise(rebuilt)
+    return s.select(*passthru, out.alias(out_col))
+
+
 def url_snapshot_dedup(
     pages: DataFrame,
     url_col: str = "url",

@@ -992,7 +992,8 @@ def q_facets_all(spark, sf_dir):
 
 
 def q_phrase_ops(spark, sf_dir):
-    """phrase_match + phrase_rank folded → (variant, doc_id, val)."""
+    """phrase_match + phrase_rank + phrase_rank_wildcard folded →
+    (variant, doc_id, val)."""
     m = q_phrase_match(spark, sf_dir).select(
         F.lit("match").alias("variant"), "doc_id",
         F.col("n_occ").cast("long").alias("val"),
@@ -1001,7 +1002,11 @@ def q_phrase_ops(spark, sf_dir):
         F.lit("rank").alias("variant"), "doc_id",
         F.col("score_micro").alias("val"),
     )
-    return m.unionByName(r)
+    w = q_phrase_rank_wildcard(spark, sf_dir).select(
+        F.lit("rank_wild").alias("variant"), "doc_id",
+        F.col("score_micro").alias("val"),
+    )
+    return m.unionByName(r).unionByName(w)
 
 
 def q_near_ops(spark, sf_dir):
@@ -1115,8 +1120,96 @@ def q_sharded_ops(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_link_graph(spark, sf_dir):
+    """Link-graph family (`ops/links.py`), union-tagged:
+
+    * 'extract' — both engines mint the SAME html string per document
+      (three anchors: an absolute href with uppercase scheme/host,
+      default port and a tracking param; a relative ``../`` href with
+      unsorted query params and rel=nofollow on even doc_ids; a
+      mailto dropped by the scheme filter). The engine runs the real
+      extraction pipeline (element regex → href pull → RFC 3986
+      resolution → canonicalization); the oracle CONSTRUCTS the
+      expected canonical destinations arithmetically from doc_id —
+      an independent derivation, not a re-parse.
+    * 'deg' — in/out degrees over a minted host edge list
+      (two edges per doc on a 97-host ring, self-loops dropped,
+      duplicate host pairs pre-aggregated).
+    * 'pr' — 4 PageRank iterations over the same host graph
+      (weighted shares, dangling mass redistributed uniformly); the
+      oracle unrolls the iterations as chained CTEs. rank → micro.
+    """
+    from textindex_spark.ops import links as LNK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit('<p>x</p><a href="HTTP://Site'), (d % 7).cast("string"),
+        F.lit(".Example.com:80/p/"), ds,
+        F.lit("?utm_x=1&b="), (d % 3).cast("string"),
+        F.lit('">go <b>'), ds, F.lit("</b></a>"),
+        F.when(d % 2 == 0, F.lit("<a rel=\"nofollow\" href='../d"))
+        .otherwise(F.lit("<a href='../d")),
+        (d % 5).cast("string"),
+        F.lit("/p.html?z=2&a=1'>rel</a>"),
+        F.lit('<a href="mailto:x@y.z">m</a>'),
+    )
+    src = F.concat(
+        F.lit("http://host"), (d % 11).cast("string"),
+        F.lit(".example/a/b/page"), ds, F.lit(".html"),
+    )
+    pages = docs.select(d.alias("doc_id"), src.alias("url"), html.alias("html"))
+    links = LNK.extract_links(pages, keep_cols=("doc_id",))
+    ext = links.select(
+        F.lit("extract").alias("variant"),
+        F.col("dst_url").alias("k"),
+        F.col("doc_id").alias("a"),
+        F.col("nofollow").cast("long").alias("b"),
+        F.col("anchor").alias("c"),
+    )
+    h = F.concat(F.lit("h"), (d % 97).cast("string"))
+    e = (
+        docs.select(
+            h.alias("src_host"),
+            F.concat(F.lit("h"), ((d * 7 + 3) % 97).cast("string")).alias(
+                "dst_host"
+            ),
+            F.lit(1).cast("long").alias("w"),
+        )
+        .union(
+            docs.select(
+                h.alias("src_host"),
+                F.concat(F.lit("h"), ((d * 13 + 5) % 97).cast("string")).alias(
+                    "dst_host"
+                ),
+                F.lit(2).cast("long").alias("w"),
+            )
+        )
+        .where(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("w").alias("n_links"))
+    )
+    deg = LNK.link_degrees(e).select(
+        F.lit("deg").alias("variant"),
+        F.col("node").alias("k"),
+        F.col("out_deg").alias("a"),
+        F.col("in_deg").alias("b"),
+        F.lit("").alias("c"),
+    )
+    pr = LNK.pagerank(e, iters=4).select(
+        F.lit("pr").alias("variant"),
+        F.col("node").alias("k"),
+        F.floor(F.col("rank") * 1e6 + F.lit(0.5)).cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.lit("").alias("c"),
+    )
+    return ext.unionByName(deg).unionByName(pr)
+
+
 QUERIES = {
     # gates with no (or stale-r3) driver CORRECTNESS rows come first
+    "link_graph": q_link_graph,
     "ann_cosine": q_ann_cosine,
     "ann_ivf": q_ann_ivf_all,
     "ann_filtered": q_ann_filtered,
@@ -1142,7 +1235,6 @@ QUERIES = {
     "bm25_sharded": q_sharded_ops,
     "facet_site": q_facets_all,
     "phrase_rank": q_phrase_ops,
-    "phrase_rank_wildcard": q_phrase_rank_wildcard,
     "near_rank": q_near_ops,
     "rare_terms": q_rare_terms,
     "find_files": q_find_files,
@@ -1689,6 +1781,88 @@ def _slot_cond(w: str) -> str:
     return f"term = {_sql_quote(w)}"
 
 
+def _link_graph_sql(iters: int = 4, d: float = 0.85) -> str:
+    """Oracle for `q_link_graph`. The 'extract' variant derives the
+    expected canonical destinations ARITHMETICALLY from doc_id (an
+    independent derivation — the engine side runs the real regex →
+    resolve → canonicalize pipeline). 'deg'/'pr' replay the minted
+    97-host graph; PageRank iterations are unrolled as chained CTEs
+    with the same float-op order as `ops.links.pagerank` (micro
+    rounding absorbs associativity drift in the sums)."""
+    ctes = [
+        """e0 AS (
+    SELECT 'h' || (doc_id % 97) AS src, 'h' || ((doc_id * 7 + 3) % 97) AS dst,
+           1::BIGINT AS w
+    FROM documents
+    UNION ALL
+    SELECT 'h' || (doc_id % 97), 'h' || ((doc_id * 13 + 5) % 97), 2::BIGINT
+    FROM documents
+)""",
+        """e AS (
+    SELECT src, dst, sum(w)::BIGINT AS w FROM e0
+    WHERE src <> dst GROUP BY src, dst
+)""",
+        """nodes AS (
+    SELECT DISTINCT node
+    FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+)""",
+        "nn AS (SELECT count(*)::BIGINT AS cnt FROM nodes)",
+        "outw AS (SELECT src, sum(w)::BIGINT AS ow FROM e GROUP BY src)",
+        """norm AS (
+    SELECT e.src, e.dst, (e.w::DOUBLE) / outw.ow AS share
+    FROM e JOIN outw ON e.src = outw.src
+)""",
+        "dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e))",
+        "r0 AS (SELECT node, 1.0::DOUBLE / cnt AS rank FROM nodes, nn)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""d{i} AS (
+    SELECT coalesce(sum(rank), 0.0::DOUBLE) AS dm FROM r{i}
+    WHERE node IN (SELECT node FROM dang)
+)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+    SELECT norm.dst AS node, sum(norm.share * r{i}.rank) AS c
+    FROM norm JOIN r{i} ON r{i}.node = norm.src GROUP BY norm.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+    SELECT nodes.node,
+           ((1.0::DOUBLE - {d}::DOUBLE) / nn.cnt
+            + ({d}::DOUBLE * d{i}.dm) / nn.cnt)
+           + {d}::DOUBLE * coalesce(c{i}.c, 0.0::DOUBLE) AS rank
+    FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+    LEFT JOIN c{i} ON c{i}.node = nodes.node
+)"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT 'extract' AS variant,
+       'http://site' || (doc_id % 7) || '.example.com/p/' || doc_id
+           || '?b=' || (doc_id % 3) AS k,
+       doc_id AS a, 0::BIGINT AS b, 'go ' || doc_id AS c
+FROM documents
+UNION ALL
+SELECT 'extract',
+       'http://host' || (doc_id % 11) || '.example/a/d' || (doc_id % 5)
+           || '/p.html?a=1&z=2',
+       doc_id, (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT, 'rel'
+FROM documents
+UNION ALL
+SELECT 'deg', coalesce(o.node, i.node),
+       coalesce(o.od, 0)::BIGINT, coalesce(i.idg, 0)::BIGINT, ''
+FROM (SELECT src AS node, sum(w) AS od FROM e GROUP BY src) o
+FULL JOIN (SELECT dst AS node, sum(w) AS idg FROM e GROUP BY dst) i
+    ON o.node = i.node
+UNION ALL
+SELECT 'pr', node, floor(rank * 1e6 + 0.5)::BIGINT, 0::BIGINT, ''
+FROM r{iters}
+"""
+
+
 def _phrase_sql(phrase: list[str], ranked: bool) -> str:
     """DuckDB mirror of phrase_docs / search_phrase: kept-token
     positions (stop words removed, position = rank among kept tokens,
@@ -1927,6 +2101,7 @@ def oracle_sql_map() -> dict[str, str]:
     bm25_terms = ",".join(_sql_quote(t) for t in BM25_TERMS)
     and_terms = ",".join(_sql_quote(t) for t in AND_TERMS)
     out = {
+        "link_graph": _link_graph_sql(),
         "doc_stats": f"WITH {_TOKS_CTE} SELECT doc_id, doc_len FROM dl",
         "tokenize_tf": f"WITH {_TOKS_CTE} SELECT doc_id, term, tf FROM tf",
         "term_stats": f"""
@@ -2789,6 +2964,8 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
          out["phrase_match"]),
         ("'rank' AS variant, doc_id, score_micro AS val",
          out["phrase_rank"]),
+        ("'rank_wild' AS variant, doc_id, score_micro AS val",
+         out["phrase_rank_wildcard"]),
     ])
     out["near_rank"] = _fold([
         ("'match' AS variant, doc_id, n_near::BIGINT AS val",
@@ -2892,7 +3069,7 @@ ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
     ])
     for dead in (
         "facet_lang", "facet_month", "phrase_match", "near_match",
-        "near_match_wildcard",
+        "near_match_wildcard", "phrase_rank_wildcard",
         "tf_histogram", "exact_dedup_norm", "canon_url", "dup_windows",
         "minhash_signatures", "bool_sharded",
     ):

@@ -373,6 +373,43 @@ def main() -> None:
         lambda: dedup.strip_boilerplate_lines(lined).count(),
     )
 
+    # r5: link-graph family — minted anchors (4 per doc: absolute with
+    # tracking params, relative ../, protocol-relative, mailto-dropped)
+    # so extraction, host aggregation and PageRank all do real work
+    from textindex_spark.ops import links as lnk
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    link_html = F.concat(
+        F.lit('<p>x</p><a href="http://site'), (d % 97).cast("string"),
+        F.lit(".example/p/"), ds, F.lit('?utm_s=1&q=2">first link</a>'),
+        F.lit("<a href='../d"), (d % 5).cast("string"),
+        F.lit("/p"), ((d * 7) % 1000).cast("string"),
+        F.lit(".html'>relative <b>link</b></a>"),
+        F.lit('<a rel="nofollow" href="//site'),
+        ((d * 13 + 1) % 97).cast("string"),
+        F.lit('.example/x">proto</a>'),
+        F.lit('<a href="mailto:a@b.c">m</a>'),
+    )
+    link_pages = docs.select(
+        F.concat(
+            F.lit("http://site"), (d % 97).cast("string"),
+            F.lit(".example/a/page"), ds, F.lit(".html"),
+        ).alias("url"),
+        link_html.alias("html"),
+    )
+    timed("link_extract", lambda: lnk.extract_links(link_pages).count())
+    link_edges = lnk.host_graph(lnk.extract_links(link_pages)).localCheckpoint(
+        eager=True
+    )
+    timed("link_host_graph", lambda: lnk.host_graph(
+        lnk.extract_links(link_pages)
+    ).count())
+    timed(
+        "link_pagerank",
+        lambda: lnk.pagerank(link_edges, iters=8).count(),
+    )
+
     out = {
         "metric": "synthetic_webcorpus_index_build_sec",
         "value": round(t_build, 3),

@@ -45,6 +45,12 @@ def main() -> None:
         "--top-anchors", type=int, default=0, metavar="K",
         help="also write the per-destination top-K anchor digest",
     )
+    ap.add_argument(
+        "--anchor-field", default=None, metavar="BODY_INDEX",
+        help="also build the anchor-text retrieval field for this body "
+        "index (written to <output>/anchor_index; query with "
+        "jobs/search.py --anchor-index)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -84,6 +90,14 @@ def main() -> None:
         stats["anchor_digests"] = spark.read.parquet(
             f"{args.output}/anchors"
         ).count()
+    if args.anchor_field:
+        from textindex_spark.fields import build_anchor_index
+
+        bstats = build_anchor_index(
+            spark, args.anchor_field, f"{args.output}/anchor_index",
+            links=links,
+        )
+        stats["anchor_index_docs"] = int(bstats["n_docs"])
     print(json.dumps(stats))
 
 

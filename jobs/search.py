@@ -85,6 +85,15 @@ def main() -> None:
         help="raw documents parquet: attach matched-line snippets to "
         "each ranked hit (--terms ranked mode and --bool)",
     )
+    ap.add_argument(
+        "--anchor-index", default=None, metavar="DIR",
+        help="anchor-field index (jobs/linkgraph.py --anchor-field): "
+        "rank by body BM25 + W × incoming-anchor BM25 (disjunctive)",
+    )
+    ap.add_argument(
+        "--w-anchor", type=float, default=1.0,
+        help="anchor-field score weight (with --anchor-index)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -201,6 +210,23 @@ def main() -> None:
         ).collect()
         # snippet matchers need the base patterns, not boost syntax
         emit(rows, split_boosts(args.terms)[0])
+        return
+    if args.anchor_index:
+        if (
+            args.files or args.facet or args.phrase or args.near is not None
+            or args.unranked or args.bool_expr or args.exclude or args.prune
+        ):
+            ap.error(
+                "--anchor-index composes with ranked --terms only "
+                "(always disjunctive across fields; --mode is ignored)"
+            )
+        from textindex_spark.fields import search_fielded
+
+        rows = search_fielded(
+            spark, args.index, args.anchor_index, args.terms, k=args.k,
+            w_anchor=args.w_anchor, scope=args.scope,
+        ).collect()
+        emit(rows, args.terms)
         return
     if args.files:
         rows = find_files(spark, args.index, args.files).collect()

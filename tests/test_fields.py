@@ -1,0 +1,147 @@
+"""Anchor-text retrieval field (`textindex_spark/fields.py`):
+anchor-corpus derivation, two-field BM25 merging, tombstone and
+anchor-only-match semantics. Scores are pinned against an independent
+two-OracleIndex combination (same per-field BM25, python floats)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.spark_fixtures import corpus_df, spark  # noqa: F401
+from textindex_spark import fields
+from textindex_spark.build import build_index
+from textindex_spark.query import delete_docs, search
+from textindex_spark.refimpl.oracle import OracleIndex
+
+N_DOCS = 24
+WORDS = ["spark", "vector", "merge", "archive", "table", "quarry"]
+
+
+def _body_rows():
+    rows = []
+    for i in range(N_DOCS):
+        text = " ".join(
+            WORDS[(i + j) % len(WORDS)] for j in range(3 + i % 4)
+        )
+        rows.append(
+            {
+                "doc_id": i,
+                "url": f"http://s{i % 5}.example/p{i}.html",
+                "warc_ts": None,
+                "html": None,
+                "text": text,
+                "lang": "en" if i % 3 else "de",
+            }
+        )
+    return rows
+
+
+def _link_rows():
+    """Incoming links: doc (i) ← anchors from two other pages. Doc 7
+    is findable ONLY via anchors: the token 'zzmagnet' never appears
+    in any body."""
+    links = []
+    for i in range(N_DOCS):
+        dst = f"http://s{i % 5}.example/p{i}.html"
+        links.append((f"http://ref{i}.example/a", dst, f"{WORDS[i % 6]} link", False))
+        links.append((f"http://ref{i}.example/b", dst, f"{WORDS[(i + 2) % 6]} link", False))
+    links.append(("http://hub.example/", "http://s2.example/p7.html", "zzmagnet page", False))
+    links.append(("http://hub2.example/", "http://s2.example/p7.html", "zzmagnet page", False))
+    return links
+
+
+@pytest.fixture(scope="module")
+def idx_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("fields")
+    body_dir, anchor_dir = str(base / "body"), str(base / "anchor")
+    build_index(spark, corpus_df(spark, _body_rows()), body_dir, range_bits=6)
+    links = spark.createDataFrame(
+        _link_rows(), "src_url string, dst_url string, anchor string, nofollow boolean"
+    )
+    fields.build_anchor_index(
+        spark, body_dir, anchor_dir, links=links, range_bits=6
+    )
+    return body_dir, anchor_dir
+
+
+def _anchor_oracle_rows(spark, idx_dirs):
+    body_dir, _ = idx_dirs
+    links = spark.createDataFrame(
+        _link_rows(), "src_url string, dst_url string, anchor string, nofollow boolean"
+    )
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["url"]) for r in _body_rows()], "doc_id long, url string"
+    )
+    adocs = fields.anchor_documents(docs, links).collect()
+    return [
+        {"doc_id": r.doc_id, "url": r.url, "html": None, "text": r.text, "lang": ""}
+        for r in adocs
+    ]
+
+
+def test_anchor_documents_digest(spark, idx_dirs):
+    rows = {r["doc_id"]: r["text"] for r in _anchor_oracle_rows(spark, idx_dirs)}
+    assert len(rows) == N_DOCS
+    # doc 7 carries the anchor-only token, counted once per distinct
+    # anchor string (top_anchors digests distinct anchors)
+    assert "zzmagnet" in rows[7]
+    assert WORDS[7 % 6] in rows[7]
+
+
+def test_anchor_only_match_ranks(spark, idx_dirs):
+    body_dir, anchor_dir = idx_dirs
+    got = fields.search_fielded(
+        spark, body_dir, anchor_dir, ["zzmagnet"], k=5
+    ).collect()
+    assert [r.doc_id for r in got] == [7]
+    assert got[0].url == "http://s2.example/p7.html"
+    # and the body index alone can NOT find it
+    assert search(spark, body_dir, ["zzmagnet"], k=5).count() == 0
+
+
+@pytest.mark.parametrize("w_anchor", [1.0, 0.4])
+@pytest.mark.parametrize("terms", [["spark"], ["spark", "vector"], ["qu*"]])
+def test_fielded_scores_match_two_oracle_sum(spark, idx_dirs, terms, w_anchor):
+    body_dir, anchor_dir = idx_dirs
+    b_oracle = OracleIndex.build(_body_rows())
+    a_oracle = OracleIndex.build(_anchor_oracle_rows(spark, idx_dirs))
+    bs = dict(b_oracle.search(terms, k=10**6, mode="or"))
+    as_ = dict(a_oracle.search(terms, k=10**6, mode="or"))
+    want = {
+        d: bs.get(d, 0.0) + w_anchor * as_.get(d, 0.0)
+        for d in set(bs) | set(as_)
+    }
+    want_top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.doc_id, r.score)
+        for r in fields.search_fielded(
+            spark, body_dir, anchor_dir, terms, k=10, w_anchor=w_anchor,
+            with_urls=False,
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want_top]
+    for (gd, gs), (wd, ws) in zip(got, want_top):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
+def test_fielded_scope_filters_anchor_only_matches(spark, idx_dirs):
+    body_dir, anchor_dir = idx_dirs
+    # doc 7 (lang 'en', 7%3=1) survives lang:en, dies under lang:de
+    got_en = fields.search_fielded(
+        spark, body_dir, anchor_dir, ["zzmagnet"], k=5, scope="lang:en"
+    ).collect()
+    assert [r.doc_id for r in got_en] == [7]
+    got_de = fields.search_fielded(
+        spark, body_dir, anchor_dir, ["zzmagnet"], k=5, scope="lang:de"
+    ).collect()
+    assert got_de == []
+
+
+def test_fielded_respects_body_tombstones(spark, idx_dirs):
+    body_dir, anchor_dir = idx_dirs
+    n = delete_docs(spark, body_dir, "*p7.html")
+    assert n == 1
+    got = fields.search_fielded(
+        spark, body_dir, anchor_dir, ["zzmagnet"], k=5
+    ).collect()
+    assert got == []

@@ -141,6 +141,60 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+# anchor-field gate (bm25_topk 'anchor' variant): every doc gets two
+# minted incoming anchors whose words are pure doc_id arithmetic, so
+# the DuckDB oracle reconstructs the anchor corpus without replaying
+# link extraction (that pipeline has its own 'link_graph' gate)
+ANCHOR_WORDS = ["spark", "vector", "merge", "archive", "quarry", "table"]
+W_ANCHOR = 0.5
+
+
+def _anchor_word(expr):
+    return F.element_at(
+        F.array(*[F.lit(w) for w in ANCHOR_WORDS]),
+        (expr % len(ANCHOR_WORDS) + 1).cast("int"),
+    )
+
+
+def ensure_anchor_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the anchor-field index beside the body index:
+    two links per doc (anchors '<w1> link' / '<w2> page', w by doc_id
+    arithmetic over ANCHOR_WORDS), digested through the REAL
+    top_anchors → anchor_documents → build_index chain."""
+    from textindex_spark import fields
+    from textindex_spark.ops.urls import with_canonical_url
+
+    idx = ensure_index(spark, sf_dir)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    out = f"{GATE_DIR}/{key}_anchor_v1"
+    marker = f"{out}/stats"
+    try:
+        spark.read.parquet(marker).collect()
+        return out
+    except Exception:
+        pass
+    docs = B.manifest.read_table(spark, idx, "docs").select("doc_id", "url")
+    pages = with_canonical_url(docs, "url", "dst_url")
+    d = F.col("doc_id")
+    a1 = F.concat(_anchor_word(d * 3 + 1), F.lit(" link"))
+    a2 = F.concat(_anchor_word(d * 5 + 2), F.lit(" page"))
+    links = pages.select(
+        F.lit("http://ref.example/a").alias("src_url"),
+        "dst_url",
+        a1.alias("anchor"),
+        F.lit(False).alias("nofollow"),
+    ).unionByName(
+        pages.select(
+            F.lit("http://ref.example/b").alias("src_url"),
+            "dst_url",
+            a2.alias("anchor"),
+            F.lit(False).alias("nofollow"),
+        )
+    )
+    fields.build_anchor_index(spark, idx, out, links=links, range_bits=10)
+    return out
+
+
 # ---------------------------------------------------------------- queries
 
 def q_doc_stats(spark, sf_dir):
@@ -232,7 +286,13 @@ def q_bm25_topk(spark, sf_dir):
     mlt = Q.more_like_this(spark, idx, docs, MLT_DOC, k=10).select(
         F.lit("mlt").alias("variant"), "doc_id", micro.alias("score_micro")
     )
-    return topk.unionByName(mlt)
+    from textindex_spark import fields
+
+    aidx = ensure_anchor_index(spark, sf_dir)
+    fl = fields.search_fielded(
+        spark, idx, aidx, BM25_TERMS, k=10, w_anchor=W_ANCHOR, with_urls=False
+    ).select(F.lit("anchor").alias("variant"), "doc_id", micro.alias("score_micro"))
+    return topk.unionByName(mlt).unionByName(fl)
 
 
 def q_bm25_or_topk(spark, sf_dir):
@@ -1781,6 +1841,100 @@ def _slot_cond(w: str) -> str:
     return f"term = {_sql_quote(w)}"
 
 
+def _fielded_sql() -> str:
+    """Oracle for the bm25_topk 'anchor' variant: body OR-mode BM25
+    plus W_ANCHOR × anchor-field BM25, full-outer-merged. The anchor
+    corpus is reconstructed arithmetically (two anchors per doc over
+    ANCHOR_WORDS; the digest joins the two distinct anchor strings in
+    lexicographic order — exactly `top_anchors`' count-desc/anchor-asc
+    order at equal counts); each field's BM25 uses its own
+    n_docs/avgdl/df, mirroring the engine's per-field stats."""
+
+    def aw(expr: str) -> str:
+        whens = " ".join(
+            f"WHEN {i} THEN '{w}'" for i, w in enumerate(ANCHOR_WORDS)
+        )
+        return f"(CASE ({expr}) % {len(ANCHOR_WORDS)} {whens} END)"
+
+    bm25_terms = ",".join(_sql_quote(t) for t in BM25_TERMS)
+    return f"""
+WITH {_TOKS_CTE},
+stats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl
+),
+dfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf
+    WHERE term IN ({bm25_terms}) GROUP BY term
+),
+hits AS (
+    SELECT t.doc_id,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM tf t
+    JOIN dfs f ON t.term = f.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+),
+bscored AS (SELECT doc_id, sum(w) AS score FROM hits GROUP BY doc_id),
+amint AS (
+    SELECT doc_id,
+           {aw("doc_id * 3 + 1")} || ' link' AS s1,
+           {aw("doc_id * 5 + 2")} || ' page' AS s2
+    FROM documents
+),
+acorp AS (
+    SELECT doc_id,
+           CASE WHEN s1 < s2 THEN s1 || ' ' || s2
+                ELSE s2 || ' ' || s1 END AS text
+    FROM amint
+),
+atoks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM acorp
+),
+akept AS (
+    SELECT doc_id, term FROM atoks
+    WHERE term <> '' AND term NOT IN ({STOP_LIST_SQL})
+),
+atf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM akept GROUP BY doc_id, term
+),
+adl AS (
+    SELECT a.doc_id, coalesce(k.n, 0)::BIGINT AS doc_len
+    FROM acorp a
+    LEFT JOIN (SELECT doc_id, count(*) AS n FROM akept GROUP BY doc_id) k
+      ON a.doc_id = k.doc_id
+),
+astats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM adl
+),
+adfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM atf
+    WHERE term IN ({bm25_terms}) GROUP BY term
+),
+ahits AS (
+    SELECT t.doc_id,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM atf t
+    JOIN adfs f ON t.term = f.term
+    JOIN adl d ON t.doc_id = d.doc_id
+    CROSS JOIN astats s
+),
+ascored AS (SELECT doc_id, sum(w) AS score FROM ahits GROUP BY doc_id),
+fielded AS (
+    SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+           coalesce(b.score, 0.0::DOUBLE)
+           + {W_ANCHOR}::DOUBLE * coalesce(a.score, 0.0::DOUBLE) AS score
+    FROM bscored b FULL JOIN ascored a ON b.doc_id = a.doc_id
+)
+SELECT doc_id, floor(score * 1e6 + 0.5)::BIGINT AS score_micro
+FROM fielded ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _link_graph_sql(iters: int = 4, d: float = 0.85) -> str:
     """Oracle for `q_link_graph`. The 'extract' variant derives the
     expected canonical destinations ARITHMETICALLY from doc_id (an
@@ -3066,6 +3220,7 @@ ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
     out["bm25_topk"] = _fold([
         ("'topk' AS variant, doc_id, score_micro", out["bm25_topk"]),
         ("'mlt' AS variant, doc_id, score_micro", mlt_sql),
+        ("'anchor' AS variant, doc_id, score_micro", _fielded_sql()),
     ])
     for dead in (
         "facet_lang", "facet_month", "phrase_match", "near_match",

@@ -398,25 +398,30 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     d = float(damping)
     for i in range(iters):
-        dm_row = (
+        # dangling mass as a broadcast 1-row aggregate INSIDE the
+        # plan — a driver-side collect here would launch one job per
+        # iteration, each re-executing every iteration since the last
+        # checkpoint (quadratic work per checkpoint window); folded
+        # in, a whole window executes as ONE job at checkpoint time
+        dm = (
             ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(F.sum("rank"))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
-        dm = float(dm_row or 0.0)
         contrib = (
             norm.join(ranks.withColumnRenamed("node", "s"), "s")
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum(F.col("share") * F.col("rank")).alias("c"))
         )
-        base = (1.0 - d) / n + d * dm / n
         nxt = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dm))
             .select(
                 "node",
-                (F.lit(base) + F.lit(d) * F.coalesce("c", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - d) / n)
+                    + (F.lit(d) * F.col("_dm")) / n
+                    + F.lit(d) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:

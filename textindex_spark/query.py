@@ -995,7 +995,7 @@ def search(
     spark: SparkSession,
     index_dir: str,
     patterns: list[str],
-    k: int = 10,
+    k: int | None = 10,
     mode: str = "and",
     prune: bool = False,
     with_urls: bool = True,
@@ -1007,6 +1007,12 @@ def search(
     """BM25 top-k → DataFrame (doc_id, score[, url]), ordered
     (score desc, doc_id asc). mode='and' keeps reference AND
     semantics across query patterns.
+
+    ``k=None`` returns the FULL scored match set (no limit) — the
+    input to cross-field score merging (`fields.search_fielded`,
+    which needs every candidate's partial score, not a per-field
+    top-k). Forces the distributed unpruned path: the serving path
+    and block-max pruning are top-k machinery by construction.
 
     ``exclude_ids``: drop specific doc_ids before top-k (caller-
     bounded — e.g. more_like_this removing its source document);
@@ -1069,7 +1075,10 @@ def search(
         len(expanded) > 0
         and expanded.drop_duplicates("term")["df"].sum() <= LOCAL_SCORE_MAX_POSTINGS
     )
-    if local_score is None:
+    if k is None:
+        local_score = False  # full scored set: distributed only
+        prune = False
+    elif local_score is None:
         local_score = fits_local
     else:
         # explicit local_score=True must not bypass the driver-memory
@@ -1188,7 +1197,9 @@ def search(
             scored = scored.join(F.broadcast(xdf), "doc_id", "left_anti")
         result = scored.select("doc_id", "score").orderBy(
             F.desc("score"), F.asc("doc_id")
-        ).limit(k)
+        )
+        if k is not None:
+            result = result.limit(k)
     if with_urls:
         docs = _cached_table(spark, index_dir, "docs").select("doc_id", "url")
         result = (

@@ -135,6 +135,16 @@ def main() -> None:
             "--similar is a standalone mode (only --k/--docs/--scope/"
             "--index apply)"
         )
+    if args.anchor_index and (
+        args.files or args.facet or args.phrase or args.near is not None
+        or args.unranked or args.bool_expr or args.exclude or args.prune
+        or args.shards or args.similar is not None
+    ):
+        ap.error(
+            "--anchor-index composes with ranked --terms on a single "
+            "--index only (always disjunctive across fields; --mode is "
+            "ignored)"
+        )
     if bool(args.index) == bool(args.shards):
         ap.error("provide exactly one of --index / --shards")
     if args.shards and (
@@ -212,21 +222,15 @@ def main() -> None:
         emit(rows, split_boosts(args.terms)[0])
         return
     if args.anchor_index:
-        if (
-            args.files or args.facet or args.phrase or args.near is not None
-            or args.unranked or args.bool_expr or args.exclude or args.prune
-        ):
-            ap.error(
-                "--anchor-index composes with ranked --terms only "
-                "(always disjunctive across fields; --mode is ignored)"
-            )
         from textindex_spark.fields import search_fielded
+        from textindex_spark.query import split_boosts
 
         rows = search_fielded(
             spark, args.index, args.anchor_index, args.terms, k=args.k,
             w_anchor=args.w_anchor, scope=args.scope,
         ).collect()
-        emit(rows, args.terms)
+        # snippet matchers need the base patterns, not boost syntax
+        emit(rows, split_boosts(args.terms)[0])
         return
     if args.files:
         rows = find_files(spark, args.index, args.files).collect()

@@ -103,9 +103,19 @@ def search_fielded(
     not offered: "every term in some field" has no single accepted
     meaning (per-field AND vs cross-field AND differ); compose
     `search(mode='and')` per field if that is wanted."""
+    # scope is enforced ONCE, on the merged frame (anchor-only matches
+    # must obey it too, so a body-side-only filter can never suffice).
+    # The exception is a ts: scope, which ALSO rides down into the
+    # body search for range_ts time pruning — posting ranges outside
+    # the crawl window are skipped before decode; the merge-level
+    # re-filter is then an idempotent semi-join. lang:/site: scopes
+    # are NOT passed down: their only effect is the complement
+    # filter, and running it per-field would just do the (driver
+    # collect + join) work twice.
+    body_scope = scope if scope and scope.startswith("ts:") else None
     body = Q.search(
         spark, index_dir, patterns, k=None, mode="or", with_urls=False,
-        scope=scope,
+        scope=body_scope,
     )
     anchor = Q.search(
         spark, anchor_dir, patterns, k=None, mode="or", with_urls=False,
@@ -131,9 +141,8 @@ def search_fielded(
     # (idempotent for body-side matches, which are already filtered)
     merged = Q.apply_tombstones(spark, index_dir, merged)
     if scope:
-        # the anchor side carries no metadata; apply the scope's
-        # complement from the BODY index so anchor-only matches obey
-        # the filter too (body-side matches were already filtered)
+        # the anchor side carries no metadata: the scope's complement
+        # comes from the BODY index and applies to the whole merge
         merged = Q._apply_scope(spark, index_dir, merged, scope, None)
     result = merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if with_urls:

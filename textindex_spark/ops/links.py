@@ -40,16 +40,24 @@ from textindex_spark.ops.urls import with_canonical_url
 # One full <a ...>...</a> element, case-insensitive, DOTALL (anchors
 # wrap newlines). Lazy body so adjacent anchors split correctly.
 _ANCHOR_ELEM_RE = r"(?is)<a\s[^>]*>.*?</a\s*>"
-# href value, double- or single-quoted (group 1 / group 2).
-_HREF_DQ_RE = r'(?is)href\s*=\s*"([^"]*)"'
-_HREF_SQ_RE = r"(?is)href\s*=\s*'([^']*)'"
+# href value, double- or single-quoted (group 1 — the boundary class
+# before 'href' keeps data-href / xlink:href from matching).
+_HREF_DQ_RE = r'(?is)[\s"\'<]href\s*=\s*"([^"]*)"'
+_HREF_SQ_RE = r"(?is)[\s\"'<]href\s*=\s*'([^']*)'"
 _ANCHOR_BODY_RE = r"(?is)^<a\s[^>]*>(.*)</a\s*>$"
 _NOFOLLOW_RE = r"""(?is)rel\s*=\s*["'][^"']*nofollow"""
 _ABS_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
 # Schemes that never name a fetchable document.
 _SKIP_SCHEME_RE = r"(?i)^(javascript|mailto|data|tel|ftp):"
+# ANY scheme prefix: an href like 'skype:alice' or 'urn:x' is an
+# absolute URI per RFC 3986 (':' cannot appear in the first segment of
+# a relative reference), so a scheme WITHOUT '://' is a non-document
+# target, never a relative path to join against the base.
+_ANY_SCHEME_RE = r"(?i)^[A-Za-z][A-Za-z0-9+.-]*:"
 
-_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)"
+# host: skip userinfo ('user:pass@h.example'), keep a bracketed IPv6
+# literal whole, stop at the port otherwise
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]]*\]|[^/?#:]+)"
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 # scheme://host[:port] prefix (no path).
 _ORIGIN_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
@@ -165,6 +173,9 @@ def _with_resolved(
         F.when(h == "", F.lit(None).cast("string"))
         .when(h.rlike(_SKIP_SCHEME_RE), F.lit(None).cast("string"))
         .when(h.rlike(_ABS_RE), h)
+        # any other 'scheme:' prefix (no '//'): absolute non-document
+        # URI, NOT a relative path (RFC 3986 §4.2)
+        .when(h.rlike(_ANY_SCHEME_RE), F.lit(None).cast("string"))
         .when(h.startswith("//"), F.concat("_sch", F.lit(":"), h))
         .when(h.startswith("/"), F.concat("_org", h))
         .when(
@@ -268,7 +279,10 @@ def extract_links(
     step = step.where(
         (h != "")
         & ~h.rlike(_SKIP_SCHEME_RE)
-        & (h.rlike(_ABS_RE) | F.col("src_url").rlike(_ABS_RE))
+        & (
+            h.rlike(_ABS_RE)
+            | (~h.rlike(_ANY_SCHEME_RE) & F.col("src_url").rlike(_ABS_RE))
+        )
     )
     step = _with_resolved(step, "_href", "src_url", "_dst_raw")
     if canonicalize:

@@ -33,6 +33,50 @@ _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 _QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
+# -- shared canonicalization builders: BOTH public forms (the Column
+# -- composition and the staged-projection DataFrame form) assemble
+# -- from these, so a rule added here lands in both and link-graph
+# -- keys can never drift from snapshot-dedup keys.
+
+
+def _canon_host(scheme: Column, hostport: Column) -> Column:
+    """Default-port stripping on an already-lowercased host[:port]."""
+    return (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+
+
+def _canon_path(path: Column) -> Column:
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def _canon_query(query: Column) -> Column:
+    """Tracking params dropped, the rest sorted bytewise, re-joined."""
+    keep_params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith(TRACKING_PARAM_PREFIX)
+        & ~F.element_at(F.split(p, "="), 1).isin(*TRACKING_PARAMS),
+    )
+    return F.array_join(F.array_sort(keep_params), "&")
+
+
+def _canon_rebuild(
+    scheme: Column, host: Column, path: Column, canon_query: Column
+) -> Column:
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_query != "", F.concat(F.lit("?"), canon_query)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
 def canonical_url_col(url: Column) -> Column:
     """Canonical form of an absolute http(s) URL:
 
@@ -49,30 +93,10 @@ def canonical_url_col(url: Column) -> Column:
     expression is total; no nulls introduced)."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
-    host = (
-        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
-        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
-        .otherwise(hostport)
-    )
-    path = F.regexp_extract(url, _PATH_RE, 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(url, _QUERY_RE, 1)
-    keep_params = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "")
-        & ~p.startswith(TRACKING_PARAM_PREFIX)
-        & ~F.element_at(F.split(p, "="), 1).isin(*TRACKING_PARAMS),
-    )
-    canon_query = F.array_join(F.array_sort(keep_params), "&")
-    rebuilt = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(canon_query != "", F.concat(F.lit("?"), canon_query)).otherwise(
-            F.lit("")
-        ),
-    )
+    host = _canon_host(scheme, hostport)
+    path = _canon_path(F.regexp_extract(url, _PATH_RE, 1))
+    canon_query = _canon_query(F.regexp_extract(url, _QUERY_RE, 1))
+    rebuilt = _canon_rebuild(scheme, host, path, canon_query)
     return F.when(scheme == "", url).otherwise(rebuilt)
 
 
@@ -96,32 +120,14 @@ def with_canonical_url(df: DataFrame, url_col: str, out_col: str) -> DataFrame:
         F.regexp_extract(url, _PATH_RE, 1).alias("_cp0"),
         F.regexp_extract(url, _QUERY_RE, 1).alias("_cq0"),
     )
-    host = (
-        F.when(F.col("_csch") == "http", F.regexp_replace("_chp", ":80$", ""))
-        .when(F.col("_csch") == "https", F.regexp_replace("_chp", ":443$", ""))
-        .otherwise(F.col("_chp"))
-    )
-    path = F.when(F.col("_cp0") == "", F.lit("/")).otherwise(F.col("_cp0"))
-    keep_params = F.filter(
-        F.split(F.col("_cq0"), "&"),
-        lambda p: (p != "")
-        & ~p.startswith(TRACKING_PARAM_PREFIX)
-        & ~F.element_at(F.split(p, "="), 1).isin(*TRACKING_PARAMS),
-    )
     s = s.select(
         "*",
-        host.alias("_chost"),
-        path.alias("_cpath"),
-        F.array_join(F.array_sort(keep_params), "&").alias("_ccq"),
+        _canon_host(F.col("_csch"), F.col("_chp")).alias("_chost"),
+        _canon_path(F.col("_cp0")).alias("_cpath"),
+        _canon_query(F.col("_cq0")).alias("_ccq"),
     )
-    rebuilt = F.concat(
-        F.col("_csch"),
-        F.lit("://"),
-        F.col("_chost"),
-        F.col("_cpath"),
-        F.when(
-            F.col("_ccq") != "", F.concat(F.lit("?"), F.col("_ccq"))
-        ).otherwise(F.lit("")),
+    rebuilt = _canon_rebuild(
+        F.col("_csch"), F.col("_chost"), F.col("_cpath"), F.col("_ccq")
     )
     out = F.when(F.col("_csch") == "", url).otherwise(rebuilt)
     return s.select(*passthru, out.alias(out_col))

@@ -85,6 +85,13 @@ def main() -> None:
         help="scrub PII (email/IPv4/phone) from kept documents' text "
         "before dedup and indexing; counts land in the lineage",
     )
+    ap.add_argument(
+        "--linkgraph", action="store_true",
+        help="batch only: extract the hyperlink graph from the kept "
+        "corpus (<out>/graph: links/hosts/pagerank) and build the "
+        "anchor-text retrieval field (<out>/anchor_index; query via "
+        "jobs/search.py --anchor-index)",
+    )
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--cpus", type=int, default=None)
@@ -103,6 +110,9 @@ def main() -> None:
         if args.strip_lines:
             ap.error("--strip-lines is batch-only (line df is a "
                      "corpus-global statistic)")
+        if args.linkgraph:
+            ap.error("--linkgraph is batch-only (PageRank and the "
+                     "anchor digest are corpus-global)")
         if args.dedup not in ("lsh", "none"):
             ap.error("--stream dedup is the online exact+LSH state "
                      "machine; --dedup must stay 'lsh'")
@@ -154,6 +164,7 @@ def main() -> None:
         url_dedup=args.url_dedup,
         strip_lines=args.strip_lines,
         max_line_df=args.max_line_df,
+        linkgraph=args.linkgraph,
     )
     print(json.dumps(lineage, sort_keys=True))
 

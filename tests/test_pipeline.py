@@ -495,3 +495,54 @@ def test_pipeline_strip_lines_stage(spark, tmp_path):  # noqa: F811
 
 
 EN_BY_I = {1: EN, 2: EN2, 3: EN3}
+
+
+def test_pipeline_linkgraph_stage(spark, tmp_path):  # noqa: F811
+    """--linkgraph: the kept corpus's hyperlinks become graph tables
+    and an anchor-field index keyed by the BODY index's doc ids."""
+    from textindex_spark import fields
+
+    def html_doc(i: int, tgt: int) -> bytes:
+        body = (
+            EN3 + f' see also <a href="https://site{tgt}.example/en/'
+            f'page{tgt}.html">zzweb archive {tgt}</a>'
+        )
+        return f"<html><body><p>{body}</p></body></html>".encode()
+
+    rows = [_row(i, None, html_doc(i, (i % 4) + 1)) for i in range(1, 6)]
+    docs = corpus_df(spark, rows)
+    out = str(tmp_path / "lg")
+    lineage = __import__(
+        "textindex_spark.pipeline", fromlist=["run_pipeline"]
+    ).run_pipeline(
+        spark, docs, out, dedup_method="none", extract_html=True,
+        linkgraph=True, range_bits=6,
+    )
+    assert lineage["links"] == 5
+    assert lineage["anchor_index_docs"] == 4  # targets 1..4 have in-links
+    links = spark.read.parquet(f"{out}/graph/links")
+    assert links.where("anchor LIKE 'zzweb archive%'").count() == 5
+    pr = spark.read.parquet(f"{out}/graph/pagerank")
+    assert abs(sum(r.rank for r in pr.collect()) - 1.0) < 1e-9
+    # fielded retrieval through the composed outputs: every page's own
+    # visible text carries its outgoing anchor's words too, so all 5
+    # docs match in body — but the 4 link TARGETS additionally score
+    # through the anchor field and outrank the body-only doc 5
+    hits = fields.search_fielded(
+        spark, f"{out}/index", f"{out}/anchor_index", ["zzweb"], k=10
+    ).collect()
+    assert len(hits) == 5
+    assert hits[-1].doc_id == 5
+    assert all(h.score > hits[-1].score for h in hits[:-1])
+    # a text-only corpus (null html) has no anchors: graph tables are
+    # empty, the anchor field is skipped, the pipeline still completes
+    rows2 = [_row(i, EN3 + f" tail{i}") for i in range(1, 5)]
+    lineage2 = __import__(
+        "textindex_spark.pipeline", fromlist=["run_pipeline"]
+    ).run_pipeline(
+        spark, corpus_df(spark, rows2), str(tmp_path / "lg2"),
+        dedup_method="none", linkgraph=True, range_bits=6,
+    )
+    assert lineage2["links"] == 0
+    assert lineage2["anchor_index_docs"] == 0
+    assert "anchor_index" not in lineage2

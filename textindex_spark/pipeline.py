@@ -134,6 +134,7 @@ def run_pipeline(
     url_dedup: bool = False,
     strip_lines: bool = False,
     max_line_df: int = 10,
+    linkgraph: bool = False,
 ) -> dict:
     """Run filter → [gopher] → [redact] → [decontam] → dedup → index over
     ``docs``; returns the lineage dict (also written to
@@ -344,6 +345,42 @@ def run_pipeline(
     _mark("index")
     lineage["indexed_docs"] = stats.get("n_docs")
     lineage["index"] = f"{out_dir}/index"
+
+    # -- stage 4 (optional): link graph + anchor retrieval field --------
+    if linkgraph:
+        if "html" not in survivors.columns:
+            raise ValueError(
+                "linkgraph=True needs an html column on the corpus "
+                "(anchors live in the raw markup)"
+            )
+        from textindex_spark import fields
+        from textindex_spark.ops import links as LNK
+
+        links_df = LNK.extract_links(survivors)
+        links_df.write.mode("overwrite").parquet(f"{out_dir}/graph/links")
+        links_df = spark.read.parquet(f"{out_dir}/graph/links")
+        hosts = LNK.host_graph(links_df)
+        hosts.write.mode("overwrite").parquet(f"{out_dir}/graph/hosts")
+        hosts = spark.read.parquet(f"{out_dir}/graph/hosts")
+        LNK.pagerank(hosts).write.mode("overwrite").parquet(
+            f"{out_dir}/graph/pagerank"
+        )
+        lineage["links"] = links_df.count()
+        lineage["host_edges"] = hosts.count()
+        # a corpus without markup (text-only crawl, null html) has no
+        # anchors — the graph tables are legitimately empty and there
+        # is no anchor field to build
+        if lineage["links"]:
+            astats = fields.build_anchor_index(
+                spark, f"{out_dir}/index", f"{out_dir}/anchor_index",
+                links=links_df, range_bits=range_bits,
+            )
+            lineage["anchor_index_docs"] = int(astats.get("n_docs", 0))
+            lineage["anchor_index"] = f"{out_dir}/anchor_index"
+        else:
+            lineage["anchor_index_docs"] = 0
+        _mark("linkgraph")
+
     lineage["stage_wall_s"] = stage_wall
     lineage["wall_s"] = round(time.time() - t0, 3)
     _write_json(spark, f"{out_dir}/pipeline.json", lineage)

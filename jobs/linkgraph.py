@@ -75,6 +75,13 @@ def main() -> None:
 
     pr = L.pagerank(hosts, iters=args.iters, damping=args.damping)
     pr.write.mode("overwrite").parquet(f"{args.output}/pagerank")
+    pr = spark.read.parquet(f"{args.output}/pagerank")
+
+    # per-page quality prior: each page stamped with its host's rank
+    # (NULL when the host never appears in the graph)
+    L.host_rank_prior(
+        pages.select(args.url_col), pr, url_col=args.url_col
+    ).write.mode("overwrite").parquet(f"{args.output}/doc_priors")
 
     stats = {
         "pages": pages.count(),

@@ -246,6 +246,23 @@ def test_host_graph_shapes(spark, pages):
     assert follow[("a.example.com", "a.example.com")] == 2
 
 
+def test_host_rank_prior(spark, edges):
+    ranks = L.pagerank(edges, iters=3)
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a/x.html"),
+            (2, "https://b/y?q=1"),
+            (3, "http://unknown.example/z"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.host_rank for r in L.host_rank_prior(docs, ranks).collect()}
+    want = {r.node: r.rank for r in ranks.collect()}
+    assert got[1] == pytest.approx(want["a"])
+    assert got[2] == pytest.approx(want["b"])
+    assert got[3] is None  # host absent from the graph: NULL, not 0
+
+
 def test_top_anchors_cap_and_ties(spark):
     rows = [("d1", f"anchor{i % 3}") for i in range(10)] + [
         ("d1", "rare"),

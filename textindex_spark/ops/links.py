@@ -444,6 +444,32 @@ def pagerank(
     return ranks
 
 
+def host_rank_prior(
+    docs: DataFrame,
+    ranks: DataFrame,
+    url_col: str = "url",
+    out_col: str = "host_rank",
+) -> DataFrame:
+    """Attach each document's host PageRank as a quality prior →
+    ``docs`` + ``out_col`` (double; NULL for docs whose host is not in
+    the graph — distinguishable from a genuinely low rank).
+
+    The standard webtext curation composition: corpus-level quality
+    scores (`ops.textstats.quality`) judge a page by its own text;
+    the link prior judges it by who points at its host. Join shape:
+    ranks has one row per HOST (orders of magnitude below the doc
+    count), so this is a broadcast-eligible equality join on the
+    extracted host — AQE picks broadcast below the threshold, and at
+    10^7-host scale it is still the small side of a shuffle join."""
+    h = host_of(F.col(url_col))
+    r = ranks.select(F.col("node").alias("_hrp"), F.col("rank").alias(out_col))
+    return (
+        docs.withColumn("_hrp", h)
+        .join(r, "_hrp", "left")
+        .drop("_hrp")
+    )
+
+
 def top_anchors(
     links: DataFrame,
     dst_url: str = "dst_url",

@@ -124,6 +124,89 @@ def test_fielded_scores_match_two_oracle_sum(spark, idx_dirs, terms, w_anchor):
         assert gs == pytest.approx(ws, abs=1e-9)
 
 
+def test_fielded_random_differential(spark, tmp_path):
+    """Seeded random corpora + random link structure: search_fielded
+    must equal the independent two-OracleIndex weighted sum for every
+    drawn (terms, w_anchor) — including wildcard and fuzzy patterns
+    and docs matched in only one field."""
+    import random
+
+    rng = random.Random(421)
+    vocab = WORDS + ["zzonly", "qualm", "quartz", "merger"]
+    rows = []
+    for i in range(30):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 9)))
+        rows.append(
+            {
+                "doc_id": i,
+                "url": f"http://h{i % 7}.example/p{i}.html",
+                "warc_ts": None,
+                "html": None,
+                "text": text,
+                "lang": "en",
+            }
+        )
+    links = []
+    for _ in range(60):
+        dst = rng.randrange(30)
+        anchor = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+        links.append(
+            (f"http://ref{rng.randrange(9)}.example/",
+             f"http://h{dst % 7}.example/p{dst}.html", anchor, False)
+        )
+    body_dir = str(tmp_path / "body")
+    anchor_dir = str(tmp_path / "anchor")
+    build_index(spark, corpus_df(spark, rows), body_dir, range_bits=6)
+    ldf = spark.createDataFrame(
+        links, "src_url string, dst_url string, anchor string, nofollow boolean"
+    )
+    fields.build_anchor_index(spark, body_dir, anchor_dir, links=ldf, range_bits=6)
+
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["url"]) for r in rows], "doc_id long, url string"
+    )
+    arows = [
+        {"doc_id": r.doc_id, "url": r.url, "html": None, "text": r.text,
+         "lang": ""}
+        for r in fields.anchor_documents(docs, ldf).collect()
+    ]
+    b_oracle = OracleIndex.build(rows)
+    a_oracle = OracleIndex.build(arows)
+
+    for trial in range(8):
+        n_terms = rng.randint(1, 3)
+        terms = []
+        for _ in range(n_terms):
+            w = rng.choice(vocab)
+            form = rng.random()
+            if form < 0.2:
+                terms.append(w[: max(2, len(w) // 2)] + "*")
+            elif form < 0.3:
+                terms.append(w + "~1")
+            else:
+                terms.append(w)
+        w_anchor = rng.choice([0.25, 1.0, 2.0])
+        bs = dict(b_oracle.search(terms, k=10**6, mode="or"))
+        as_ = dict(a_oracle.search(terms, k=10**6, mode="or"))
+        want = sorted(
+            (
+                (d, bs.get(d, 0.0) + w_anchor * as_.get(d, 0.0))
+                for d in set(bs) | set(as_)
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        got = [
+            (r.doc_id, r.score)
+            for r in fields.search_fielded(
+                spark, body_dir, anchor_dir, terms, k=10,
+                w_anchor=w_anchor, with_urls=False,
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], (trial, terms)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), (trial, terms, gd)
+
+
 def test_fielded_scope_filters_anchor_only_matches(spark, idx_dirs):
     body_dir, anchor_dir = idx_dirs
     # doc 7 (lang 'en', 7%3=1) survives lang:en, dies under lang:de

@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--docs", default=None,
                     help="raw documents parquet for matched-line display")
+    ap.add_argument("--anchor-index", default=None,
+                    help="anchor-field index for the `anchor` command")
     ap.add_argument("--script", default=None,
                     help="run commands from this file instead of stdin")
     ap.add_argument("--cpus", type=int, default=None)
@@ -41,7 +43,10 @@ def main() -> None:
     if args.script is not None:
         with open(args.script, encoding="utf-8") as f:
             lines = f.read().splitlines()
-    run_loop(Shell(spark, args.index, args.docs), input_lines=lines)
+    run_loop(
+        Shell(spark, args.index, args.docs, anchor_dir=args.anchor_index),
+        input_lines=lines,
+    )
 
 
 if __name__ == "__main__":

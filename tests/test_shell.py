@@ -246,3 +246,30 @@ def test_bool_command(shell, spark):
     assert got == want
     assert "usage: bool" in shell.dispatch("bool")
     assert "error" in shell.dispatch("bool NOT spark")  # pure negation
+
+
+def test_anchor_command(shell, spark, tmp_path):
+    # without an anchor index the command explains how to get one
+    out = shell.dispatch("anchor spark")
+    assert "--anchor-index" in out
+    # wire one up: two minted incoming links per indexed doc
+    from pyspark.sql import functions as F
+
+    from textindex_spark import fields, manifest
+
+    docs = manifest.read_table(spark, shell.index_dir, "docs").select(
+        "doc_id", "url"
+    )
+    links = docs.select(
+        F.lit("http://ref.example/").alias("src_url"),
+        F.col("url").alias("dst_url"),
+        F.lit("zzshellanchor probe").alias("anchor"),
+        F.lit(False).alias("nofollow"),
+    ).where(F.col("doc_id") % 7 == 0)
+    adir = str(tmp_path / "anchor")
+    fields.build_anchor_index(spark, shell.index_dir, adir, links=links,
+                              range_bits=6)
+    shell.anchor_dir = adir
+    out = shell.dispatch("anchor zzshellanchor")
+    assert "https://" in out and "(" in out  # ranked url + score lines
+    assert "usage:" in shell.dispatch("anchor")

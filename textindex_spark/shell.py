@@ -49,6 +49,7 @@ stats base | debug | <word>
 find <match...> [-exclude...] [lang:V|site:HOST|ts:A..B]   globs, fuzzy, scope
 bool <expr>            e.g. bool spark AND (vector OR merge) AND NOT qu*
 suggest <word>         did-you-mean spelling suggestions
+anchor <match...> [scope]  body + incoming-anchor ranked search
 similar <doc_id> [scope]   more-like-this: docs similar to a document
 files <match>
 summary <nr>
@@ -62,10 +63,17 @@ quit | exit
 class Shell:
     """Dispatch loop state: one index dir + the Found cursor."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, docs_path: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        docs_path: str | None = None,
+        anchor_dir: str | None = None,
+    ):
         self.spark = spark
         self.index_dir = index_dir
         self.docs_path = docs_path  # raw documents table for matched lines
+        self.anchor_dir = anchor_dir  # anchor-field index for `anchor`
         self.found: list[tuple[str, list[str]]] = []  # (url, lines)
         self.lines_idx = 0
 
@@ -109,6 +117,8 @@ class Shell:
             self._cmd_stats(args)
         elif cmd == "suggest":
             self._cmd_suggest(args)
+        elif cmd == "anchor":
+            self._cmd_anchor(args)
         elif cmd == "similar":
             self._cmd_similar(args)
         elif cmd == "delete":
@@ -300,8 +310,8 @@ class Shell:
 
     COMMANDS = (
         "index", "stats", "find", "bool", "files", "summary", "delete",
-        "store", "suggest", "similar", "first", "next", "help", "quit",
-        "exit",
+        "store", "suggest", "similar", "anchor", "first", "next", "help",
+        "quit", "exit",
     )
 
     def _cmd_similar(self, args: list[str]) -> None:
@@ -329,6 +339,31 @@ class Shell:
             return
         if not rows:
             print("no similar documents")
+            return
+        for i, r in enumerate(rows):
+            print(f"  {i}:{r['url']} ({r['score']:.4f})")
+
+    def _cmd_anchor(self, args: list[str]) -> None:
+        # fielded search (engine extension): body BM25 + incoming-
+        # anchor BM25, disjunctive across fields; optional scope token
+        if self.anchor_dir is None:
+            print("anchor needs the anchor-field index (open the shell "
+                  "with --anchor-index; build it with jobs/linkgraph.py "
+                  "--anchor-field)")
+            return
+        scopes = [a for a in args if a.startswith(("lang:", "site:", "ts:"))]
+        args = [a for a in args if a not in scopes]
+        if not args or len(scopes) > 1:
+            print("usage: anchor <match...> [lang:V|site:HOST|ts:A..B]")
+            return
+        from textindex_spark.fields import search_fielded
+
+        rows = search_fielded(
+            self.spark, self.index_dir, self.anchor_dir, args,
+            scope=scopes[0] if scopes else None,
+        ).collect()
+        if not rows:
+            print("nothing found")
             return
         for i, r in enumerate(rows):
             print(f"  {i}:{r['url']} ({r['score']:.4f})")

@@ -77,11 +77,24 @@ def main() -> None:
     pr.write.mode("overwrite").parquet(f"{args.output}/pagerank")
     pr = spark.read.parquet(f"{args.output}/pagerank")
 
-    # per-page quality prior: each page stamped with its host's rank
-    # (NULL when the host never appears in the graph)
-    L.host_rank_prior(
+    # per-page quality priors: the host's PageRank (NULL when the host
+    # never appears in the graph) + the page's own in-link counts
+    # (joined on the canonical url form, the links' destination key)
+    from pyspark.sql import functions as F
+
+    from textindex_spark.ops.urls import with_canonical_url
+
+    priors = L.host_rank_prior(
         pages.select(args.url_col), pr, url_col=args.url_col
-    ).write.mode("overwrite").parquet(f"{args.output}/doc_priors")
+    )
+    priors = with_canonical_url(priors, args.url_col, "_curl")
+    indeg = L.page_in_degree(links).withColumnRenamed("dst_url", "_curl")
+    priors = (
+        priors.join(indeg, "_curl", "left")
+        .drop("_curl")
+        .fillna(0, subset=["n_inlinks", "n_follow_inlinks"])
+    )
+    priors.write.mode("overwrite").parquet(f"{args.output}/doc_priors")
 
     stats = {
         "pages": pages.count(),

@@ -263,6 +263,22 @@ def test_host_rank_prior(spark, edges):
     assert got[3] is None  # host absent from the graph: NULL, not 0
 
 
+def test_page_in_degree(spark):
+    rows = [
+        ("s1", "http://d/p1", "a", False),
+        ("s2", "http://d/p1", "b", True),
+        ("s3", "http://d/p2", "c", False),
+    ]
+    df = spark.createDataFrame(
+        rows, "src_url string, dst_url string, anchor string, nofollow boolean"
+    )
+    got = {
+        r.dst_url: (r.n_inlinks, r.n_follow_inlinks)
+        for r in L.page_in_degree(df).collect()
+    }
+    assert got == {"http://d/p1": (2, 1), "http://d/p2": (1, 1)}
+
+
 def test_top_anchors_cap_and_ties(spark):
     rows = [("d1", f"anchor{i % 3}") for i in range(10)] + [
         ("d1", "rare"),

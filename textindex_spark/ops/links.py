@@ -470,6 +470,18 @@ def host_rank_prior(
     )
 
 
+def page_in_degree(
+    links: DataFrame, dst_url: str = "dst_url"
+) -> DataFrame:
+    """→ (dst_url, n_inlinks, n_follow_inlinks): page-level in-link
+    counts (the second classic link prior besides host PageRank). One
+    map-side-combining groupBy on the canonical destination."""
+    return links.groupBy(F.col(dst_url).alias("dst_url")).agg(
+        F.count("*").alias("n_inlinks"),
+        F.sum((~F.col("nofollow")).cast("long")).alias("n_follow_inlinks"),
+    )
+
+
 def top_anchors(
     links: DataFrame,
     dst_url: str = "dst_url",

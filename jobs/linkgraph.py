@@ -16,6 +16,8 @@ bytes) or string; all other columns are ignored. Outputs:
 * ``<output>/hosts``    — (src_host, dst_host, n_links, n_src_pages)
 * ``<output>/degrees``  — (node, out_deg, in_deg) over the host graph
 * ``<output>/pagerank`` — (node, rank), Σrank = 1
+* ``<output>/doc_priors`` — per input page: host PageRank + in-link
+  counts (the two classic link quality priors, curation-ready)
 * ``<output>/anchors``  — with --top-anchors: per-destination top-K
   incoming anchor strings (the anchor retrieval field's input)
 """
@@ -60,47 +62,20 @@ def main() -> None:
     spark = get_spark("textindex-linkgraph", cpus=args.cpus)
     pages = spark.read.parquet(args.input)
 
-    links = L.extract_links(pages, html_col=args.html_col, url_col=args.url_col)
-    links.write.mode("overwrite").parquet(f"{args.output}/links")
+    counts = L.build_link_graph(
+        spark, pages, args.output,
+        html_col=args.html_col, url_col=args.url_col,
+        iters=args.iters, damping=args.damping,
+        drop_intra=args.drop_intra, follow_only=args.follow_only,
+    )
     links = spark.read.parquet(f"{args.output}/links")
-
-    hosts = L.host_graph(
-        links, drop_intra=args.drop_intra, follow_only=args.follow_only
-    )
-    hosts.write.mode("overwrite").parquet(f"{args.output}/hosts")
-    hosts = spark.read.parquet(f"{args.output}/hosts")
-
-    degrees = L.link_degrees(hosts)
-    degrees.write.mode("overwrite").parquet(f"{args.output}/degrees")
-
-    pr = L.pagerank(hosts, iters=args.iters, damping=args.damping)
-    pr.write.mode("overwrite").parquet(f"{args.output}/pagerank")
-    pr = spark.read.parquet(f"{args.output}/pagerank")
-
-    # per-page quality priors: the host's PageRank (NULL when the host
-    # never appears in the graph) + the page's own in-link counts
-    # (joined on the canonical url form, the links' destination key)
-    from pyspark.sql import functions as F
-
-    from textindex_spark.ops.urls import with_canonical_url
-
-    priors = L.host_rank_prior(
-        pages.select(args.url_col), pr, url_col=args.url_col
-    )
-    priors = with_canonical_url(priors, args.url_col, "_curl")
-    indeg = L.page_in_degree(links).withColumnRenamed("dst_url", "_curl")
-    priors = (
-        priors.join(indeg, "_curl", "left")
-        .drop("_curl")
-        .fillna(0, subset=["n_inlinks", "n_follow_inlinks"])
-    )
-    priors.write.mode("overwrite").parquet(f"{args.output}/doc_priors")
 
     stats = {
         "pages": pages.count(),
-        "links": links.count(),
-        "host_edges": hosts.count(),
-        "hosts": spark.read.parquet(f"{args.output}/degrees").count(),
+        **counts,
+        "doc_priors": spark.read.parquet(
+            f"{args.output}/doc_priors"
+        ).count(),
         "pagerank_iters": args.iters,
     }
     if args.top_anchors > 0:

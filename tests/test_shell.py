@@ -270,6 +270,10 @@ def test_anchor_command(shell, spark, tmp_path):
     fields.build_anchor_index(spark, shell.index_dir, adir, links=links,
                               range_bits=6)
     shell.anchor_dir = adir
-    out = shell.dispatch("anchor zzshellanchor")
-    assert "https://" in out and "(" in out  # ranked url + score lines
-    assert "usage:" in shell.dispatch("anchor")
+    try:
+        out = shell.dispatch("anchor zzshellanchor")
+        assert "https://" in out and "(" in out  # ranked url + score lines
+        assert "usage:" in shell.dispatch("anchor")
+    finally:
+        # module-scoped fixture: leave no anchor_dir for later tests
+        shell.anchor_dir = None

@@ -444,6 +444,62 @@ def pagerank(
     return ranks
 
 
+def build_link_graph(
+    spark,
+    pages: DataFrame,
+    out_dir: str,
+    html_col: str = "html",
+    url_col: str = "url",
+    iters: int = 10,
+    damping: float = 0.85,
+    drop_intra: bool = False,
+    follow_only: bool = False,
+) -> dict:
+    """Extract → aggregate → analyze → write the whole link-graph
+    artifact set under ``out_dir`` (the single orchestration both the
+    linkgraph CLI and the pipeline's --linkgraph stage call, so the
+    two can never diverge):
+
+    * ``links``     — (src_url, dst_url, anchor, nofollow)
+    * ``hosts``     — (src_host, dst_host, n_links, n_src_pages)
+    * ``degrees``   — (node, out_deg, in_deg)
+    * ``pagerank``  — (node, rank), Σrank = 1
+    * ``doc_priors``— per input page: host PageRank (NULL when the
+      host is not in the graph) + page-level in-link counts (0 when
+      nothing links to it)
+
+    Each table is written then re-read so downstream stages consume
+    the materialized parquet, not the extraction lineage. Returns
+    counts: {links, host_edges, hosts}."""
+    from textindex_spark.ops.urls import with_canonical_url
+
+    links = extract_links(pages, html_col=html_col, url_col=url_col)
+    links.write.mode("overwrite").parquet(f"{out_dir}/links")
+    links = spark.read.parquet(f"{out_dir}/links")
+    hosts = host_graph(links, drop_intra=drop_intra, follow_only=follow_only)
+    hosts.write.mode("overwrite").parquet(f"{out_dir}/hosts")
+    hosts = spark.read.parquet(f"{out_dir}/hosts")
+    link_degrees(hosts).write.mode("overwrite").parquet(f"{out_dir}/degrees")
+    pr = pagerank(hosts, iters=iters, damping=damping)
+    pr.write.mode("overwrite").parquet(f"{out_dir}/pagerank")
+    pr = spark.read.parquet(f"{out_dir}/pagerank")
+
+    priors = host_rank_prior(pages.select(url_col), pr, url_col=url_col)
+    priors = with_canonical_url(priors, url_col, "_curl")
+    indeg = page_in_degree(links).withColumnRenamed("dst_url", "_curl")
+    priors = (
+        priors.join(indeg, "_curl", "left")
+        .drop("_curl")
+        .fillna(0, subset=["n_inlinks", "n_follow_inlinks"])
+    )
+    priors.write.mode("overwrite").parquet(f"{out_dir}/doc_priors")
+    return {
+        "links": links.count(),
+        "host_edges": hosts.count(),
+        "hosts": spark.read.parquet(f"{out_dir}/degrees").count(),
+    }
+
+
 def host_rank_prior(
     docs: DataFrame,
     ranks: DataFrame,

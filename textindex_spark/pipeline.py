@@ -177,6 +177,13 @@ def run_pipeline(
     Lineage reports total redaction counts per category."""
     if dedup_method not in DEDUP_METHODS:
         raise ValueError(f"unknown dedup method {dedup_method!r}")
+    if linkgraph and "html" not in docs.columns:
+        # checked on the RAW input: normalize_input adds a null html
+        # column downstream, so a later check could never fire
+        raise ValueError(
+            "linkgraph=True needs an html column on the input corpus "
+            "(anchors live in the raw markup)"
+        )
     t0 = time.time()
     stage_wall: dict[str, float] = {}
     _last = [t0]
@@ -348,25 +355,13 @@ def run_pipeline(
 
     # -- stage 4 (optional): link graph + anchor retrieval field --------
     if linkgraph:
-        if "html" not in survivors.columns:
-            raise ValueError(
-                "linkgraph=True needs an html column on the corpus "
-                "(anchors live in the raw markup)"
-            )
         from textindex_spark import fields
         from textindex_spark.ops import links as LNK
 
-        links_df = LNK.extract_links(survivors)
-        links_df.write.mode("overwrite").parquet(f"{out_dir}/graph/links")
+        counts = LNK.build_link_graph(spark, survivors, f"{out_dir}/graph")
         links_df = spark.read.parquet(f"{out_dir}/graph/links")
-        hosts = LNK.host_graph(links_df)
-        hosts.write.mode("overwrite").parquet(f"{out_dir}/graph/hosts")
-        hosts = spark.read.parquet(f"{out_dir}/graph/hosts")
-        LNK.pagerank(hosts).write.mode("overwrite").parquet(
-            f"{out_dir}/graph/pagerank"
-        )
-        lineage["links"] = links_df.count()
-        lineage["host_edges"] = hosts.count()
+        lineage["links"] = counts["links"]
+        lineage["host_edges"] = counts["host_edges"]
         # a corpus without markup (text-only crawl, null html) has no
         # anchors — the graph tables are legitimately empty and there
         # is no anchor field to build

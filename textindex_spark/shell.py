@@ -149,19 +149,30 @@ class Shell:
             print(f"indexed; n_docs={stats['n_docs']} vocab={stats['vocab_size']}")
         self.docs_path = self.docs_path or args[0]
 
+    SCOPE_PREFIXES = ("lang:", "site:", "ts:")
+
+    def _split_scope(self, args: list[str]):
+        """Split the optional lang:/site:/ts: token off a command's
+        args → (scope | None, rest) — or (False, args) after printing
+        the shared error when more than one scope token appears. ONE
+        definition so every scoped command accepts the same syntax."""
+        scopes = [a for a in args if a.startswith(self.SCOPE_PREFIXES)]
+        if len(scopes) > 1:
+            print("at most one lang:/site:/ts: scope per query")
+            return False, args
+        rest = [a for a in args if not a.startswith(self.SCOPE_PREFIXES)]
+        return (scopes[0] if scopes else None), rest
+
     def _cmd_find(self, args: list[str]) -> None:
         # `-pattern` tokens are NOT terms (engine extension): docs
         # matching them are excluded from the AND result.
         # `lang:V` / `site:HOST` / `ts:A..B` tokens are metadata scopes (engine
         # extension): the result keeps only matching docs.
         exclude = [a[1:] for a in args if a.startswith("-") and len(a) > 1]
-        scopes = [a for a in args if a.startswith(("lang:", "site:", "ts:"))]
-        if len(scopes) > 1:
-            print("at most one lang:/site:/ts: scope per query")
+        scope, args = self._split_scope(args)
+        if scope is False:
             return
-        args = [
-            a for a in args if not a.startswith(("-", "lang:", "site:", "ts:"))
-        ]
+        args = [a for a in args if not a.startswith("-")]
         if not args:
             print("usage: find <match...> [-exclude ...] [lang:V|site:HOST|ts:A..B]")
             return
@@ -172,7 +183,7 @@ class Shell:
         # the distributed AND query runs exactly one time (review r4)
         hit_rows = find_unranked(
             self.spark, self.index_dir, args, exclude=exclude or None,
-            scope=scopes[0] if scopes else None,
+            scope=scope,
         ).collect()
         if self.docs_path is not None and hit_rows:
             ids = local_df(
@@ -192,11 +203,9 @@ class Shell:
         # wildcard leaves; prints BM25 top hits (url + score).
         # `lang:V` / `site:HOST` / `ts:A..B` tokens are metadata scopes — left in
         # the expr they would parse as silently-unmatchable leaves.
-        scopes = [a for a in args if a.startswith(("lang:", "site:", "ts:"))]
-        if len(scopes) > 1:
-            print("at most one lang:/site:/ts: scope per query")
+        scope, args = self._split_scope(args)
+        if scope is False:
             return
-        args = [a for a in args if not a.startswith(("lang:", "site:", "ts:"))]
         if any(
             a.lstrip("(").startswith(("lang:", "site:", "ts:")) for a in args
         ):
@@ -212,7 +221,7 @@ class Shell:
 
         rows = search_bool(
             self.spark, self.index_dir, " ".join(args), k=PAGE,
-            scope=scopes[0] if scopes else None,
+            scope=scope,
         ).collect()
         self.found = [(f"{r['url']}  [{r['score']:.4f}]", []) for r in rows]
         self.lines_idx = 0
@@ -318,9 +327,10 @@ class Shell:
         # more-like-this (engine extension): rank docs similar to a
         # doc_id; needs the raw corpus for the source point lookup.
         # An optional lang:/site:/ts: token restricts the candidates.
-        scopes = [a for a in args if a.startswith(("lang:", "site:", "ts:"))]
-        args = [a for a in args if a not in scopes]
-        if len(args) != 1 or not args[0].lstrip("-").isdigit() or len(scopes) > 1:
+        scope, args = self._split_scope(args)
+        if scope is False:
+            return
+        if len(args) != 1 or not args[0].lstrip("-").isdigit():
             print("usage: similar <doc_id> [lang:V|site:HOST|ts:A..B]")
             return
         if self.docs_path is None:
@@ -332,7 +342,7 @@ class Shell:
             rows = more_like_this(
                 self.spark, self.index_dir,
                 self.spark.read.parquet(self.docs_path), int(args[0]),
-                with_urls=True, scope=scopes[0] if scopes else None,
+                with_urls=True, scope=scope,
             ).collect()
         except ValueError as e:
             print(e)
@@ -351,16 +361,17 @@ class Shell:
                   "with --anchor-index; build it with jobs/linkgraph.py "
                   "--anchor-field)")
             return
-        scopes = [a for a in args if a.startswith(("lang:", "site:", "ts:"))]
-        args = [a for a in args if a not in scopes]
-        if not args or len(scopes) > 1:
+        scope, args = self._split_scope(args)
+        if scope is False:
+            return
+        if not args:
             print("usage: anchor <match...> [lang:V|site:HOST|ts:A..B]")
             return
         from textindex_spark.fields import search_fielded
 
         rows = search_fielded(
             self.spark, self.index_dir, self.anchor_dir, args,
-            scope=scopes[0] if scopes else None,
+            scope=scope,
         ).collect()
         if not rows:
             print("nothing found")

@@ -38,6 +38,12 @@ def main() -> None:
         "version (tombstoned in the same atomic commit)",
     )
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--title-index", default=None, metavar="DIR",
+        help="also build a title retrieval field (the <title> text of "
+        "each page as its own weighted index; query with jobs/search.py "
+        "--title-index)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -64,6 +70,14 @@ def main() -> None:
         )
     else:
         stats = build_index(spark, docs, args.output, range_bits=args.range_bits)
+    if args.title_index:
+        from textindex_spark.fields import build_title_index
+
+        tstats = build_title_index(
+            spark, args.output, args.title_index, docs,
+            range_bits=args.range_bits,
+        )
+        stats["title_index_docs"] = tstats["n_docs"]
     json.dump(stats, sys.stdout)
     print()
 

@@ -94,6 +94,16 @@ def main() -> None:
         "--w-anchor", type=float, default=1.0,
         help="anchor-field score weight (with --anchor-index)",
     )
+    ap.add_argument(
+        "--title-index", default=None, metavar="DIR",
+        help="title-field index (jobs/build_index.py --title-index): "
+        "adds W × title BM25 to the score; composes with "
+        "--anchor-index",
+    )
+    ap.add_argument(
+        "--w-title", type=float, default=2.0,
+        help="title-field score weight (with --title-index)",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -135,15 +145,15 @@ def main() -> None:
             "--similar is a standalone mode (only --k/--docs/--scope/"
             "--index apply)"
         )
-    if args.anchor_index and (
+    if (args.anchor_index or args.title_index) and (
         args.files or args.facet or args.phrase or args.near is not None
         or args.unranked or args.bool_expr or args.exclude or args.prune
         or args.shards or args.similar is not None
     ):
         ap.error(
-            "--anchor-index composes with ranked --terms on a single "
-            "--index only (always disjunctive across fields; --mode is "
-            "ignored)"
+            "--anchor-index/--title-index compose with ranked --terms "
+            "on a single --index only (always disjunctive across "
+            "fields; --mode is ignored)"
         )
     if bool(args.index) == bool(args.shards):
         ap.error("provide exactly one of --index / --shards")
@@ -221,13 +231,18 @@ def main() -> None:
         # snippet matchers need the base patterns, not boost syntax
         emit(rows, split_boosts(args.terms)[0])
         return
-    if args.anchor_index:
-        from textindex_spark.fields import search_fielded
+    if args.anchor_index or args.title_index:
+        from textindex_spark.fields import search_fields
         from textindex_spark.query import split_boosts
 
-        rows = search_fielded(
-            spark, args.index, args.anchor_index, args.terms, k=args.k,
-            w_anchor=args.w_anchor, scope=args.scope,
+        specs = []
+        if args.anchor_index:
+            specs.append((args.anchor_index, args.w_anchor))
+        if args.title_index:
+            specs.append((args.title_index, args.w_title))
+        rows = search_fields(
+            spark, args.index, specs, args.terms, k=args.k,
+            scope=args.scope,
         ).collect()
         # snippet matchers need the base patterns, not boost syntax
         emit(rows, split_boosts(args.terms)[0])

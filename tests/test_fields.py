@@ -220,6 +220,79 @@ def test_fielded_scope_filters_anchor_only_matches(spark, idx_dirs):
     assert got_de == []
 
 
+def test_title_documents_extraction(spark):
+    pages = spark.createDataFrame(
+        [
+            ("http://h.example/p1", "<html><head><title> The <b>Spark</b>\n Title </title></head></html>"),
+            ("http://h.example/p2", "<html><body>no title here</body></html>"),
+            ("http://h.example/p3", "<title>first</title><title>second ignored</title>"),
+            ("http://H.EXAMPLE/p4?utm_a=1", b"<title>bytes \xfftitle</title>".decode("latin1")),
+        ],
+        "url string, html string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "http://h.example/p1"),
+            (2, "http://h.example/p2"),
+            (3, "http://h.example/p3"),
+            (4, "http://h.example/p4"),  # canonical join: utm dropped, host lowered
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.text for r in fields.title_documents(docs, pages).collect()}
+    assert got[1] == "The Spark Title"  # de-tagged, whitespace collapsed
+    assert 2 not in got  # no title → no row
+    assert got[3] == "first"  # lazy: first title element only
+    assert 4 in got  # canonical-url join matched
+
+
+def test_three_field_search_matches_three_oracle_sum(spark, idx_dirs, tmp_path):
+    """body + anchor + title merged: exact vs three independent
+    OracleIndex scorers combined with the same weights."""
+    body_dir, anchor_dir = idx_dirs
+    # title pages: doc i gets '<title>WORDS[i%6] heading</title>'
+    pages = spark.createDataFrame(
+        [
+            (r["url"], f"<html><title>{WORDS[r['doc_id'] % 6]} heading</title></html>")
+            for r in _body_rows()
+        ],
+        "url string, html string",
+    )
+    title_dir = str(tmp_path / "title")
+    fields.build_title_index(spark, body_dir, title_dir, pages, range_bits=6)
+
+    b_oracle = OracleIndex.build(_body_rows())
+    a_oracle = OracleIndex.build(_anchor_oracle_rows(spark, idx_dirs))
+    t_rows = [
+        {"doc_id": r["doc_id"], "url": r["url"], "html": None,
+         "text": f"{WORDS[r['doc_id'] % 6]} heading", "lang": ""}
+        for r in _body_rows()
+    ]
+    t_oracle = OracleIndex.build(t_rows)
+
+    terms, wa, wt = ["spark", "vector"], 0.5, 2.0
+    bs = dict(b_oracle.search(terms, k=10**6, mode="or"))
+    as_ = dict(a_oracle.search(terms, k=10**6, mode="or"))
+    ts = dict(t_oracle.search(terms, k=10**6, mode="or"))
+    want = sorted(
+        (
+            (d, bs.get(d, 0.0) + wa * as_.get(d, 0.0) + wt * ts.get(d, 0.0))
+            for d in set(bs) | set(as_) | set(ts)
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = [
+        (r.doc_id, r.score)
+        for r in fields.search_fields(
+            spark, body_dir, [(anchor_dir, wa), (title_dir, wt)], terms,
+            k=10, with_urls=False,
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
 def test_fielded_respects_body_tombstones(spark, idx_dirs):
     body_dir, anchor_dir = idx_dirs
     n = delete_docs(spark, body_dir, "*p7.html")

@@ -81,6 +81,107 @@ def build_anchor_index(
     return B.build_index(spark, adocs, anchor_dir, **build_kwargs)
 
 
+# <title> element: first occurrence, DOTALL; inner markup stripped
+# like anchor text
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title\s*>"
+
+
+def title_documents(
+    docs: DataFrame,
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    max_len: int = 300,
+) -> DataFrame:
+    """→ (doc_id, url, text): each page's <title> text (de-tagged,
+    whitespace-collapsed, length-capped), keyed by the BODY index's
+    doc ids via a canonical-URL join — the input of the title
+    retrieval field. Pages without a title drop out. The reference
+    parser folds title words into the body stream
+    (`/root/reference/src/html_parse.rs` emits them as ordinary
+    text); a separate title field lets queries WEIGHT them, which is
+    the entire point of field-aware ranking."""
+    html = F.col(html_col)
+    for f in pages.schema.fields:
+        if f.name == html_col and f.dataType.simpleString() == "binary":
+            html = html.cast("string")
+            break
+    raw = F.regexp_extract(html, _TITLE_RE, 1)
+    no_tags = F.regexp_replace(raw, r"(?s)<[^>]*>", " ")
+    title = F.trim(
+        F.regexp_replace(F.substring(no_tags, 1, max_len), r"\s+", " ")
+    )
+    p = pages.select(F.col(url_col).alias("_purl"), title.alias("_title"))
+    p = p.where(F.col("_title") != "")
+    p = with_canonical_url(p, "_purl", "_pcurl")
+    d = with_canonical_url(docs.select("doc_id", "url"), "url", "_curl")
+    return (
+        d.join(p, d["_curl"] == p["_pcurl"], "inner")
+        .select("doc_id", "url", F.col("_title").alias("text"))
+    )
+
+
+def build_title_index(
+    spark: SparkSession,
+    index_dir: str,
+    title_dir: str,
+    pages: DataFrame,
+    **build_kwargs,
+) -> dict:
+    """Build the title-field index for an existing body index from
+    the raw crawl pages (url + html). Doc ids are the body index's."""
+    docs = Q._cached_table(spark, index_dir, "docs").select("doc_id", "url")
+    tdocs = title_documents(docs, pages)
+    return B.build_index(spark, tdocs, title_dir, **build_kwargs)
+
+
+def search_fields(
+    spark: SparkSession,
+    index_dir: str,
+    field_specs: list[tuple[str, float]],
+    patterns: list[str],
+    k: int = 10,
+    with_urls: bool = True,
+    scope: str | None = None,
+) -> DataFrame:
+    """N-field BM25 top-k:
+    score = bm25_body + Σ_f w_f · bm25_field_f, disjunctive over the
+    union of all fields' match sets. ``field_specs`` = [(field index
+    dir, weight), ...] — each field index was built with the body's
+    doc ids (`build_anchor_index` / `build_title_index`). Exact: every
+    scorer returns its full match set (`search(k=None)`) and the
+    merge is a chain of full-outer joins on doc_id. Body tombstones
+    and the scope apply to the merged frame (see `search_fielded`)."""
+    body_scope = scope if scope and scope.startswith("ts:") else None
+    merged = Q.search(
+        spark, index_dir, patterns, k=None, mode="or", with_urls=False,
+        scope=body_scope,
+    ).select("doc_id", F.col("score").alias("_s"))
+    for i, (fdir, w) in enumerate(field_specs):
+        fs = Q.search(
+            spark, fdir, patterns, k=None, mode="or", with_urls=False,
+        ).select("doc_id", (F.lit(float(w)) * F.col("score")).alias(f"_f{i}"))
+        merged = merged.join(fs, "doc_id", "full_outer")
+    total = F.coalesce("_s", F.lit(0.0))
+    for i in range(len(field_specs)):
+        total = total + F.coalesce(f"_f{i}", F.lit(0.0))
+    merged = merged.select("doc_id", total.alias("score"))
+    merged = Q.apply_tombstones(spark, index_dir, merged)
+    if scope:
+        merged = Q._apply_scope(spark, index_dir, merged, scope, None)
+    result = merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if with_urls:
+        docs = Q._cached_table(spark, index_dir, "docs").select(
+            "doc_id", "url"
+        )
+        result = (
+            result.join(docs, "doc_id", "left")
+            .select("doc_id", "score", "url")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+    return result
+
+
 def search_fielded(
     spark: SparkSession,
     index_dir: str,
@@ -102,56 +203,20 @@ def search_fielded(
     Conjunctive (mode='and') cross-field semantics are deliberately
     not offered: "every term in some field" has no single accepted
     meaning (per-field AND vs cross-field AND differ); compose
-    `search(mode='and')` per field if that is wanted."""
-    # scope is enforced ONCE, on the merged frame (anchor-only matches
-    # must obey it too, so a body-side-only filter can never suffice).
-    # The exception is a ts: scope, which ALSO rides down into the
-    # body search for range_ts time pruning — posting ranges outside
-    # the crawl window are skipped before decode; the merge-level
-    # re-filter is then an idempotent semi-join. lang:/site: scopes
-    # are NOT passed down: their only effect is the complement
-    # filter, and running it per-field would just do the (driver
-    # collect + join) work twice.
-    body_scope = scope if scope and scope.startswith("ts:") else None
-    body = Q.search(
-        spark, index_dir, patterns, k=None, mode="or", with_urls=False,
-        scope=body_scope,
+    `search(mode='and')` per field if that is wanted.
+
+    Scope mechanics (shared with `search_fields`): the scope is
+    enforced ONCE, on the merged frame — field-only matches must obey
+    it too, so a body-side-only filter can never suffice. A ts: scope
+    ALSO rides down into the body search for range_ts time pruning
+    (the merge-level re-filter is then an idempotent semi-join);
+    lang:/site: scopes are not passed down — their only effect is the
+    complement filter, and running it per-field would do the (driver
+    collect + join) work twice. Body tombstones are re-applied to the
+    merge: field indexes are derived artifacts, deletes land on the
+    body index, and a deleted doc must not survive via a field-only
+    match."""
+    return search_fields(
+        spark, index_dir, [(anchor_dir, w_anchor)], patterns, k=k,
+        with_urls=with_urls, scope=scope,
     )
-    anchor = Q.search(
-        spark, anchor_dir, patterns, k=None, mode="or", with_urls=False,
-        scope=None,
-    )
-    merged = (
-        body.select("doc_id", F.col("score").alias("_sb"))
-        .join(
-            anchor.select("doc_id", F.col("score").alias("_sa")),
-            "doc_id",
-            "full_outer",
-        )
-        .select(
-            "doc_id",
-            (
-                F.coalesce("_sb", F.lit(0.0))
-                + F.lit(float(w_anchor)) * F.coalesce("_sa", F.lit(0.0))
-            ).alias("score"),
-        )
-    )
-    # the anchor index is a derived artifact: deletes land on the BODY
-    # index, so body tombstones must kill anchor-only matches too
-    # (idempotent for body-side matches, which are already filtered)
-    merged = Q.apply_tombstones(spark, index_dir, merged)
-    if scope:
-        # the anchor side carries no metadata: the scope's complement
-        # comes from the BODY index and applies to the whole merge
-        merged = Q._apply_scope(spark, index_dir, merged, scope, None)
-    result = merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    if with_urls:
-        docs = Q._cached_table(spark, index_dir, "docs").select(
-            "doc_id", "url"
-        )
-        result = (
-            result.join(docs, "doc_id", "left")
-            .select("doc_id", "score", "url")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
-    return result

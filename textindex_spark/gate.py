@@ -147,6 +147,7 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
 # link extraction (that pipeline has its own 'link_graph' gate)
 ANCHOR_WORDS = ["spark", "vector", "merge", "archive", "quarry", "table"]
 W_ANCHOR = 0.5
+W_TITLE = 2.0
 
 
 def _anchor_word(expr):
@@ -192,6 +193,34 @@ def ensure_anchor_index(spark: SparkSession, sf_dir: str) -> str:
         )
     )
     fields.build_anchor_index(spark, idx, out, links=links, range_bits=10)
+    return out
+
+
+def ensure_title_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the title-field index: every doc's page html is
+    minted as '<title><w> heading</title>' with w by doc_id arithmetic
+    over ANCHOR_WORDS, then run through the REAL title extraction +
+    canonical-url join + build chain."""
+    from textindex_spark import fields
+
+    idx = ensure_index(spark, sf_dir)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    out = f"{GATE_DIR}/{key}_title_v1"
+    marker = f"{out}/stats"
+    try:
+        spark.read.parquet(marker).collect()
+        return out
+    except Exception:
+        pass
+    docs = B.manifest.read_table(spark, idx, "docs").select("doc_id", "url")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        _anchor_word(d * 7 + 4),
+        F.lit(" heading</title></head></html>"),
+    )
+    pages = docs.select("url", html.alias("html"))
+    fields.build_title_index(spark, idx, out, pages, range_bits=10)
     return out
 
 
@@ -292,7 +321,12 @@ def q_bm25_topk(spark, sf_dir):
     fl = fields.search_fielded(
         spark, idx, aidx, BM25_TERMS, k=10, w_anchor=W_ANCHOR, with_urls=False
     ).select(F.lit("anchor").alias("variant"), "doc_id", micro.alias("score_micro"))
-    return topk.unionByName(mlt).unionByName(fl)
+    tidx = ensure_title_index(spark, sf_dir)
+    f3 = fields.search_fields(
+        spark, idx, [(aidx, W_ANCHOR), (tidx, W_TITLE)], BM25_TERMS,
+        k=10, with_urls=False,
+    ).select(F.lit("fields").alias("variant"), "doc_id", micro.alias("score_micro"))
+    return topk.unionByName(mlt).unionByName(fl).unionByName(f3)
 
 
 def q_bm25_or_topk(spark, sf_dir):
@@ -1841,14 +1875,16 @@ def _slot_cond(w: str) -> str:
     return f"term = {_sql_quote(w)}"
 
 
-def _fielded_sql() -> str:
-    """Oracle for the bm25_topk 'anchor' variant: body OR-mode BM25
-    plus W_ANCHOR × anchor-field BM25, full-outer-merged. The anchor
+def _fielded_sql(with_title: bool = False) -> str:
+    """Oracle for the bm25_topk 'anchor' (and, with_title, 'fields')
+    variant: body OR-mode BM25 plus W_ANCHOR × anchor-field BM25
+    (plus W_TITLE × title-field BM25), full-outer-merged. The anchor
     corpus is reconstructed arithmetically (two anchors per doc over
     ANCHOR_WORDS; the digest joins the two distinct anchor strings in
     lexicographic order — exactly `top_anchors`' count-desc/anchor-asc
-    order at equal counts); each field's BM25 uses its own
-    n_docs/avgdl/df, mirroring the engine's per-field stats."""
+    order at equal counts); the title corpus likewise
+    ('<w> heading', w by doc_id arithmetic). Each field's BM25 uses
+    its own n_docs/avgdl/df, mirroring the engine's per-field stats."""
 
     def aw(expr: str) -> str:
         whens = " ".join(
@@ -1857,6 +1893,70 @@ def _fielded_sql() -> str:
         return f"(CASE ({expr}) % {len(ANCHOR_WORDS)} {whens} END)"
 
     bm25_terms = ",".join(_sql_quote(t) for t in BM25_TERMS)
+    title_ctes = f""",
+tcorp AS (
+    SELECT doc_id, {aw("doc_id * 7 + 4")} || ' heading' AS text
+    FROM documents
+),
+ttoks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM tcorp
+),
+tkept AS (
+    SELECT doc_id, term FROM ttoks
+    WHERE term <> '' AND term NOT IN ({STOP_LIST_SQL})
+),
+ttf AS (
+    SELECT doc_id, term, count(*)::BIGINT AS tf
+    FROM tkept GROUP BY doc_id, term
+),
+tdl AS (
+    SELECT c.doc_id, coalesce(k.n, 0)::BIGINT AS doc_len
+    FROM tcorp c
+    LEFT JOIN (SELECT doc_id, count(*) AS n FROM tkept GROUP BY doc_id) k
+      ON c.doc_id = k.doc_id
+),
+tstats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM tdl
+),
+tdfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM ttf
+    WHERE term IN ({bm25_terms}) GROUP BY term
+),
+thits AS (
+    SELECT t.doc_id,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM ttf t
+    JOIN tdfs f ON t.term = f.term
+    JOIN tdl d ON t.doc_id = d.doc_id
+    CROSS JOIN tstats s
+),
+tscored AS (SELECT doc_id, sum(w) AS score FROM thits GROUP BY doc_id)"""
+    if with_title:
+        merge = f"""
+fielded AS (
+    SELECT coalesce(ba.doc_id, t.doc_id) AS doc_id,
+           ba.score2 + {W_TITLE}::DOUBLE * coalesce(t.score, 0.0::DOUBLE)
+               AS score
+    FROM (
+        SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+               coalesce(b.score, 0.0::DOUBLE)
+               + {W_ANCHOR}::DOUBLE * coalesce(a.score, 0.0::DOUBLE)
+                   AS score2
+        FROM bscored b FULL JOIN ascored a ON b.doc_id = a.doc_id
+    ) ba FULL JOIN tscored t ON ba.doc_id = t.doc_id
+)"""
+        # an all-fields-missing doc cannot occur (it would not be in
+        # any scored set), so score2 is never NULL in the outer merge
+    else:
+        merge = f"""
+fielded AS (
+    SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+           coalesce(b.score, 0.0::DOUBLE)
+           + {W_ANCHOR}::DOUBLE * coalesce(a.score, 0.0::DOUBLE) AS score
+    FROM bscored b FULL JOIN ascored a ON b.doc_id = a.doc_id
+)"""
     return f"""
 WITH {_TOKS_CTE},
 stats AS (
@@ -1923,13 +2023,7 @@ ahits AS (
     JOIN adl d ON t.doc_id = d.doc_id
     CROSS JOIN astats s
 ),
-ascored AS (SELECT doc_id, sum(w) AS score FROM ahits GROUP BY doc_id),
-fielded AS (
-    SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
-           coalesce(b.score, 0.0::DOUBLE)
-           + {W_ANCHOR}::DOUBLE * coalesce(a.score, 0.0::DOUBLE) AS score
-    FROM bscored b FULL JOIN ascored a ON b.doc_id = a.doc_id
-)
+ascored AS (SELECT doc_id, sum(w) AS score FROM ahits GROUP BY doc_id){title_ctes if with_title else ""},{merge}
 SELECT doc_id, floor(score * 1e6 + 0.5)::BIGINT AS score_micro
 FROM fielded ORDER BY score DESC, doc_id ASC LIMIT 10
 """
@@ -3221,6 +3315,8 @@ ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
         ("'topk' AS variant, doc_id, score_micro", out["bm25_topk"]),
         ("'mlt' AS variant, doc_id, score_micro", mlt_sql),
         ("'anchor' AS variant, doc_id, score_micro", _fielded_sql()),
+        ("'fields' AS variant, doc_id, score_micro",
+         _fielded_sql(with_title=True)),
     ])
     for dead in (
         "facet_lang", "facet_month", "phrase_match", "near_match",

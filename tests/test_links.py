@@ -246,6 +246,46 @@ def test_host_graph_shapes(spark, pages):
     assert follow[("a.example.com", "a.example.com")] == 2
 
 
+def test_extract_links_fuzz_never_crashes(spark):
+    """Byte-mutated / truncated / garbage html: extraction never
+    raises, every emitted dst is absolute with a scheme, and the link
+    count never exceeds the <a-ish open-tag count."""
+    import random
+    import re
+
+    rng = random.Random(77)
+    base_html = (
+        '<p>x</p><a href="http://t.example/a">one</a>'
+        "<a href='../up/x.html'>two</a>"
+        '<a href="//cdn.example/l">three</a>'
+        '<a href="?q=1">four</a>'
+    )
+    rows = []
+    for i in range(60):
+        b = bytearray(base_html.encode())
+        for _ in range(rng.randint(0, 12)):
+            op = rng.random()
+            if op < 0.5 and b:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op < 0.8 and b:
+                del b[rng.randrange(len(b))]
+            else:
+                b.insert(rng.randrange(len(b) + 1), rng.randrange(256))
+        if rng.random() < 0.2:
+            b = b[: rng.randrange(len(b) + 1)]  # truncation
+        rows.append((f"http://h{i % 5}.example/d/p{i}.html", bytes(b)))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = L.extract_links(df).collect()  # must not raise
+    for r in out:
+        assert re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", r.dst_url), r.dst_url
+    per_src = {}
+    for r in out:
+        per_src[r.src_url] = per_src.get(r.src_url, 0) + 1
+    opens = {u: h.lower().count(b"<a") for u, h in rows}
+    for u, n in per_src.items():
+        assert n <= opens[u], (u, n, opens[u])
+
+
 def test_host_rank_prior(spark, edges):
     ranks = L.pagerank(edges, iters=3)
     docs = spark.createDataFrame(

@@ -310,7 +310,14 @@ def host_graph(
     approx_count_distinct (exact distinct of page urls inside a
     host-pair group would re-shuffle the full edge payload — at crawl
     scale the ±2% HLL estimate is the right trade and is documented
-    here; the exact variant is one `countDistinct` swap away)."""
+    here; the exact variant is one `countDistinct` swap away).
+
+    Feed this MATERIALIZED links (a parquet read or a checkpoint, as
+    `build_link_graph` does), not the raw `extract_links` lineage: an
+    aggregation composed directly over the extraction plan re-inlines
+    the resolve/canonicalize expression trees once per column
+    reference (measured: 4,012 regexp nodes in the physical plan and
+    0.26 s → 7.9 s on the sf0.1 bench graph)."""
     e = links.select(
         host_of(F.col(src_url)).alias("src_host"),
         host_of(F.col(dst_url)).alias("dst_host"),

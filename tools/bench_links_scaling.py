@@ -90,14 +90,17 @@ def main() -> None:
         # run under the previous size's block-manager pressure
         pages = linked_pages(spark, n).persist()
         pages.count()
-        edges = L.host_graph(L.extract_links(pages)).persist()
+        # materialized links, as build_link_graph does (aggregating
+        # over the raw extraction lineage re-inlines the expression
+        # trees per reference — see host_graph's docstring)
+        links = L.extract_links(pages).persist()
+        links.count()
+        edges = L.host_graph(links).persist()
         edges.count()
 
         ops = {
             "link_extract": lambda: L.extract_links(pages).count(),
-            "link_host_graph": lambda: L.host_graph(
-                L.extract_links(pages)
-            ).count(),
+            "link_host_graph": lambda: L.host_graph(links).count(),
             "link_pagerank": lambda: L.pagerank(edges, iters=8).count(),
         }
         for name, fn in ops.items():
@@ -109,6 +112,7 @@ def main() -> None:
             counts.setdefault(name, {})[n] = int(c)
             print(f"  {name} @ {n}: {dt:.2f}s ({c} rows)", file=sys.stderr)
         pages.unpersist(blocking=True)
+        links.unpersist(blocking=True)
         edges.unpersist(blocking=True)
 
     small, big = sizes

@@ -54,6 +54,10 @@ def main() -> None:
     if args.stream:
         if not args.checkpoint:
             ap.error("--stream requires --checkpoint")
+        if args.title_index:
+            ap.error("--title-index is batch-only (the title field is a "
+                     "corpus-level derived index; rebuild it after the "
+                     "stream with jobs/build_index.py or fields.py)")
         from textindex_spark.streaming.incremental import stream_index
 
         stream_index(
@@ -64,6 +68,10 @@ def main() -> None:
         print()
         return
     docs = spark.read.parquet(args.input)
+    if args.title_index and not {"url", "html"} <= set(docs.columns):
+        # fail BEFORE the (long) body build: titles need raw markup
+        ap.error("--title-index needs url+html columns on --input "
+                 "(titles live in the raw markup)")
     if args.resumable:
         stats = build_index_resumable(
             spark, docs, args.output, n_parts=args.parts, range_bits=args.range_bits

@@ -114,6 +114,12 @@ def title_documents(
     p = pages.select(F.col(url_col).alias("_purl"), title.alias("_title"))
     p = p.where(F.col("_title") != "")
     p = with_canonical_url(p, "_purl", "_pcurl")
+    # ONE title per canonical URL (deterministic: lexicographic min) —
+    # URL variants / re-crawl snapshots of the same page would
+    # otherwise fan out the join and write duplicate doc_id rows into
+    # the title corpus (duplicate postings, inflated df/avgdl). The
+    # anchor path has no such hazard: top_anchors groups by dst first.
+    p = p.groupBy("_pcurl").agg(F.min("_title").alias("_title"))
     d = with_canonical_url(docs.select("doc_id", "url"), "url", "_curl")
     return (
         d.join(p, d["_curl"] == p["_pcurl"], "inner")
@@ -129,9 +135,16 @@ def build_title_index(
     **build_kwargs,
 ) -> dict:
     """Build the title-field index for an existing body index from
-    the raw crawl pages (url + html). Doc ids are the body index's."""
+    the raw crawl pages (url + html). Doc ids are the body index's.
+    Raises ValueError when NO page yields a title (a text-only corpus)
+    — an empty field index would silently score nothing."""
     docs = Q._cached_table(spark, index_dir, "docs").select("doc_id", "url")
     tdocs = title_documents(docs, pages)
+    if not tdocs.limit(1).count():
+        raise ValueError(
+            "no <title> text found in any page that matches the index "
+            "(text-only corpus?) — refusing to build an empty title field"
+        )
     return B.build_index(spark, tdocs, title_dir, **build_kwargs)
 
 

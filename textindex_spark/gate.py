@@ -1878,13 +1878,16 @@ def _slot_cond(w: str) -> str:
 def _fielded_sql(with_title: bool = False) -> str:
     """Oracle for the bm25_topk 'anchor' (and, with_title, 'fields')
     variant: body OR-mode BM25 plus W_ANCHOR × anchor-field BM25
-    (plus W_TITLE × title-field BM25), full-outer-merged. The anchor
-    corpus is reconstructed arithmetically (two anchors per doc over
-    ANCHOR_WORDS; the digest joins the two distinct anchor strings in
-    lexicographic order — exactly `top_anchors`' count-desc/anchor-asc
-    order at equal counts); the title corpus likewise
-    ('<w> heading', w by doc_id arithmetic). Each field's BM25 uses
-    its own n_docs/avgdl/df, mirroring the engine's per-field stats."""
+    (plus W_TITLE × title-field BM25), full-outer-merged with every
+    side coalesced — a doc matched in ANY single field must score.
+    The anchor corpus is reconstructed arithmetically (two anchors
+    per doc over ANCHOR_WORDS; the digest joins the two distinct
+    anchor strings in lexicographic order — exactly `top_anchors`'
+    count-desc/anchor-asc order at equal counts); the title corpus
+    likewise ('<w> heading'). Each field's BM25 uses its own
+    n_docs/avgdl/df, mirroring the engine's per-field stats; the
+    per-field CTE chain is emitted by ONE helper so the BM25 formula
+    exists once."""
 
     def aw(expr: str) -> str:
         whens = " ".join(
@@ -1893,52 +1896,72 @@ def _fielded_sql(with_title: bool = False) -> str:
         return f"(CASE ({expr}) % {len(ANCHOR_WORDS)} {whens} END)"
 
     bm25_terms = ",".join(_sql_quote(t) for t in BM25_TERMS)
-    title_ctes = f""",
-tcorp AS (
-    SELECT doc_id, {aw("doc_id * 7 + 4")} || ' heading' AS text
-    FROM documents
+
+    def field_chain(p: str, corpus: str) -> str:
+        """tokens → stop-filter → tf → dl → stats → dfs → hits →
+        {p}scored over the CTE named ``corpus`` (doc_id, text)."""
+        return f""",
+{p}toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {corpus}
 ),
-ttoks AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM tcorp
-),
-tkept AS (
-    SELECT doc_id, term FROM ttoks
+{p}kept AS (
+    SELECT doc_id, term FROM {p}toks
     WHERE term <> '' AND term NOT IN ({STOP_LIST_SQL})
 ),
-ttf AS (
+{p}tf AS (
     SELECT doc_id, term, count(*)::BIGINT AS tf
-    FROM tkept GROUP BY doc_id, term
+    FROM {p}kept GROUP BY doc_id, term
 ),
-tdl AS (
+{p}dl AS (
     SELECT c.doc_id, coalesce(k.n, 0)::BIGINT AS doc_len
-    FROM tcorp c
-    LEFT JOIN (SELECT doc_id, count(*) AS n FROM tkept GROUP BY doc_id) k
+    FROM {corpus} c
+    LEFT JOIN (SELECT doc_id, count(*) AS n FROM {p}kept GROUP BY doc_id) k
       ON c.doc_id = k.doc_id
 ),
-tstats AS (
-    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM tdl
+{p}stats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl
+    FROM {p}dl
 ),
-tdfs AS (
-    SELECT term, count(*)::DOUBLE AS df FROM ttf
+{p}dfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM {p}tf
     WHERE term IN ({bm25_terms}) GROUP BY term
 ),
-thits AS (
+{p}hits AS (
     SELECT t.doc_id,
            ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
            * t.tf * (1.2 + 1.0)
            / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
-    FROM ttf t
-    JOIN tdfs f ON t.term = f.term
-    JOIN tdl d ON t.doc_id = d.doc_id
-    CROSS JOIN tstats s
+    FROM {p}tf t
+    JOIN {p}dfs f ON t.term = f.term
+    JOIN {p}dl d ON t.doc_id = d.doc_id
+    CROSS JOIN {p}stats s
 ),
-tscored AS (SELECT doc_id, sum(w) AS score FROM thits GROUP BY doc_id)"""
+{p}scored AS (SELECT doc_id, sum(w) AS score FROM {p}hits GROUP BY doc_id)"""
+
+    anchor_ctes = f""",
+amint AS (
+    SELECT doc_id,
+           {aw("doc_id * 3 + 1")} || ' link' AS s1,
+           {aw("doc_id * 5 + 2")} || ' page' AS s2
+    FROM documents
+),
+acorp AS (
+    SELECT doc_id,
+           CASE WHEN s1 < s2 THEN s1 || ' ' || s2
+                ELSE s2 || ' ' || s1 END AS text
+    FROM amint
+){field_chain("a", "acorp")}"""
+    title_ctes = f""",
+tcorp AS (
+    SELECT doc_id, {aw("doc_id * 7 + 4")} || ' heading' AS text
+    FROM documents
+){field_chain("t", "tcorp")}"""
     if with_title:
         merge = f"""
 fielded AS (
     SELECT coalesce(ba.doc_id, t.doc_id) AS doc_id,
-           ba.score2 + {W_TITLE}::DOUBLE * coalesce(t.score, 0.0::DOUBLE)
-               AS score
+           coalesce(ba.score2, 0.0::DOUBLE)
+           + {W_TITLE}::DOUBLE * coalesce(t.score, 0.0::DOUBLE) AS score
     FROM (
         SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
                coalesce(b.score, 0.0::DOUBLE)
@@ -1947,8 +1970,6 @@ fielded AS (
         FROM bscored b FULL JOIN ascored a ON b.doc_id = a.doc_id
     ) ba FULL JOIN tscored t ON ba.doc_id = t.doc_id
 )"""
-        # an all-fields-missing doc cannot occur (it would not be in
-        # any scored set), so score2 is never NULL in the outer merge
     else:
         merge = f"""
 fielded AS (
@@ -1976,54 +1997,7 @@ hits AS (
     JOIN dl d ON t.doc_id = d.doc_id
     CROSS JOIN stats s
 ),
-bscored AS (SELECT doc_id, sum(w) AS score FROM hits GROUP BY doc_id),
-amint AS (
-    SELECT doc_id,
-           {aw("doc_id * 3 + 1")} || ' link' AS s1,
-           {aw("doc_id * 5 + 2")} || ' page' AS s2
-    FROM documents
-),
-acorp AS (
-    SELECT doc_id,
-           CASE WHEN s1 < s2 THEN s1 || ' ' || s2
-                ELSE s2 || ' ' || s1 END AS text
-    FROM amint
-),
-atoks AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM acorp
-),
-akept AS (
-    SELECT doc_id, term FROM atoks
-    WHERE term <> '' AND term NOT IN ({STOP_LIST_SQL})
-),
-atf AS (
-    SELECT doc_id, term, count(*)::BIGINT AS tf
-    FROM akept GROUP BY doc_id, term
-),
-adl AS (
-    SELECT a.doc_id, coalesce(k.n, 0)::BIGINT AS doc_len
-    FROM acorp a
-    LEFT JOIN (SELECT doc_id, count(*) AS n FROM akept GROUP BY doc_id) k
-      ON a.doc_id = k.doc_id
-),
-astats AS (
-    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM adl
-),
-adfs AS (
-    SELECT term, count(*)::DOUBLE AS df FROM atf
-    WHERE term IN ({bm25_terms}) GROUP BY term
-),
-ahits AS (
-    SELECT t.doc_id,
-           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
-           * t.tf * (1.2 + 1.0)
-           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
-    FROM atf t
-    JOIN adfs f ON t.term = f.term
-    JOIN adl d ON t.doc_id = d.doc_id
-    CROSS JOIN astats s
-),
-ascored AS (SELECT doc_id, sum(w) AS score FROM ahits GROUP BY doc_id){title_ctes if with_title else ""},{merge}
+bscored AS (SELECT doc_id, sum(w) AS score FROM hits GROUP BY doc_id){anchor_ctes}{title_ctes if with_title else ""},{merge}
 SELECT doc_id, floor(score * 1e6 + 0.5)::BIGINT AS score_micro
 FROM fielded ORDER BY score DESC, doc_id ASC LIMIT 10
 """

@@ -90,20 +90,8 @@ def main() -> None:
         # run under the previous size's block-manager pressure
         pages = linked_pages(spark, n).persist()
         pages.count()
-        # materialized links, as build_link_graph does (aggregating
-        # over the raw extraction lineage re-inlines the expression
-        # trees per reference — see host_graph's docstring)
-        links = L.extract_links(pages).persist()
-        links.count()
-        edges = L.host_graph(links).persist()
-        edges.count()
 
-        ops = {
-            "link_extract": lambda: L.extract_links(pages).count(),
-            "link_host_graph": lambda: L.host_graph(links).count(),
-            "link_pagerank": lambda: L.pagerank(edges, iters=8).count(),
-        }
-        for name, fn in ops.items():
+        def timed(name, fn):
             fn()  # warm: JIT, adaptive stats
             t0 = time.time()
             c = fn()
@@ -111,6 +99,21 @@ def main() -> None:
             results.setdefault(name, {})[n] = round(dt, 3)
             counts.setdefault(name, {})[n] = int(c)
             print(f"  {name} @ {n}: {dt:.2f}s ({c} rows)", file=sys.stderr)
+
+        # extraction timed BEFORE any cache of the same plan exists —
+        # persisting links first would register the identical analyzed
+        # plan in the CacheManager and the 'timed' extraction would
+        # silently read the cache instead of re-running
+        timed("link_extract", lambda: L.extract_links(pages).count())
+        # materialized links for the aggregations, as build_link_graph
+        # does (aggregating over the raw extraction lineage re-inlines
+        # the expression trees per reference — host_graph docstring)
+        links = L.extract_links(pages).persist()
+        links.count()
+        edges = L.host_graph(links).persist()
+        edges.count()
+        timed("link_host_graph", lambda: L.host_graph(links).count())
+        timed("link_pagerank", lambda: L.pagerank(edges, iters=8).count())
         pages.unpersist(blocking=True)
         links.unpersist(blocking=True)
         edges.unpersist(blocking=True)

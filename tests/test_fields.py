@@ -246,6 +246,35 @@ def test_title_documents_extraction(spark):
     assert 4 in got  # canonical-url join matched
 
 
+def test_title_documents_dedupes_url_variants(spark):
+    # two snapshots / URL spellings of the same page → ONE title row
+    # (deterministic lexicographic min), not a join fanout
+    pages = spark.createDataFrame(
+        [
+            ("http://h.example/p", "<title>zz later</title>"),
+            ("HTTP://H.example/p?utm_a=1", "<title>aa earlier</title>"),
+        ],
+        "url string, html string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "http://h.example/p")], "doc_id long, url string"
+    )
+    got = fields.title_documents(docs, pages).collect()
+    assert [(r.doc_id, r.text) for r in got] == [(1, "aa earlier")]
+
+
+def test_build_title_index_refuses_empty_corpus(spark, idx_dirs, tmp_path):
+    body_dir, _ = idx_dirs
+    no_titles = spark.createDataFrame(
+        [("http://h.example/x", "<p>plain text, no title</p>")],
+        "url string, html string",
+    )
+    with pytest.raises(ValueError, match="no <title>"):
+        fields.build_title_index(
+            spark, body_dir, str(tmp_path / "t"), no_titles, range_bits=6
+        )
+
+
 def test_three_field_search_matches_three_oracle_sum(spark, idx_dirs, tmp_path):
     """body + anchor + title merged: exact vs three independent
     OracleIndex scorers combined with the same weights."""

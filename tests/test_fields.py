@@ -322,6 +322,70 @@ def test_three_field_search_matches_three_oracle_sum(spark, idx_dirs, tmp_path):
         assert gs == pytest.approx(ws, abs=1e-9)
 
 
+def test_anchor_field_refresh_after_body_append(spark, tmp_path):
+    """The derived-field freshness story: append a crawl batch to the
+    body, re-run build_anchor_index with the grown links table →
+    fielded results equal a two-oracle recomputation over the FULL
+    corpus + links (new docs rank, old docs' changed digests count)."""
+    from textindex_spark.build import append_batch
+
+    rows0 = _body_rows()[:16]
+    rows1 = _body_rows()[16:]
+    body_dir = str(tmp_path / "body")
+    anchor_dir = str(tmp_path / "anchor")
+    build_index(spark, corpus_df(spark, rows0), body_dir, range_bits=6)
+    links_all = _link_rows()
+    links0 = [l for l in links_all if "/p7.html" not in l[1]]
+    ldf0 = spark.createDataFrame(
+        links0, "src_url string, dst_url string, anchor string, nofollow boolean"
+    )
+    fields.build_anchor_index(spark, body_dir, anchor_dir, links=ldf0, range_bits=6)
+
+    # crawl batch 2: docs 16.. appended; the zzmagnet links to doc 7
+    # appear (an EXISTING page's digest changes)
+    append_batch(spark, corpus_df(spark, rows1), body_dir)
+    ldf_all = spark.createDataFrame(
+        links_all, "src_url string, dst_url string, anchor string, nofollow boolean"
+    )
+    fields.build_anchor_index(
+        spark, body_dir, anchor_dir, links=ldf_all, range_bits=6
+    )
+
+    b_oracle = OracleIndex.build(_body_rows())
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["url"]) for r in _body_rows()], "doc_id long, url string"
+    )
+    arows = [
+        {"doc_id": r.doc_id, "url": r.url, "html": None, "text": r.text,
+         "lang": ""}
+        for r in fields.anchor_documents(docs, ldf_all).collect()
+    ]
+    a_oracle = OracleIndex.build(arows)
+    for terms in (["zzmagnet"], ["spark", "vector"]):
+        bs = dict(b_oracle.search(terms, k=10**6, mode="or"))
+        as_ = dict(a_oracle.search(terms, k=10**6, mode="or"))
+        want = sorted(
+            ((d, bs.get(d, 0.0) + as_.get(d, 0.0)) for d in set(bs) | set(as_)),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        got = [
+            (r.doc_id, r.score)
+            for r in fields.search_fielded(
+                spark, body_dir, anchor_dir, terms, k=10, with_urls=False
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], terms
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9)
+    # the digest change is visible: doc 7 is findable by zzmagnet now
+    assert [
+        r.doc_id
+        for r in fields.search_fielded(
+            spark, body_dir, anchor_dir, ["zzmagnet"], k=5, with_urls=False
+        ).collect()
+    ] == [7]
+
+
 def test_fielded_respects_body_tombstones(spark, idx_dirs):
     body_dir, anchor_dir = idx_dirs
     n = delete_docs(spark, body_dir, "*p7.html")

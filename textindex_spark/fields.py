@@ -71,7 +71,19 @@ def build_anchor_index(
     Either pass ``links`` (pre-extracted) or ``pages`` (raw crawl
     rows with url+html — links are extracted here). Doc ids are the
     BODY index's ids (joined by canonical url), so a fielded query
-    merges scores on doc_id directly. Returns the build stats dict."""
+    merges scores on doc_id directly. Returns the build stats dict.
+
+    Freshness model: field indexes are DERIVED artifacts — after a
+    body append (new crawl batch), refresh by re-running this build
+    with the full links table (what `jobs/linkgraph.py
+    --anchor-field` and the pipeline stage do each run). A rebuild is
+    the right shape, not a concession: new in-links CHANGE existing
+    pages' digests, so an incremental path would have to upsert
+    existing doc_ids, which the append machinery's id-monotonicity
+    invariant forbids — and the anchor corpus (top-K strings per
+    linked page) is orders of magnitude smaller than the body corpus,
+    so its rebuild rides the cheap side of the pipeline. Pinned by
+    `test_anchor_field_refresh_after_body_append`."""
     if links is None:
         if pages is None:
             raise ValueError("build_anchor_index needs pages or links")

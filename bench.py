@@ -332,6 +332,19 @@ def main() -> None:
     )
     timed("emb_near_dup", lambda: similarity.embedding_near_pairs(emb).count())
 
+    # r5: hybrid lexical+vector retrieval — RRF fusion of the warm
+    # BM25-OR serving path with the exact-cosine branch (fusion adds
+    # only O(depth) work on top of the two branches)
+    from textindex_spark import hybrid as hyb
+
+    timed(
+        "bm25_hybrid",
+        lambda: hyb.search_hybrid(
+            spark, idx_dir, ["spark", "vector"], emb, list(qvec),
+            k=10, depth=50, mode="or",
+        ).collect(),
+    )
+
     # IVF-PQ stored path: build (kmeans + residual codebooks +
     # bucket-partitioned write) once, then the two-stage query — an
     # ADC scan that reads ONLY (id, pq_code) from the probed

@@ -14,6 +14,10 @@
                               #   "spark AND (vector OR merge) AND NOT qu*"
         [--lines DOCS.parquet]  # attach matched lines (snippets) to each
                                 # ranked hit, re-read from the raw corpus
+        [--hybrid EMB.parquet --qvec-id N]  # RRF-fuse BM25 --terms with
+                                # cosine top-k over document embeddings
+                                # (--rrf-k/--depth tune the fusion;
+                                # --scope filters the lexical branch)
 """
 from __future__ import annotations
 
@@ -104,6 +108,26 @@ def main() -> None:
         "--w-title", type=float, default=2.0,
         help="title-field score weight (with --title-index)",
     )
+    ap.add_argument(
+        "--hybrid", default=None, metavar="EMB",
+        help="hybrid retrieval: embeddings parquet (vec_id ≡ doc_id, "
+        "embedding array); BM25 --terms top-depth is RRF-fused with "
+        "the cosine top-depth for the --qvec-id query vector",
+    )
+    ap.add_argument(
+        "--qvec-id", type=int, default=None, metavar="ID",
+        help="vec_id of the query vector inside --hybrid's table "
+        "(excluded from the candidate side)",
+    )
+    ap.add_argument(
+        "--rrf-k", type=int, default=None,
+        help="RRF constant (default 60)",
+    )
+    ap.add_argument(
+        "--depth", type=int, default=None,
+        help="per-branch candidate depth for --hybrid (default "
+        "max(50, 5k))",
+    )
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -155,6 +179,17 @@ def main() -> None:
             "on a single --index only (always disjunctive across "
             "fields; --mode is ignored)"
         )
+    if args.hybrid and (
+        args.files or args.facet or args.phrase or args.near is not None
+        or args.unranked or args.bool_expr or args.prune or args.shards
+        or args.similar is not None or args.anchor_index or args.title_index
+    ):
+        ap.error(
+            "--hybrid composes with ranked --terms on a single --index "
+            "only (with --mode/--k/--scope/--qvec-id/--rrf-k/--depth)"
+        )
+    if args.hybrid and args.qvec_id is None:
+        ap.error("--hybrid requires --qvec-id (the query vector's vec_id)")
     if bool(args.index) == bool(args.shards):
         ap.error("provide exactly one of --index / --shards")
     if args.shards and (
@@ -245,6 +280,29 @@ def main() -> None:
             scope=args.scope,
         ).collect()
         # snippet matchers need the base patterns, not boost syntax
+        emit(rows, split_boosts(args.terms)[0])
+        return
+    if args.hybrid:
+        from pyspark.sql import functions as F
+
+        from textindex_spark.hybrid import search_hybrid
+        from textindex_spark.query import split_boosts
+
+        emb = spark.read.parquet(args.hybrid)
+        qrows = emb.filter(F.col("vec_id") == args.qvec_id).select(
+            "embedding"
+        ).collect()
+        if not qrows:
+            ap.error(f"--qvec-id {args.qvec_id} not found in {args.hybrid}")
+        kw = {}
+        if args.rrf_k is not None:
+            kw["rrf_k"] = args.rrf_k
+        rows = search_hybrid(
+            spark, args.index, args.terms,
+            emb.filter(F.col("vec_id") != args.qvec_id),
+            list(qrows[0][0]), k=args.k, depth=args.depth, mode=args.mode,
+            scope=args.scope, with_urls=True, **kw,
+        ).collect()
         emit(rows, split_boosts(args.terms)[0])
         return
     if args.files:

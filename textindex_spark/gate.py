@@ -980,10 +980,38 @@ def q_unigram_nll(spark, sf_dir):
     return curate.unigram_logprob(_documents(spark, sf_dir))
 
 
+# hybrid-retrieval probe (ann_cosine 'hybrid' variant): the driver
+# embeddings' vec_id space coincides with documents.doc_id (0..499 at
+# every sf), so RRF fuses the BM25-OR branch over `documents` with the
+# exact-cosine branch over `embeddings` in one shared id namespace.
+HYBRID_DEPTH = 50
+
+
 def q_ann_cosine(spark, sf_dir):
+    """Union-tagged: 'cos' = exact brute-force cosine top-10;
+    'hybrid' = reciprocal-rank fusion (hybrid.search_hybrid) of the
+    disjunctive BM25 top-HYBRID_DEPTH over `documents` with the exact
+    cosine top-HYBRID_DEPTH over `embeddings` (vec_id ≡ doc_id). The
+    oracle recomputes both branches and the fusion arithmetic."""
+    from textindex_spark import hybrid
+
     emb = _embeddings(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.cosine_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    base = emb.filter(F.col("vec_id") != 0)
+    cos = similarity.cosine_topk(base, list(qvec), k=10).select(
+        F.lit("cos").alias("variant"), "vec_id",
+        F.col("cos_micro").alias("val_micro"),
+    )
+    idx = ensure_index(spark, sf_dir)
+    hyb = hybrid.search_hybrid(
+        spark, idx, BM25_TERMS, base, list(qvec),
+        k=10, depth=HYBRID_DEPTH, mode="or",
+    ).select(
+        F.lit("hybrid").alias("variant"),
+        F.col("doc_id").alias("vec_id"),
+        F.col("rrf_micro").alias("val_micro"),
+    )
+    return cos.unionByName(hyb)
 
 
 IVF_K = 16
@@ -3243,6 +3271,75 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
     out["ann_ivf"] = _fold([
         ("'ivf' AS variant, vec_id, cos_micro", out["ann_ivf"]),
         ("'pq' AS variant, vec_id, cos_micro", out["ann_cosine"]),
+    ])
+    # hybrid RRF fold (mirror of q_ann_cosine 'hybrid'): both branches
+    # recomputed from scratch — disjunctive BM25 over `documents` and
+    # exact cosine over `embeddings` — ranked on the SAME micro
+    # quantization + id tiebreak the engine ranks on, fused as
+    # 1/(K+rank) sums in the engine's branch order (lex + vec).
+    from textindex_spark.hybrid import RRF_K
+
+    hybrid_sql = f"""
+WITH {_TOKS_CTE},
+stats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl
+),
+dfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf
+    WHERE term IN ({bm25_terms}) GROUP BY term
+),
+hits AS (
+    SELECT t.doc_id, t.term,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM tf t
+    JOIN dfs f ON t.term = f.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+    WHERE t.term IN ({bm25_terms})
+),
+ltop AS (
+    SELECT doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT AS m
+    FROM hits GROUP BY doc_id
+    ORDER BY sum(w) DESC, doc_id ASC LIMIT {HYBRID_DEPTH}
+),
+lr AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY m DESC, doc_id ASC) AS rl
+    FROM ltop
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vsc AS (
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+           / (greatest(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 1e-12)
+              * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS cos
+    FROM embeddings e, q WHERE e.vec_id <> 0
+),
+vtop AS (
+    SELECT vec_id, floor(cos * 1e6 + 0.5)::BIGINT AS m
+    FROM vsc ORDER BY cos DESC, vec_id ASC LIMIT {HYBRID_DEPTH}
+),
+vr AS (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY m DESC, vec_id ASC) AS rv
+    FROM vtop
+),
+fused AS (
+    SELECT coalesce(lr.doc_id, vr.vec_id) AS doc_id,
+           coalesce(1.0 / ({RRF_K} + lr.rl), 0.0)
+           + coalesce(1.0 / ({RRF_K} + vr.rv), 0.0) AS rrf
+    FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.vec_id
+)
+SELECT doc_id, floor(rrf * 1e6 + 0.5)::BIGINT AS rrf_micro
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+    out["ann_cosine"] = _fold([
+        ("'cos' AS variant, vec_id, cos_micro AS val_micro",
+         out["ann_cosine"]),
+        ("'hybrid' AS variant, doc_id AS vec_id, rrf_micro AS val_micro",
+         hybrid_sql),
     ])
     # more-like-this variant folds into bm25_topk LAST, so the
     # bm25_after_append / bm25_sharded aliases above keep the plain

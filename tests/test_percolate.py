@@ -1,0 +1,162 @@
+"""Percolator (`textindex_spark/percolate.py`): standing-query
+matching pinned against an independent per-document python
+evaluation (reference tokenizer + inline formula recursion), error
+contracts, and the streaming surface."""
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.spark_fixtures import corpus_df, spark  # noqa: F401
+from textindex_spark import percolate as P
+from textindex_spark.boolquery import parse_bool
+from textindex_spark.refimpl.oracle import wildcard_to_regex
+from textindex_spark.refimpl.txt_tokenize import term_frequencies
+
+WORDS = ["spark", "vector", "merge", "archive", "table", "quarry",
+         "hash", "fast"]
+N_DOCS = 40
+
+QUERIES = [
+    ("alert_and", "spark AND merge"),
+    ("alert_or", "vector OR quarry OR fast"),
+    ("alert_wild", "qu* AND table"),
+    ("alert_not", "archive AND NOT (spark OR vector)"),
+    ("alert_fuzzy", "hast~1 AND merge"),
+]
+
+
+def _rows():
+    rows = []
+    for i in range(N_DOCS):
+        text = " ".join(
+            WORDS[(i * 3 + j * 5) % len(WORDS)] for j in range(2 + i % 5)
+        )
+        rows.append(
+            {
+                "doc_id": i,
+                "url": f"http://s{i % 5}.example/p{i}.html",
+                "warc_ts": None,
+                "html": None,
+                "text": text,
+                "lang": "en",
+            }
+        )
+    return rows
+
+
+def _leaf_matches(pattern: str, terms: set[str]) -> bool:
+    fz = re.fullmatch(r"(.+)~([0-9]?)\Z", pattern)
+    if pattern.startswith("/") and pattern.endswith("/") and len(pattern) > 2:
+        rx = re.compile(pattern[1:-1], re.DOTALL)
+        return any(rx.fullmatch(t) for t in terms)
+    if fz and "*" not in fz.group(1):
+        base, d = fz.group(1), int(fz.group(2) or 1)
+
+        def lev(a, b):
+            if abs(len(a) - len(b)) > d:
+                return d + 1
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a):
+                cur = [i + 1]
+                for j, cb in enumerate(b):
+                    cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                                   prev[j] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        return any(lev(base, t) <= d for t in terms)
+    if "*" in pattern or "?" in pattern:
+        rx = wildcard_to_regex(pattern)
+        return any(rx.fullmatch(t) for t in terms)
+    return pattern in terms
+
+
+def _eval(node, leaves, terms):
+    if node[0] == "leaf":
+        return _leaf_matches(leaves[node[1]], terms)
+    if node[0] == "not":
+        return not _eval(node[1], leaves, terms)
+    vals = [_eval(c, leaves, terms) for c in node[1]]
+    return all(vals) if node[0] == "and" else any(vals)
+
+
+def _expected(rows, queries):
+    out = set()
+    for qid, expr in queries:
+        ast, leaves = parse_bool(expr)
+        for r in rows:
+            terms = set(term_frequencies(r["text"])[0].keys())
+            if _eval(ast, leaves, terms):
+                out.add((qid, r["doc_id"]))
+    return out
+
+
+def test_percolate_matches_python_eval(spark):
+    rows = _rows()
+    got = P.percolate(spark, QUERIES, corpus_df(spark, rows)).collect()
+    got_set = {(r["query_id"], r["doc_id"]) for r in got}
+    assert len(got) == len(got_set)  # no duplicate pairs
+    assert got_set == _expected(rows, QUERIES)
+    # sanity: the set is non-trivial (some queries hit, none match all)
+    by_q = {}
+    for q, d in got_set:
+        by_q.setdefault(q, set()).add(d)
+    assert len(by_q) >= 3
+    assert all(len(v) < N_DOCS for v in by_q.values())
+
+
+def test_percolate_with_urls(spark):
+    rows = _rows()
+    got = P.percolate(
+        spark, QUERIES[:2], corpus_df(spark, rows), with_urls=True
+    ).collect()
+    for r in got:
+        assert r["url"] == f"http://s{r['doc_id'] % 5}.example/p{r['doc_id']}.html"
+
+
+def test_percolate_rejects_bad_queries(spark):
+    docs = corpus_df(spark, _rows()[:3])
+    with pytest.raises(ValueError, match="complement|none of its terms"):
+        P.percolate(spark, [("q", "NOT spark")], docs)
+    with pytest.raises(ValueError, match="complement|none of its terms"):
+        P.percolate(spark, [("q", "spark OR NOT merge")], docs)
+    with pytest.raises(ValueError, match="duplicate"):
+        P.percolate(spark, [("q", "spark"), ("q", "merge")], docs)
+    big = " AND ".join(WORDS * 3)  # 24 leaves > cap
+    with pytest.raises(ValueError, match="leaves"):
+        P.percolate(spark, [("q", big)], docs)
+    with pytest.raises(ValueError, match="no queries"):
+        P.percolate(spark, [], docs)
+
+
+def test_stream_percolate_matches_batch(spark, tmp_path):
+    rows = _rows()
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_df(spark, rows[:25]).coalesce(1).write.parquet(str(src / "b1"))
+    P.stream_percolate(spark, QUERIES, str(src / "*"), out, ckpt)
+    got1 = {
+        (r["query_id"], r["doc_id"])
+        for r in spark.read.parquet(f"{out}/batch_*").collect()
+    }
+    assert got1 == _expected(rows[:25], QUERIES)
+    # late arrivals: a second availableNow pass percolates ONLY the
+    # new file; the union of batch outputs covers the whole corpus
+    corpus_df(spark, rows[25:]).coalesce(1).write.parquet(str(src / "b2"))
+    P.stream_percolate(spark, QUERIES, str(src / "*"), out, ckpt)
+    got2 = {
+        (r["query_id"], r["doc_id"])
+        for r in spark.read.parquet(f"{out}/batch_*").collect()
+    }
+    assert got2 == _expected(rows, QUERIES)
+    # replay with nothing new: no change (idempotent batch dirs)
+    P.stream_percolate(spark, QUERIES, str(src / "*"), out, ckpt)
+    got3 = {
+        (r["query_id"], r["doc_id"])
+        for r in spark.read.parquet(f"{out}/batch_*").collect()
+    }
+    assert got3 == got2

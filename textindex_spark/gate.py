@@ -295,9 +295,33 @@ def q_wildcard_expand(spark, sf_dir):
     )
 
 
+# percolator probes (search_and 'perc:*' variants): three standing
+# queries — conjunction, disjunction, wildcard-with-negation — whose
+# match sets the oracle recomputes relationally over the tokens CTE
+PERC_QUERIES = [
+    ("pa", f"{AND_TERMS[0]} AND {AND_TERMS[1]}"),
+    ("po", f"{BM25_TERMS[0]} OR quarry"),
+    ("pn", f"{WILDCARD} AND NOT {BM25_TERMS[0]}"),
+]
+
+
 def q_search_and(spark, sf_dir):
+    """Union-tagged: 'and' = unranked conjunctive find; 'perc:<id>' =
+    the percolator evaluating PERC_QUERIES standing queries over the
+    whole documents table (one row per satisfied (query, doc))."""
+    from textindex_spark import percolate as P
+
     idx = ensure_index(spark, sf_dir)
-    return Q.find_unranked(spark, idx, AND_TERMS).select("doc_id")
+    base = Q.find_unranked(spark, idx, AND_TERMS).select(
+        F.lit("and").alias("variant"), "doc_id"
+    )
+    perc = P.percolate(
+        spark, PERC_QUERIES, _documents(spark, sf_dir)
+    ).select(
+        F.concat(F.lit("perc:"), F.col("query_id")).alias("variant"),
+        "doc_id",
+    )
+    return base.unionByName(perc)
 
 
 def q_bm25_topk(spark, sf_dir):
@@ -2392,8 +2416,24 @@ SELECT 'sugg' AS variant, term, dist, df FROM (
 """,
         "search_and": f"""
 WITH {_TOKS_CTE}
-SELECT doc_id FROM tf WHERE term IN ({and_terms})
+SELECT 'and' AS variant, doc_id FROM tf WHERE term IN ({and_terms})
 GROUP BY doc_id HAVING count(DISTINCT term) = {len(AND_TERMS)}
+UNION ALL
+SELECT 'perc:pa' AS variant, doc_id FROM tf WHERE term IN ({and_terms})
+GROUP BY doc_id HAVING count(DISTINCT term) = {len(AND_TERMS)}
+UNION ALL
+SELECT 'perc:po' AS variant, doc_id FROM (
+    SELECT DISTINCT doc_id FROM kept
+    WHERE term IN ('{BM25_TERMS[0]}', 'quarry')
+)
+UNION ALL
+SELECT 'perc:pn' AS variant, doc_id FROM (
+    SELECT DISTINCT doc_id FROM kept
+    WHERE term LIKE '{WILDCARD.replace("*", "%")}'
+      AND doc_id NOT IN (
+          SELECT doc_id FROM kept WHERE term = '{BM25_TERMS[0]}'
+      )
+)
 """,
         "bm25_topk": f"""
 WITH {_TOKS_CTE},

@@ -7,7 +7,9 @@
                                 --compact | --append INPUT_PARQUET [--upsert] |
                                 --purge | --versions | --rollback V |
                                 --expire KEEP_LAST [--min-age-sec S] |
-                                --backfill-range-ts
+                                --backfill-range-ts |
+                                --merge SHARD1 SHARD2 ... [--remap-ids]
+                                        [--latest-per-url] [--range-bits N]
                                 [--dry-run])
 
 Mirrors the reference's `stats` / `delete` commands
@@ -76,16 +78,37 @@ def main() -> None:
         "--dry-run", action="store_true",
         help="with --expire: report what would be removed, delete nothing",
     )
+    ap.add_argument(
+        "--merge", nargs="*", default=None, metavar="SHARD_DIR",
+        help="physically merge ≥2 shard indexes into --index (which "
+        "must be a NEW directory): tombstones dropped, postings "
+        "re-encoded at --range-bits; the fresh-build-equivalent "
+        "consolidation of a shard-per-crawl-month layout",
+    )
+    ap.add_argument(
+        "--remap-ids", action="store_true",
+        help="with --merge: offset colliding shards' doc_ids instead "
+        "of erroring (urls stay the stable identity)",
+    )
+    ap.add_argument(
+        "--latest-per-url", action="store_true",
+        help="with --merge: keep only the newest snapshot per url "
+        "(re-crawl overlap between shards)",
+    )
+    ap.add_argument("--range-bits", type=int, default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
     if not (args.describe or args.delete or args.delete_before
             or args.compact or args.append
             or args.purge or args.versions or args.rollback is not None
-            or args.expire is not None or args.backfill_range_ts):
+            or args.expire is not None or args.backfill_range_ts
+            or args.merge is not None):
         ap.error("provide one of --describe / --delete / --delete-before / "
                  "--compact / --append / --purge / --versions / --rollback / "
-                 "--expire / --backfill-range-ts")
+                 "--expire / --backfill-range-ts / --merge")
+    if args.merge is not None and len(args.merge) < 2:
+        ap.error("--merge needs at least two shard directories")
 
     from textindex_spark.build import (
         append_batch,
@@ -98,6 +121,15 @@ def main() -> None:
 
     spark = get_spark("textindex-admin", cpus=args.cpus)
     out: dict = {}
+    if args.merge is not None:
+        from textindex_spark.build import RANGE_BITS_DEFAULT, merge_indexes
+
+        out["merge"] = merge_indexes(
+            spark, args.merge, args.index,
+            range_bits=args.range_bits or RANGE_BITS_DEFAULT,
+            on_id_conflict="remap" if args.remap_ids else "error",
+            url_conflict="latest" if args.latest_per_url else "keep_all",
+        )
     if args.append:
         docs = spark.read.parquet(args.append)
         out["append"] = append_batch(

@@ -1310,3 +1310,114 @@ def compact_postings(spark: SparkSession, out_dir: str) -> int:
 
     _q.invalidate_cache(out_dir)
     return int(n_dup)
+
+
+def merge_indexes(
+    spark: SparkSession,
+    shard_dirs: list[str],
+    out_dir: str,
+    range_bits: int = RANGE_BITS_DEFAULT,
+    on_id_conflict: str = "error",
+    url_conflict: str = "keep_all",
+    write_partitions: int | None = None,
+) -> dict:
+    """Physically merge N independently built index shards into ONE
+    index — the segment-merge / force-merge analog at whole-index
+    granularity, and the physical counterpart of query-time
+    federation (``query.search_sharded``): a shard-per-crawl-month
+    layout consolidates its cold shards without ever re-running the
+    extract/tokenize kernel.
+
+    The merged index is EXACTLY what a fresh build over the shards'
+    LIVE documents would produce (parity test-pinned): each shard's
+    segments table is the ingest log (the purge_deleted insight), so
+    merge = union of tombstone-filtered segments → the standard
+    finalize pipeline re-encoding postings at the merged range
+    geometry. A merge is therefore also a purge: tombstones do not
+    survive it.
+
+    doc_id policy — ids are PRESERVED (they are the stable identity
+    federation merges on). Colliding id spaces across shards:
+    ``on_id_conflict="error"`` (default) raises;
+    ``"remap"`` offsets each later shard's ids past the running max
+    (ids then differ from the source shards; urls remain stable).
+
+    ``url_conflict="latest"`` keeps only the newest snapshot per url
+    (max (warc_ts, doc_id) — the re-crawl upsert rule) when shards
+    overlap in crawl coverage; the default keeps duplicates as
+    distinct docs (disjoint-corpus shards).
+
+    Scale shape: one narrow union scan of pre-tokenized segments +
+    the ONE standard (term, range_id) shuffle; the id-collision check
+    is a doc_id-keyed count; "latest" adds one url-keyed groupBy.
+    Nothing re-tokenizes, nothing collects.
+    """
+    if on_id_conflict not in ("error", "remap"):
+        raise ValueError(f"unknown on_id_conflict {on_id_conflict!r}")
+    if url_conflict not in ("keep_all", "latest"):
+        raise ValueError(f"unknown url_conflict {url_conflict!r}")
+    if len(shard_dirs) < 2:
+        raise ValueError("merge_indexes needs at least two shards")
+    t0 = time.time()
+    segs = []
+    for d in shard_dirs:
+        seg = manifest.read_table(spark, d, "segments")
+        if manifest.table_exists(spark, d, "deleted"):
+            dead = manifest.read_table(spark, d, "deleted").select("doc_id")
+            seg = seg.join(F.broadcast(dead), "doc_id", "left_anti")
+        segs.append(seg)
+    tagged = segs[0].select(F.col("doc_id"), F.lit(0).alias("_shard"))
+    for i, s in enumerate(segs[1:], 1):
+        tagged = tagged.unionByName(
+            s.select(F.col("doc_id"), F.lit(i).alias("_shard"))
+        )
+    n_clash = (
+        tagged.groupBy("doc_id")
+        .agg(F.count_distinct("_shard").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    if n_clash and on_id_conflict == "error":
+        raise ValueError(
+            f"{n_clash} doc_ids appear in more than one shard; pass "
+            "on_id_conflict='remap' to offset later shards' ids (urls "
+            "stay the stable identity)"
+        )
+    if n_clash:
+        # running range-aligned offsets: shard i's ids shift past the
+        # previous shards' max, rounded up to a range boundary so the
+        # shifted ids keep their within-shard block clustering
+        offset = 0
+        shifted = []
+        step = 1 << range_bits
+        for s in segs:
+            shifted.append(
+                s.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+            )
+            mx = s.agg(F.max("doc_id")).collect()[0][0] or 0
+            offset = ((offset + mx) // step + 1) * step
+        segs = shifted
+    union = segs[0]
+    for s in segs[1:]:
+        union = union.unionByName(s)
+    if url_conflict == "latest":
+        # newest snapshot per url wins: null fetch times sort lowest,
+        # doc_id breaks ts ties (the append_batch upsert rule)
+        key = F.struct(
+            F.coalesce(
+                F.col("warc_ts").cast("double"), F.lit(float("-inf"))
+            ).alias("ts"),
+            F.col("doc_id").alias("id"),
+        )
+        # corpus-sized winner set: a url-keyed shuffle join, never a
+        # broadcast (one winner row per distinct url)
+        win = union.groupBy("url").agg(F.max(key).alias("_w"))
+        union = union.join(
+            win.select("url", F.col("_w.id").alias("doc_id")),
+            ["url", "doc_id"],
+            "left_semi",
+        )
+    union.write.mode("overwrite").parquet(f"{out_dir}/segments")
+    return finalize_index(
+        spark, out_dir, range_bits, write_partitions, t0
+    )

@@ -1255,15 +1255,33 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_sharded_ops(spark, sf_dir):
-    """bm25_sharded + bool_sharded folded (both federated paths must
-    equal their single-index oracles bit-for-bit)."""
+    """bm25_sharded + bool_sharded + PHYSICAL merge folded: the two
+    federated paths AND the consolidated single index
+    (`build.merge_indexes` over the same two shards — ids preserved,
+    fresh-build-equivalent) must all equal the single-index oracle
+    bit-for-bit."""
     a = q_bm25_sharded(spark, sf_dir).select(
         F.lit("bm25").alias("variant"), "doc_id", "score_micro"
     )
     b = q_bool_sharded(spark, sf_dir).select(
         F.lit("bool").alias("variant"), "doc_id", "score_micro"
     )
-    return a.unionByName(b)
+    dirs = ensure_sharded_index(spark, sf_dir)
+    key = os.path.basename(os.path.normpath(sf_dir))
+    md = f"{GATE_DIR}/{key}_merged"
+    try:
+        spark.read.parquet(f"{md}/stats").collect()
+    except Exception:
+        B.merge_indexes(spark, dirs, md, range_bits=10)
+    c = Q.search(
+        spark, md, BM25_TERMS, k=10, mode="and", with_urls=False
+    ).select(
+        F.lit("merged").alias("variant"), "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias(
+            "score_micro"
+        ),
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def q_link_graph(spark, sf_dir):
@@ -3304,6 +3322,9 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
     out["bm25_sharded"] = _fold([
         ("'bm25' AS variant, doc_id, score_micro", out["bm25_sharded"]),
         ("'bool' AS variant, doc_id, score_micro", out["bool_sharded"]),
+        # the physically merged index answers the SAME single-corpus
+        # BM25 oracle — merge is fresh-build-equivalent by contract
+        ("'merged' AS variant, doc_id, score_micro", out["bm25_sharded"]),
     ])
     # the PQ variant's oracle IS the exact cosine top-10: with
     # rerank ≥ corpus size the two-stage result is exact by

@@ -124,6 +124,12 @@ def main() -> None:
         help="RRF constant (default 60)",
     )
     ap.add_argument(
+        "--min-match", type=int, default=None, metavar="M",
+        help="minimum-should-match: with --mode or, keep only docs "
+        "matching at least M distinct --terms patterns (ranked "
+        "search, single index or --shards)",
+    )
+    ap.add_argument(
         "--depth", type=int, default=None,
         help="per-branch candidate depth for --hybrid (default "
         "max(50, 5k))",
@@ -190,6 +196,15 @@ def main() -> None:
         )
     if args.hybrid and args.qvec_id is None:
         ap.error("--hybrid requires --qvec-id (the query vector's vec_id)")
+    if args.min_match is not None and (
+        args.files or args.facet or args.phrase or args.near is not None
+        or args.unranked or args.bool_expr or args.similar is not None
+        or args.hybrid or args.mode != "or"
+    ):
+        ap.error(
+            "--min-match applies to ranked --terms with --mode or "
+            "(single index or --shards)"
+        )
     if bool(args.index) == bool(args.shards):
         ap.error("provide exactly one of --index / --shards")
     if args.shards and (
@@ -262,6 +277,7 @@ def main() -> None:
         rows = search_sharded(
             spark, args.shards, args.terms, k=args.k, mode=args.mode,
             exclude=args.exclude, scope=args.scope,
+            min_match=args.min_match,
         ).collect()
         # snippet matchers need the base patterns, not boost syntax
         emit(rows, split_boosts(args.terms)[0])
@@ -344,6 +360,7 @@ def main() -> None:
         rows = search(
             spark, args.index, args.terms, k=args.k, mode=args.mode,
             prune=args.prune, exclude=args.exclude, scope=args.scope,
+            min_match=args.min_match,
         ).collect()
         # snippet matchers need the base patterns, not boost syntax
         emit(rows, split_boosts(args.terms)[0])

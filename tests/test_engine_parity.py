@@ -153,6 +153,72 @@ def test_search_exclude_matches_oracle(spark, index_dir, oracle):
             assert want != base, (terms, excl, "exclusion must change results")
 
 
+def test_min_match_matches_oracle(spark, index_dir, oracle):
+    """Minimum-should-match (engine extension, Lucene
+    minNrShouldMatch): docs matching >= m DISTINCT patterns qualify,
+    scores stay the plain disjunctive sums — rank-identical to the
+    oracle across all three execution paths (prune=True silently
+    falls back: the theta probe cannot account for the membership
+    filter)."""
+    import math
+
+    cases = [
+        (["spark", "qu*", "karo*"], 2),
+        (["spark", "qu*", "?iro"], 2),
+        (["spark", "index", "qu*"], 3),
+        (["spark", "ha*", "querry~2"], 3),
+    ]
+    narrowed = 0
+    for terms, m in cases:
+        want = oracle.search(terms, 10, mode="or", min_match=m)
+        assert want, (terms, m)
+        plain = oracle.search(terms, 10, mode="or")
+        narrowed += want != plain
+        for kw in (
+            {"local_score": True},
+            {"local_score": False},
+            {"prune": True},
+        ):
+            got = [
+                (r["doc_id"], r["score"])
+                for r in search(
+                    spark, index_dir, terms, k=10, mode="or",
+                    with_urls=False, min_match=m, **kw,
+                ).collect()
+            ]
+            assert [d for d, _ in got] == [d for d, _ in want], (terms, m, kw)
+            for (_, gs), (_, ws) in zip(got, want):
+                assert math.isclose(gs, ws, rel_tol=1e-9), (terms, m, kw)
+    assert narrowed >= 2  # the filter must actually bite
+    # m = n: membership equals AND, scores stay disjunctive (= the
+    # AND-mode scoring formula over the same doc set)
+    and_want = oracle.search(["spark", "index"], 10, mode="and")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search(
+            spark, index_dir, ["spark", "index"], k=10, mode="or",
+            with_urls=False, min_match=2,
+        ).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in and_want]
+    # m = 1 is a no-op
+    a = search(spark, index_dir, ["spark", "index"], k=10, mode="or",
+               with_urls=False, min_match=1).collect()
+    b = search(spark, index_dir, ["spark", "index"], k=10, mode="or",
+               with_urls=False).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    # an expansion covering fewer than m patterns is provably empty
+    assert search(spark, index_dir, ["spark", "absentzzz"], k=10,
+                  mode="or", with_urls=False, min_match=2).count() == 0
+    # validation: and-mode / out-of-range m reject loudly
+    with pytest.raises(ValueError, match="min_match"):
+        search(spark, index_dir, ["spark", "index"], mode="and", min_match=2)
+    with pytest.raises(ValueError, match="min_match"):
+        search(spark, index_dir, ["spark", "index"], mode="or", min_match=0)
+    with pytest.raises(ValueError, match="min_match"):
+        search(spark, index_dir, ["spark", "index"], mode="or", min_match=3)
+
+
 def test_search_exclude_oversize_fallback(spark, index_dir, oracle, monkeypatch):
     """An exclusion set past LOCAL_SCORE_MAX_POSTINGS must fall back
     to the distributed anti-join (pruning disabled) and stay exact."""
@@ -218,6 +284,22 @@ def test_sharded_search_matches_single_index(spark, rows, oracle, tmp_path_facto
             for r in search_sharded(
                 spark, [d1, d2], ["spark^2", "vector"], k=10, mode="or",
                 with_urls=False, local_score=local,
+            ).collect()
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], local
+        for (_, gs), (_, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-9)
+    # minimum-should-match federates: shard-local masks are global
+    # (a doc lives in exactly one shard)
+    want = oracle.search(["spark", "qu*", "karo*"], 10, mode="or",
+                         min_match=2)
+    assert want
+    for local in (None, False):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_sharded(
+                spark, [d1, d2], ["spark", "qu*", "karo*"], k=10,
+                mode="or", with_urls=False, local_score=local, min_match=2,
             ).collect()
         ]
         assert [d for d, _ in got] == [d for d, _ in want], local

@@ -46,6 +46,9 @@ REGEX_PROBE = "(fa|ha).*"
 MLT_DOC = 42
 # query-time boost probe (bm25_or_topk 'boost' variant)
 BOOST_FACTOR = 2.5
+# minimum-should-match probe (bm25_or_topk 'msm' variant): 3-pattern
+# disjunction, m=2
+MSM_TERMS = ["spark", "vector", "quarry"]
 # crawl-date probes: the driver documents table has no timestamp
 # column, so the gate mints a deterministic warc_ts from doc_id in
 # BOTH engines — 2020-01-01T00:00:00Z + 6 h · doc_id (the same
@@ -372,7 +375,16 @@ def q_bm25_or_topk(spark, sf_dir):
     ).select(
         F.lit("boost").alias("variant"), "doc_id", micro.alias("score_micro")
     )
-    return res_or.unionByName(res_boost)
+    # 'msm' = minimum-should-match (engine extension): 3-pattern
+    # disjunction keeping only docs matching ≥ 2 distinct patterns,
+    # scores unchanged (plain disjunctive sums)
+    res_msm = Q.search(
+        spark, idx, MSM_TERMS, k=10, mode="or", with_urls=False,
+        min_match=2,
+    ).select(
+        F.lit("msm").alias("variant"), "doc_id", micro.alias("score_micro")
+    )
+    return res_or.unionByName(res_boost).unionByName(res_msm)
 
 
 BOOL_QUERY = "spark AND (vector OR merge) AND NOT qu*"
@@ -2392,6 +2404,7 @@ dwins AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup d ON w.wh = d.wh),
 def oracle_sql_map() -> dict[str, str]:
     bm25_terms = ",".join(_sql_quote(t) for t in BM25_TERMS)
     and_terms = ",".join(_sql_quote(t) for t in AND_TERMS)
+    msm_terms = ",".join(_sql_quote(t) for t in MSM_TERMS)
     out = {
         "link_graph": _link_graph_sql(),
         "doc_stats": f"WITH {_TOKS_CTE} SELECT doc_id, doc_len FROM dl",
@@ -2516,8 +2529,31 @@ boost_top AS (
     ORDER BY sum(w * CASE WHEN term = '{BM25_TERMS[0]}'
                           THEN {BOOST_FACTOR} ELSE 1.0 END) DESC,
              doc_id ASC LIMIT 10
+),
+msm_dfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf
+    WHERE term IN ({msm_terms}) GROUP BY term
+),
+msm_hits AS (
+    SELECT t.doc_id, t.term,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM tf t
+    JOIN msm_dfs f ON t.term = f.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+    WHERE t.term IN ({msm_terms})
+),
+msm_top AS (
+    SELECT 'msm' AS variant, doc_id,
+           floor(sum(w) * 1e6 + 0.5)::BIGINT AS score_micro
+    FROM msm_hits GROUP BY doc_id
+    HAVING count(DISTINCT term) >= 2
+    ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
 )
 SELECT * FROM or_top UNION ALL SELECT * FROM boost_top
+UNION ALL SELECT * FROM msm_top
 """,
         "bm25_not": f"""
 WITH {_TOKS_CTE},

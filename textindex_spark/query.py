@@ -1003,6 +1003,7 @@ def search(
     exclude: list[str] | None = None,
     scope: str | None = None,
     exclude_ids: list[int] | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """BM25 top-k → DataFrame (doc_id, score[, url]), ordered
     (score desc, doc_id asc). mode='and' keeps reference AND
@@ -1038,6 +1039,24 @@ def search(
     if scope:
         parse_scope(scope)  # validate before any work
     patterns, boosts = split_boosts(patterns)
+    if min_match is not None:
+        # minimum-should-match (Lucene minNrShouldMatch): a doc
+        # qualifies iff it matches ≥ min_match DISTINCT patterns —
+        # the continuum between OR (1) and AND (n). Membership-only:
+        # surviving scores are the plain disjunctive sums.
+        if mode != "or":
+            raise ValueError("min_match applies to mode='or' queries")
+        if not 1 <= min_match <= len(patterns):
+            raise ValueError(
+                f"min_match must be in [1, {len(patterns)}], got {min_match}"
+            )
+        if min_match > 1:
+            # the block-max θ probe estimates the k-th best score over
+            # ALL matching docs; a non-qualifying doc in the probe
+            # would inflate θ and prune ranges holding the true
+            # qualifying top-k — same soundness fallback as oversize
+            # exclusions/scopes
+            prune = False
     stats = cached_stats(spark, index_dir)
     expanded = expand_patterns(spark, index_dir, patterns)
     if any(b != 1.0 for b in boosts) and len(expanded):
@@ -1046,6 +1065,9 @@ def search(
     n_patterns = len(patterns)
     query_is_empty = len(expanded) == 0 or (
         mode == "and" and expanded["pattern_idx"].nunique() < n_patterns
+    ) or (
+        min_match is not None
+        and expanded["pattern_idx"].nunique() < min_match
     )
     excl_ids: np.ndarray | None = None
     excl_expanded: pd.DataFrame | None = None
@@ -1100,6 +1122,7 @@ def search(
             res = _search_local(
                 spark, index_dir, expanded, stats, len(patterns), k, mode,
                 with_urls, dead, prune=prune, allowed_ranges=ts_ranges,
+                min_match=min_match,
             )
             if res is not None:
                 return res
@@ -1173,6 +1196,10 @@ def search(
         )
         if mode == "and":
             scored = scored.filter(F.col("mask") == full_mask)
+        elif min_match is not None and min_match > 1:
+            scored = scored.filter(
+                F.bit_count(F.col("mask")) >= min_match
+            )
         scored = apply_tombstones(spark, index_dir, scored)
         if exclude:
             if excl_ids is not None and len(excl_ids) == 0:
@@ -1220,6 +1247,7 @@ def search_sharded(
     local_score: bool | None = None,
     exclude: list[str] | None = None,
     scope: str | None = None,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Federated BM25 top-k over MULTIPLE index shards — the layout a
     100 TB corpus actually uses (one index per time window / site
@@ -1253,6 +1281,13 @@ def search_sharded(
     if scope:
         parse_scope(scope)
     patterns, boosts = split_boosts(patterns)
+    if min_match is not None:
+        if mode != "or":
+            raise ValueError("min_match applies to mode='or' queries")
+        if not 1 <= min_match <= len(patterns):
+            raise ValueError(
+                f"min_match must be in [1, {len(patterns)}], got {min_match}"
+            )
     boosted = any(b != 1.0 for b in boosts)
     stats_list = [cached_stats(spark, d) for d in index_dirs]
     n_docs_g = sum(int(s["n_docs"]) for s in stats_list)
@@ -1277,7 +1312,9 @@ def search_sharded(
     empty = local_df(spark, [], "doc_id long, score double")
     allx = pd.concat(cat) if cat else None
     covered = allx["pattern_idx"].nunique() if allx is not None else 0
-    if allx is None or (mode == "and" and covered < n_patterns):
+    if allx is None or (mode == "and" and covered < n_patterns) or (
+        min_match is not None and covered < min_match
+    ):
         result = empty
     else:
         df_g = allx.drop_duplicates(["shard", "term"]).groupby("term")["df"].sum()
@@ -1293,6 +1330,7 @@ def search_sharded(
             _sharded_local(
                 spark, index_dirs, stats_list, expansions, tinfo, avgdl_g,
                 n_patterns, full_mask, k, mode, with_urls, exclude, scope,
+                min_match=min_match,
             )
             if local_score is not False
             else None
@@ -1343,6 +1381,8 @@ def search_sharded(
             )
             if mode == "and":
                 sc = sc.filter(F.col("mask") == full_mask)
+            elif min_match is not None and min_match > 1:
+                sc = sc.filter(F.bit_count(F.col("mask")) >= min_match)
             sc = apply_tombstones(spark, d, sc)
             if exclude:
                 excl_df = _exclusion_docs_df(spark, d, exclude, stats_list[i])
@@ -1384,6 +1424,7 @@ def _sharded_local(
     with_urls: bool,
     exclude: list[str] | None = None,
     scope: str | None = None,
+    min_match: int | None = None,
 ) -> DataFrame | None:
     """Query-node serving path for federated search: per-shard
     resident block fetch (range pre-intersected for AND) + numpy BM25
@@ -1452,6 +1493,11 @@ def _sharded_local(
         if mode == "and":
             keep = mask_acc == full_mask
             uniq, score = uniq[keep], score[keep]
+        elif min_match is not None and min_match > 1:
+            # a doc lives in exactly one shard, so the shard-local
+            # mask IS its global pattern coverage
+            keep = _popcount64(mask_acc) >= min_match
+            uniq, score = uniq[keep], score[keep]
         if len(deads[i]):
             alive = ~np.isin(uniq, deads[i])
             uniq, score = uniq[alive], score[alive]
@@ -1490,6 +1536,7 @@ def _search_local(
     dead: np.ndarray,
     prune: bool = False,
     allowed_ranges: list[int] | None = None,
+    min_match: int | None = None,
 ) -> DataFrame | None:
     """Query-node scoring: one pushdown-filtered block fetch, then
     numpy decode + BM25 + AND-mask + top-k locally. Rank-identical to
@@ -1516,7 +1563,9 @@ def _search_local(
         return None
     covered = int(np.bitwise_or.reduce(term_info["mask"].values)) if len(term_info) else 0
     empty = local_df(spark, [], "doc_id long, score double")
-    if mode == "and" and covered != full_mask:
+    if (mode == "and" and covered != full_mask) or (
+        min_match is not None and int(covered).bit_count() < min_match
+    ):
         result_rows = []
     else:
         surviving = None
@@ -1553,12 +1602,26 @@ def _search_local(
         if mode == "and":
             keep = mask_acc == full_mask
             uniq, score = uniq[keep], score[keep]
+        elif min_match is not None and min_match > 1:
+            keep = _popcount64(mask_acc) >= min_match
+            uniq, score = uniq[keep], score[keep]
         if len(dead):
             alive = ~np.isin(uniq, dead)
             uniq, score = uniq[alive], score[alive]
         order = np.lexsort((uniq, -score))[:k]
         result_rows = [(int(uniq[i]), float(score[i])) for i in order]
     return _finish_local(spark, index_dir, result_rows, empty, with_urls)
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized popcount (numpy<2 lacks bitwise_count); query masks
+    carry ≤ MAX_QUERY_PATTERNS=63 bits so the shift loop is bounded."""
+    a = a.astype(np.uint64, copy=True)
+    out = np.zeros(a.shape, dtype=np.int64)
+    while a.any():
+        out += (a & np.uint64(1)).astype(np.int64)
+        a >>= np.uint64(1)
+    return out
 
 
 def _finish_local(

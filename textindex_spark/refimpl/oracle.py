@@ -280,6 +280,7 @@ class OracleIndex:
         mode: str = "and",
         exclude: list[str] | None = None,
         scope: str | None = None,
+        min_match: int | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score). mode='and' is reference find
         semantics; 'or' is pure disjunctive BM25. ``exclude`` drops
@@ -323,6 +324,16 @@ class OracleIndex:
                 candidates -= set(self.postings[v])
         if scope:
             candidates = {d for d in candidates if self.scope_ok(d, scope)}
+        if min_match is not None and min_match > 1:
+            # minimum-should-match: keep docs matching >= min_match
+            # DISTINCT query patterns (engine extension)
+            candidates = {
+                d for d in candidates
+                if sum(
+                    any(d in self.postings[v] for v in exp)
+                    for exp in expansions
+                ) >= min_match
+            }
         vocab_terms = sorted({v for exp in expansions for v in exp})
         scores: dict[int, float] = {}
         for v in vocab_terms:

@@ -1742,6 +1742,13 @@ def test_random_query_differential(spark, index_dir, oracle):
     for qi in range(40):
         pats = [pattern() for _ in range(rng.randint(1, 3))]
         mode = rng.choice(["and", "or"])
+        # minimum-should-match composes with everything else on OR
+        # queries (the engine silently disables pruning for m>1)
+        min_match = (
+            rng.randint(2, len(pats))
+            if mode == "or" and len(pats) > 1 and rng.random() < 0.35
+            else None
+        )
         exclude = [pattern(boost_ok=False)] if rng.random() < 0.4 else None
         scope = rng.choice([
             None, None, None, "lang:de", "lang:fr",
@@ -1755,7 +1762,8 @@ def test_random_query_differential(spark, index_dir, oracle):
         want = [
             (d, round(s, 9))
             for d, s in oracle.search(
-                pats, k=k, mode=mode, exclude=exclude, scope=scope
+                pats, k=k, mode=mode, exclude=exclude, scope=scope,
+                min_match=min_match,
             )
         ]
         for path_kw in (
@@ -1767,10 +1775,13 @@ def test_random_query_differential(spark, index_dir, oracle):
                 (r["doc_id"], round(r["score"], 9))
                 for r in search(
                     spark, index_dir, pats, k=k, mode=mode,
-                    exclude=exclude, scope=scope, with_urls=False, **path_kw,
+                    exclude=exclude, scope=scope, with_urls=False,
+                    min_match=min_match, **path_kw,
                 ).collect()
             ]
-            assert got == want, (qi, pats, mode, exclude, scope, path_kw)
+            assert got == want, (
+                qi, pats, mode, exclude, scope, min_match, path_kw
+            )
 
 
 def test_random_phrase_differential(spark, index_dir, oracle):

@@ -126,7 +126,10 @@ def main() -> None:
 
         out["merge"] = merge_indexes(
             spark, args.merge, args.index,
-            range_bits=args.range_bits or RANGE_BITS_DEFAULT,
+            range_bits=(
+                args.range_bits if args.range_bits is not None
+                else RANGE_BITS_DEFAULT
+            ),
             on_id_conflict="remap" if args.remap_ids else "error",
             url_conflict="latest" if args.latest_per_url else "keep_all",
         )

@@ -57,7 +57,10 @@ def main() -> None:
         stream_percolate(
             spark, queries, args.input, args.output, args.checkpoint
         )
-        n = spark.read.parquet(f"{args.output}/batch_*").count()
+        try:
+            n = spark.read.parquet(f"{args.output}/batch_*").count()
+        except Exception:  # zero micro-batches processed → no dirs yet
+            n = 0
         print(f"percolated stream: {n} total (query, doc) matches in "
               f"{args.output}/batch_*")
         return

@@ -189,17 +189,21 @@ def main() -> None:
         args.files or args.facet or args.phrase or args.near is not None
         or args.unranked or args.bool_expr or args.prune or args.shards
         or args.similar is not None or args.anchor_index or args.title_index
+        or args.exclude
     ):
         ap.error(
             "--hybrid composes with ranked --terms on a single --index "
-            "only (with --mode/--k/--scope/--qvec-id/--rrf-k/--depth)"
+            "only (with --mode/--k/--scope/--qvec-id/--rrf-k/--depth; "
+            "--exclude is not supported — the vector branch cannot "
+            "evaluate term exclusions)"
         )
     if args.hybrid and args.qvec_id is None:
         ap.error("--hybrid requires --qvec-id (the query vector's vec_id)")
     if args.min_match is not None and (
         args.files or args.facet or args.phrase or args.near is not None
         or args.unranked or args.bool_expr or args.similar is not None
-        or args.hybrid or args.mode != "or"
+        or args.hybrid or args.anchor_index or args.title_index
+        or args.mode != "or"
     ):
         ap.error(
             "--min-match applies to ranked --terms with --mode or "

@@ -155,6 +155,11 @@ def test_hybrid_with_urls(spark, idx_dir):
         with_urls=True,
     ).collect()
     assert len(got) == 5
+    # both output surfaces order identically (quantized score + id)
+    bare = hybrid.search_hybrid(
+        spark, idx_dir, TERMS, _emb_df(spark), QVEC, k=5, depth=DEPTH,
+    ).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in bare]
     for r in got:
         if r["doc_id"] < N_DOCS:
             assert r["url"] == (

@@ -160,3 +160,18 @@ def test_merge_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="url_conflict"):
         merge_indexes(spark, [da, da], str(tmp_path / "m"),
                       url_conflict="nope")
+    # out_dir must be a NEW home: neither a shard nor an existing index
+    db = str(tmp_path / "b")
+    build_index(spark, corpus_df(spark, _rows(range(10, 14))), db,
+                range_bits=4)
+    with pytest.raises(ValueError, match="one of the shards"):
+        merge_indexes(spark, [da, db], da)
+    dc = str(tmp_path / "c")  # an existing index that is NOT a shard
+    build_index(spark, corpus_df(spark, _rows(range(20, 23))), dc,
+                range_bits=4)
+    with pytest.raises(ValueError, match="existing index"):
+        merge_indexes(spark, [da, db], dc)
+    dm = str(tmp_path / "mok")
+    merge_indexes(spark, [da, db], dm, range_bits=4)
+    with pytest.raises(ValueError, match="existing index"):
+        merge_indexes(spark, [da, db], dm)

@@ -107,6 +107,17 @@ def test_percolate_matches_python_eval(spark):
     assert all(len(v) < N_DOCS for v in by_q.values())
 
 
+def test_percolate_single_flight_persist(spark):
+    """The tokenized-segments frame is persisted (the kernel runs once
+    for the tokens explode AND the vocabulary probe) and released at
+    the next call — exactly one registered frame at any time."""
+    docs = corpus_df(spark, _rows()[:10])
+    P.percolate(spark, QUERIES, docs).collect()
+    assert len(P._perc_persists) == 1 and P._perc_persists[0].is_cached
+    P.percolate(spark, QUERIES[:1], docs).collect()
+    assert len(P._perc_persists) == 1
+
+
 def test_percolate_with_urls(spark):
     rows = _rows()
     got = P.percolate(

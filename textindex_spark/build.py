@@ -1352,12 +1352,30 @@ def merge_indexes(
     is a doc_id-keyed count; "latest" adds one url-keyed groupBy.
     Nothing re-tokenizes, nothing collects.
     """
+    import os as _os
+
     if on_id_conflict not in ("error", "remap"):
         raise ValueError(f"unknown on_id_conflict {on_id_conflict!r}")
     if url_conflict not in ("keep_all", "latest"):
         raise ValueError(f"unknown url_conflict {url_conflict!r}")
     if len(shard_dirs) < 2:
         raise ValueError("merge_indexes needs at least two shards")
+    # out_dir must be a NEW index home: writing into a shard would
+    # overwrite a table the lazy merge plan is still reading, and
+    # writing into any existing index would silently destroy it while
+    # leaving stale manifest tables (e.g. `deleted`) behind
+    out_abs = _os.path.abspath(out_dir)
+    for d in shard_dirs:
+        if _os.path.abspath(d) == out_abs:
+            raise ValueError("merge out_dir must not be one of the shards")
+    if (
+        manifest.current_manifest(spark, out_dir) is not None
+        or _os.path.exists(_os.path.join(out_dir, "segments"))
+    ):
+        raise ValueError(
+            f"refusing to merge into existing index at {out_dir}; "
+            "pick a fresh directory"
+        )
     t0 = time.time()
     segs = []
     for d in shard_dirs:

@@ -79,11 +79,17 @@ def rrf_fuse(
     total = contrib[0]
     for c in contrib[1:]:
         total = total + c
+    # top-k SELECTION on the exact fused score (IEEE-deterministic:
+    # fixed-order sum of 1/(K+rank) terms); the RETURNED ordering uses
+    # the quantized score + id so every output surface (with or
+    # without the url join, engine or oracle) sorts identically even
+    # across sub-micro ties
     return (
         fused.withColumn("_rrf", total)
         .orderBy(F.desc("_rrf"), F.asc(id_col))
         .limit(k)
         .select(id_col, _micro(F.col("_rrf")).alias("rrf_micro"))
+        .orderBy(F.desc("rrf_micro"), F.asc(id_col))
     )
 
 

@@ -58,12 +58,19 @@ from textindex_spark.session import local_df
 # covering any realistic alert expression
 PERCOLATE_MAX_LEAVES = 16
 
+# Persisted segments frame of the LAST percolate call (released at the
+# next call — the returned lazy frame references it; single-flight per
+# process, the ops.similarity._emb_persists pattern). Without it the
+# extract/tokenize kernel would re-run for the tokens explode AND the
+# vocabulary probe.
+_perc_persists: list[DataFrame] = []
+
 
 def compile_queries(
     queries: list[tuple[str, str]],
 ) -> tuple[list[tuple[str, int, str]], list[tuple[str, int]]]:
     """Parse + validate registered queries → (leaf_rows, sat_rows):
-    ``leaf_rows`` = (pattern, query_id, leaf_bit) for every leaf
+    ``leaf_rows`` = (pattern, leaf_bit, query_id) for every leaf
     occurrence; ``sat_rows`` = (query_id, mask) for every satisfying
     leaf-truth assignment. Raises on duplicate ids, oversize leaf
     sets, and all-false-satisfiable formulas."""
@@ -100,33 +107,51 @@ def _leaf_term_map(
     spark: SparkSession, leaf_rows: list[tuple[str, int, str]], vocab: DataFrame
 ) -> DataFrame:
     """→ (term, bit, query_id): exact leaves map to themselves; glob /
-    fuzzy / regex leaves expand over the batch vocabulary with JVM
-    predicates (one union-of-filters job over the small distinct-terms
-    frame)."""
-    exact = [(p, b, q) for (p, b, q) in leaf_rows
-             if _parse_regex(p) is None and _parse_fuzzy(p) is None
-             and not _is_wildcard(p)]
-    pats = [(p, b, q) for (p, b, q) in leaf_rows
-            if (p, b, q) not in set(exact)]
-    parts = []
-    if exact:
-        parts.append(local_df(
-            spark, exact, "term string, bit long, query_id string"
-        ))
-    for p, b, q in pats:
+    fuzzy / regex leaves expand over the batch vocabulary in ONE scan
+    of the distinct-terms frame — every leaf condition is evaluated
+    as a `when(cond, struct)` element of one array, compacted and
+    exploded, so 1 or 50 pattern leaves cost the same pass."""
+    exact_rows: list[tuple[str, int, str]] = []
+    pattern_conds = []
+    for p, b, q in leaf_rows:
         rx = _parse_regex(p)
         fz = None if rx is not None else _parse_fuzzy(p)
         if rx is not None:
-            cond = F.col("term").rlike(f"^(?s:{rx.pattern})$")
+            cond = _regex_cond(rx)
         elif fz is not None:
             cond = _fuzzy_cond(*fz)
-        else:
+        elif _is_wildcard(p):
             cond = F.col("term").rlike(
                 f"^(?s:{wildcard_to_regex(p).pattern})$"
             )
+        else:
+            exact_rows.append((p, b, q))
+            continue
+        pattern_conds.append(
+            F.when(
+                cond,
+                F.struct(
+                    F.lit(b).alias("bit"), F.lit(q).alias("query_id")
+                ),
+            )
+        )
+    parts = []
+    if exact_rows:
+        parts.append(local_df(
+            spark, exact_rows, "term string, bit long, query_id string"
+        ))
+    if pattern_conds:
         parts.append(
-            vocab.filter(cond).select(
-                "term", F.lit(b).alias("bit"), F.lit(q).alias("query_id")
+            vocab.select(
+                "term",
+                F.array_compact(F.array(*pattern_conds)).alias("_h"),
+            )
+            .filter(F.size("_h") > 0)
+            .select("term", F.explode("_h").alias("h"))
+            .select(
+                "term",
+                F.col("h.bit").alias("bit"),
+                F.col("h.query_id").alias("query_id"),
             )
         )
     out = parts[0]
@@ -149,7 +174,11 @@ def percolate(
     leaf_rows, sat_rows = compile_queries(queries)
     if not leaf_rows:
         raise ValueError("no queries registered")
-    seg = B.tokenize_segments(B.normalize_input(docs))
+    for f in _perc_persists:
+        f.unpersist()
+    _perc_persists.clear()
+    seg = B.tokenize_segments(B.normalize_input(docs)).persist()
+    _perc_persists.append(seg)
     tokens = seg.select(
         "doc_id", *(["url"] if with_urls else []),
         F.explode("terms").alias("term"),

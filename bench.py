@@ -368,6 +368,23 @@ def main() -> None:
     )
     shutil.rmtree(pq_dir, ignore_errors=True)
 
+    # r5: percolator — five standing queries (AND/OR/NOT + glob)
+    # against the whole bench corpus; cost is one tokenize pass + the
+    # doc-keyed mask agg, independent of the query count
+    from textindex_spark import percolate as perc
+
+    perc_queries = [
+        ("p_and", "spark AND merge"),
+        ("p_or", "vector OR quarry OR archive"),
+        ("p_not", "table AND NOT spark"),
+        ("p_wild", "qu* AND merge"),
+        ("p_mix", "spark AND (vector OR qu*) AND NOT quarry"),
+    ]
+    timed(
+        "percolate",
+        lambda: perc.percolate(spark, perc_queries, docs).count(),
+    )
+
     # r4 additions: Gopher repetition signals, exact-substring window
     # duplication, URL canonicalization + snapshot dedup (urls injected
     # deterministically — the documents table carries none)

@@ -124,6 +124,22 @@ def main() -> None:
         help="RRF constant (default 60)",
     )
     ap.add_argument(
+        "--hybrid-ivf", default=None, metavar="IVF_DIR",
+        help="with --hybrid: compute the vector branch from a stored "
+        "IVF index (jobs/ann_index.py build) instead of a brute-force "
+        "scan — the 100 TB path (partition-pruned probes); --hybrid "
+        "still supplies the query vector via --qvec-id",
+    )
+    ap.add_argument(
+        "--hybrid-pq", action="store_true",
+        help="with --hybrid-ivf: use the two-stage IVF-PQ ADC path "
+        "(index must be built with --pq)",
+    )
+    ap.add_argument(
+        "--probe", type=int, default=None,
+        help="with --hybrid-ivf: buckets to probe (default k/8 rule)",
+    )
+    ap.add_argument(
         "--min-match", type=int, default=None, metavar="M",
         help="minimum-should-match: with --mode or, keep only docs "
         "matching at least M distinct --terms patterns (ranked "
@@ -199,6 +215,11 @@ def main() -> None:
         )
     if args.hybrid and args.qvec_id is None:
         ap.error("--hybrid requires --qvec-id (the query vector's vec_id)")
+    if (args.hybrid_ivf or args.hybrid_pq or args.probe is not None) \
+            and not args.hybrid:
+        ap.error("--hybrid-ivf/--hybrid-pq/--probe require --hybrid")
+    if (args.hybrid_pq or args.probe is not None) and not args.hybrid_ivf:
+        ap.error("--hybrid-pq/--probe require --hybrid-ivf")
     if args.min_match is not None and (
         args.files or args.facet or args.phrase or args.near is not None
         or args.unranked or args.bool_expr or args.similar is not None
@@ -317,10 +338,24 @@ def main() -> None:
         kw = {}
         if args.rrf_k is not None:
             kw["rrf_k"] = args.rrf_k
+        qvec = [float(x) for x in qrows[0][0]]
+        depth = args.depth or max(50, 5 * args.k)
+        if args.hybrid_ivf:
+            from textindex_spark.ops import similarity as S
+
+            probe = {} if args.probe is None else {"n_probe": args.probe}
+            fn = S.ivf_pq_search_stored if args.hybrid_pq else S.ivf_search_stored
+            # the stored index may contain the query vector itself —
+            # exclude it like the brute-force branch does (where=
+            # rides the partition-pruned probe scan)
+            kw["vec_hits"] = fn(
+                spark, args.hybrid_ivf, qvec, k=depth,
+                where=F.col("vec_id") != args.qvec_id, **probe,
+            )
         rows = search_hybrid(
             spark, args.index, args.terms,
             emb.filter(F.col("vec_id") != args.qvec_id),
-            list(qrows[0][0]), k=args.k, depth=args.depth, mode=args.mode,
+            qvec, k=args.k, depth=depth, mode=args.mode,
             scope=args.scope, with_urls=True, **kw,
         ).collect()
         emit(rows, split_boosts(args.terms)[0])

@@ -92,6 +92,13 @@ def main() -> None:
         "anchor-text retrieval field (<out>/anchor_index; query via "
         "jobs/search.py --anchor-index)",
     )
+    ap.add_argument(
+        "--percolate", default=None, metavar="QUERIES_TSV",
+        help="standing-query alerts (id<TAB>boolexpr per line, the "
+        "jobs/percolate.py format) evaluated on the docs entering the "
+        "index: batch → <out>/alerts (+ per-query lineage counts); "
+        "--stream → <out>/alerts/batch_<id> per micro-batch",
+    )
     ap.add_argument("--stream", action="store_true")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--cpus", type=int, default=None)
@@ -100,6 +107,14 @@ def main() -> None:
     from textindex_spark.pipeline import run_pipeline
     from textindex_spark.session import get_spark
 
+    alerts = None
+    if args.percolate:
+        # jobs/ is sys.path[0] when spark-submit runs this script
+        from percolate import load_queries
+
+        alerts = load_queries(args.percolate)
+        if not alerts:
+            ap.error(f"no queries in {args.percolate}")
     spark = get_spark("textindex-pipeline", cpus=args.cpus)
     if args.stream:
         if not args.checkpoint:
@@ -134,6 +149,7 @@ def main() -> None:
             redact=args.redact,
             gopher=args.gopher,
             upsert=args.upsert,
+            alerts=alerts,
         )
         from textindex_spark import manifest
 
@@ -164,6 +180,7 @@ def main() -> None:
         url_dedup=args.url_dedup,
         strip_lines=args.strip_lines,
         max_line_df=args.max_line_df,
+        alerts=alerts,
         linkgraph=args.linkgraph,
     )
     print(json.dumps(lineage, sort_keys=True))

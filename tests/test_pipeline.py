@@ -546,3 +546,77 @@ def test_pipeline_linkgraph_stage(spark, tmp_path):  # noqa: F811
     assert lineage2["links"] == 0
     assert lineage2["anchor_index_docs"] == 0
     assert "anchor_index" not in lineage2
+
+
+def test_pipeline_alerts_stage(spark, pipe_docs, tmp_path):  # noqa: F811
+    """Standing-query alerts fire on exactly the docs that entered
+    the index (survivors), read from the index's own segments table —
+    no re-tokenize — with per-query lineage counts."""
+    from textindex_spark import manifest
+    from textindex_spark.pipeline import run_pipeline
+
+    out = str(tmp_path / "palerts")
+    alerts = [
+        ("a_fox", "fox AND river"),        # doc 1 only (dups dropped)
+        ("a_idx", "postings AND NOT web"), # doc 4 (doc 2 has 'web')
+        ("a_none", "zzznope"),
+    ]
+    lineage = run_pipeline(
+        spark, pipe_docs, out, dedup_method="exact", alerts=alerts,
+        min_tokens=5,  # EN2/EN4 keep 9-12 tokens after stop-wording
+    )
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in spark.read.parquet(f"{out}/alerts").collect()
+    }
+    indexed = {
+        r["doc_id"]
+        for r in manifest.read_table(spark, out + "/index", "docs").collect()
+    }
+    assert got == {("a_fox", 1), ("a_idx", 4)}
+    assert all(d in indexed for _, d in got)
+    assert lineage["alerts"] == {"a_fox": 1, "a_idx": 1}
+    # urls attach from the segments table
+    urls = {
+        r["doc_id"]: r["url"]
+        for r in spark.read.parquet(f"{out}/alerts").collect()
+    }
+    assert urls[1] == "https://site1.example/en/page1.html"
+    # invalid standing queries fail BEFORE any stage runs
+    with pytest.raises(ValueError, match="none of its terms"):
+        run_pipeline(
+            spark, pipe_docs, str(tmp_path / "pbad"),
+            dedup_method="exact", alerts=[("bad", "NOT fox")],
+            min_tokens=5,
+        )
+
+
+def test_stream_pipeline_alerts(spark, tmp_path):  # noqa: F811
+    """Streaming alerts: per-batch idempotent match dirs over the
+    batch's dedup survivors."""
+    from textindex_spark.streaming.pipeline import stream_pipeline
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out, ck = str(tmp_path / "sout"), str(tmp_path / "sck")
+    rows1 = [_row(1, EN), _row(2, EN2)]
+    rows2 = [_row(3, EN3), _row(4, EN4), _row(5, EN)]  # 5 dups 1
+    corpus_df(spark, rows1).coalesce(1).write.parquet(str(src / "b1"))
+    alerts = [("fox", "fox AND river"), ("posts", "postings")]
+    stream_pipeline(spark, str(src / "*"), out, ck, alerts=alerts,
+                    min_tokens=5)
+    got1 = {
+        (r["query_id"], r["doc_id"])
+        for r in spark.read.parquet(f"{out}/alerts/batch_*").collect()
+    }
+    assert got1 == {("fox", 1), ("posts", 2)}
+    corpus_df(spark, rows2).coalesce(1).write.parquet(str(src / "b2"))
+    stream_pipeline(spark, str(src / "*"), out, ck, alerts=alerts,
+                    min_tokens=5)
+    got2 = {
+        (r["query_id"], r["doc_id"])
+        for r in spark.read.parquet(f"{out}/alerts/batch_*").collect()
+    }
+    # doc 5 is an online-dedup drop (exact dup of 1) → never alerts;
+    # doc 4 matches 'postings'
+    assert got2 == got1 | {("posts", 4)}

@@ -163,22 +163,34 @@ def _leaf_term_map(
 def percolate(
     spark: SparkSession,
     queries: list[tuple[str, str]],
-    docs: DataFrame,
+    docs: DataFrame | None,
     with_urls: bool = False,
+    segments: DataFrame | None = None,
 ) -> DataFrame:
     """Match every incoming document against every registered query →
     ``(query_id, doc_id[, url])``, one row per satisfied (query, doc)
     pair. ``docs`` is the raw input-hint corpus shape (url, html/text,
     …) — tokenization is the reference pipeline, identical to what the
-    index build would store for the same rows."""
+    index build would store for the same rows.
+
+    ``segments``: a pre-tokenized segments frame (doc_id, url, terms —
+    the index's own segments table shape) to percolate WITHOUT
+    re-running the extract/tokenize kernel — the composed pipeline
+    alerts on the docs it just indexed at zero extra kernel cost.
+    Caller owns that frame's caching; ``docs`` is ignored."""
     leaf_rows, sat_rows = compile_queries(queries)
     if not leaf_rows:
         raise ValueError("no queries registered")
-    for f in _perc_persists:
-        f.unpersist()
-    _perc_persists.clear()
-    seg = B.tokenize_segments(B.normalize_input(docs)).persist()
-    _perc_persists.append(seg)
+    if segments is not None:
+        seg = segments
+    else:
+        if docs is None:
+            raise ValueError("need docs (or segments=)")
+        for f in _perc_persists:
+            f.unpersist()
+        _perc_persists.clear()
+        seg = B.tokenize_segments(B.normalize_input(docs)).persist()
+        _perc_persists.append(seg)
     tokens = seg.select(
         "doc_id", *(["url"] if with_urls else []),
         F.explode("terms").alias("term"),

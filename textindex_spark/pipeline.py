@@ -135,6 +135,7 @@ def run_pipeline(
     strip_lines: bool = False,
     max_line_df: int = 10,
     linkgraph: bool = False,
+    alerts: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Run filter → [gopher] → [redact] → [decontam] → dedup → index over
     ``docs``; returns the lineage dict (also written to
@@ -169,6 +170,12 @@ def run_pipeline(
     de-boilerplating pass; empty-after-strip docs are dropped with
     their count in the lineage.
 
+    ``alerts`` (optional): standing percolator queries
+    [(query_id, boolexpr), ...] evaluated against the docs that were
+    JUST INDEXED — matches land at ``<out>/alerts`` with per-query
+    counts in the lineage. Zero extra tokenize cost: the percolator
+    reads the index's own segments table (`percolate(segments=)`).
+
     ``redact=True`` scrubs PII (email / IPv4 / phone →
     ``ops.curate.redact_pii``) from the text of every KEPT document
     before it reaches dedup or the index — the redaction is baked
@@ -177,6 +184,10 @@ def run_pipeline(
     Lineage reports total redaction counts per category."""
     if dedup_method not in DEDUP_METHODS:
         raise ValueError(f"unknown dedup method {dedup_method!r}")
+    if alerts:
+        from textindex_spark.percolate import compile_queries
+
+        compile_queries(alerts)  # fail fast, before any stage runs
     if linkgraph and "html" not in docs.columns:
         # checked on the RAW input: normalize_input adds a null html
         # column downstream, so a later check could never fire
@@ -375,6 +386,24 @@ def run_pipeline(
         else:
             lineage["anchor_index_docs"] = 0
         _mark("linkgraph")
+
+    # -- stage 5 (optional): standing-query alerts over indexed docs ----
+    if alerts:
+        from textindex_spark import manifest as M
+        from textindex_spark import percolate as PERC
+
+        seg = M.read_table(spark, f"{out_dir}/index", "segments")
+        PERC.percolate(
+            spark, alerts, None, with_urls=True, segments=seg
+        ).write.mode("overwrite").parquet(f"{out_dir}/alerts")
+        m = spark.read.parquet(f"{out_dir}/alerts")
+        lineage["alerts"] = {
+            r["query_id"]: r["n"]
+            for r in m.groupBy("query_id").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        _mark("alerts")
 
     lineage["stage_wall_s"] = stage_wall
     lineage["wall_s"] = round(time.time() - t0, 3)

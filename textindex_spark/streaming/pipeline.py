@@ -63,6 +63,7 @@ def stream_pipeline(
     redact: bool = False,
     gopher: bool = False,
     upsert: bool = False,
+    alerts: list[tuple[str, str]] | None = None,
 ):
     """Continuously ingest parquet files arriving under ``source_dir``
     into ``<out_dir>/index``, with filtering and online dedup
@@ -73,6 +74,10 @@ def stream_pipeline(
     shingle-hash set before dedup. The verdict is a pure per-doc
     function of (doc text, benchmark), so replays decide identically —
     no extra state store needed."""
+    if alerts:
+        from textindex_spark.percolate import compile_queries
+
+        compile_queries(alerts)  # fail fast before the stream starts
     state_dir = f"{out_dir}/dedup_state"
     index_dir = f"{out_dir}/index"
     run_id = manifest.canon_path(checkpoint_dir)
@@ -167,6 +172,18 @@ def stream_pipeline(
             # committed verdicts so a replay lands on the same rows.
             dup_ids = read_verdicts(s, state_dir).select("doc_id")
             survivors = kept.join(dup_ids, "doc_id", "left_anti")
+            if alerts:
+                # standing-query alerts on this batch's dedup
+                # survivors (the docs entering the corpus) — the
+                # verdict set is committed, so a replay recomputes
+                # the identical matches into the same idempotent dir
+                from textindex_spark.percolate import percolate as _perc
+
+                _perc(
+                    s, alerts, survivors, with_urls=True
+                ).write.mode("overwrite").parquet(
+                    f"{out_dir}/alerts/batch_{batch_id}"
+                )
             if not state["bootstrapped"]:
                 if survivors.isEmpty():
                     return  # nothing survived yet; bootstrap later

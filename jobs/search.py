@@ -52,6 +52,11 @@ def main() -> None:
         help="with --near: BM25-ranked top-k instead of (doc, count)",
     )
     ap.add_argument(
+        "--ordered", action="store_true",
+        help="with --near: terms must match IN QUERY ORDER, each step "
+        "at most N kept tokens after the previous (SpanNear inOrder)",
+    )
+    ap.add_argument(
         "--facet", choices=["lang", "site", "year", "month", "day"],
         default=None,
         help="print matched-doc counts per facet value instead of hits "
@@ -181,6 +186,8 @@ def main() -> None:
         ap.error("--bool is a standalone ranked mode (single index or --shards)")
     if args.scope and args.files:
         ap.error("--scope does not apply to --files name search")
+    if args.ordered and args.near is None:
+        ap.error("--ordered applies to --near proximity search")
     if args.similar is not None and (
         args.terms or args.bool_expr or args.files or args.phrase
         or args.near is not None or args.unranked or args.facet
@@ -379,14 +386,14 @@ def main() -> None:
 
         rows = search_near(
             spark, args.index, args.terms, window=args.near, k=args.k,
-            exclude=args.exclude, scope=args.scope,
+            exclude=args.exclude, scope=args.scope, ordered=args.ordered,
         ).collect()
         emit(rows, args.terms)
         return
     elif args.near is not None:
         rows = near_docs(
             spark, args.index, args.terms, window=args.near,
-            exclude=args.exclude, scope=args.scope,
+            exclude=args.exclude, scope=args.scope, ordered=args.ordered,
         ).collect()
     elif args.unranked:
         rows = find_unranked(

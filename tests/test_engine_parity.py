@@ -600,6 +600,67 @@ def test_near_wildcard_matches_oracle(spark, index_dir, oracle):
     assert checked
 
 
+def test_ordered_near_matches_oracle(spark, index_dir, oracle):
+    """Ordered proximity (Lucene SpanNear inOrder, engine extension):
+    the in-order chain — each slot strictly after the previous match,
+    at most `window` tokens later — matches the oracle's independent
+    recursive recomputation, including wildcard slots, duplicate
+    slots, and the ranked variant; order must actually bite (A NEAR
+    B != B NEAR A somewhere)."""
+    import math
+
+    from textindex_spark.query import near_docs, search_near
+
+    checked = asym = 0
+    for ph in _corpus_phrases(oracle, n=4):
+        if len(ph) < 2:
+            continue
+        probes = [list(ph[:3])]
+        if all(len(t) >= 3 for t in ph[:2]):
+            probes.append([ph[0], ph[1][:2] + "*"])
+        probes.append([ph[0], ph[0]])  # duplicate slot
+        for words in probes:
+            for w in (3, 8):
+                want = oracle.near_occurrences(words, window=w, ordered=True)
+                got = {
+                    r["doc_id"]: r["n_near"]
+                    for r in near_docs(
+                        spark, index_dir, words, window=w, ordered=True
+                    ).collect()
+                }
+                assert got == want, (words, w)
+                checked += bool(want)
+            rev = list(reversed(words))
+            fwd = oracle.near_occurrences(words, window=8, ordered=True)
+            bwd = oracle.near_occurrences(rev, window=8, ordered=True)
+            asym += fwd != bwd
+    assert checked >= 4
+    assert asym  # ordering must change results somewhere
+    # ranked variant: membership from the ordered chain, scores from
+    # the distinct-slot BM25 sum (same scoring as unordered NEAR)
+    for ph in _corpus_phrases(oracle, n=2):
+        if len(ph) < 2:
+            continue
+        words = list(ph[:2])
+        member = oracle.near_occurrences(words, window=8, ordered=True)
+        if not member:
+            continue
+        got = search_near(
+            spark, index_dir, words, window=8, k=10, with_urls=False,
+            ordered=True,
+        ).collect()
+        assert {r["doc_id"] for r in got} <= set(member)
+        unord = {
+            r["doc_id"]: r["score"]
+            for r in search_near(
+                spark, index_dir, words, window=8, k=1000, with_urls=False,
+            ).collect()
+        }
+        for r in got:  # same doc scores identically in both modes
+            assert math.isclose(r["score"], unord[r["doc_id"]], rel_tol=1e-9)
+        break
+
+
 def test_phrase_rank_wildcard_matches_oracle(spark, index_dir, oracle):
     """Ranked phrases with wildcard slots (VERDICT r3 task 5): the
     wildcard slot scores as the max matched expansion partial; rank

@@ -1168,7 +1168,8 @@ def q_phrase_ops(spark, sf_dir):
 
 
 def q_near_ops(spark, sf_dir):
-    """near_match + near_match_wildcard + near_rank folded."""
+    """near_match + near_match_wildcard + near_rank + ordered
+    proximity (Lucene SpanNear inOrder, engine extension) folded."""
     a = q_near_match(spark, sf_dir).select(
         F.lit("match").alias("variant"), "doc_id",
         F.col("n_near").cast("long").alias("val"),
@@ -1181,7 +1182,14 @@ def q_near_ops(spark, sf_dir):
         F.lit("rank").alias("variant"), "doc_id",
         F.col("score_micro").alias("val"),
     )
-    return a.unionByName(b).unionByName(c)
+    idx = ensure_index(spark, sf_dir)
+    d = Q.near_docs(
+        spark, idx, PHRASE_WILD, window=NEAR_WINDOW, ordered=True
+    ).select(
+        F.lit("ord").alias("variant"), "doc_id",
+        F.col("n_near").cast("long").alias("val"),
+    )
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 def q_term_stats_all(spark, sf_dir):
@@ -2240,6 +2248,41 @@ FROM matches m
 ORDER BY ({wsum}) DESC, m.doc_id ASC LIMIT 10
 """
 
+
+
+def _near_ordered_sql(phrase: list[str], window: int) -> str:
+    """DuckDB mirror of query.near_docs(ordered=True): an in-order
+    chain of correlated EXISTS — slot i strictly after slot i-1's
+    match, at most ``window`` kept tokens later; duplicates keep
+    their own chain step."""
+    def nest(i: int, prev: str) -> str:
+        if i == len(phrase):
+            return "TRUE"
+        inner = nest(i + 1, f"o{i}.pos")
+        return (
+            f"EXISTS (SELECT 1 FROM kept o{i} WHERE o{i}.doc_id = a.doc_id"
+            f" AND o{i}.{_slot_cond(phrase[i])}"
+            f" AND o{i}.pos > {prev} AND o{i}.pos <= {prev} + {window}"
+            f" AND {inner})"
+        )
+
+    return f"""
+WITH
+rawtoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+widx AS (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM rawtoks),
+flat AS (SELECT doc_id, l[i] AS term, i FROM widx WHERE l[i] <> ''),
+kept AS (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM flat WHERE term NOT IN ({STOP_LIST_SQL})
+),
+anchors AS (
+    SELECT a.doc_id, a.pos FROM kept a
+    WHERE a.{_slot_cond(phrase[0])}
+      AND {nest(1, "a.pos")}
+)
+SELECT doc_id, count(*)::INT AS n_near FROM anchors GROUP BY doc_id
+"""
 
 
 def _near_sql(phrase: list[str], window: int, ranked: bool = False) -> str:
@@ -3318,6 +3361,8 @@ FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
          out["near_match_wildcard"]),
         ("'rank' AS variant, doc_id, score_micro AS val",
          out["near_rank"]),
+        ("'ord' AS variant, doc_id, n_near::BIGINT AS val",
+         _near_ordered_sql(PHRASE_WILD, NEAR_WINDOW)),
     ])
     out["term_stats"] = _fold([
         ("'term' AS variant, term AS k, df AS a, cf AS b",

@@ -2576,6 +2576,7 @@ def near_docs(
     exclude: list[str] | None = None,
     with_score: bool = False,
     scope: str | None = None,
+    ordered: bool = False,
 ) -> DataFrame:
     """NEAR/k proximity over the positional payload: → (doc_id,
     n_near[, score]) for live docs where every query slot occurs
@@ -2586,6 +2587,13 @@ def near_docs(
     as in phrase_docs (r4). Same single bucket-pruned fetch as
     phrase_docs; the window test is a JVM-side exists() chain — no
     Python in the match.
+
+    ``ordered=True`` (Lucene SpanNearQuery inOrder): the slots must
+    occur IN QUERY ORDER (duplicate slot patterns each need their own
+    occurrence), every step within ``window`` kept tokens AFTER the
+    previous match — n_near counts anchor positions of the FIRST slot
+    that start at least one full chain. Compiled to a nested
+    JVM ``exists()`` chain (one level per slot), same single scan.
 
     ``with_score``: BM25 sum over the DISTINCT slot patterns —
     literal slots contribute idf·tfnorm, wildcard slots the MAX
@@ -2600,8 +2608,12 @@ def near_docs(
         raise ValueError(f"too many terms ({len(slots)} > {PHRASE_MAX_TERMS})")
     stats = cached_stats(spark, index_dir)
     # anchor = the query's first slot; the remaining DISTINCT slot
-    # patterns in stable order
-    uniq = [slots[0]] + sorted(set(slots[1:]) - {slots[0]})
+    # patterns in stable order (ordered mode keeps first-appearance
+    # order — the chain references frames by slot position)
+    if ordered:
+        uniq = list(dict.fromkeys(slots))
+    else:
+        uniq = [slots[0]] + sorted(set(slots[1:]) - {slots[0]})
     expanded = expand_patterns(spark, index_dir, uniq)
     slot_terms = {
         p: sorted(expanded.loc[expanded["pattern_idx"] == i, "term"].unique())
@@ -2651,9 +2663,33 @@ def near_docs(
         return cond if cond is not None else F.lit(True)
 
     cols = ["doc_id", "n_near"]
-    cur = cur.withColumn(
-        "n_near", F.size(F.filter(F.col("_p0"), _anchor_ok)).cast("int")
-    )
+    if ordered:
+        # in-order chain: slot i's match strictly after slot i-1's,
+        # at most `window` tokens later; duplicate patterns reuse
+        # their pattern's occurrence column but still need their own
+        # strictly-later position in the chain
+        col_of = [f"_p{uniq.index(p)}" for p in slots]
+
+        def _chain(i: int, prev):
+            if i == len(slots):
+                return F.lit(True)
+            return F.exists(
+                F.col(col_of[i]),
+                lambda y: (y > prev)
+                & (y <= prev + F.lit(w))
+                & _chain(i + 1, y),
+            )
+
+        cur = cur.withColumn(
+            "n_near",
+            F.size(
+                F.filter(F.col(col_of[0]), lambda x: _chain(1, x))
+            ).cast("int"),
+        )
+    else:
+        cur = cur.withColumn(
+            "n_near", F.size(F.filter(F.col("_p0"), _anchor_ok)).cast("int")
+        )
     if with_score:
         score = None
         for i in range(len(uniq)):
@@ -2682,15 +2718,17 @@ def search_near(
     with_urls: bool = True,
     exclude: list[str] | None = None,
     scope: str | None = None,
+    ordered: bool = False,
 ) -> DataFrame:
     """Ranked NEAR/k: proximity-gated BM25 top-k → (doc_id,
     score[, url]), ordered (score desc, doc_id asc) — membership by
-    the anchored-window test (`near_docs`), rank by the BM25 sum over
-    the distinct slot patterns (`search_phrase` semantics applied to
-    proximity). ``scope``: metadata-filtered (see `search`)."""
+    the anchored-window test (`near_docs`; ``ordered=True`` = the
+    in-order chain), rank by the BM25 sum over the distinct slot
+    patterns (`search_phrase` semantics applied to proximity).
+    ``scope``: metadata-filtered (see `search`)."""
     frame = near_docs(
         spark, index_dir, words, window=window, exclude=exclude,
-        with_score=True, scope=scope,
+        with_score=True, scope=scope, ordered=ordered,
     )
     result = (
         frame.select("doc_id", "score")

@@ -385,12 +385,19 @@ class OracleIndex:
                 out[doc_id] = len(starts)
         return out
 
-    def near_occurrences(self, words: list[str], window: int = 8) -> dict[int, int]:
+    def near_occurrences(
+        self, words: list[str], window: int = 8, ordered: bool = False
+    ) -> dict[int, int]:
         """doc_id → count of anchor positions (occurrences of the
         FIRST slot) that have every other slot within ``window`` kept
         token positions (ground truth for query.near_docs). Wildcard
         slots supported: a slot's positions are the union over its
-        expansion terms, as in phrase_occurrences."""
+        expansion terms, as in phrase_occurrences.
+
+        ``ordered=True``: the in-order chain — each slot (duplicates
+        included) matches strictly after the previous slot's match,
+        at most ``window`` tokens later; anchors counted are first-
+        slot positions starting at least one full chain."""
         from textindex_spark.refimpl.txt_tokenize import (
             iter_raw_words,
             normalize_token,
@@ -423,6 +430,23 @@ class OracleIndex:
 
             anchors = union(slots[0])
             if not anchors:
+                continue
+            if ordered:
+                seq = [sorted(union(p)) for p in slots]
+                if any(not s for s in seq):
+                    continue
+
+                def chain(i: int, prev: int) -> bool:
+                    if i == len(seq):
+                        return True
+                    return any(
+                        prev < y <= prev + window and chain(i + 1, y)
+                        for y in seq[i]
+                    )
+
+                n = sum(1 for a in seq[0] if chain(1, a))
+                if n:
+                    out[doc_id] = n
                 continue
             plists = [union(p) for p in others]
             if any(not p for p in plists):

@@ -37,7 +37,7 @@ def _rows():
                 "warc_ts": None,
                 "html": None,
                 "text": text,
-                "lang": "en",
+                "lang": "de" if i % 2 else "en",
             }
         )
     return rows
@@ -167,6 +167,46 @@ def test_hybrid_with_urls(spark, idx_dir):
             )
         else:  # vec-only id has no docs row
             assert r["url"] is None
+
+
+def test_hybrid_scope_filters_both_branches(spark, idx_dir):
+    """A scope applies to the vector branch too: only in-scope docs
+    (and never corpus-less embedded ids) reach the fused result, with
+    vector ranks assigned WITHIN the scope — equal to manually fusing
+    the two prefiltered branches."""
+    from pyspark.sql import functions as F
+
+    from textindex_spark import query as Q
+
+    got = hybrid.search_hybrid(
+        spark, idx_dir, TERMS, _emb_df(spark), QVEC, k=10, depth=DEPTH,
+        scope="lang:de",
+    ).collect()
+    assert got
+    for r in got:
+        assert r["doc_id"] % 2 == 1 and r["doc_id"] < N_DOCS
+    # manual recomposition: scope each branch, then fuse
+    lex = Q.search(
+        spark, idx_dir, TERMS, k=DEPTH, mode="or", with_urls=False,
+        scope="lang:de",
+    ).select(
+        "doc_id",
+        F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long").alias(
+            "score_micro"
+        ),
+    )
+    vec = (
+        similarity.cosine_topk(_emb_df(spark), QVEC, k=DEPTH)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("cos_micro").alias("score_micro"),
+        )
+        .filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < N_DOCS))
+    )
+    want = hybrid.rrf_fuse([lex, vec], k=10).collect()
+    assert [(r["doc_id"], r["rrf_micro"]) for r in got] == [
+        (r["doc_id"], r["rrf_micro"]) for r in want
+    ]
 
 
 def test_hybrid_input_validation(spark, idx_dir):

@@ -118,6 +118,16 @@ def search_hybrid(
     frame — to fuse an IVF/PQ branch (``similarity.ivf_cosine_topk``
     / ``pq_topk``) instead of the exact brute-force scan; the branch
     contract is just "ranked ids with micro scores".
+
+    ``scope`` applies to BOTH branches (filter-before-rank, like the
+    lexical path): the vector branch semi-joins the pushdown-filtered
+    allowed-id scan, so vector ranks are assigned WITHIN the scope
+    and a vector-only hit can never leak an out-of-scope document —
+    including ids absent from the index's docs table, whose metadata
+    is unknown and which therefore never match a scope. Caveat: the
+    vector candidates are the top-``depth`` BEFORE the filter (the
+    branch is a ranked list, not a scan) — raise ``depth`` for highly
+    selective scopes.
     """
     depth = depth or max(50, 5 * k)
     lex = Q.search(
@@ -134,6 +144,10 @@ def search_hybrid(
         F.col(id_col).alias("doc_id") if id_col != "doc_id" else F.col(id_col),
         F.col("cos_micro").alias("score_micro"),
     )
+    if scope:
+        vec = vec.join(
+            Q._scope_docs_df(spark, index_dir, scope), "doc_id", "left_semi"
+        )
     out = rrf_fuse([lex, vec], k=k, rrf_k=rrf_k)
     if with_urls:
         docs = Q._cached_table(spark, index_dir, "docs").select("doc_id", "url")

@@ -1886,6 +1886,54 @@ def test_random_phrase_differential(spark, index_dir, oracle):
     assert n_checked >= 15
 
 
+def test_random_ordered_near_differential(spark, index_dir, oracle):
+    """Seeded random ordered-proximity fuzz: slot sequences sampled
+    from real doc token runs (guaranteed hits) plus reversed variants
+    (order-sensitive misses), random windows, occasional wildcard
+    slot — engine n_near maps must equal the oracle recursion."""
+    import random
+
+    from textindex_spark.query import near_docs
+    from textindex_spark.refimpl.txt_tokenize import (
+        iter_raw_words,
+        normalize_token,
+    )
+
+    rng = random.Random(20260821)
+    doc_ids = sorted(oracle.docs)
+
+    def kept_tokens(doc_id):
+        out = []
+        for w in iter_raw_words(oracle.docs[doc_id]["text"]):
+            t = normalize_token(w)
+            if t:
+                out.append(t)
+        return out
+
+    n_checked = 0
+    for _ in range(20):
+        toks = kept_tokens(rng.choice(doc_ids))
+        if len(toks) < 5:
+            continue
+        i = rng.randrange(len(toks) - 3)
+        words = toks[i : i + rng.choice([2, 3])]
+        if rng.random() < 0.35:
+            words = list(reversed(words))
+        if rng.random() < 0.3 and len(words[-1]) >= 3:
+            words[-1] = words[-1][:2] + "*"
+        w = rng.choice([1, 3, 8])
+        want = oracle.near_occurrences(words, window=w, ordered=True)
+        got = {
+            r["doc_id"]: r["n_near"]
+            for r in near_docs(
+                spark, index_dir, words, window=w, ordered=True
+            ).collect()
+        }
+        assert got == want, (words, w)
+        n_checked += 1
+    assert n_checked >= 15
+
+
 def test_finalize_no_overlap_path_identical(spark, rows, index_dir, monkeypatch, tmp_path):
     """The large-corpus finalize branch (write-once + column-pruned
     re-read instead of persisting the encoded postings frame — gated

@@ -145,6 +145,15 @@ def main() -> None:
         help="with --hybrid-ivf: buckets to probe (default k/8 rule)",
     )
     ap.add_argument(
+        "--priors", default=None, metavar="PRIORS_DIR",
+        help="static-rank blended retrieval: the link-graph doc_priors "
+        "parquet (jobs/linkgraph.py); final score = BM25 + "
+        "w_rank*ln(1+host_rank) + w_indeg*ln(1+n_follow_inlinks) over "
+        "the top --depth candidates (ranked --terms, single index)",
+    )
+    ap.add_argument("--w-rank", type=float, default=0.0)
+    ap.add_argument("--w-indeg", type=float, default=0.0)
+    ap.add_argument(
         "--min-match", type=int, default=None, metavar="M",
         help="minimum-should-match: with --mode or, keep only docs "
         "matching at least M distinct --terms patterns (ranked "
@@ -188,6 +197,19 @@ def main() -> None:
         ap.error("--scope does not apply to --files name search")
     if args.ordered and args.near is None:
         ap.error("--ordered applies to --near proximity search")
+    if args.priors and (
+        args.files or args.facet or args.phrase or args.near is not None
+        or args.unranked or args.bool_expr or args.similar is not None
+        or args.hybrid or args.anchor_index or args.title_index
+        or args.shards or args.prune
+    ):
+        ap.error(
+            "--priors composes with ranked --terms on a single --index "
+            "(with --mode/--k/--scope/--min-match/--depth/"
+            "--w-rank/--w-indeg)"
+        )
+    if args.priors and args.w_rank == 0.0 and args.w_indeg == 0.0:
+        ap.error("--priors needs --w-rank and/or --w-indeg != 0")
     if args.similar is not None and (
         args.terms or args.bool_expr or args.files or args.phrase
         or args.near is not None or args.unranked or args.facet
@@ -328,6 +350,17 @@ def main() -> None:
             scope=args.scope,
         ).collect()
         # snippet matchers need the base patterns, not boost syntax
+        emit(rows, split_boosts(args.terms)[0])
+        return
+    if args.priors:
+        from textindex_spark.query import search_with_prior, split_boosts
+
+        rows = search_with_prior(
+            spark, args.index, spark.read.parquet(args.priors),
+            args.terms, k=args.k, mode=args.mode, w_rank=args.w_rank,
+            w_indeg=args.w_indeg, depth=args.depth, scope=args.scope,
+            min_match=args.min_match,
+        ).collect()
         emit(rows, split_boosts(args.terms)[0])
         return
     if args.hybrid:

@@ -1886,6 +1886,72 @@ def test_random_phrase_differential(spark, index_dir, oracle):
     assert n_checked >= 15
 
 
+def test_static_rank_blend_matches_oracle(spark, index_dir, oracle):
+    """Static-rank blended retrieval (engine extension): BM25 top-depth
+    candidates re-ranked by score + w_rank*ln(1+host_rank) +
+    w_indeg*ln(1+n_follow_inlinks) — pinned against an independent
+    python recomputation over minted priors, incl. NULL host ranks,
+    docs missing from the priors table, and re-ranking that actually
+    reorders the plain BM25 top-k."""
+    import math
+
+    from textindex_spark.query import search_with_prior
+
+    # minted priors: every 4th doc's host unknown (NULL rank), every
+    # 9th doc missing from the table entirely
+    rows_p = []
+    pri_py = {}
+    for d, info in oracle.docs.items():
+        if d % 9 == 0:
+            continue
+        hr = None if d % 4 == 0 else ((d % 13) + 1) / 1000.0
+        nf = d % 7
+        rows_p.append((info["url"], hr, nf + 1, nf))
+        pri_py[d] = (hr or 0.0, float(nf))
+    priors = spark.createDataFrame(
+        rows_p,
+        "url string, host_rank double, n_inlinks long, "
+        "n_follow_inlinks long",
+    )
+
+    def py_blend(terms, k, depth, w_rank, w_indeg, mode="or"):
+        cand = oracle.search(terms, k=depth, mode=mode)
+        blend = []
+        for d, s in cand:
+            hr, nf = pri_py.get(d, (0.0, 0.0))
+            b = s + w_rank * math.log(1.0 + hr) + w_indeg * math.log(1.0 + nf)
+            blend.append((d, b))
+        blend.sort(key=lambda t: (-t[1], t[0]))
+        return [(d, round(b, 9)) for d, b in blend[:k]]
+
+    reordered = 0
+    for terms, w_rank, w_indeg in (
+        (["spark", "qu*"], 0.0, 0.5),
+        (["spark", "index"], 300.0, 0.0),
+        (["querry~2", "ha*"], 150.0, 0.25),
+    ):
+        want = py_blend(terms, 10, 50, w_rank, w_indeg)
+        assert want, terms
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search_with_prior(
+                spark, index_dir, priors, terms, k=10, mode="or",
+                w_rank=w_rank, w_indeg=w_indeg, depth=50,
+            ).collect()
+        ]
+        assert got == want, (terms, w_rank, w_indeg)
+        plain = [d for d, _ in oracle.search(terms, k=10, mode="or")]
+        reordered += [d for d, _ in got] != plain
+    assert reordered >= 2  # the priors must actually change rankings
+    # validation
+    with pytest.raises(ValueError, match="w_rank"):
+        search_with_prior(spark, index_dir, priors, ["spark"])
+    with pytest.raises(ValueError, match="PRIOR_DEPTH_MAX"):
+        search_with_prior(
+            spark, index_dir, priors, ["spark"], w_indeg=1.0, depth=5000
+        )
+
+
 def test_random_ordered_near_differential(spark, index_dir, oracle):
     """Seeded random ordered-proximity fuzz: slot sequences sampled
     from real doc token runs (guaranteed hits) plus reversed variants

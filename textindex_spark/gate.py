@@ -327,12 +327,38 @@ def q_search_and(spark, sf_dir):
     return base.unionByName(perc)
 
 
+# static-rank blend probes (bm25_topk 'prior' variant): priors minted
+# as pure doc_id arithmetic in BOTH engines — the gate proves the
+# blend mechanics (url point-lookup join + ln(1+x) formula + re-rank),
+# PageRank itself is gated by link_graph 'pr'
+PRIOR_W_RANK = 40.0
+PRIOR_W_INDEG = 0.35
+
+
+def _minted_priors(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    did = F.col("doc_id")
+    return d.select(
+        F.concat(
+            F.lit("doc://"), F.coalesce(F.col("source"), F.lit("src")),
+            F.lit("/"), did.cast("string"), F.lit(".txt"),
+        ).alias("url"),
+        # every 5th doc's host is "absent from the graph" (NULL rank)
+        F.when(did % 5 != 0, ((did % 13) + 1).cast("double") / 1000.0)
+        .alias("host_rank"),
+        (did % 11).cast("long").alias("n_inlinks"),
+        (did % 7).cast("long").alias("n_follow_inlinks"),
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """Union-tagged variants: 'topk' = conjunctive BM25 top-10;
     'mlt' = more-like-this (engine extension — query-by-document:
     doc MLT_DOC's terms ranked tf·idf, top 10 fed to disjunctive
     BM25, source doc excluded; the oracle recomputes the whole chain
-    including the term selection window)."""
+    including the term selection window); 'prior' = static-rank
+    blended retrieval (engine extension — BM25 + link-quality priors,
+    minted arithmetically)."""
     idx = ensure_index(spark, sf_dir)
     micro = F.floor(F.col("score") * 1e6 + F.lit(0.5)).cast("long")
     topk = Q.search(
@@ -353,7 +379,17 @@ def q_bm25_topk(spark, sf_dir):
         spark, idx, [(aidx, W_ANCHOR), (tidx, W_TITLE)], BM25_TERMS,
         k=10, with_urls=False,
     ).select(F.lit("fields").alias("variant"), "doc_id", micro.alias("score_micro"))
-    return topk.unionByName(mlt).unionByName(fl).unionByName(f3)
+    pri = Q.search_with_prior(
+        spark, idx, _minted_priors(spark, sf_dir), BM25_TERMS,
+        k=10, mode="or", w_rank=PRIOR_W_RANK, w_indeg=PRIOR_W_INDEG,
+        depth=50,
+    ).select(
+        F.lit("prior").alias("variant"), "doc_id", micro.alias("score_micro")
+    )
+    return (
+        topk.unionByName(mlt).unionByName(fl).unionByName(f3)
+        .unionByName(pri)
+    )
 
 
 def q_bm25_or_topk(spark, sf_dir):
@@ -3524,12 +3560,54 @@ SELECT doc_id, floor(sum(w) * 1e6 + 0.5)::BIGINT AS score_micro
 FROM mlt_hits GROUP BY doc_id
 ORDER BY sum(w) DESC, doc_id ASC LIMIT 10
 """
+    prior_sql = f"""
+WITH {_TOKS_CTE},
+stats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(doc_len)::DOUBLE AS avgdl FROM dl
+),
+dfs AS (
+    SELECT term, count(*)::DOUBLE AS df FROM tf
+    WHERE term IN ({bm25_terms}) GROUP BY term
+),
+hits AS (
+    SELECT t.doc_id, t.term,
+           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * t.tf * (1.2 + 1.0)
+           / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS w
+    FROM tf t
+    JOIN dfs f ON t.term = f.term
+    JOIN dl d ON t.doc_id = d.doc_id
+    CROSS JOIN stats s
+    WHERE t.term IN ({bm25_terms})
+),
+ltop AS (
+    SELECT doc_id, sum(w) AS score FROM hits GROUP BY doc_id
+    ORDER BY sum(w) DESC, doc_id ASC LIMIT 50
+),
+pri AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 <> 0
+                THEN ((doc_id % 13) + 1)::DOUBLE / 1000.0
+                ELSE 0.0 END AS host_rank,
+           (doc_id % 7)::DOUBLE AS nf
+    FROM documents
+),
+blend AS (
+    SELECT l.doc_id,
+           l.score + {PRIOR_W_RANK} * ln(1.0 + coalesce(p.host_rank, 0.0))
+                   + {PRIOR_W_INDEG} * ln(1.0 + coalesce(p.nf, 0.0)) AS b
+    FROM ltop l LEFT JOIN pri p ON l.doc_id = p.doc_id
+)
+SELECT doc_id, floor(b * 1e6 + 0.5)::BIGINT AS score_micro
+FROM blend ORDER BY b DESC, doc_id ASC LIMIT 10
+"""
     out["bm25_topk"] = _fold([
         ("'topk' AS variant, doc_id, score_micro", out["bm25_topk"]),
         ("'mlt' AS variant, doc_id, score_micro", mlt_sql),
         ("'anchor' AS variant, doc_id, score_micro", _fielded_sql()),
         ("'fields' AS variant, doc_id, score_micro",
          _fielded_sql(with_title=True)),
+        ("'prior' AS variant, doc_id, score_micro", prior_sql),
     ])
     for dead in (
         "facet_lang", "facet_month", "phrase_match", "near_match",

@@ -2942,6 +2942,94 @@ def facet_counts(
     )
 
 
+# candidate depth is driver-resident (isin-pushdown point lookups on
+# the priors table, the matched_lines pattern) — keep it under the
+# pushdown cap
+PRIOR_DEPTH_MAX = 1024
+
+
+def search_with_prior(
+    spark: SparkSession,
+    index_dir: str,
+    priors: DataFrame,
+    patterns: list[str],
+    k: int = 10,
+    mode: str = "or",
+    w_rank: float = 0.0,
+    w_indeg: float = 0.0,
+    depth: int | None = None,
+    scope: str | None = None,
+    min_match: int | None = None,
+) -> DataFrame:
+    """Static-rank blended retrieval (the classic web-search quality
+    blend): BM25 top-``depth`` candidates re-ranked by
+
+        blended = score + w_rank·ln(1 + host_rank)
+                        + w_indeg·ln(1 + n_follow_inlinks)
+
+    over the link-graph ``doc_priors`` table (`ops.links
+    .build_link_graph`: url, host_rank, n_inlinks, n_follow_inlinks)
+    → (doc_id, score, url) ordered (blended desc, doc_id asc), where
+    ``score`` IS the blended value. A NULL host_rank (host absent
+    from the graph) and a missing priors row both contribute 0 —
+    unknown quality is neutral, never a penalty.
+
+    host_rank is a PageRank share (Σ=1 over hosts, so values are
+    ~1/n_hosts): pick ``w_rank`` on that scale (e.g. n_hosts·c), or
+    lean on the in-degree term whose ln(1+count) is scale-free.
+
+    Execution: the ranked search produces ≤ depth candidates (every
+    scope/boost/min_match behavior applies unchanged); their urls
+    drive an isin-pushdown point lookup on the priors scan (never a
+    corpus-wide join — the `matched_lines` pattern), the blend is a
+    Catalyst expression over the ≤ depth-row frame, and the re-rank
+    is a k-row sort. Depth contract: a doc outside the BM25
+    top-``depth`` cannot be promoted into the result — raise
+    ``depth`` when priors should reach further down the ranking."""
+    if w_rank == 0.0 and w_indeg == 0.0:
+        raise ValueError("need w_rank and/or w_indeg != 0")
+    depth = depth or max(50, 5 * k)
+    if depth > PRIOR_DEPTH_MAX:
+        raise ValueError(
+            f"depth {depth} exceeds PRIOR_DEPTH_MAX={PRIOR_DEPTH_MAX}"
+        )
+    cand = search(
+        spark, index_dir, patterns, k=depth, mode=mode,
+        with_urls=True, scope=scope, min_match=min_match,
+    ).collect()
+    if not cand:
+        return local_df(spark, [], "doc_id long, score double, url string")
+    cdf = local_df(
+        spark,
+        [(r["doc_id"], float(r["score"]), r["url"]) for r in cand],
+        "doc_id long, score double, url string",
+    )
+    urls = [r["url"] for r in cand if r["url"] is not None]
+    pr = (
+        priors.filter(F.col("url").isin(urls))
+        .select("url", "host_rank", "n_follow_inlinks")
+    )
+    # ln(1 + x) spelled literally (not log1p) so the DuckDB oracle
+    # evaluates the IDENTICAL expression — the same ln-agreement the
+    # BM25 idf gates already rely on
+    blended = (
+        F.col("score")
+        + F.lit(float(w_rank))
+        * F.log(F.lit(1.0) + F.coalesce(F.col("host_rank"), F.lit(0.0)))
+        + F.lit(float(w_indeg))
+        * F.log(
+            F.lit(1.0)
+            + F.coalesce(F.col("n_follow_inlinks"), F.lit(0)).cast("double")
+        )
+    )
+    return (
+        cdf.join(F.broadcast(pr), "url", "left")
+        .select("doc_id", blended.alias("score"), "url")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def find_files(spark: SparkSession, index_dir: str, pattern: str) -> DataFrame:
     """File-name wildcard search (index2.rs:447-456)."""
     rx = wildcard_to_regex(pattern).pattern

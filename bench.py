@@ -287,7 +287,10 @@ def main() -> None:
             t0 = time.time()
             fn()
             cur = time.time() - t0
-            if prev is not None and cur <= prev * 1.4:
+            # stable = the improvement has flattened (the PREVIOUS
+            # pass was within 1.4x of this one); a big speed-up means
+            # still warming, go again
+            if prev is not None and prev <= cur * 1.4:
                 break
             prev = cur
         t0 = time.time()

@@ -205,7 +205,7 @@ def main() -> None:
     ):
         ap.error(
             "--priors composes with ranked --terms on a single --index "
-            "(with --mode/--k/--scope/--min-match/--depth/"
+            "(with --mode/--k/--scope/--min-match/--depth/--exclude/"
             "--w-rank/--w-indeg)"
         )
     if args.priors and args.w_rank == 0.0 and args.w_indeg == 0.0:
@@ -359,7 +359,7 @@ def main() -> None:
             spark, args.index, spark.read.parquet(args.priors),
             args.terms, k=args.k, mode=args.mode, w_rank=args.w_rank,
             w_indeg=args.w_indeg, depth=args.depth, scope=args.scope,
-            min_match=args.min_match,
+            min_match=args.min_match, exclude=args.exclude,
         ).collect()
         emit(rows, split_boosts(args.terms)[0])
         return
@@ -383,7 +383,10 @@ def main() -> None:
         if args.hybrid_ivf:
             from textindex_spark.ops import similarity as S
 
-            probe = {} if args.probe is None else {"n_probe": args.probe}
+            # n_probe=None engages the stored paths' k/8 rule (the
+            # CLI-documented default); the functions' own default (4)
+            # must not shadow it
+            probe = {"n_probe": args.probe}
             fn = S.ivf_pq_search_stored if args.hybrid_pq else S.ivf_search_stored
             # the stored index may contain the query vector itself —
             # exclude it like the brute-force branch does (where=

@@ -1943,6 +1943,30 @@ def test_static_rank_blend_matches_oracle(spark, index_dir, oracle):
         plain = [d for d, _ in oracle.search(terms, k=10, mode="or")]
         reordered += [d for d, _ in got] != plain
     assert reordered >= 2  # the priors must actually change rankings
+    # exclusion composes with the candidate stage (review fix: the
+    # CLI silently dropped --exclude)
+    want = py_blend(["spark", "qu*"], 10, 50, 0.0, 0.5)
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_with_prior(
+            spark, index_dir, priors, ["spark", "qu*"], k=10, mode="or",
+            w_indeg=0.5, depth=50, exclude=["index"],
+        ).collect()
+    ]
+    assert got and all(
+        d not in oracle.postings.get("index", {}) for d, _ in got
+    )
+    assert got != want  # the exclusion bites
+    # duplicate priors rows (multi-fetch corpus) must not multiply
+    # candidates into duplicate doc_ids
+    dup_priors = priors.unionByName(priors)
+    got_dup = search_with_prior(
+        spark, index_dir, dup_priors, ["spark", "qu*"], k=10, mode="or",
+        w_indeg=0.5, depth=50,
+    ).collect()
+    ids = [r["doc_id"] for r in got_dup]
+    assert len(ids) == len(set(ids)) == 10
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got_dup] == want
     # validation
     with pytest.raises(ValueError, match="w_rank"):
         search_with_prior(spark, index_dir, priors, ["spark"])

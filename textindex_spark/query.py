@@ -2960,6 +2960,7 @@ def search_with_prior(
     depth: int | None = None,
     scope: str | None = None,
     min_match: int | None = None,
+    exclude: list[str] | None = None,
 ) -> DataFrame:
     """Static-rank blended retrieval (the classic web-search quality
     blend): BM25 top-``depth`` candidates re-ranked by
@@ -2996,6 +2997,7 @@ def search_with_prior(
     cand = search(
         spark, index_dir, patterns, k=depth, mode=mode,
         with_urls=True, scope=scope, min_match=min_match,
+        exclude=exclude,
     ).collect()
     if not cand:
         return local_df(spark, [], "doc_id long, score double, url string")
@@ -3005,9 +3007,14 @@ def search_with_prior(
         "doc_id long, score double, url string",
     )
     urls = [r["url"] for r in cand if r["url"] is not None]
+    # a multi-fetch corpus indexed without url-dedup can carry several
+    # priors rows per url (build_link_graph writes one per input page;
+    # the values are url-derived and identical) — dedup so the left
+    # join cannot multiply candidates into duplicate doc_ids
     pr = (
         priors.filter(F.col("url").isin(urls))
         .select("url", "host_rank", "n_follow_inlinks")
+        .dropDuplicates(["url"])
     )
     # ln(1 + x) spelled literally (not log1p) so the DuckDB oracle
     # evaluates the IDENTICAL expression — the same ln-agreement the

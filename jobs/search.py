@@ -17,7 +17,13 @@
         [--hybrid EMB.parquet --qvec-id N]  # RRF-fuse BM25 --terms with
                                 # cosine top-k over document embeddings
                                 # (--rrf-k/--depth tune the fusion;
-                                # --scope filters the lexical branch)
+                                # --scope filters BOTH branches;
+                                # --hybrid-ivf DIR [--hybrid-pq] [--probe P]
+                                # swaps in the stored vector index)
+        [--min-match M]       # OR docs matching >= M distinct patterns
+        [--near N --ordered]  # in-order proximity chain (SpanNear inOrder)
+        [--priors DIR --w-rank X --w-indeg Y]  # static-rank blend over
+                                # the link-graph doc_priors table
 """
 from __future__ import annotations
 

@@ -171,3 +171,62 @@ def test_stream_percolate_matches_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/batch_*").collect()
     }
     assert got3 == got2
+
+
+def test_sat_table_matches_independent_eval():
+    """Property check (no Spark): for random boolean formulas, the
+    driver-enumerated SAT table contains EXACTLY the leaf-truth masks
+    an independent recursive evaluator accepts — the broadcast
+    semi-join's correctness rests on this enumeration."""
+    import random
+
+    rng = random.Random(20260821)
+    leaves_pool = ["alpha", "beta", "gamma", "delta", "eps"]
+
+    def rand_expr(depth=0):
+        r = rng.random()
+        if depth >= 3 or r < 0.4:
+            return rng.choice(leaves_pool)
+        if r < 0.55:
+            return f"NOT {rand_expr(depth + 1)}"
+        op = rng.choice(["AND", "OR"])
+        return f"({rand_expr(depth + 1)} {op} {rand_expr(depth + 1)})"
+
+    def indep_eval(node, leaves, truth):
+        # independent of boolquery._eval_py's implementation shape
+        kind = node[0]
+        if kind == "leaf":
+            return truth[node[1]]
+        if kind == "not":
+            return not indep_eval(node[1], leaves, truth)
+        vals = [indep_eval(c, leaves, truth) for c in node[1]]
+        return all(vals) if kind == "and" else any(vals)
+
+    n_checked = 0
+    for _ in range(60):
+        expr = rand_expr()
+        ast, leaves = parse_bool(expr)
+        n = len(leaves)
+        if n > P.PERCOLATE_MAX_LEAVES:
+            continue
+        try:
+            leaf_rows, sat_rows = P.compile_queries([("q", expr)])
+        except ValueError:
+            # all-false-satisfiable: the independent evaluator must
+            # agree that the empty assignment satisfies it
+            assert indep_eval(ast, leaves, [False] * n), expr
+            continue
+        sat = {m for _, m in sat_rows}
+        for mask in range(1 << n):
+            want = indep_eval(
+                ast, leaves, [(mask >> i) & 1 == 1 for i in range(n)]
+            )
+            if mask == 0:
+                assert not want, expr  # else compile would have raised
+            else:
+                assert (mask in sat) == want, (expr, mask)
+        # leaf rows carry one distinct bit per leaf occurrence
+        bits = [b for _, b, _ in leaf_rows]
+        assert sorted(bits) == [1 << i for i in range(n)]
+        n_checked += 1
+    assert n_checked >= 30

@@ -230,3 +230,33 @@ def test_sat_table_matches_independent_eval():
         assert sorted(bits) == [1 << i for i in range(n)]
         n_checked += 1
     assert n_checked >= 30
+
+
+def test_load_queries_tsv_contract(tmp_path):
+    """jobs/percolate.load_queries: comments/blank lines skipped,
+    whitespace trimmed, tabs inside the expression preserved,
+    missing-tab lines rejected with the line number."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from percolate import load_queries
+
+    p = tmp_path / "q.tsv"
+    p.write_text(
+        "# alerting rules\n"
+        "\n"
+        "a1\tspark AND merge\n"
+        "  a2  \t qu* AND NOT spark \n"
+        "a3\tx\tAND y\n",
+        encoding="utf-8",
+    )
+    got = load_queries(str(p))
+    assert got == [
+        ("a1", "spark AND merge"),
+        ("a2", "qu* AND NOT spark"),
+        ("a3", "x\tAND y"),
+    ]
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("a1 spark AND merge\n", encoding="utf-8")
+    with pytest.raises(SystemExit, match="bad.tsv:1"):
+        load_queries(str(bad))
